@@ -1,0 +1,114 @@
+"""Encoder configuration.
+
+Mirrors the *semantics* of the reference public config struct
+``EbSvtAv1EncConfiguration`` (reference: ``Source/API/EbApi.h:129-494``) and its
+defaults (``EbEncHandle.c:2547``), re-expressed as a Python dataclass whose
+fields resolve to *static jit-time constants* — the TPU analogue of the
+reference's per-preset ``signal_derivation_*_oq`` feature derivation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+class RateControlMode:
+    CQP = 0  # constant qindex (reference: EbApi.h:368-374 rate_control_mode=0)
+    VBR = 1  # ABR/VBR lookahead model (reference mode 1) — post-MVP
+
+
+class IntraRefreshType:
+    CRA = 1  # open GOP
+    IDR = 2  # closed GOP
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """Static encoder configuration.
+
+    Frozen so instances can be used as static args to ``jax.jit``.
+    """
+
+    # --- source description -------------------------------------------------
+    width: int = 854
+    height: int = 480
+    bit_depth: int = 8            # 8 or 10 (10-bit path post-MVP)
+    frame_rate_num: int = 30
+    frame_rate_den: int = 1
+
+    # --- coding structure ----------------------------------------------------
+    sb_size: int = 64             # superblock size (64 keeps wavefronts wide;
+                                  # SURVEY.md §7.4.2)
+    intra_period: int = -1        # -1 = first frame only (all-intra when 0)
+    intra_refresh_type: int = IntraRefreshType.IDR
+    hierarchical_levels: int = 0  # 0 = flat (inter post-MVP)
+
+    # --- rate control ---------------------------------------------------------
+    rate_control_mode: int = RateControlMode.CQP
+    qp: int = 40                  # 0..63 CLI-style qp; mapped to qindex
+    target_bit_rate: int = 0
+
+    # --- tools ----------------------------------------------------------------
+    enable_cdef: bool = False     # post-MVP round work
+    enable_restoration: bool = False
+    enable_dlf: bool = False
+    enable_tx_type_search: bool = False
+    disable_cdf_update: bool = False
+
+    # --- mode decision budget (static shapes for XLA) --------------------------
+    # Luma intra modes scored in the batched open-loop mode decision.
+    # Subset of the 13 AV1 intra modes; DC must be present.
+    intra_modes: Tuple[int, ...] = (0, 1, 2, 9, 12)  # DC, V, H, SMOOTH, PAETH
+    # Partition: block sizes the RD search may choose (square, SB..min).
+    min_partition_size: int = 8
+    max_partition_size: int = 64
+
+    # --- tiles / parallelism ----------------------------------------------------
+    tile_cols_log2: int = 0
+    tile_rows_log2: int = 0
+    # Device mesh shape for sharded encode: (data/frames, tiles).
+    mesh_shape: Optional[Tuple[int, int]] = None
+
+    # --- misc -------------------------------------------------------------------
+    stat_report: bool = True
+    recon_enabled: bool = False
+
+    def __post_init__(self):
+        if self.width % 2 or self.height % 2:
+            raise ValueError("4:2:0 requires even dimensions")
+        if not (64 <= self.width <= 4096 and 64 <= self.height <= 2304):
+            raise ValueError("supported sizes: 64x64..4096x2304 "
+                             "(reference: Docs user guide :127-130)")
+        if self.bit_depth not in (8, 10):
+            raise ValueError("bit_depth must be 8 or 10")
+        if not 0 <= self.qp <= 63:
+            raise ValueError("qp must be in 0..63")
+        if self.sb_size != 64:
+            raise ValueError("only 64x64 superblocks supported")
+
+    # geometry helpers ---------------------------------------------------------
+    @property
+    def sb_cols(self) -> int:
+        return (self.width + self.sb_size - 1) // self.sb_size
+
+    @property
+    def sb_rows(self) -> int:
+        return (self.height + self.sb_size - 1) // self.sb_size
+
+    @property
+    def padded_width(self) -> int:
+        return self.sb_cols * self.sb_size
+
+    @property
+    def padded_height(self) -> int:
+        return self.sb_rows * self.sb_size
+
+    @property
+    def base_q_idx(self) -> int:
+        """Map CLI-style qp (0..63) to an AV1 qindex (0..255).
+
+        The reference maps qp via quantizer_to_qindex (4*qp clamped); we use
+        the same convention so ``-q 40`` operating points line up.
+        """
+        return min(255, self.qp * 4)
