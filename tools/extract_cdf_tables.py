@@ -182,6 +182,25 @@ def parse_table(text: str, name: str, shape) -> np.ndarray:
     return arr
 
 
+# quantizer step-size lookups (spec Dc_Qlookup/Ac_Qlookup), from
+# EbModeDecisionConfigurationProcess.c:160-255
+QUANT_TABLES = [
+    ("dc_qlookup_Q3", "dc_qlookup_8", (256,)),
+    ("dc_qlookup_10_Q3", "dc_qlookup_10", (256,)),
+    ("dc_qlookup_12_Q3", "dc_qlookup_12", (256,)),
+    ("ac_qlookup_Q3", "ac_qlookup_8", (256,)),
+    ("ac_qlookup_10_Q3", "ac_qlookup_10", (256,)),
+    ("ac_qlookup_12_Q3", "ac_qlookup_12", (256,)),
+]
+
+
+def parse_flat(text: str, name: str, shape) -> np.ndarray:
+    init = find_initializer(text, name)
+    nums = [int(t) for t in re.findall(r"-?\d+", init)]
+    assert len(nums) == int(np.prod(shape)), (name, len(nums))
+    return np.array(nums, dtype=np.int32).reshape(shape)
+
+
 def main():
     ref = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/root/reference")
     src = (ref / "Source/Lib/Codec/EbCabacContextModel.c").read_text()
@@ -189,6 +208,13 @@ def main():
     out = {}
     for cname, key, shape in TABLES:
         out[key] = parse_table(text, cname, shape)
+        print(f"{key:20s} {shape} ok")
+    qsrc = strip_comments(
+        (ref / "Source/Lib/Codec/EbModeDecisionConfigurationProcess.c")
+        .read_text())
+    for cname, key, shape in QUANT_TABLES:
+        out[key] = parse_flat(qsrc, cname, shape)
+        assert (np.diff(out[key]) >= 0).all(), key  # step sizes are monotone
         print(f"{key:20s} {shape} ok")
     dst = Path(__file__).resolve().parent.parent / \
         "svt_av1_tpu/entropy/data/default_cdfs.npz"
