@@ -207,10 +207,11 @@ def get_scan(tx_size: int, tx_type: int) -> np.ndarray:
     cls = int(TX_TYPE_CLASS[tx_type])
     if cls == TX_CLASS_2D:
         return zigzag_scan(w, h)
-    # 1D transforms use mrow/mcol scans
-    if cls == TX_CLASS_VERT:   # V_*: column-major? spec: mcol for vert class
-        return mcol_scan(w, h)
-    return mrow_scan(w, h)
+    # 1D transforms: vertical class scans row-major, horizontal column-major
+    # (reference av1_scan_orders, EbTransforms.h:3336ff)
+    if cls == TX_CLASS_VERT:
+        return mrow_scan(w, h)
+    return mcol_scan(w, h)
 
 
 # --- superblock / partition helpers ------------------------------------------------
