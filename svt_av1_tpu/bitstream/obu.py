@@ -1,0 +1,477 @@
+"""OBU framing + sequence/frame header syntax (writer + parser twins).
+
+Writer mirrors the semantics of the reference's OBU writers
+(``EbEntropyCoding.c:4392-4500`` WriteFrameHeaderAv1 / EncodeSPSAv1 /
+EncodeTDAv1 / WriteObuHeader); bit layout follows AV1 spec 5.5 (sequence
+header), 5.9 (frame header), 5.11 (tile group). The parser twin feeds the
+in-repo verification decoder.
+
+Scope of this writer (MVP): single operating point, no superres, no film
+grain, no frame-id numbers, 4:2:0. Tool flags (cdef/restoration/order-hint)
+are carried by ``SequenceHeader`` so later rounds extend rather than rewrite.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from svt_av1_tpu.bitstream.bitio import (BitReader, BitWriter, read_uleb128,
+                                         write_uleb128)
+
+# OBU types (spec 6.2.2)
+OBU_SEQUENCE_HEADER = 1
+OBU_TEMPORAL_DELIMITER = 2
+OBU_FRAME_HEADER = 3
+OBU_TILE_GROUP = 4
+OBU_METADATA = 5
+OBU_FRAME = 6
+OBU_REDUNDANT_FRAME_HEADER = 7
+OBU_PADDING = 15
+
+# frame types (spec 6.8.2)
+KEY_FRAME = 0
+INTER_FRAME = 1
+INTRA_ONLY_FRAME = 2
+SWITCH_FRAME = 3
+
+PRIMARY_REF_NONE = 7
+NUM_REF_FRAMES = 8
+
+# (seq_level_idx, max_h, max_v, max_pic_size) — AV1 levels annex A.3
+_LEVELS = [(0, 2048, 1152, 147456), (1, 2816, 1584, 278784),
+           (4, 4352, 2448, 665856), (5, 5504, 3096, 1065024),
+           (8, 6144, 3456, 2359296), (12, 8192, 4352, 8912896),
+           (13, 8192, 4352, 8912896), (14, 8192, 4352, 8912896)]
+
+
+def choose_level(width: int, height: int) -> int:
+    for idx, mh, mv, mp in _LEVELS:
+        if width <= mh and height <= mv and width * height <= mp:
+            return idx
+    return 15
+
+
+@dataclasses.dataclass
+class SequenceHeader:
+    """Sequence-level state shared by writer, encoder, and decoder."""
+    width: int
+    height: int
+    bit_depth: int = 8
+    use_128x128_superblock: bool = False
+    enable_filter_intra: bool = False
+    enable_intra_edge_filter: bool = False
+    enable_order_hint: bool = False
+    order_hint_bits: int = 0
+    enable_cdef: bool = False
+    enable_restoration: bool = False
+    enable_superres: bool = False
+    film_grain_params_present: bool = False
+    seq_profile: int = 0
+    still_picture: bool = False
+
+    @property
+    def frame_width_bits(self) -> int:
+        return max(1, (self.width - 1).bit_length())
+
+    @property
+    def frame_height_bits(self) -> int:
+        return max(1, (self.height - 1).bit_length())
+
+    @property
+    def sb_size(self) -> int:
+        return 128 if self.use_128x128_superblock else 64
+
+    @property
+    def mi_cols(self) -> int:
+        return 2 * ((self.width + 7) >> 3)
+
+    @property
+    def mi_rows(self) -> int:
+        return 2 * ((self.height + 7) >> 3)
+
+    @property
+    def sb_cols(self) -> int:
+        shift = 5 if self.use_128x128_superblock else 4
+        return (self.mi_cols + (1 << shift) - 1) >> shift
+
+    @property
+    def sb_rows(self) -> int:
+        shift = 5 if self.use_128x128_superblock else 4
+        return (self.mi_rows + (1 << shift) - 1) >> shift
+
+
+@dataclasses.dataclass
+class FrameHeader:
+    """Per-frame header state (subset actually signaled by the MVP writer)."""
+    frame_type: int = KEY_FRAME
+    show_frame: bool = True
+    base_q_idx: int = 40
+    disable_cdf_update: bool = False
+    disable_frame_end_update_cdf: bool = True
+    tx_mode_select: bool = False      # False = TX_MODE_LARGEST
+    reduced_tx_set: bool = False
+    tile_cols_log2: int = 0
+    tile_rows_log2: int = 0
+    loop_filter_levels: tuple = (0, 0, 0, 0)
+    refresh_frame_flags: int = 0xFF
+    order_hint: int = 0
+
+
+def _obu_header(obu_type: int) -> int:
+    """forbidden(0) | type | ext(0) | has_size(1) | reserved(0)."""
+    return (obu_type << 3) | 0x02
+
+
+def wrap_obu(obu_type: int, payload: bytes) -> bytes:
+    return bytes([_obu_header(obu_type)]) + write_uleb128(len(payload)) \
+        + payload
+
+
+def temporal_delimiter_obu() -> bytes:
+    """EncodeTDAv1 (EbEntropyCoding.c:4479)."""
+    return wrap_obu(OBU_TEMPORAL_DELIMITER, b"")
+
+
+def _tile_log2(blk_size: int, target: int) -> int:
+    k = 0
+    while (blk_size << k) < target:
+        k += 1
+    return k
+
+
+def write_sequence_header_obu(seq: SequenceHeader) -> bytes:
+    """EncodeSPSAv1 (EbEntropyCoding.c:4449) / spec 5.5."""
+    w = BitWriter()
+    w.write(seq.seq_profile, 3)
+    w.write_bit(int(seq.still_picture))
+    w.write_bit(0)                       # reduced_still_picture_header
+    w.write_bit(0)                       # timing_info_present_flag
+    w.write_bit(0)                       # initial_display_delay_present_flag
+    w.write(0, 5)                        # operating_points_cnt_minus_1
+    w.write(0, 12)                       # operating_point_idc[0]
+    level = choose_level(seq.width, seq.height)
+    w.write(level, 5)                    # seq_level_idx[0]
+    if level > 7:
+        w.write_bit(0)                   # seq_tier[0]
+    w.write(seq.frame_width_bits - 1, 4)
+    w.write(seq.frame_height_bits - 1, 4)
+    w.write(seq.width - 1, seq.frame_width_bits)
+    w.write(seq.height - 1, seq.frame_height_bits)
+    w.write_bit(0)                       # frame_id_numbers_present_flag
+    w.write_bit(int(seq.use_128x128_superblock))
+    w.write_bit(int(seq.enable_filter_intra))
+    w.write_bit(int(seq.enable_intra_edge_filter))
+    # reduced_still_picture_header == 0 path:
+    w.write_bit(0)                       # enable_interintra_compound
+    w.write_bit(0)                       # enable_masked_compound
+    w.write_bit(0)                       # enable_warped_motion
+    w.write_bit(0)                       # enable_dual_filter
+    w.write_bit(int(seq.enable_order_hint))
+    if seq.enable_order_hint:
+        w.write_bit(0)                   # enable_jnt_comp
+        w.write_bit(0)                   # enable_ref_frame_mvs
+    w.write_bit(0)                       # seq_choose_screen_content_tools
+    w.write_bit(0)                       # seq_force_screen_content_tools
+    if seq.enable_order_hint:
+        w.write(seq.order_hint_bits - 1, 3)
+    w.write_bit(int(seq.enable_superres))
+    w.write_bit(int(seq.enable_cdef))
+    w.write_bit(int(seq.enable_restoration))
+    # color_config (spec 5.5.2)
+    w.write_bit(int(seq.bit_depth == 10))   # high_bitdepth
+    w.write_bit(0)                       # mono_chrome (profile 0 codes it)
+    w.write_bit(0)                       # color_description_present_flag
+    w.write_bit(0)                       # color_range (studio swing)
+    # profile 0 implies 4:2:0 -> subsampling not coded
+    w.write(0, 2)                        # chroma_sample_position (unknown)
+    w.write_bit(0)                       # separate_uv_delta_q
+    w.write_bit(int(seq.film_grain_params_present))
+    w.trailing_bits()
+    return wrap_obu(OBU_SEQUENCE_HEADER, w.data())
+
+
+def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
+                               fh: FrameHeader) -> None:
+    """spec 5.9.2; KEY/show path of WriteFrameHeaderAv1
+    (EbEntropyCoding.c:4392). Only the intra-frame paths are emitted so far;
+    inter signaling lands with the inter rounds."""
+    assert fh.frame_type == KEY_FRAME and fh.show_frame, \
+        "MVP writer: shown key frames only (inter rounds extend this)"
+    w.write_bit(0)                       # show_existing_frame
+    w.write(fh.frame_type, 2)
+    w.write_bit(int(fh.show_frame))
+    # error_resilient_mode implied 1 for shown key frames (not coded)
+    w.write_bit(int(fh.disable_cdf_update))
+    # allow_screen_content_tools = seq_force (0), not coded
+    w.write_bit(0)                       # frame_size_override_flag
+    if seq.enable_order_hint:
+        w.write(fh.order_hint, seq.order_hint_bits)
+    # primary_ref_frame = PRIMARY_REF_NONE (intra), not coded
+    # refresh_frame_flags = 0xFF for shown key frame, not coded
+    # frame_size(): size from sequence (override=0); superres disabled
+    # render_size():
+    w.write_bit(0)                       # render_and_frame_size_different
+    # allow_intrabc: allow_screen_content_tools == 0 -> not coded
+    if fh.disable_cdf_update:
+        pass                             # disable_frame_end_update_cdf = 1
+    else:
+        w.write_bit(int(fh.disable_frame_end_update_cdf))
+    _write_tile_info(w, seq, fh)
+    # quantization_params():
+    w.write(fh.base_q_idx, 8)
+    w.write_bit(0)                       # DeltaQYDc present
+    w.write_bit(0)                       # DeltaQUDc present
+    w.write_bit(0)                       # DeltaQUAc present
+    w.write_bit(0)                       # using_qmatrix
+    w.write_bit(0)                       # segmentation_enabled
+    if fh.base_q_idx > 0:
+        w.write_bit(0)                   # delta_q_present
+    # delta_lf_params: skipped (delta_q_present == 0)
+    # loop_filter_params (CodedLossless false):
+    lf = fh.loop_filter_levels
+    w.write(lf[0], 6)
+    w.write(lf[1], 6)
+    if lf[0] or lf[1]:
+        w.write(lf[2], 6)
+        w.write(lf[3], 6)
+    w.write(0, 3)                        # loop_filter_sharpness
+    w.write_bit(0)                       # loop_filter_delta_enabled
+    # cdef_params / lr_params: seq tools disabled -> no bits
+    assert not seq.enable_cdef and not seq.enable_restoration
+    w.write_bit(int(fh.tx_mode_select))  # read_tx_mode
+    # frame_reference_mode / skip_mode / warped motion: intra -> no bits
+    w.write_bit(int(fh.reduced_tx_set))
+    # global_motion_params / film_grain_params: intra / disabled -> no bits
+
+
+def _write_tile_info(w: BitWriter, seq: SequenceHeader,
+                     fh: FrameHeader) -> None:
+    """spec 5.9.15 (uniform spacing only)."""
+    sb_cols, sb_rows = seq.sb_cols, seq.sb_rows
+    sb_size_log2 = 7 if seq.use_128x128_superblock else 6
+    max_tile_width_sb = 4096 >> sb_size_log2
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_size_log2)
+    min_log2_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(min_log2_cols,
+                         _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+    w.write_bit(1)                       # uniform_tile_spacing_flag
+    assert min_log2_cols <= fh.tile_cols_log2 <= max_log2_cols
+    for _ in range(fh.tile_cols_log2 - min_log2_cols):
+        w.write_bit(1)
+    if fh.tile_cols_log2 < max_log2_cols:
+        w.write_bit(0)
+    min_log2_rows = max(min_log2_tiles - fh.tile_cols_log2, 0)
+    assert min_log2_rows <= fh.tile_rows_log2 <= max_log2_rows
+    for _ in range(fh.tile_rows_log2 - min_log2_rows):
+        w.write_bit(1)
+    if fh.tile_rows_log2 < max_log2_rows:
+        w.write_bit(0)
+    if fh.tile_cols_log2 or fh.tile_rows_log2:
+        w.write(0, fh.tile_cols_log2 + fh.tile_rows_log2)  # ctx update tile
+        w.write(3, 2)                    # tile_size_bytes_minus_1 (4 bytes)
+
+
+def write_frame_obu(seq: SequenceHeader, fh: FrameHeader,
+                    tile_payloads: list) -> bytes:
+    """OBU_FRAME: uncompressed header + byte align + tile group
+    (spec 5.10; reference packs the same way in PacketizationKernel)."""
+    w = BitWriter()
+    _write_uncompressed_header(w, seq, fh)
+    w.byte_align()
+    data = bytearray(w.data())
+    num_tiles = (1 << fh.tile_cols_log2) * (1 << fh.tile_rows_log2)
+    assert len(tile_payloads) == num_tiles
+    # tile_start_and_end_present_flag only if NumTiles > 1; OBU_FRAME must
+    # cover all tiles, so it is 0 — but the flag bit itself is still coded.
+    if num_tiles > 1:
+        tg = BitWriter()
+        tg.write_bit(0)
+        tg.byte_align()
+        data += tg.data()
+    for i, t in enumerate(tile_payloads):
+        if i != num_tiles - 1:
+            data += (len(t) - 1).to_bytes(4, "little")  # tile_size_minus_1
+        data += t
+    return wrap_obu(OBU_FRAME, bytes(data))
+
+
+# =============================== parser twin ===============================
+
+def parse_obus(data: bytes):
+    """Split a temporal unit into (obu_type, payload) tuples."""
+    pos = 0
+    out = []
+    while pos < len(data):
+        hdr = data[pos]
+        assert hdr & 0x80 == 0, "forbidden bit set"
+        obu_type = (hdr >> 3) & 0xF
+        has_size = (hdr >> 1) & 1
+        pos += 1
+        if (hdr >> 2) & 1:  # extension
+            pos += 1
+        assert has_size, "size field required by this parser"
+        size, pos = read_uleb128(data, pos)
+        out.append((obu_type, data[pos:pos + size]))
+        pos += size
+    return out
+
+
+def parse_sequence_header_obu(payload: bytes) -> SequenceHeader:
+    r = BitReader(payload)
+    profile = r.read(3)
+    still = r.read_bit()
+    reduced = r.read_bit()
+    assert not reduced, "reduced_still_picture_header unsupported"
+    assert r.read_bit() == 0  # timing_info
+    assert r.read_bit() == 0  # initial_display_delay
+    assert r.read(5) == 0     # operating_points_cnt_minus_1
+    r.read(12)                # operating_point_idc
+    level = r.read(5)
+    if level > 7:
+        r.read_bit()          # seq_tier
+    wbits = r.read(4) + 1
+    hbits = r.read(4) + 1
+    width = r.read(wbits) + 1
+    height = r.read(hbits) + 1
+    assert r.read_bit() == 0  # frame_id_numbers
+    use128 = bool(r.read_bit())
+    filter_intra = bool(r.read_bit())
+    intra_edge = bool(r.read_bit())
+    r.read_bit()              # enable_interintra_compound
+    r.read_bit()              # enable_masked_compound
+    r.read_bit()              # enable_warped_motion
+    r.read_bit()              # enable_dual_filter
+    order_hint = bool(r.read_bit())
+    order_hint_bits = 0
+    if order_hint:
+        r.read_bit()          # enable_jnt_comp
+        r.read_bit()          # enable_ref_frame_mvs
+    choose_sct = r.read_bit()
+    force_sct = 2 if choose_sct else r.read_bit()
+    if force_sct > 0:
+        if not r.read_bit():  # seq_choose_integer_mv
+            r.read_bit()
+    if order_hint:
+        order_hint_bits = r.read(3) + 1
+    superres = bool(r.read_bit())
+    cdef = bool(r.read_bit())
+    restoration = bool(r.read_bit())
+    high_bd = r.read_bit()
+    bit_depth = 10 if high_bd else 8
+    if profile != 1:
+        mono = r.read_bit()
+        assert not mono, "monochrome unsupported"
+    if r.read_bit():          # color_description_present
+        r.read(8), r.read(8), r.read(8)
+    r.read_bit()              # color_range
+    assert profile == 0, "4:2:0 only"
+    r.read(2)                 # chroma_sample_position
+    sep_uv_dq = r.read_bit()
+    assert not sep_uv_dq
+    grain = bool(r.read_bit())
+    return SequenceHeader(width=width, height=height, bit_depth=bit_depth,
+                          use_128x128_superblock=use128,
+                          enable_filter_intra=filter_intra,
+                          enable_intra_edge_filter=intra_edge,
+                          enable_order_hint=order_hint,
+                          order_hint_bits=order_hint_bits,
+                          enable_cdef=cdef, enable_restoration=restoration,
+                          enable_superres=superres,
+                          film_grain_params_present=grain,
+                          seq_profile=profile, still_picture=bool(still))
+
+
+def parse_frame_obu(payload: bytes, seq: SequenceHeader):
+    """Parse an OBU_FRAME produced by ``write_frame_obu``.
+
+    Returns (FrameHeader, [tile bytes])."""
+    r = BitReader(payload)
+    assert r.read_bit() == 0, "show_existing_frame unsupported"
+    frame_type = r.read(2)
+    show_frame = bool(r.read_bit())
+    assert frame_type == KEY_FRAME and show_frame
+    disable_cdf_update = bool(r.read_bit())
+    assert r.read_bit() == 0  # frame_size_override
+    order_hint = r.read(seq.order_hint_bits) if seq.enable_order_hint else 0
+    assert r.read_bit() == 0  # render_and_frame_size_different
+    if disable_cdf_update:
+        disable_end_update = True
+    else:
+        disable_end_update = bool(r.read_bit())
+    tile_cols_log2, tile_rows_log2, tile_size_bytes = _parse_tile_info(r, seq)
+    base_q_idx = r.read(8)
+    assert r.read_bit() == 0  # DeltaQYDc
+    assert r.read_bit() == 0  # DeltaQUDc
+    assert r.read_bit() == 0  # DeltaQUAc
+    assert r.read_bit() == 0  # using_qmatrix
+    assert r.read_bit() == 0  # segmentation_enabled
+    if base_q_idx > 0:
+        assert r.read_bit() == 0  # delta_q_present
+    lf0, lf1 = r.read(6), r.read(6)
+    lf2 = lf3 = 0
+    if lf0 or lf1:
+        lf2, lf3 = r.read(6), r.read(6)
+    r.read(3)                 # sharpness
+    lf_delta = r.read_bit()
+    assert not lf_delta
+    tx_mode_select = bool(r.read_bit())
+    reduced_tx_set = bool(r.read_bit())
+    r.byte_align()
+    fh = FrameHeader(frame_type=frame_type, show_frame=show_frame,
+                     base_q_idx=base_q_idx,
+                     disable_cdf_update=disable_cdf_update,
+                     disable_frame_end_update_cdf=disable_end_update,
+                     tx_mode_select=tx_mode_select,
+                     reduced_tx_set=reduced_tx_set,
+                     tile_cols_log2=tile_cols_log2,
+                     tile_rows_log2=tile_rows_log2,
+                     loop_filter_levels=(lf0, lf1, lf2, lf3),
+                     order_hint=order_hint)
+    # tile group
+    data = payload[r.bit_pos // 8:]
+    num_tiles = (1 << tile_cols_log2) * (1 << tile_rows_log2)
+    tiles = []
+    pos = 0
+    if num_tiles > 1:
+        pos += 1  # tile_start_and_end_present byte (flag + alignment)
+    for i in range(num_tiles):
+        if i != num_tiles - 1:
+            size = int.from_bytes(data[pos:pos + tile_size_bytes],
+                                  "little") + 1
+            pos += tile_size_bytes
+            tiles.append(data[pos:pos + size])
+            pos += size
+        else:
+            tiles.append(data[pos:])
+    return fh, tiles
+
+
+def _parse_tile_info(r: BitReader, seq: SequenceHeader):
+    sb_cols, sb_rows = seq.sb_cols, seq.sb_rows
+    sb_size_log2 = 7 if seq.use_128x128_superblock else 6
+    max_tile_width_sb = 4096 >> sb_size_log2
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_size_log2)
+    min_log2_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(min_log2_cols,
+                         _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+    assert r.read_bit() == 1, "non-uniform tile spacing unsupported"
+    cols_log2 = min_log2_cols
+    while cols_log2 < max_log2_cols:
+        if not r.read_bit():
+            break
+        cols_log2 += 1
+    min_log2_rows = max(min_log2_tiles - cols_log2, 0)
+    rows_log2 = min_log2_rows
+    while rows_log2 < max_log2_rows:
+        if not r.read_bit():
+            break
+        rows_log2 += 1
+    tile_size_bytes = 4
+    if cols_log2 or rows_log2:
+        r.read(cols_log2 + rows_log2)   # context_update_tile_id
+        tile_size_bytes = r.read(2) + 1
+    return cols_log2, rows_log2, tile_size_bytes

@@ -63,6 +63,8 @@ class EncoderConfig:
     # Partition: block sizes the RD search may choose (square, SB..min).
     min_partition_size: int = 8
     max_partition_size: int = 64
+    # Uniform partition size when partition RD is off (None = RD search).
+    fixed_partition_size: Optional[int] = 16
 
     # --- tiles / parallelism ----------------------------------------------------
     tile_cols_log2: int = 0

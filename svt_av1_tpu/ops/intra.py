@@ -34,13 +34,16 @@ _SM_ROUND = 9    # log2(2 * scale)
 
 
 def prepare_edges(recon: np.ndarray, xs: np.ndarray, ys: np.ndarray,
-                  bw: int, bh: int, bd: int = 8):
+                  bw: int, bh: int, bd: int = 8, max_w: int = None,
+                  max_h: int = None):
     """Gather and prepare intra edge samples for a batch of blocks.
 
     recon: current reconstruction plane [H, W] (only causal samples read).
     xs, ys: [B] top-left pixel coordinates. Availability = in-frame causality
     (spec 7.11.2: above row y-1, left col x-1; unavailable edges are
-    synthesized from the other edge or the base value).
+    synthesized from the other edge or the base value). max_w/max_h bound the
+    readable sample area (spec maxX/maxY = mi area, which can be smaller than
+    the padded plane); samples beyond are replicated.
 
     Returns (above [B, bw+bh], left [B, bh+bw], top_left [B]) — the extra
     length carries top-right / bottom-left extensions (replication of the
@@ -49,6 +52,10 @@ def prepare_edges(recon: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     base = 1 << (bd - 1)
     b = len(xs)
     H, W = recon.shape
+    if max_w is not None:
+        W = min(W, max_w)
+    if max_h is not None:
+        H = min(H, max_h)
     above = np.empty((b, bw + bh), dtype=np.int32)
     left = np.empty((b, bh + bw), dtype=np.int32)
     top_left = np.empty(b, dtype=np.int32)

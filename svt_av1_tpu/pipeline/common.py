@@ -1,0 +1,56 @@
+"""Shared helpers for the frame encode/decode walks.
+
+The encoder (``pipeline.intra``) and the verification decoder
+(``pipeline.decode``) both use these so geometry decisions cannot diverge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from svt_av1_tpu.utils.blocks import (MAX_TX_SIZE_OF_BLOCK, MODE_TO_TXFM,
+                                      SQUARE_BLOCK_OF_SIZE, TX_HEIGHT,
+                                      TX_SIZE_SQR_UP, TX_WIDTH, TX_32X32,
+                                      DCT_DCT)
+from svt_av1_tpu.entropy import tx_sets
+
+
+def pad_to_multiple(plane: np.ndarray, multiple: int) -> np.ndarray:
+    """Edge-replicate pad to a multiple (reference PadPicture semantics)."""
+    h, w = plane.shape
+    ph = -h % multiple
+    pw = -w % multiple
+    if ph == 0 and pw == 0:
+        return plane
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def tx_size_for_block(size_px: int, plane: int) -> int:
+    """TX_MODE_LARGEST tx size for a square block (chroma capped at 32)."""
+    if plane == 0:
+        return MAX_TX_SIZE_OF_BLOCK[size_px]
+    return MAX_TX_SIZE_OF_BLOCK[min(32, size_px)]
+
+
+def chroma_tx_type(uv_mode: int, tx_size: int,
+                   reduced_tx_set: bool) -> int:
+    """compute_tx_type for intra chroma (spec 8.3.2 / reference
+    EbTransforms GetTransformType): Mode_To_Txfm unless outside the
+    allowed set or the tx is 64-sized."""
+    if int(TX_SIZE_SQR_UP[tx_size]) > TX_32X32:
+        return DCT_DCT
+    tt = int(MODE_TO_TXFM[uv_mode])
+    set_type = tx_sets.ext_tx_set_type(tx_size, False, reduced_tx_set)
+    if not tx_sets.EXT_TX_USED[set_type][tt]:
+        return DCT_DCT
+    return tt
+
+
+def coded_dims(tx_size: int):
+    """(coded_w, coded_h): 64-point dimensions keep only 32 coefficients."""
+    return (min(32, int(TX_WIDTH[tx_size])),
+            min(32, int(TX_HEIGHT[tx_size])))
+
+
+def square_bsize(size_px: int) -> int:
+    return SQUARE_BLOCK_OF_SIZE[size_px]

@@ -1,0 +1,178 @@
+"""Verification decoder: reconstructs frames from our own bitstreams.
+
+The reference ships no decoder (SURVEY.md §4 — its workflow decodes with
+aomdec externally); since this environment has no external AV1 decoder, this
+spec-mirror decoder is the conformance check: it consumes only the bitstream
+bytes (via the parser twins) and must reproduce the encoder's reconstruction
+exactly. It shares the context/geometry helpers with the encoder so the two
+cannot drift apart silently, but reads every syntax element from the bits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from svt_av1_tpu.bitstream import obu
+from svt_av1_tpu.entropy import coeff as coeff_syntax
+from svt_av1_tpu.entropy import modes as mode_syntax
+from svt_av1_tpu.entropy.cdf import FrameContext
+from svt_av1_tpu.entropy.ctx import TileContexts
+from svt_av1_tpu.entropy.writer import SymbolReader
+from svt_av1_tpu.ops import intra as intra_ops
+from svt_av1_tpu.ops import quant as quant_ops
+from svt_av1_tpu.ops import transforms as tx_ops
+from svt_av1_tpu.pipeline import common
+from svt_av1_tpu.utils.blocks import (DC_PRED, PARTITION_NONE,
+                                      PARTITION_SPLIT, TX_HEIGHT, TX_WIDTH,
+                                      get_scan)
+
+
+class FrameDecoder:
+    def __init__(self, seq: obu.SequenceHeader, fh: obu.FrameHeader):
+        self.seq = seq
+        self.fh = fh
+        self.mi_cols = seq.mi_cols
+        self.mi_rows = seq.mi_rows
+        self.bd = seq.bit_depth
+        self.qp = quant_ops.make_quant_params(fh.base_q_idx,
+                                              bit_depth=self.bd)
+        pw, ph = seq.sb_cols * 64, seq.sb_rows * 64
+        self.recon = [np.zeros((ph, pw), dtype=np.uint8),
+                      np.zeros((ph // 2, pw // 2), dtype=np.uint8),
+                      np.zeros((ph // 2, pw // 2), dtype=np.uint8)]
+        self.max_wh = [(self.mi_cols * 4, self.mi_rows * 4),
+                       (self.mi_cols * 2, self.mi_rows * 2),
+                       (self.mi_cols * 2, self.mi_rows * 2)]
+
+    def decode_tile(self, data: bytes):
+        assert self.fh.tile_cols_log2 == 0 and self.fh.tile_rows_log2 == 0, \
+            "multi-tile decode lands with tile parallelism"
+        self.fc = FrameContext(self.fh.base_q_idx)
+        self.r = SymbolReader(data,
+                              disable_cdf_update=self.fh.disable_cdf_update)
+        self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
+        for sb_y in range(0, self.seq.sb_rows * 16, 16):
+            for sb_x in range(0, self.seq.sb_cols * 16, 16):
+                self._decode_partition(sb_y, sb_x, 64)
+        w, h = self.seq.width, self.seq.height
+        return [self.recon[0][:h, :w],
+                self.recon[1][:(h + 1) // 2, :(w + 1) // 2],
+                self.recon[2][:(h + 1) // 2, :(w + 1) // 2]]
+
+    def _decode_partition(self, mi_row: int, mi_col: int, size: int) -> None:
+        if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+            return
+        bsize = common.square_bsize(size)
+        partition = mode_syntax.read_partition(
+            self.r, self.fc, self.ctxs, bsize, mi_row, mi_col,
+            self.mi_cols, self.mi_rows)
+        if partition == PARTITION_SPLIT:
+            hbs = size >> 3
+            half = size >> 1
+            self._decode_partition(mi_row, mi_col, half)
+            self._decode_partition(mi_row, mi_col + hbs, half)
+            self._decode_partition(mi_row + hbs, mi_col, half)
+            self._decode_partition(mi_row + hbs, mi_col + hbs, half)
+        elif partition == PARTITION_NONE:
+            self._decode_block(mi_row, mi_col, size)
+            self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, bsize)
+        else:
+            raise NotImplementedError(
+                f"partition type {partition} (rect partitions land with RD)")
+
+    def _decode_block(self, mi_row: int, mi_col: int, size: int) -> None:
+        x, y = mi_col * 4, mi_row * 4
+        bsize = common.square_bsize(size)
+        skip = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
+                                     mi_row, mi_col)
+        y_mode = mode_syntax.read_intra_luma_mode_kf(self.r, self.fc,
+                                                     self.ctxs, mi_row,
+                                                     mi_col)
+        cfl_allowed = size <= 32
+        uv_mode = mode_syntax.read_intra_chroma_mode(self.r, self.fc,
+                                                     y_mode, cfl_allowed)
+        self.ctxs.set_mi(mi_row, mi_col, bsize, y_mode, skip)
+
+        csize = size >> 1
+        cx, cy = x >> 1, y >> 1
+        tx_y = common.tx_size_for_block(size, 0)
+        tx_uv = common.tx_size_for_block(csize, 1)
+        tt_u = common.chroma_tx_type(uv_mode, tx_uv,
+                                     self.fh.reduced_tx_set)
+        plane_info = [(0, x, y, tx_y, y_mode, bsize),
+                      (1, cx, cy, tx_uv, uv_mode, common.square_bsize(csize)),
+                      (2, cx, cy, tx_uv, uv_mode, common.square_bsize(csize))]
+        for p, px, py, ts, m, pb in plane_info:
+            if skip:
+                self._predict_into(p, px, py, ts, m, None, 0)
+                self.ctxs.update_txb_ctx(p, px >> 2, py >> 2, ts, 0)
+            else:
+                self._decode_txb(p, px, py, ts, m, pb, tt_u)
+
+    def _decode_txb(self, plane: int, x: int, y: int, tx_size: int,
+                    mode: int, plane_bsize: int, uv_tx_type: int) -> None:
+        x4, y4 = x >> 2, y >> 2
+        skip_ctx, sign_ctx = self.ctxs.txb_ctx(plane, plane_bsize, tx_size,
+                                               x4, y4)
+        qcoeff, tx_type, cul = coeff_syntax.read_coeffs_txb(
+            self.r, self.fc, tx_size, plane_type=int(plane > 0),
+            txb_skip_ctx=skip_ctx, dc_sign_ctx=sign_ctx, intra_dir=mode,
+            base_qindex=self.fh.base_q_idx, uv_tx_type=uv_tx_type)
+        self.ctxs.update_txb_ctx(plane, x4, y4, tx_size, cul)
+        self._predict_into(plane, x, y, tx_size, mode, qcoeff, tx_type)
+
+    def _predict_into(self, plane: int, x: int, y: int, tx_size: int,
+                      mode: int, qcoeff, tx_type: int) -> None:
+        tw, th = int(TX_WIDTH[tx_size]), int(TX_HEIGHT[tx_size])
+        cw, ch = common.coded_dims(tx_size)
+        recon = self.recon[plane]
+        max_w, max_h = self.max_wh[plane]
+        above, left, tl = intra_ops.prepare_edges(
+            recon, np.array([x]), np.array([y]), tw, th, bd=self.bd,
+            max_w=max_w, max_h=max_h)
+        pred = intra_ops.predict(mode, above, left, tl, tw, th,
+                                 have_above=np.array([y > 0]),
+                                 have_left=np.array([x > 0]), bd=self.bd)[0]
+        if qcoeff is None or not np.any(qcoeff):
+            recon[y:y + th, x:x + tw] = np.clip(
+                pred, 0, (1 << self.bd) - 1).astype(np.uint8)
+            return
+        log_scale = quant_ops.tx_scale(tx_size)
+        dq = quant_ops.dequantize(qcoeff.reshape(1, -1), self.qp, log_scale)
+        full = np.zeros((1, th, tw), dtype=np.int64)
+        full[0, :ch, :cw] = dq.reshape(ch, cw)
+        resid = tx_ops.inverse_tx2d(full, tx_type, tw, th, bd=self.bd)[0]
+        recon[y:y + th, x:x + tw] = tx_ops.recon_add(pred[None],
+                                                     resid[None],
+                                                     bd=self.bd)[0]
+
+
+def decode_temporal_unit(tu: bytes, seq: obu.SequenceHeader = None):
+    """Decode one temporal unit. Returns (seq, recon planes or None)."""
+    recon = None
+    for obu_type, payload in obu.parse_obus(tu):
+        if obu_type == obu.OBU_TEMPORAL_DELIMITER:
+            continue
+        if obu_type == obu.OBU_SEQUENCE_HEADER:
+            seq = obu.parse_sequence_header_obu(payload)
+        elif obu_type == obu.OBU_FRAME:
+            assert seq is not None, "no sequence header seen"
+            fh, tiles = obu.parse_frame_obu(payload, seq)
+            dec = FrameDecoder(seq, fh)
+            recon = dec.decode_tile(tiles[0])
+        else:
+            raise NotImplementedError(f"obu type {obu_type}")
+    return seq, recon
+
+
+def decode_ivf(fh) -> list:
+    """Decode every frame of an IVF stream; returns list of plane triples."""
+    from svt_av1_tpu.bitstream.ivf import read_ivf
+    info, frames = read_ivf(fh)
+    seq = None
+    out = []
+    for _, payload in frames:
+        seq, recon = decode_temporal_unit(payload, seq)
+        if recon is not None:
+            out.append(recon)
+    return out
