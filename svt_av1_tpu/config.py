@@ -55,6 +55,7 @@ class EncoderConfig:
     enable_dlf: bool = False
     enable_tx_type_search: bool = False
     disable_cdf_update: bool = False
+    native_entropy: bool = True   # C range coder (falls back to Python)
 
     # --- mode decision budget (static shapes for XLA) --------------------------
     # Luma intra modes scored in the batched open-loop mode decision.

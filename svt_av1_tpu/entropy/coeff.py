@@ -54,6 +54,26 @@ def read_tx_type(r: SymbolReader, fc, tx_size: int, intra_dir: int,
     return int(tx_sets.EXT_TX_INV[set_type][sym])
 
 
+def tx_type_signal_params(fc, tx_type: int, tx_size: int, intra_dir: int,
+                          is_inter: bool, reduced_tx_set: bool,
+                          base_qindex: int):
+    """None if the tx type is not signaled, else (cdf_row, nsyms, symbol) —
+    lets backends (Python or native) emit the symbol themselves."""
+    if tx_sets.num_ext_tx_types(tx_size, is_inter, reduced_tx_set) <= 1 \
+            or base_qindex == 0:
+        return None
+    set_type = tx_sets.ext_tx_set_type(tx_size, is_inter, reduced_tx_set)
+    eset = tx_sets.ext_tx_set(tx_size, is_inter, reduced_tx_set)
+    assert eset > 0 and tx_sets.EXT_TX_USED[set_type][tx_type]
+    from svt_av1_tpu.utils.blocks import TX_SIZE_SQR
+    sqr = int(TX_SIZE_SQR[tx_size])
+    nsyms = tx_sets.NUM_EXT_TX_SET[set_type]
+    sym = int(tx_sets.EXT_TX_IND[set_type][tx_type])
+    if is_inter:
+        return fc.inter_ext_tx[eset][sqr], nsyms, sym
+    return fc.intra_ext_tx[eset][sqr][intra_dir], nsyms, sym
+
+
 def write_coeffs_txb(w: SymbolWriter, fc, qcoeff: np.ndarray, tx_size: int,
                      tx_type: int, plane_type: int, txb_skip_ctx: int,
                      dc_sign_ctx: int, intra_dir: int = 0,
@@ -61,6 +81,15 @@ def write_coeffs_txb(w: SymbolWriter, fc, qcoeff: np.ndarray, tx_size: int,
                      base_qindex: int = 0, signal_tx_type: bool = True) -> int:
     """Write one transform block's coefficients. qcoeff: [h, w] raster
     (adjusted/coded dims). Returns the entropy-context byte (cul_level)."""
+    if hasattr(w, "write_coeffs_txb"):  # native fast path (one C call)
+        sig = None
+        if plane_type == 0 and signal_tx_type:
+            sig = tx_type_signal_params(fc, tx_type, tx_size, intra_dir,
+                                        is_inter, reduced_tx_set,
+                                        base_qindex)
+        return w.write_coeffs_txb(fc, qcoeff, tx_size, tx_type, plane_type,
+                                  txb_skip_ctx, dc_sign_ctx,
+                                  tx_type_signal=sig)
     tw, th, bwl = cc.txb_dims(tx_size)
     assert qcoeff.shape == (th, tw)
     scan = get_scan(tx_size, tx_type)

@@ -1,0 +1,66 @@
+"""Native library loader: compiles ``native/svt_ec.c`` on demand.
+
+The serial entropy stage runs as C (the TPU framework's equivalent of the
+reference's hand-optimized bitstream path); everything batched runs as
+JAX/XLA. Build is cached next to the sources and invalidated by mtime.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import subprocess
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[2]
+_SOURCES = [_REPO / "native" / "svt_ec.c"]
+_BUILD = _REPO / "native" / "build"
+
+c_i32p = ctypes.POINTER(ctypes.c_int32)
+c_i16p = ctypes.POINTER(ctypes.c_int16)
+c_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _build() -> Path:
+    _BUILD.mkdir(parents=True, exist_ok=True)
+    so = _BUILD / "libsvt_native.so"
+    newest = max(s.stat().st_mtime for s in _SOURCES)
+    if not so.exists() or so.stat().st_mtime < newest:
+        cmd = ["gcc", "-O3", "-fPIC", "-shared", "-Wall", "-o", str(so)]
+        cmd += [str(s) for s in _SOURCES]
+        subprocess.check_call(cmd)
+    return so
+
+
+@functools.lru_cache(maxsize=1)
+def lib() -> ctypes.CDLL:
+    L = ctypes.CDLL(str(_build()))
+    L.svt_ec_create.restype = ctypes.c_void_p
+    L.svt_ec_create.argtypes = [ctypes.c_int]
+    L.svt_ec_free.argtypes = [ctypes.c_void_p]
+    L.svt_ec_tell_bits.restype = ctypes.c_int
+    L.svt_ec_tell_bits.argtypes = [ctypes.c_void_p]
+    L.svt_ec_symbol.argtypes = [ctypes.c_void_p, ctypes.c_int, c_i32p,
+                                ctypes.c_int, ctypes.c_int]
+    L.svt_ec_bool.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    L.svt_ec_literal.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    L.svt_ec_done.restype = ctypes.c_int
+    L.svt_ec_done.argtypes = [ctypes.c_void_p, c_u8p, ctypes.c_int]
+    L.svt_write_coeffs_txb.restype = ctypes.c_int32
+    L.svt_write_coeffs_txb.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, c_i32p, ctypes.c_int, ctypes.c_int,
+        c_i16p, ctypes.c_int, c_u8p,
+        c_i32p,                       # txb_skip row
+        c_i32p, ctypes.c_int,         # eob_pt row, nsyms
+        c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
+        c_i32p, ctypes.c_int, ctypes.c_int,
+    ]
+    return L
+
+
+def available() -> bool:
+    try:
+        lib()
+        return True
+    except Exception:
+        return False

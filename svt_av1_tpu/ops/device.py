@@ -1,0 +1,348 @@
+"""JAX/XLA device kernels — the TPU compute path.
+
+Twins of the host NumPy oracles (``ops.txfm1d`` / ``ops.transforms`` /
+``ops.quant`` / ``ops.intra``) expressed as jittable int32 tensor programs:
+
+- transforms run the same extracted butterfly networks, vectorized over the
+  batch dimension with static gather indices (VPU int ops; stage count is
+  static so XLA fully unrolls and fuses),
+- quantization is elementwise int32 with the reference's reciprocal trick
+  (``EbFullLoop.c:46``),
+- intra predictors are batched jnp ops (``EbIntraPrediction.c`` semantics),
+- mode decision scores all candidate modes at once and argmins — the
+  static-shape replacement for the reference's early-exit fast loop
+  (``EbProductCodingLoop.c:1185``; SURVEY.md §7.4.4).
+
+Integer exactness notes: inverse transforms are normative and spec stage
+clamps keep every intermediate within int32; the forward side matches the
+reference's own int32 SIMD arithmetic. The batch dimension is the TPU lane
+axis once batches are large (thousands of TUs per frame).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svt_av1_tpu.ops import quant as quant_host
+from svt_av1_tpu.ops import transforms as tx_host
+from svt_av1_tpu.ops import txfm1d
+from svt_av1_tpu.utils.blocks import (DC_PRED, H_PRED, PAETH_PRED,
+                                      SMOOTH_H_PRED, SMOOTH_PRED,
+                                      SMOOTH_V_PRED, V_PRED, get_scan)
+
+
+def round_shift(x, bit: int):
+    return (x + (1 << (bit - 1))) >> bit
+
+
+# --- 1D butterfly networks ------------------------------------------------------
+@functools.lru_cache(maxsize=128)
+def _stage_consts(key: str, cos_bit: int):
+    """Resolve a network into per-stage numpy constants:
+    (a, b, w0, w1, btf_mask, clamp_mask)."""
+    cospi = txfm1d._tables()["cospi"][cos_bit - txfm1d.COS_BIT_MIN]
+    out = []
+    for a, b, w0, w1, kind in txfm1d._stages(key):
+        is_btf = kind == 1
+        w0v = np.where(is_btf, np.sign(w0) * cospi[np.abs(w0) - 1], w0)
+        w1v = np.where(is_btf, np.sign(w1) * cospi[np.abs(w1) - 1], w1)
+        out.append((a.astype(np.int32), b.astype(np.int32),
+                    w0v.astype(np.int32), w1v.astype(np.int32),
+                    is_btf.astype(bool), (kind == 2).astype(bool)))
+    return out
+
+
+def _exec_network(x, key: str, cos_bit: int, clamp_bit: int):
+    """x: [B, N] int32."""
+    for a, b, w0, w1, btf, clamp in _stage_consts(key, cos_bit):
+        t = jnp.asarray(w0) * x[:, a] + jnp.asarray(w1) * x[:, b]
+        t = jnp.where(jnp.asarray(btf), round_shift(t, cos_bit), t)
+        if clamp.any():
+            lo = -(1 << (clamp_bit - 1))
+            hi = (1 << (clamp_bit - 1)) - 1
+            t = jnp.where(jnp.asarray(clamp), jnp.clip(t, lo, hi), t)
+        x = t
+    return x
+
+
+def _adst4(x, cos_bit: int, inverse: bool):
+    sinpi = [int(v) for v in
+             txfm1d._tables()["sinpi"][cos_bit - txfm1d.COS_BIT_MIN]]
+    x0, x1, x2, x3 = x[:, 0], x[:, 1], x[:, 2], x[:, 3]
+    if inverse:
+        s0 = sinpi[1] * x0
+        s1 = sinpi[2] * x0
+        s2 = sinpi[3] * x1
+        s3 = sinpi[4] * x2
+        s4 = sinpi[1] * x2
+        s5 = sinpi[2] * x3
+        s6 = sinpi[4] * x3
+        s7 = (x0 - x2) + x3
+        t0 = s0 + s3 + s5
+        t1 = s1 - s4 - s6
+        t3 = s2
+        t2 = sinpi[3] * s7
+        o = [round_shift(t0 + t3, cos_bit), round_shift(t1 + t3, cos_bit),
+             round_shift(t2, cos_bit), round_shift(t0 + t1 - t3, cos_bit)]
+    else:
+        s0 = sinpi[1] * x0
+        s1 = sinpi[4] * x0
+        s2 = sinpi[2] * x1
+        s3 = sinpi[1] * x1
+        s4 = sinpi[3] * x2
+        s5 = sinpi[4] * x3
+        s6 = sinpi[2] * x3
+        s7 = (x0 + x1) - x3
+        t0 = s0 + s2 + s5
+        t1 = sinpi[3] * s7
+        t2 = s1 - s3 + s6
+        t3 = s4
+        o = [round_shift(t0 + t3, cos_bit), round_shift(t1, cos_bit),
+             round_shift(t2 - t3, cos_bit),
+             round_shift(t2 - t0 + t3, cos_bit)]
+    out = jnp.stack(o, axis=1)
+    any_nz = jnp.any(x != 0, axis=1, keepdims=True)
+    return jnp.where(any_nz, out, 0)
+
+
+def _identity(x, n: int):
+    mult, bits = txfm1d._ID_SCALE[n]
+    x = x * mult
+    return round_shift(x, bits) if bits else x
+
+
+def _run_1d(x, kind: str, n: int, cos_bit: int, inverse: bool,
+            clamp_bit: int = 0):
+    if kind == "identity":
+        return _identity(x, n)
+    if kind == "adst" and n == 4:
+        return _adst4(x, cos_bit, inverse)
+    key = ("i" if inverse else "f") + ("dct" if kind == "dct" else "adst") \
+        + str(n)
+    return _exec_network(x, key, cos_bit, clamp_bit)
+
+
+def _apply_shift(x, shift: int):
+    if shift == 0:
+        return x
+    if shift > 0:
+        return x << shift
+    return round_shift(x, -shift)
+
+
+# --- 2D transforms ---------------------------------------------------------------
+def fwd_tx2d(x, tx_type: int, w: int, h: int):
+    """Forward 2D transform, device twin of ``transforms.forward_tx2d``.
+    x: [B, H, W] int32 residual -> [B, H, W] int32 coefficients."""
+    vk, hk, ud_flip, lr_flip = tx_host.tx_cfg(tx_type, w, h)
+    shift = tx_host.FWD_SHIFT[(w, h)]
+    wi, hi = int(np.log2(w)) - 2, int(np.log2(h)) - 2
+    cb_col = tx_host.FWD_COS_BIT_COL[wi][hi]
+    cb_row = tx_host.FWD_COS_BIT_ROW[wi][hi]
+    b = x.shape[0]
+    if ud_flip:
+        x = x[:, ::-1, :]
+    cols = x.transpose(0, 2, 1).reshape(b * w, h)
+    cols = _apply_shift(cols, shift[0])
+    cols = _run_1d(cols, vk, h, cb_col, inverse=False)
+    cols = _apply_shift(cols, shift[1])
+    buf = cols.reshape(b, w, h).transpose(0, 2, 1)
+    if lr_flip:
+        buf = buf[:, :, ::-1]
+    rows = buf.reshape(b * h, w)
+    rows = _run_1d(rows, hk, w, cb_row, inverse=False)
+    rows = _apply_shift(rows, shift[2])
+    if abs(tx_host._rect_type(w, h)) == 1:
+        rows = round_shift(rows * txfm1d.NEW_SQRT2, txfm1d.NEW_SQRT2_BITS)
+    return rows.reshape(b, h, w)
+
+
+def inv_tx2d(coeff, tx_type: int, w: int, h: int, bd: int = 8):
+    """Normative inverse 2D transform, device twin of
+    ``transforms.inverse_tx2d``. coeff: [B, H, W] int32."""
+    vk, hk, ud_flip, lr_flip = tx_host.tx_cfg(tx_type, w, h)
+    shift = tx_host.INV_SHIFT[(w, h)]
+    clamp_row = {8: 16, 10: 18, 12: 20}[bd]
+    clamp_col = {8: 16, 10: 16, 12: 18}[bd]
+    b = coeff.shape[0]
+    rows = coeff.reshape(b * h, w)
+    if abs(tx_host._rect_type(w, h)) == 1:
+        rows = round_shift(rows * txfm1d.NEW_INV_SQRT2,
+                           txfm1d.NEW_SQRT2_BITS)
+    rows = jnp.clip(rows, -(1 << (bd + 7)), (1 << (bd + 7)) - 1)
+    rows = _run_1d(rows, hk, w, tx_host.INV_COS_BIT, inverse=True,
+                   clamp_bit=clamp_row)
+    rows = _apply_shift(rows, shift[0])
+    buf = rows.reshape(b, h, w)
+    if lr_flip:
+        buf = buf[:, :, ::-1]
+    cb = max(bd + 6, 16)
+    cols = buf.transpose(0, 2, 1).reshape(b * w, h)
+    cols = jnp.clip(cols, -(1 << (cb - 1)), (1 << (cb - 1)) - 1)
+    cols = _run_1d(cols, vk, h, tx_host.INV_COS_BIT, inverse=True,
+                   clamp_bit=clamp_col)
+    cols = _apply_shift(cols, shift[1])
+    out = cols.reshape(b, w, h).transpose(0, 2, 1)
+    if ud_flip:
+        out = out[:, ::-1, :]
+    return out
+
+
+# --- quantization ----------------------------------------------------------------
+def quantize(coeff, scan: np.ndarray, qp: quant_host.QuantParams,
+             log_scale: int):
+    """Device twin of ``quant.quantize``. coeff: [B, n] int32 raster.
+    Returns (qcoeff, dqcoeff, eob)."""
+    n = coeff.shape[1]
+    is_dc = np.zeros(n, dtype=bool)
+    is_dc[0] = True
+
+    def rpot(v):
+        return ((v + ((1 << log_scale) >> 1)) >> log_scale) if log_scale \
+            else v
+    zbin = np.where(is_dc, rpot(qp.zbin[0]), rpot(qp.zbin[1]))
+    rnd = np.where(is_dc, rpot(qp.round[0]), rpot(qp.round[1]))
+    quant = np.where(is_dc, qp.quant[0], qp.quant[1]).astype(np.int32)
+    qshift = np.where(is_dc, qp.quant_shift[0],
+                      qp.quant_shift[1]).astype(np.int32)
+    deq = np.where(is_dc, qp.dequant[0], qp.dequant[1]).astype(np.int32)
+
+    sign = jnp.where(coeff < 0, -1, 1)
+    abs_c = jnp.abs(coeff)
+    over = abs_c >= jnp.asarray(zbin)[None, :]
+    tmp = jnp.clip(abs_c + jnp.asarray(rnd)[None, :], -32768, 32767)
+    tmp32 = ((((tmp * jnp.asarray(quant)[None, :]) >> 16) + tmp)
+             * jnp.asarray(qshift)[None, :]) >> (16 - log_scale)
+    tmp32 = jnp.where(over, tmp32, 0)
+    qcoeff = sign * tmp32
+    dqcoeff = sign * ((tmp32 * jnp.asarray(deq)[None, :]) >> log_scale)
+    nz_scan = tmp32[:, scan] != 0
+    idx = jnp.arange(1, n + 1, dtype=jnp.int32)
+    eob = jnp.max(jnp.where(nz_scan, idx[None, :], 0), axis=1)
+    return qcoeff, dqcoeff, eob
+
+
+# --- intra predictors -------------------------------------------------------------
+def _sm_weights(n: int):
+    return jnp.asarray(intra_sm_weights(n), dtype=jnp.int32)
+
+
+@functools.lru_cache(maxsize=8)
+def intra_sm_weights(n: int) -> np.ndarray:
+    from svt_av1_tpu.ops.intra import _SM_WEIGHTS
+    return _SM_WEIGHTS[n].astype(np.int32)
+
+
+def predict_modes(modes: tuple, above, left, top_left, have_above, have_left,
+                  bw: int, bh: int, bd: int = 8):
+    """All candidate intra predictions at once: returns [M, B, bh, bw].
+
+    above [B, >=bw], left [B, >=bh], top_left [B] int32; have_* [B] bool.
+    """
+    base = 1 << (bd - 1)
+    a = above[:, None, :bw]
+    l = left[:, :bh, None]
+    tl = top_left[:, None, None]
+    b = above.shape[0]
+    preds = []
+    for mode in modes:
+        if mode == DC_PRED:
+            sum_a = jnp.sum(above[:, :bw], axis=1)
+            sum_l = jnp.sum(left[:, :bh], axis=1)
+            both = (sum_a + sum_l + ((bw + bh) >> 1)) // (bw + bh)
+            only_a = (sum_a + (bw >> 1)) >> int(np.log2(bw))
+            only_l = (sum_l + (bh >> 1)) >> int(np.log2(bh))
+            avg = jnp.where(have_above & have_left, both,
+                            jnp.where(have_above, only_a,
+                                      jnp.where(have_left, only_l, base)))
+            p = jnp.broadcast_to(avg[:, None, None], (b, bh, bw))
+        elif mode == V_PRED:
+            p = jnp.broadcast_to(a, (b, bh, bw))
+        elif mode == H_PRED:
+            p = jnp.broadcast_to(l, (b, bh, bw))
+        elif mode == PAETH_PRED:
+            pbase = a + l - tl
+            pa = jnp.abs(pbase - a)
+            pl_ = jnp.abs(pbase - l)
+            ptl = jnp.abs(pbase - tl)
+            p = jnp.where((pl_ <= pa) & (pl_ <= ptl),
+                          jnp.broadcast_to(l, (b, bh, bw)),
+                          jnp.where(pa <= ptl,
+                                    jnp.broadcast_to(a, (b, bh, bw)),
+                                    jnp.broadcast_to(tl, (b, bh, bw))))
+        elif mode == SMOOTH_PRED:
+            wh = _sm_weights(bh)[None, :, None]
+            ww = _sm_weights(bw)[None, None, :]
+            below = left[:, bh - 1][:, None, None]
+            right = above[:, bw - 1][:, None, None]
+            s = (wh * a + (256 - wh) * below + ww * l + (256 - ww) * right)
+            p = round_shift(s, 9)
+        elif mode == SMOOTH_V_PRED:
+            wh = _sm_weights(bh)[None, :, None]
+            below = left[:, bh - 1][:, None, None]
+            s = wh * a + (256 - wh) * below
+            p = round_shift(s, 8)
+        elif mode == SMOOTH_H_PRED:
+            ww = _sm_weights(bw)[None, None, :]
+            right = above[:, bw - 1][:, None, None]
+            s = ww * l + (256 - ww) * right
+            p = round_shift(s, 8)
+        else:
+            raise NotImplementedError(f"device intra mode {mode}")
+        preds.append(p)
+    return jnp.stack(preds, axis=0)
+
+
+def mode_decision_sse(modes: tuple, src, above, left, top_left,
+                      have_above, have_left, bw: int, bh: int, bd: int = 8):
+    """Batched open-loop mode decision: [B] best-mode index + SSE cost.
+
+    src [B, bh, bw] int32. Returns (best_idx [B], preds [M, B, bh, bw],
+    costs [M, B]).
+    """
+    preds = predict_modes(modes, above, left, top_left, have_above,
+                          have_left, bw, bh, bd)
+    diff = src[None] - preds
+    costs = jnp.sum(diff * diff, axis=(2, 3))
+    best = jnp.argmin(costs, axis=0)
+    return best, preds, costs
+
+
+# --- fused analysis step ------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("modes", "size", "qindex", "bd"))
+def intra_analysis_step(src, above, left, top_left, have_above, have_left,
+                        modes: tuple = (DC_PRED, V_PRED, H_PRED, SMOOTH_PRED,
+                                        PAETH_PRED),
+                        size: int = 16, qindex: int = 160, bd: int = 8):
+    """The flagship fused device step: batched intra mode decision +
+    forward transform + quantize + dequantize + inverse transform + recon
+    distortion for a batch of same-sized blocks.
+
+    This is the compute core of the encoder's fast+full loop
+    (reference: EbProductCodingLoop.c fast/full loops) as one fused XLA
+    program. Returns (best_mode_idx, qcoeff, eob, sse).
+    """
+    best, preds, _ = mode_decision_sse(modes, src, above, left, top_left,
+                                       have_above, have_left, size, size, bd)
+    bsel = jnp.take_along_axis(
+        preds, best[None, :, None, None], axis=0)[0]          # [B, s, s]
+    resid = src - bsel
+    coeffs = fwd_tx2d(resid, 0, size, size)
+    cw = min(32, size)
+    coded = coeffs[:, :cw, :cw].reshape(coeffs.shape[0], -1)
+    from svt_av1_tpu.utils.blocks import MAX_TX_SIZE_OF_BLOCK
+    tx_size = MAX_TX_SIZE_OF_BLOCK[size]
+    scan = get_scan(tx_size, 0)
+    qp = quant_host.make_quant_params(qindex, bit_depth=bd)
+    log_scale = quant_host.tx_scale(tx_size)
+    qcoeff, dqcoeff, eob = quantize(coded, scan, qp, log_scale)
+    full = jnp.zeros_like(coeffs)
+    full = full.at[:, :cw, :cw].set(dqcoeff.reshape(-1, cw, cw))
+    r = inv_tx2d(full, 0, size, size, bd)
+    recon = jnp.clip(bsel + r, 0, (1 << bd) - 1)
+    sse = jnp.sum((src - recon) ** 2, axis=(1, 2))
+    return best, qcoeff, eob, sse

@@ -25,6 +25,15 @@ from svt_av1_tpu.entropy import modes as mode_syntax
 from svt_av1_tpu.entropy.cdf import FrameContext
 from svt_av1_tpu.entropy.ctx import TileContexts
 from svt_av1_tpu.entropy.writer import SymbolWriter
+
+
+def make_symbol_writer(native_entropy: bool, disable_cdf_update: bool):
+    if native_entropy:
+        from svt_av1_tpu import native as native_mod
+        if native_mod.available():
+            from svt_av1_tpu.entropy.cwriter import NativeSymbolWriter
+            return NativeSymbolWriter(disable_cdf_update=disable_cdf_update)
+    return SymbolWriter(disable_cdf_update=disable_cdf_update)
 from svt_av1_tpu.ops import intra as intra_ops
 from svt_av1_tpu.ops import quant as quant_ops
 from svt_av1_tpu.ops import transforms as tx_ops
@@ -63,7 +72,8 @@ class IntraFrameEncoder:
         self.src = [p.astype(np.int32) for p in src]
         self.recon = [np.zeros_like(p, dtype=np.uint8) for p in src]
         self.fc = FrameContext(cfg.base_q_idx)
-        self.w = SymbolWriter(disable_cdf_update=cfg.disable_cdf_update)
+        self.w = make_symbol_writer(cfg.native_entropy,
+                                    cfg.disable_cdf_update)
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
         # spec maxX/maxY clamp: readable sample area per plane
         self.max_wh = [(self.mi_cols * 4, self.mi_rows * 4),

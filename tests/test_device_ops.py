@@ -1,0 +1,107 @@
+"""Device (JAX) kernels vs host NumPy oracles: bit-exactness.
+
+Transforms/quant must agree exactly with the host oracle on realistic
+residual ranges (the oracle itself is pinned against float references and
+the reference algorithms in test_transforms/test_quant).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from svt_av1_tpu.ops import device  # noqa: E402
+from svt_av1_tpu.ops import intra as intra_host  # noqa: E402
+from svt_av1_tpu.ops import quant as quant_host  # noqa: E402
+from svt_av1_tpu.ops import transforms as tx_host  # noqa: E402
+from svt_av1_tpu.utils.blocks import (ADST_ADST, DC_PRED, DCT_DCT, H_PRED,  # noqa: E402
+                                      IDTX, PAETH_PRED, SMOOTH_PRED,
+                                      SMOOTH_H_PRED, SMOOTH_V_PRED, V_PRED,
+                                      MAX_TX_SIZE_OF_BLOCK, get_scan)
+
+MODES = (DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, SMOOTH_V_PRED,
+         SMOOTH_H_PRED, PAETH_PRED)
+
+
+@pytest.mark.parametrize("size,tx_type", [
+    (4, DCT_DCT), (4, ADST_ADST), (8, IDTX), (16, ADST_ADST),
+    (16, DCT_DCT), (32, DCT_DCT), (64, DCT_DCT),
+])
+def test_fwd_inv_tx_device_matches_host(size, tx_type):
+    rng = np.random.default_rng(size + tx_type)
+    x = rng.integers(-255, 256, (8, size, size)).astype(np.int32)
+    host_f = tx_host.forward_tx2d(x, tx_type, size, size)
+    dev_f = np.asarray(device.fwd_tx2d(jnp.asarray(x), tx_type, size, size))
+    np.testing.assert_array_equal(host_f, dev_f)
+
+    cw = min(32, size)
+    coeffs = np.zeros_like(host_f)
+    coeffs[:, :cw, :cw] = host_f[:, :cw, :cw]
+    host_i = tx_host.inverse_tx2d(coeffs, tx_type, size, size)
+    dev_i = np.asarray(device.inv_tx2d(jnp.asarray(coeffs.astype(np.int32)),
+                                       tx_type, size, size))
+    np.testing.assert_array_equal(host_i, dev_i)
+
+
+@pytest.mark.parametrize("qindex", [8, 100, 200])
+@pytest.mark.parametrize("size", [8, 16, 32])
+def test_quantize_device_matches_host(qindex, size):
+    rng = np.random.default_rng(qindex)
+    tx_size = MAX_TX_SIZE_OF_BLOCK[size]
+    n = size * size
+    coeff = rng.integers(-20000, 20000, (16, n)).astype(np.int32)
+    scan = get_scan(tx_size, DCT_DCT)
+    qp = quant_host.make_quant_params(qindex)
+    ls = quant_host.tx_scale(tx_size)
+    hq, hd, he = quant_host.quantize(coeff, scan, qp, ls)
+    dq, dd, de = device.quantize(jnp.asarray(coeff), scan, qp, ls)
+    np.testing.assert_array_equal(hq, np.asarray(dq))
+    np.testing.assert_array_equal(hd, np.asarray(dd))
+    np.testing.assert_array_equal(he, np.asarray(de))
+
+
+@pytest.mark.parametrize("size", [4, 8, 16, 32])
+def test_intra_predictors_device_match_host(size):
+    rng = np.random.default_rng(size)
+    b = 12
+    above = rng.integers(0, 256, (b, 2 * size)).astype(np.int32)
+    left = rng.integers(0, 256, (b, 2 * size)).astype(np.int32)
+    tl = rng.integers(0, 256, b).astype(np.int32)
+    ha = rng.integers(0, 2, b).astype(bool)
+    hl = rng.integers(0, 2, b).astype(bool)
+    dev = np.asarray(device.predict_modes(
+        MODES, jnp.asarray(above), jnp.asarray(left), jnp.asarray(tl),
+        jnp.asarray(ha), jnp.asarray(hl), size, size))
+    for mi, mode in enumerate(MODES):
+        host = intra_host.predict(mode, above, left, tl, size, size,
+                                  have_above=ha, have_left=hl)
+        np.testing.assert_array_equal(host, dev[mi], err_msg=f"mode {mode}")
+
+
+def test_analysis_step_runs_and_matches_mode_choice():
+    rng = np.random.default_rng(0)
+    b, size = 24, 16
+    src = rng.integers(0, 256, (b, size, size)).astype(np.int32)
+    above = rng.integers(0, 256, (b, 2 * size)).astype(np.int32)
+    left = rng.integers(0, 256, (b, 2 * size)).astype(np.int32)
+    tl = rng.integers(0, 256, b).astype(np.int32)
+    ha = np.ones(b, dtype=bool)
+    hl = np.ones(b, dtype=bool)
+    modes = (DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED)
+    best, qcoeff, eob, sse = device.intra_analysis_step(
+        jnp.asarray(src), jnp.asarray(above), jnp.asarray(left),
+        jnp.asarray(tl), jnp.asarray(ha), jnp.asarray(hl),
+        modes=modes, size=size, qindex=160)
+    best = np.asarray(best)
+    # host mode choice by SSE must agree
+    for i in range(b):
+        costs = []
+        for mode in modes:
+            pred = intra_host.predict(mode, above[i:i + 1], left[i:i + 1],
+                                      tl[i:i + 1], size, size,
+                                      have_above=ha[i:i + 1],
+                                      have_left=hl[i:i + 1])[0]
+            costs.append(int(np.sum((src[i] - pred) ** 2)))
+        assert modes[best[i]] == modes[int(np.argmin(costs))]
+    assert np.asarray(sse).shape == (b,)
