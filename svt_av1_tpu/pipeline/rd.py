@@ -1,0 +1,165 @@
+"""Partition RD search: batched per-depth analysis + block-tree DP.
+
+The reference's recursive ``mode_decision_sb`` (EbProductCodingLoop.c:2690,
+d1/d2 partition decisions) re-expressed for TPU (SURVEY.md §7.1/§7.4.4):
+evaluate ALL blocks of each depth (64/32/16/8) in one batched open-loop
+pass — prediction from *source* neighbors, so there is no sequential recon
+dependency and every depth is a single full-frame tensor step — then choose
+the partition by bottom-up dynamic programming over the square tree with an
+RD cost ``dist + lambda * rate_proxy``.
+
+The final encode pass (wavefront) re-decides modes closed-loop on the
+chosen leaves; this module only fixes the tree shape, mirroring how the
+reference's MD stage hands a block list to the encode pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from svt_av1_tpu.config import EncoderConfig
+from svt_av1_tpu.ops import intra as intra_ops
+from svt_av1_tpu.ops import quant as quant_ops
+from svt_av1_tpu.ops import transforms as tx_ops
+from svt_av1_tpu.pipeline import common
+from svt_av1_tpu.utils.blocks import DCT_DCT, get_scan
+
+
+def rd_lambda(qindex: int, bit_depth: int = 8) -> float:
+    """RD multiplier from qindex (shape follows av1_compute_rd_mult:
+    lambda ~ q_step^2; constant calibrated on synthetic sweeps)."""
+    q = quant_ops.dc_quant(qindex, 0, bit_depth) / 8.0
+    return 0.1 * q * q
+
+
+def _block_grid(w_eff: int, h_eff: int, size: int):
+    """Top-left coords of all size-aligned blocks with origin inside the
+    mi area."""
+    xs = np.arange(0, w_eff, size)
+    ys = np.arange(0, h_eff, size)
+    gx, gy = np.meshgrid(xs, ys)
+    return gx.reshape(-1), gy.reshape(-1)
+
+
+def _analyze_depth(src: np.ndarray, xs, ys, size: int, modes, qp,
+                   max_w: int, max_h: int, bd: int = 8):
+    """Open-loop analysis of all blocks at one depth: returns
+    (dist [B], rate_proxy_bits [B], best_mode [B]).
+
+    Distortion is the post-T/Q/IQ reconstruction SSE (the true coding
+    distortion for the chosen mode); rate proxy counts coefficient
+    magnitude bits (reference analog: fast-loop SATD + rate estimate)."""
+    above, left, tl = intra_ops.prepare_edges(src, xs, ys, size, size,
+                                              bd=bd, max_w=max_w,
+                                              max_h=max_h)
+    ha, hl = ys > 0, xs > 0
+    b = len(xs)
+    srcs = np.stack([src[y:y + size, x:x + size]
+                     for x, y in zip(xs, ys)]).astype(np.int32)
+    preds = np.stack([
+        intra_ops.predict(m, above, left, tl, size, size,
+                          have_above=ha, have_left=hl, bd=bd)
+        for m in modes])
+    costs = np.sum((srcs[None] - preds).astype(np.int64) ** 2, axis=(2, 3))
+    bidx = np.argmin(costs, axis=0)
+    best_mode = np.asarray(modes)[bidx]
+    bsel = preds[bidx, np.arange(b)]
+
+    tx_size = common.tx_size_for_block(size, 0)
+    cw, ch = common.coded_dims(tx_size)
+    log_scale = quant_ops.tx_scale(tx_size)
+    coeffs = tx_ops.forward_tx2d(srcs - bsel, DCT_DCT, size, size)
+    coded = coeffs[:, :ch, :cw].reshape(b, -1)
+    scan = get_scan(tx_size, DCT_DCT)
+    qc, dq, eob = quant_ops.quantize(coded, scan, qp, log_scale)
+    full = np.zeros((b, size, size), dtype=np.int64)
+    full[:, :ch, :cw] = dq.reshape(b, ch, cw)
+    r = tx_ops.inverse_tx2d(full, DCT_DCT, size, size, bd=bd)
+    recon = tx_ops.recon_add(bsel, r, bd=bd)
+    dist = np.sum((srcs - recon.astype(np.int64)) ** 2, axis=(1, 2))
+
+    # coefficient-rate proxy: ~bits to code levels + per-block mode cost
+    aq = np.abs(qc).astype(np.float64)
+    rate = np.sum(np.where(aq > 0, 2.0 + 2.0 * np.log2(1.0 + aq), 0.0),
+                  axis=1)
+    rate += 4.0  # mode + skip syntax floor
+    return dist.astype(np.float64), rate, best_mode
+
+
+def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
+                     mi_cols: int, mi_rows: int):
+    """Returns the chosen leaf set {(mi_row, mi_col): size} for the frame.
+
+    DP over the square tree: split iff sum of child costs + split syntax
+    < leaf cost. Edge-crossing blocks are forced to split (the emit rule).
+    """
+    lam = rd_lambda(cfg.base_q_idx, cfg.bit_depth)
+    src = common.pad_to_multiple(y_plane, 64).astype(np.int32)
+    w_eff, h_eff = mi_cols * 4, mi_rows * 4
+    qp = quant_ops.make_quant_params(cfg.base_q_idx,
+                                     bit_depth=cfg.bit_depth)
+    modes = cfg.intra_modes
+    sizes = [s for s in (64, 32, 16, 8)
+             if cfg.min_partition_size <= s <= cfg.max_partition_size]
+    if 64 not in sizes:
+        sizes = [64] + sizes  # tree root is always evaluated
+    cost = {}
+    for size in sizes:
+        xs, ys = _block_grid(w_eff, h_eff, size)
+        dist, rate, _ = _analyze_depth(src, xs, ys, size, modes, qp,
+                                       w_eff, h_eff, cfg.bit_depth)
+        c = dist + lam * rate
+        cols = (w_eff + size - 1) // size
+        rows = (h_eff + size - 1) // size
+        cost[size] = c.reshape(rows, cols)
+
+    # bottom-up DP. "crosses" must mirror the emit/_leaves rule exactly:
+    # a block is forced to split when its HALF-point falls outside the mi
+    # area (has_rows/has_cols, EncodePartitionAv1 EbEntropyCoding.c:950).
+    min_size = sizes[-1]
+    best = cost[min_size].copy()
+    choice = {}
+    split_bits = 1.0  # partition symbol proxy
+    for size in reversed(sizes[:-1]):
+        rows, cols = cost[size].shape
+        ch_rows, ch_cols = best.shape
+        cpad = np.pad(best, ((0, (-ch_rows) % 2), (0, (-ch_cols) % 2)))
+        sum4 = (cpad[0::2, 0::2] + cpad[0::2, 1::2]
+                + cpad[1::2, 0::2] + cpad[1::2, 1::2])
+        sum4 = sum4[:rows, :cols] + lam * split_bits
+        leaf_c = cost[size]
+        ys_b = np.arange(rows)[:, None] * size
+        xs_b = np.arange(cols)[None, :] * size
+        crosses = ((ys_b + size // 2 >= h_eff)
+                   | (xs_b + size // 2 >= w_eff))
+        take_leaf = (leaf_c <= sum4) & ~crosses
+        choice[size] = take_leaf
+        best = np.where(take_leaf, leaf_c, sum4)
+
+    leaves = {}
+
+    def walk(r, c, size):  # r, c in mi units
+        if r >= mi_rows or c >= mi_cols:
+            return
+        hbs = size >> 3
+        crosses = (r + hbs) >= mi_rows or (c + hbs) >= mi_cols
+        is_leaf = False
+        if not (crosses and size > 8):
+            if size <= min_size:
+                is_leaf = True
+            elif size in choice:
+                is_leaf = bool(choice[size][(r * 4) // size,
+                                            (c * 4) // size])
+        if is_leaf:
+            leaves[(r, c)] = size
+            return
+        half = size // 2
+        walk(r, c, half)
+        walk(r, c + hbs, half)
+        walk(r + hbs, c, half)
+        walk(r + hbs, c + hbs, half)
+
+    for sb_r in range(0, mi_rows, 16):
+        for sb_c in range(0, mi_cols, 16):
+            walk(sb_r, sb_c, 64)
+    return leaves

@@ -48,8 +48,6 @@ class WavefrontIntraEncoder:
         self.mi_rows = self.seq.mi_rows
         self.qp = quant_ops.make_quant_params(cfg.base_q_idx,
                                               bit_depth=cfg.bit_depth)
-        assert cfg.fixed_partition_size is not None, \
-            "wavefront encoder requires a fixed partition (RD lands next)"
 
     # --- batched wave compute (host numpy backend) ----------------------------
     def _wave_compute(self, plane: int, xs, ys, size: int, modes: tuple,
@@ -121,10 +119,10 @@ class WavefrontIntraEncoder:
         return best, qcoeff, eob
 
     # --- leaf enumeration + dependency waves ----------------------------------
-    def _leaves(self, target: int):
-        """Leaf blocks (mi_row, mi_col, size) in coding order, via the same
-        partition rule the emit pass uses."""
-        out = []
+    def _fixed_leaf_sizes(self, target: int):
+        """Uniform partition leaf map {(mi_row, mi_col): size}, with the
+        edge-split rule the emit pass uses."""
+        sizes = {}
 
         def rec(mi_row, mi_col, psize):
             if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
@@ -139,7 +137,30 @@ class WavefrontIntraEncoder:
                 rec(mi_row + hbs, mi_col, half)
                 rec(mi_row + hbs, mi_col + hbs, half)
             else:
+                sizes[(mi_row, mi_col)] = psize
+
+        for sb_y in range(0, self.seq.sb_rows * 16, 16):
+            for sb_x in range(0, self.seq.sb_cols * 16, 16):
+                rec(sb_y, sb_x, 64)
+        return sizes
+
+    def _leaves(self):
+        """Leaf blocks (mi_row, mi_col, size) in coding order from
+        ``self.leaf_sizes``."""
+        out = []
+
+        def rec(mi_row, mi_col, psize):
+            if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+                return
+            if self.leaf_sizes.get((mi_row, mi_col)) == psize:
                 out.append((mi_row, mi_col, psize))
+                return
+            hbs = psize >> 3
+            half = psize >> 1
+            rec(mi_row, mi_col, half)
+            rec(mi_row, mi_col + hbs, half)
+            rec(mi_row + hbs, mi_col, half)
+            rec(mi_row + hbs, mi_col + hbs, half)
 
         for sb_y in range(0, self.seq.sb_rows * 16, 16):
             for sb_x in range(0, self.seq.sb_cols * 16, 16):
@@ -182,7 +203,13 @@ class WavefrontIntraEncoder:
                        (self.mi_cols * 2, self.mi_rows * 2)]
 
         modes = cfg.intra_modes
-        leaves = self._leaves(cfg.fixed_partition_size)
+        if cfg.fixed_partition_size is not None:
+            self.leaf_sizes = self._fixed_leaf_sizes(cfg.fixed_partition_size)
+        else:
+            from svt_av1_tpu.pipeline import rd
+            self.leaf_sizes = rd.choose_partition(y, cfg, self.mi_cols,
+                                                  self.mi_rows)
+        leaves = self._leaves()
         waves = self._dependency_waves(leaves, self.mi_cols, self.mi_rows)
         n = len(leaves)
         self.leaf_index = {(r, c): i for i, (r, c, s) in enumerate(leaves)}
@@ -215,7 +242,7 @@ class WavefrontIntraEncoder:
                     self.qcoeff[1][i] = qcc[k]
                     self.qcoeff[2][i] = qcv[k]
 
-        tile = self._syntax_pass(cfg.fixed_partition_size)
+        tile = self._syntax_pass()
         fh = obu.FrameHeader(base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update)
         tu = (obu.temporal_delimiter_obu()
@@ -227,7 +254,7 @@ class WavefrontIntraEncoder:
         return tu, recon, {"tile_bytes": len(tile), "tu_bytes": len(tu)}
 
     # --- sequential syntax pass ---------------------------------------------------
-    def _syntax_pass(self, size: int) -> bytes:
+    def _syntax_pass(self) -> bytes:
         cfg = self.cfg
         self.fc = FrameContext(cfg.base_q_idx)
         self.w = make_symbol_writer(cfg.native_entropy,
@@ -235,30 +262,27 @@ class WavefrontIntraEncoder:
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
         for sb_y in range(0, self.seq.sb_rows * 16, 16):
             for sb_x in range(0, self.seq.sb_cols * 16, 16):
-                self._emit_partition(sb_y, sb_x, 64, size)
+                self._emit_partition(sb_y, sb_x, 64)
         return self.w.done()
 
-    def _emit_partition(self, mi_row, mi_col, psize, target) -> None:
+    def _emit_partition(self, mi_row, mi_col, psize) -> None:
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
             return
         bsize = common.square_bsize(psize)
         hbs = psize >> 3
-        has_rows = (mi_row + hbs) < self.mi_rows
-        has_cols = (mi_col + hbs) < self.mi_cols
-        crosses = not (has_rows and has_cols)
-        if psize > target or (crosses and psize > 8):
-            partition = PARTITION_SPLIT
-        else:
+        if self.leaf_sizes.get((mi_row, mi_col)) == psize:
             partition = PARTITION_NONE
+        else:
+            partition = PARTITION_SPLIT
         mode_syntax.write_partition(self.w, self.fc, self.ctxs, partition,
                                     bsize, mi_row, mi_col,
                                     self.mi_cols, self.mi_rows)
         if partition == PARTITION_SPLIT:
             half = psize >> 1
-            self._emit_partition(mi_row, mi_col, half, target)
-            self._emit_partition(mi_row, mi_col + hbs, half, target)
-            self._emit_partition(mi_row + hbs, mi_col, half, target)
-            self._emit_partition(mi_row + hbs, mi_col + hbs, half, target)
+            self._emit_partition(mi_row, mi_col, half)
+            self._emit_partition(mi_row, mi_col + hbs, half)
+            self._emit_partition(mi_row + hbs, mi_col, half)
+            self._emit_partition(mi_row + hbs, mi_col + hbs, half)
         else:
             self._emit_block(mi_row, mi_col, psize)
             self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, bsize)
