@@ -58,9 +58,14 @@ class EncoderConfig:
     native_entropy: bool = True   # C range coder (falls back to Python)
 
     # --- mode decision budget (static shapes for XLA) --------------------------
-    # Luma intra modes scored in the batched open-loop mode decision.
-    # Subset of the 13 AV1 intra modes; DC must be present.
-    intra_modes: Tuple[int, ...] = (0, 1, 2, 9, 12)  # DC, V, H, SMOOTH, PAETH
+    # Intra modes scored in the batched mode decision (all 13 AV1 modes by
+    # default; DC must be present). Directional modes additionally sweep
+    # angle_deltas (0 = base angle only; spec range -3..3).
+    intra_modes: Tuple[int, ...] = tuple(range(13))
+    angle_deltas: Tuple[int, ...] = (0,)
+    # Full-loop candidates kept after the fast loop (reference NFL,
+    # EbProductCodingLoop.c set_nfl:628).
+    nfl: int = 3
     # Partition: block sizes the RD search may choose (square, SB..min).
     min_partition_size: int = 8
     max_partition_size: int = 64

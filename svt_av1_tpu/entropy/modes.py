@@ -132,6 +132,19 @@ def read_intra_luma_mode_kf(r: SymbolReader, fc, ctxs: TileContexts,
     return r.read_symbol(fc.kf_y_mode[above][left], 13)
 
 
+MAX_ANGLE_DELTA = 3
+
+
+def write_angle_delta(w: SymbolWriter, fc, mode: int, delta: int) -> None:
+    """intra_angle_info (spec 5.11.42): coded for directional modes on
+    blocks >= 8x8. cdf row indexed by mode - V_PRED."""
+    w.write_symbol(delta + MAX_ANGLE_DELTA, fc.angle_delta[mode - 1], 7)
+
+
+def read_angle_delta(r: SymbolReader, fc, mode: int) -> int:
+    return r.read_symbol(fc.angle_delta[mode - 1], 7) - MAX_ANGLE_DELTA
+
+
 def write_intra_chroma_mode(w: SymbolWriter, fc, uv_mode: int, y_mode: int,
                             cfl_allowed: bool) -> None:
     w.write_symbol(uv_mode, fc.uv_mode[int(cfl_allowed)][y_mode],

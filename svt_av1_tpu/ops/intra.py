@@ -92,6 +92,62 @@ def prepare_edges(recon: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     return above, left, top_left
 
 
+def prepare_edges_av1(recon: np.ndarray, xs: np.ndarray, ys: np.ndarray,
+                      bw: int, bh: int, have_above: np.ndarray,
+                      have_left: np.ndarray, have_above_right: np.ndarray,
+                      have_bottom_left: np.ndarray, bd: int = 8,
+                      max_w: int = None, max_h: int = None):
+    """Spec-exact edge arrays for intra prediction (AV1 7.11.2 reference
+    sample gathering, no edge filter/upsample).
+
+    Returns (above1 [B, 1+bw+bh], left1 [B, 1+bh+bw]) in "offset 1" layout:
+    index 0 is the top-left corner sample, 1.. are the above row / left
+    column extended by replication past the availability limit
+    (2*bw / 2*bh when the above-right / bottom-left neighbor is decoded,
+    bw / bh otherwise; always clamped to the mi area max_w/max_h)."""
+    base = 1 << (bd - 1)
+    b = len(xs)
+    H, W = recon.shape
+    if max_w is not None:
+        W = min(W, max_w)
+    if max_h is not None:
+        H = min(H, max_h)
+    above1 = np.empty((b, 1 + bw + bh), dtype=np.int32)
+    left1 = np.empty((b, 1 + bh + bw), dtype=np.int32)
+    for i in range(b):
+        x, y = int(xs[i]), int(ys[i])
+        ha, hl = bool(have_above[i]), bool(have_left[i])
+        htr = bool(have_above_right[i])
+        hbl = bool(have_bottom_left[i])
+        if ha:
+            lim = min(W - 1, x + (2 * bw if htr else bw) - 1)
+            cols = np.minimum(x + np.arange(bw + bh), lim)
+            above1[i, 1:] = recon[y - 1, cols]
+        elif hl:
+            above1[i, 1:] = recon[y, x - 1]
+        else:
+            above1[i, 1:] = base - 1
+        if hl:
+            lim = min(H - 1, y + (2 * bh if hbl else bh) - 1)
+            rows = np.minimum(y + np.arange(bh + bw), lim)
+            left1[i, 1:] = recon[rows, x - 1]
+        elif ha:
+            left1[i, 1:] = recon[y - 1, x]
+        else:
+            left1[i, 1:] = base + 1
+        if ha and hl:
+            corner = recon[y - 1, x - 1]
+        elif ha:
+            corner = recon[y - 1, x]
+        elif hl:
+            corner = recon[y, x - 1]
+        else:
+            corner = base
+        above1[i, 0] = corner
+        left1[i, 0] = corner
+    return above1, left1
+
+
 # --- predictors ------------------------------------------------------------------
 def dc_pred(above, left, bw, bh, bd=8):
     """DC with both edges 'available' (prepared rows make this general only
@@ -166,6 +222,21 @@ def smooth_h_pred(above, left, bw, bh):
     l = left[:, :bh, None].astype(np.int64)
     s = ww * l + (_SM_SCALE - ww) * right
     return ((s + (_SM_SCALE >> 1)) >> (_SM_ROUND - 1)).astype(np.int32)
+
+
+def predict_any(mode: int, angle_delta: int, above1: np.ndarray,
+                left1: np.ndarray, bw: int, bh: int, have_above,
+                have_left, bd: int = 8) -> np.ndarray:
+    """Dispatch any intra mode (incl. directional) over offset-1 edge
+    arrays from ``prepare_edges_av1``."""
+    from svt_av1_tpu.ops import intra_dir
+    if intra_dir.is_directional(mode):
+        angle = intra_dir.mode_angle(mode, angle_delta)
+        if angle not in (90, 180):
+            return intra_dir.predict_directional(mode, angle_delta, above1,
+                                                 left1, bw, bh, bd)
+    return predict(mode, above1[:, 1:], left1[:, 1:], above1[:, 0], bw, bh,
+                   have_above=have_above, have_left=have_left, bd=bd)
 
 
 def predict(mode: int, above, left, top_left, bw: int, bh: int,

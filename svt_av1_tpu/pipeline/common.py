@@ -54,3 +54,17 @@ def coded_dims(tx_size: int):
 
 def square_bsize(size_px: int) -> int:
     return SQUARE_BLOCK_OF_SIZE[size_px]
+
+
+def intra_candidates(cfg):
+    """(mode, angle_delta) candidate list from config, in a fixed order
+    shared by every encoder backend (tie-breaks must agree)."""
+    from svt_av1_tpu.ops import intra_dir
+    out = []
+    for m in cfg.intra_modes:
+        if intra_dir.is_directional(m):
+            for d in cfg.angle_deltas:
+                out.append((m, d))
+        else:
+            out.append((m, 0))
+    return out

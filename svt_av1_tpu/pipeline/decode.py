@@ -19,9 +19,10 @@ from svt_av1_tpu.entropy.cdf import FrameContext
 from svt_av1_tpu.entropy.ctx import TileContexts
 from svt_av1_tpu.entropy.writer import SymbolReader
 from svt_av1_tpu.ops import intra as intra_ops
+from svt_av1_tpu.ops import intra_dir
 from svt_av1_tpu.ops import quant as quant_ops
 from svt_av1_tpu.ops import transforms as tx_ops
-from svt_av1_tpu.pipeline import common
+from svt_av1_tpu.pipeline import avail, common
 from svt_av1_tpu.utils.blocks import (DC_PRED, PARTITION_NONE,
                                       PARTITION_SPLIT, TX_HEIGHT, TX_WIDTH,
                                       get_scan)
@@ -88,10 +89,18 @@ class FrameDecoder:
         y_mode = mode_syntax.read_intra_luma_mode_kf(self.r, self.fc,
                                                      self.ctxs, mi_row,
                                                      mi_col)
+        y_delta = mode_syntax.read_angle_delta(self.r, self.fc, y_mode) \
+            if intra_dir.is_directional(y_mode) else 0
         cfl_allowed = size <= 32
         uv_mode = mode_syntax.read_intra_chroma_mode(self.r, self.fc,
                                                      y_mode, cfl_allowed)
+        uv_delta = mode_syntax.read_angle_delta(self.r, self.fc, uv_mode) \
+            if intra_dir.is_directional(uv_mode) else 0
         self.ctxs.set_mi(mi_row, mi_col, bsize, y_mode, skip)
+        self._htr = avail.has_top_right(mi_row, mi_col, size >> 2,
+                                        self.mi_cols)
+        self._hbl = avail.has_bottom_left(mi_row, mi_col, size >> 2,
+                                          self.mi_rows)
 
         csize = size >> 1
         cx, cy = x >> 1, y >> 1
@@ -99,18 +108,21 @@ class FrameDecoder:
         tx_uv = common.tx_size_for_block(csize, 1)
         tt_u = common.chroma_tx_type(uv_mode, tx_uv,
                                      self.fh.reduced_tx_set)
-        plane_info = [(0, x, y, tx_y, y_mode, bsize),
-                      (1, cx, cy, tx_uv, uv_mode, common.square_bsize(csize)),
-                      (2, cx, cy, tx_uv, uv_mode, common.square_bsize(csize))]
-        for p, px, py, ts, m, pb in plane_info:
+        plane_info = [(0, x, y, tx_y, y_mode, y_delta, bsize),
+                      (1, cx, cy, tx_uv, uv_mode, uv_delta,
+                       common.square_bsize(csize)),
+                      (2, cx, cy, tx_uv, uv_mode, uv_delta,
+                       common.square_bsize(csize))]
+        for p, px, py, ts, m, d, pb in plane_info:
             if skip:
-                self._predict_into(p, px, py, ts, m, None, 0)
+                self._predict_into(p, px, py, ts, m, d, None, 0)
                 self.ctxs.update_txb_ctx(p, px >> 2, py >> 2, ts, 0)
             else:
-                self._decode_txb(p, px, py, ts, m, pb, tt_u)
+                self._decode_txb(p, px, py, ts, m, d, pb, tt_u)
 
     def _decode_txb(self, plane: int, x: int, y: int, tx_size: int,
-                    mode: int, plane_bsize: int, uv_tx_type: int) -> None:
+                    mode: int, delta: int, plane_bsize: int,
+                    uv_tx_type: int) -> None:
         x4, y4 = x >> 2, y >> 2
         skip_ctx, sign_ctx = self.ctxs.txb_ctx(plane, plane_bsize, tx_size,
                                                x4, y4)
@@ -119,20 +131,23 @@ class FrameDecoder:
             txb_skip_ctx=skip_ctx, dc_sign_ctx=sign_ctx, intra_dir=mode,
             base_qindex=self.fh.base_q_idx, uv_tx_type=uv_tx_type)
         self.ctxs.update_txb_ctx(plane, x4, y4, tx_size, cul)
-        self._predict_into(plane, x, y, tx_size, mode, qcoeff, tx_type)
+        self._predict_into(plane, x, y, tx_size, mode, delta, qcoeff,
+                           tx_type)
 
     def _predict_into(self, plane: int, x: int, y: int, tx_size: int,
-                      mode: int, qcoeff, tx_type: int) -> None:
+                      mode: int, delta: int, qcoeff, tx_type: int) -> None:
         tw, th = int(TX_WIDTH[tx_size]), int(TX_HEIGHT[tx_size])
         cw, ch = common.coded_dims(tx_size)
         recon = self.recon[plane]
         max_w, max_h = self.max_wh[plane]
-        above, left, tl = intra_ops.prepare_edges(
-            recon, np.array([x]), np.array([y]), tw, th, bd=self.bd,
+        ha = np.array([y > 0])
+        hl = np.array([x > 0])
+        above1, left1 = intra_ops.prepare_edges_av1(
+            recon, np.array([x]), np.array([y]), tw, th, ha, hl,
+            np.array([self._htr]), np.array([self._hbl]), bd=self.bd,
             max_w=max_w, max_h=max_h)
-        pred = intra_ops.predict(mode, above, left, tl, tw, th,
-                                 have_above=np.array([y > 0]),
-                                 have_left=np.array([x > 0]), bd=self.bd)[0]
+        pred = intra_ops.predict_any(mode, delta, above1, left1, tw, th,
+                                     ha, hl, bd=self.bd)[0]
         if qcoeff is None or not np.any(qcoeff):
             recon[y:y + th, x:x + tw] = np.clip(
                 pred, 0, (1 << self.bd) - 1).astype(np.uint8)

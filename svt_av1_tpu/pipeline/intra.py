@@ -35,9 +35,10 @@ def make_symbol_writer(native_entropy: bool, disable_cdf_update: bool):
             return NativeSymbolWriter(disable_cdf_update=disable_cdf_update)
     return SymbolWriter(disable_cdf_update=disable_cdf_update)
 from svt_av1_tpu.ops import intra as intra_ops
+from svt_av1_tpu.ops import intra_dir
 from svt_av1_tpu.ops import quant as quant_ops
 from svt_av1_tpu.ops import transforms as tx_ops
-from svt_av1_tpu.pipeline import common
+from svt_av1_tpu.pipeline import avail, common
 from svt_av1_tpu.utils.blocks import (DC_PRED, DCT_DCT, PARTITION_NONE,
                                       PARTITION_SPLIT, get_scan)
 
@@ -61,6 +62,8 @@ class IntraFrameEncoder:
         self.mi_rows = self.seq.mi_rows
         self.qp = quant_ops.make_quant_params(cfg.base_q_idx,
                                               bit_depth=cfg.bit_depth)
+        from svt_av1_tpu.pipeline import rd
+        self.lam = rd.rd_lambda(cfg.base_q_idx, cfg.bit_depth)
 
     # --- public -----------------------------------------------------------------
     def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
@@ -122,143 +125,81 @@ class IntraFrameEncoder:
             self._code_partition(mi_row + hbs, mi_col + hbs, half)
         else:
             self._code_block(mi_row, mi_col, size)
-            subsize = common.square_bsize(size)
-            self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, subsize)
+            self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, bsize)
 
     # --- block coding ---------------------------------------------------------------
-    def _choose_mode(self, plane: int, x: int, y: int, size: int) -> int:
-        """Pick the intra mode minimizing prediction SSE against the source
-        (open-loop stand-in for the RD fast loop,
-        EbProductCodingLoop.c:1185)."""
+    def _decide_plane(self, plane: int, x: int, y: int, size: int,
+                      htr: bool, hbl: bool, forced=None):
+        """Mode decision + coding for one plane of one block via the shared
+        kernel (pipeline.md) so all backends decide identically."""
+        from svt_av1_tpu.pipeline import md
         recon = self.recon[plane]
         max_w, max_h = self.max_wh[plane]
-        above, left, tl = intra_ops.prepare_edges(
-            recon, np.array([x]), np.array([y]), size, size,
-            bd=self.cfg.bit_depth, max_w=max_w, max_h=max_h)
         ha = np.array([y > 0])
         hl = np.array([x > 0])
-        src_blk = self.src[plane][y:y + size, x:x + size]
-        best_mode, best_cost = DC_PRED, None
-        for mode in self.cfg.intra_modes:
-            pred = intra_ops.predict(mode, above, left, tl, size, size,
-                                     have_above=ha, have_left=hl,
-                                     bd=self.cfg.bit_depth)[0]
-            cost = int(np.sum((src_blk - pred) ** 2))
-            if best_cost is None or cost < best_cost:
-                best_mode, best_cost = mode, cost
-        return best_mode
-
-    def _code_txb(self, plane: int, x: int, y: int, tx_size: int,
-                  tx_type: int, mode: int, plane_bsize: int,
-                  write_syntax: bool = True) -> int:
-        """Predict/transform/quantize/write/reconstruct one transform block.
-        Returns eob. When ``write_syntax`` is False only computes eob
-        (used for the skip-flag decision dry run)."""
-        tw = int(tx_ops.TX_WIDTH[tx_size])
-        th = int(tx_ops.TX_HEIGHT[tx_size])
-        cw, ch = common.coded_dims(tx_size)
-        recon = self.recon[plane]
-        max_w, max_h = self.max_wh[plane]
-        above, left, tl = intra_ops.prepare_edges(
-            recon, np.array([x]), np.array([y]), tw, th,
-            bd=self.cfg.bit_depth, max_w=max_w, max_h=max_h)
-        pred = intra_ops.predict(mode, above, left, tl, tw, th,
-                                 have_above=np.array([y > 0]),
-                                 have_left=np.array([x > 0]),
-                                 bd=self.cfg.bit_depth)[0]
-        resid = self.src[plane][y:y + th, x:x + tw] - pred
-        coeffs = tx_ops.forward_tx2d(resid[None], tx_type, tw, th)[0]
-        coded = coeffs[:ch, :cw].reshape(1, -1)
-        scan = get_scan(tx_size, tx_type)
-        log_scale = quant_ops.tx_scale(tx_size)
-        qcoeff, dqcoeff, eob = quant_ops.quantize(coded, scan, self.qp,
-                                                  log_scale)
-        eob = int(eob[0])
-
-        if write_syntax:
-            x4, y4 = x >> 2, y >> 2
-            skip_ctx, sign_ctx = self.ctxs.txb_ctx(plane, plane_bsize,
-                                                   tx_size, x4, y4)
-            cul = coeff_syntax.write_coeffs_txb(
-                self.w, self.fc, qcoeff.reshape(ch, cw), tx_size, tx_type,
-                plane_type=int(plane > 0), txb_skip_ctx=skip_ctx,
-                dc_sign_ctx=sign_ctx, intra_dir=mode,
-                base_qindex=self.cfg.base_q_idx)
-            self.ctxs.update_txb_ctx(plane, x4, y4, tx_size, cul)
-            # reconstruct
-            if eob > 0:
-                full = np.zeros((1, th, tw), dtype=np.int64)
-                full[0, :ch, :cw] = dqcoeff.reshape(ch, cw)
-                r = tx_ops.inverse_tx2d(full, tx_type, tw, th,
-                                        bd=self.cfg.bit_depth)[0]
-                out = tx_ops.recon_add(pred[None], r[None],
-                                       bd=self.cfg.bit_depth)[0]
-            else:
-                out = np.clip(pred, 0, (1 << self.cfg.bit_depth) - 1) \
-                    .astype(np.uint8)
-            recon[y:y + th, x:x + tw] = out
-        return eob
+        above1, left1 = intra_ops.prepare_edges_av1(
+            recon, np.array([x]), np.array([y]), size, size, ha, hl,
+            np.array([htr]), np.array([hbl]), bd=self.cfg.bit_depth,
+            max_w=max_w, max_h=max_h)
+        srcs = self.src[plane][y:y + size, x:x + size][None]
+        return md.decide_block_batch(
+            plane, srcs, above1, left1, ha, hl,
+            common.intra_candidates(self.cfg), self.qp, size, self.lam,
+            bd=self.cfg.bit_depth, nfl=self.cfg.nfl, forced=forced)
 
     def _code_block(self, mi_row: int, mi_col: int, size: int) -> None:
         x, y = mi_col * 4, mi_row * 4
         bsize = common.square_bsize(size)
-        y_mode = self._choose_mode(0, x, y, size)
+        htr = avail.has_top_right(mi_row, mi_col, size >> 2, self.mi_cols)
+        hbl = avail.has_bottom_left(mi_row, mi_col, size >> 2, self.mi_rows)
         csize = size >> 1
         cx, cy = x >> 1, y >> 1
-        uv_mode = self._choose_mode(1, cx, cy, csize)
-        if uv_mode not in self.cfg.intra_modes:
-            uv_mode = DC_PRED
+
+        ym, yd, qy, ey, ry, _ = self._decide_plane(0, x, y, size, htr, hbl)
+        um, ud, qu, eu, ru, _ = self._decide_plane(1, cx, cy, csize, htr,
+                                                   hbl)
+        _, _, qv, ev, rv, _ = self._decide_plane(2, cx, cy, csize, htr, hbl,
+                                                 forced=(um, ud))
+        y_mode, y_delta = int(ym[0]), int(yd[0])
+        uv_mode, uv_delta = int(um[0]), int(ud[0])
+        skip = int(ey[0] == 0 and eu[0] == 0 and ev[0] == 0)
 
         tx_y = common.tx_size_for_block(size, 0)
         tx_uv = common.tx_size_for_block(csize, 1)
-        tt_y = DCT_DCT  # tx-type search: post-MVP (encode_pass_tx_search)
         tt_u = common.chroma_tx_type(uv_mode, tx_uv, False)
-
-        # dry run: determine skip (all eobs zero) without emitting syntax
-        plane_info = [(0, x, y, tx_y, tt_y, y_mode, bsize),
-                      (1, cx, cy, tx_uv, tt_u, uv_mode,
-                       common.square_bsize(csize)),
-                      (2, cx, cy, tx_uv, tt_u, uv_mode,
-                       common.square_bsize(csize))]
-        eobs = [self._code_txb(p, px, py, ts, ttp, m, pb, write_syntax=False)
-                for p, px, py, ts, ttp, m, pb in plane_info]
-        skip = int(all(e == 0 for e in eobs))
 
         # mode info (intra_frame_mode_info order, spec 5.11.10)
         mode_syntax.write_skip(self.w, self.fc, self.ctxs, skip,
                                mi_row, mi_col)
         mode_syntax.write_intra_luma_mode_kf(self.w, self.fc, self.ctxs,
                                              y_mode, mi_row, mi_col)
-        cfl_allowed = size <= 32
+        if intra_dir.is_directional(y_mode):
+            mode_syntax.write_angle_delta(self.w, self.fc, y_mode, y_delta)
         mode_syntax.write_intra_chroma_mode(self.w, self.fc, uv_mode,
-                                            y_mode, cfl_allowed)
+                                            y_mode, size <= 32)
+        if intra_dir.is_directional(uv_mode):
+            mode_syntax.write_angle_delta(self.w, self.fc, uv_mode,
+                                          uv_delta)
         self.ctxs.set_mi(mi_row, mi_col, bsize, y_mode, skip)
 
-        if skip:
-            # reconstruct prediction-only; zero the entropy contexts
-            for p, px, py, ts, ttp, m, pb in plane_info:
-                self._recon_pred_only(p, px, py, ts, m)
-                self.ctxs.update_txb_ctx(p, px >> 2, py >> 2, ts, 0)
-        else:
-            for p, px, py, ts, ttp, m, pb in plane_info:
-                self._code_txb(p, px, py, ts, ttp, m, pb, write_syntax=True)
-
-    def _recon_pred_only(self, plane: int, x: int, y: int, tx_size: int,
-                         mode: int) -> None:
-        tw = int(tx_ops.TX_WIDTH[tx_size])
-        th = int(tx_ops.TX_HEIGHT[tx_size])
-        recon = self.recon[plane]
-        max_w, max_h = self.max_wh[plane]
-        above, left, tl = intra_ops.prepare_edges(
-            recon, np.array([x]), np.array([y]), tw, th,
-            bd=self.cfg.bit_depth, max_w=max_w, max_h=max_h)
-        pred = intra_ops.predict(mode, above, left, tl, tw, th,
-                                 have_above=np.array([y > 0]),
-                                 have_left=np.array([x > 0]),
-                                 bd=self.cfg.bit_depth)[0]
-        recon[y:y + th, x:x + tw] = np.clip(
-            pred, 0, (1 << self.cfg.bit_depth) - 1).astype(np.uint8)
-
+        plane_info = [(0, x, y, size, tx_y, DCT_DCT, y_mode, qy[0], ry[0],
+                       bsize),
+                      (1, cx, cy, csize, tx_uv, tt_u, uv_mode, qu[0], ru[0],
+                       common.square_bsize(csize)),
+                      (2, cx, cy, csize, tx_uv, tt_u, uv_mode, qv[0], rv[0],
+                       common.square_bsize(csize))]
+        for p, px, py, ps, ts, tt, m, qc, rec, pb in plane_info:
+            x4, y4 = px >> 2, py >> 2
+            self.recon[p][py:py + ps, px:px + ps] = rec
+            if skip:
+                self.ctxs.update_txb_ctx(p, x4, y4, ts, 0)
+                continue
+            skip_ctx, sign_ctx = self.ctxs.txb_ctx(p, pb, ts, x4, y4)
+            cul = coeff_syntax.write_coeffs_txb(
+                self.w, self.fc, qc, ts, tt, plane_type=int(p > 0),
+                txb_skip_ctx=skip_ctx, dc_sign_ctx=sign_ctx, intra_dir=m,
+                base_qindex=self.cfg.base_q_idx)
+            self.ctxs.update_txb_ctx(p, x4, y4, ts, cul)
 
 def encode_keyframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                     cfg: EncoderConfig):

@@ -1,0 +1,158 @@
+"""Mode decision kernel: fast loop (pred SSE prune) + full loop (T/Q/IQ RD).
+
+The reference's two-stage search (ProductPerformFastLoop
+``EbProductCodingLoop.c:1185`` pruning to NFL candidates, then
+AV1PerformFullLoop ``:2004`` with transform/quant/recon RD) as one batched
+function. Every encoder backend (per-block oracle, wavefront, device) calls
+THIS function, so mode decisions are bit-identical across backends by
+construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from svt_av1_tpu.ops import intra as intra_ops
+from svt_av1_tpu.ops import quant as quant_ops
+from svt_av1_tpu.ops import transforms as tx_ops
+from svt_av1_tpu.pipeline import common
+from svt_av1_tpu.utils.blocks import DCT_DCT, get_scan
+
+
+def coeff_rate_proxy(qcoeff: np.ndarray) -> np.ndarray:
+    """~bits to code quantized levels, [B] from [B, n]."""
+    aq = np.abs(qcoeff).astype(np.float64)
+    return np.sum(np.where(aq > 0, 2.0 + 2.0 * np.log2(1.0 + aq), 0.0),
+                  axis=1)
+
+
+def _icdf_bits(icdf_row, sym: int) -> float:
+    """-log2 p(sym) from an inverse-CDF row (estimation only)."""
+    hi = 32768 if sym == 0 else int(icdf_row[sym - 1])
+    p = max(hi - int(icdf_row[sym]), 1) / 32768.0
+    return -np.log2(p)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def candidate_mode_bits(cands: tuple, plane: int) -> np.ndarray:
+    """Static per-candidate syntax-rate estimate [M] from the default CDFs
+    (the reference's MD rate tables are likewise CDF-derived,
+    EbMdRateEstimation.c). Context-averaged; used only to bias the RD
+    search, never for actual coding."""
+    from svt_av1_tpu.entropy.cdf import default_tables
+    from svt_av1_tpu.ops import intra_dir
+    tabs = default_tables()
+    if plane == 0:
+        rows = tabs["kf_y_mode"].reshape(-1, 14)
+    else:
+        rows = tabs["uv_mode"][0]            # cfl-not-allowed set, all y
+    out = []
+    for mode, delta in cands:
+        bits = float(np.mean([_icdf_bits(r, mode) for r in rows]))
+        if intra_dir.is_directional(mode):
+            bits += _icdf_bits(tabs["angle_delta"][mode - 1], delta + 3)
+        out.append(bits)
+    return np.array(out)
+
+
+def _full_loop(srcs, preds, tts, tx_size, size, qp, bd):
+    """T/Q/IQ/recon for one candidate per block.
+    srcs/preds [B,s,s]; tts [B]. Returns (qcoeff [B,ch,cw], eob [B],
+    recon [B,s,s], dist [B], rate [B])."""
+    b = srcs.shape[0]
+    cw, ch = common.coded_dims(tx_size)
+    log_scale = quant_ops.tx_scale(tx_size)
+    qcoeff = np.zeros((b, ch, cw), dtype=np.int32)
+    eob = np.zeros(b, dtype=np.int32)
+    recon = np.empty((b, size, size), dtype=np.int64)
+    rate = np.zeros(b, dtype=np.float64)
+    resid = srcs - preds
+    for tt in np.unique(tts):
+        sel = np.nonzero(tts == tt)[0]
+        coeffs = tx_ops.forward_tx2d(resid[sel], int(tt), size, size)
+        coded = coeffs[:, :ch, :cw].reshape(len(sel), -1)
+        scan = get_scan(tx_size, int(tt))
+        qc, dq, eo = quant_ops.quantize(coded, scan, qp, log_scale)
+        qcoeff[sel] = qc.reshape(-1, ch, cw)
+        eob[sel] = eo
+        rate[sel] = coeff_rate_proxy(qc)
+        full = np.zeros((len(sel), size, size), dtype=np.int64)
+        full[:, :ch, :cw] = dq.reshape(-1, ch, cw)
+        r = tx_ops.inverse_tx2d(full, int(tt), size, size, bd=bd)
+        recon[sel] = tx_ops.recon_add(preds[sel], r, bd=bd)
+    dist = np.sum((srcs - recon) ** 2, axis=(1, 2)).astype(np.float64)
+    return qcoeff, eob, recon, dist, rate
+
+
+def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
+                       qp, size: int, lam: float, bd: int = 8, nfl: int = 3,
+                       reduced_tx_set: bool = False, forced=None):
+    """Full mode decision + coding for a batch of same-sized blocks.
+
+    Returns (modes [B], deltas [B], qcoeff [B,ch,cw], eob [B],
+    recon [B,s,s] uint8, rd_cost [B]).
+    ``forced``: (modes, deltas) arrays — skip the search (V plane reuses
+    U's choice)."""
+    b = srcs.shape[0]
+    tx_size = common.tx_size_for_block(size, plane)
+
+    def tts_for(modes_arr):
+        if plane == 0:
+            return np.zeros(b, dtype=np.int32)
+        return np.array([common.chroma_tx_type(int(m), tx_size,
+                                               reduced_tx_set)
+                         for m in modes_arr])
+
+    if forced is not None:
+        fmodes, fdeltas = np.asarray(forced[0]), np.asarray(forced[1])
+        preds = np.empty((b, size, size), dtype=np.int64)
+        for m, d in set(zip(fmodes.tolist(), fdeltas.tolist())):
+            sel = (fmodes == m) & (fdeltas == d)
+            preds[sel] = intra_ops.predict_any(int(m), int(d), above1[sel],
+                                               left1[sel], size, size,
+                                               ha[sel], hl[sel], bd=bd)
+        qc, eo, rec, dist, rate = _full_loop(srcs, preds, tts_for(fmodes),
+                                             tx_size, size, qp, bd)
+        return (fmodes, fdeltas, qc, eo, rec.astype(np.uint8),
+                dist + lam * rate)
+
+    preds = np.stack([
+        intra_ops.predict_any(m, d, above1, left1, size, size, ha, hl,
+                              bd=bd)
+        for m, d in cands]).astype(np.int64)                  # [M,B,s,s]
+    sse = np.sum((srcs[None] - preds) ** 2, axis=(2, 3))      # [M,B]
+    k = min(nfl, len(cands))
+    # top-k candidate indices per block, ordered by SSE then candidate
+    # index (stable) so every backend breaks ties identically
+    order = np.argsort(sse, axis=0, kind="stable")[:k]        # [K,B]
+
+    carr = np.asarray(cands)
+    mode_bits = candidate_mode_bits(tuple(map(tuple, cands)), plane)
+    best_cost = None
+    out = None
+    for kk in range(k):
+        idx = order[kk]                                       # [B]
+        modes_k = carr[idx, 0]
+        deltas_k = carr[idx, 1]
+        preds_k = preds[idx, np.arange(b)]
+        qc, eo, rec, dist, rate = _full_loop(srcs, preds_k,
+                                             tts_for(modes_k), tx_size,
+                                             size, qp, bd)
+        cost = dist + lam * (rate + mode_bits[idx])
+        if best_cost is None:
+            best_cost = cost
+            out = [modes_k, deltas_k, qc, eo, rec, cost]
+        else:
+            better = cost < best_cost
+            best_cost = np.where(better, cost, best_cost)
+            out[0] = np.where(better, modes_k, out[0])
+            out[1] = np.where(better, deltas_k, out[1])
+            out[2] = np.where(better[:, None, None], qc, out[2])
+            out[3] = np.where(better, eo, out[3])
+            out[4] = np.where(better[:, None, None], rec, out[4])
+            out[5] = best_cost
+    return (out[0], out[1], out[2], out[3], out[4].astype(np.uint8),
+            out[5])

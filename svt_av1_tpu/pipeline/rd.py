@@ -41,49 +41,27 @@ def _block_grid(w_eff: int, h_eff: int, size: int):
     return gx.reshape(-1), gy.reshape(-1)
 
 
-def _analyze_depth(src: np.ndarray, xs, ys, size: int, modes, qp,
-                   max_w: int, max_h: int, bd: int = 8):
-    """Open-loop analysis of all blocks at one depth: returns
-    (dist [B], rate_proxy_bits [B], best_mode [B]).
-
-    Distortion is the post-T/Q/IQ reconstruction SSE (the true coding
-    distortion for the chosen mode); rate proxy counts coefficient
-    magnitude bits (reference analog: fast-loop SATD + rate estimate)."""
-    above, left, tl = intra_ops.prepare_edges(src, xs, ys, size, size,
-                                              bd=bd, max_w=max_w,
-                                              max_h=max_h)
+def _analyze_depth(src: np.ndarray, xs, ys, size: int, cands, qp,
+                   max_w: int, max_h: int, mi_cols: int, mi_rows: int,
+                   lam: float, bd: int = 8):
+    """Open-loop analysis of all blocks at one depth via the shared mode
+    decision kernel. Returns (rd_cost [B], best_mode [B])."""
+    from svt_av1_tpu.pipeline import avail, md
     ha, hl = ys > 0, xs > 0
-    b = len(xs)
+    s4 = size >> 2
+    htr = np.array([avail.has_top_right(y >> 2, x >> 2, s4, mi_cols)
+                    for x, y in zip(xs, ys)])
+    hbl = np.array([avail.has_bottom_left(y >> 2, x >> 2, s4, mi_rows)
+                    for x, y in zip(xs, ys)])
+    above1, left1 = intra_ops.prepare_edges_av1(
+        src, xs, ys, size, size, ha, hl, htr, hbl, bd=bd,
+        max_w=max_w, max_h=max_h)
     srcs = np.stack([src[y:y + size, x:x + size]
-                     for x, y in zip(xs, ys)]).astype(np.int32)
-    preds = np.stack([
-        intra_ops.predict(m, above, left, tl, size, size,
-                          have_above=ha, have_left=hl, bd=bd)
-        for m in modes])
-    costs = np.sum((srcs[None] - preds).astype(np.int64) ** 2, axis=(2, 3))
-    bidx = np.argmin(costs, axis=0)
-    best_mode = np.asarray(modes)[bidx]
-    bsel = preds[bidx, np.arange(b)]
-
-    tx_size = common.tx_size_for_block(size, 0)
-    cw, ch = common.coded_dims(tx_size)
-    log_scale = quant_ops.tx_scale(tx_size)
-    coeffs = tx_ops.forward_tx2d(srcs - bsel, DCT_DCT, size, size)
-    coded = coeffs[:, :ch, :cw].reshape(b, -1)
-    scan = get_scan(tx_size, DCT_DCT)
-    qc, dq, eob = quant_ops.quantize(coded, scan, qp, log_scale)
-    full = np.zeros((b, size, size), dtype=np.int64)
-    full[:, :ch, :cw] = dq.reshape(b, ch, cw)
-    r = tx_ops.inverse_tx2d(full, DCT_DCT, size, size, bd=bd)
-    recon = tx_ops.recon_add(bsel, r, bd=bd)
-    dist = np.sum((srcs - recon.astype(np.int64)) ** 2, axis=(1, 2))
-
-    # coefficient-rate proxy: ~bits to code levels + per-block mode cost
-    aq = np.abs(qc).astype(np.float64)
-    rate = np.sum(np.where(aq > 0, 2.0 + 2.0 * np.log2(1.0 + aq), 0.0),
-                  axis=1)
-    rate += 4.0  # mode + skip syntax floor
-    return dist.astype(np.float64), rate, best_mode
+                     for x, y in zip(xs, ys)]).astype(np.int64)
+    best_mode, _, _, _, _, rd_cost = md.decide_block_batch(
+        0, srcs, above1, left1, ha, hl, cands, qp, size, lam, bd=bd)
+    # + mode/skip syntax floor (bits)
+    return rd_cost + lam * 4.0, best_mode
 
 
 def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
@@ -98,7 +76,7 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
     w_eff, h_eff = mi_cols * 4, mi_rows * 4
     qp = quant_ops.make_quant_params(cfg.base_q_idx,
                                      bit_depth=cfg.bit_depth)
-    modes = cfg.intra_modes
+    cands = common.intra_candidates(cfg)
     sizes = [s for s in (64, 32, 16, 8)
              if cfg.min_partition_size <= s <= cfg.max_partition_size]
     if 64 not in sizes:
@@ -106,9 +84,8 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
     cost = {}
     for size in sizes:
         xs, ys = _block_grid(w_eff, h_eff, size)
-        dist, rate, _ = _analyze_depth(src, xs, ys, size, modes, qp,
-                                       w_eff, h_eff, cfg.bit_depth)
-        c = dist + lam * rate
+        c, _ = _analyze_depth(src, xs, ys, size, cands, qp, w_eff, h_eff,
+                              mi_cols, mi_rows, lam, cfg.bit_depth)
         cols = (w_eff + size - 1) // size
         rows = (h_eff + size - 1) // size
         cost[size] = c.reshape(rows, cols)

@@ -28,9 +28,10 @@ from svt_av1_tpu.entropy import modes as mode_syntax
 from svt_av1_tpu.entropy.cdf import FrameContext
 from svt_av1_tpu.entropy.ctx import TileContexts
 from svt_av1_tpu.ops import intra as intra_ops
+from svt_av1_tpu.ops import intra_dir
 from svt_av1_tpu.ops import quant as quant_ops
 from svt_av1_tpu.ops import transforms as tx_ops
-from svt_av1_tpu.pipeline import common
+from svt_av1_tpu.pipeline import avail, common, md
 from svt_av1_tpu.pipeline.intra import make_symbol_writer
 from svt_av1_tpu.utils.blocks import (DC_PRED, DCT_DCT, MODE_TO_TXFM,
                                       PARTITION_NONE, PARTITION_SPLIT,
@@ -48,75 +49,34 @@ class WavefrontIntraEncoder:
         self.mi_rows = self.seq.mi_rows
         self.qp = quant_ops.make_quant_params(cfg.base_q_idx,
                                               bit_depth=cfg.bit_depth)
+        from svt_av1_tpu.pipeline import rd
+        self.lam = rd.rd_lambda(cfg.base_q_idx, cfg.bit_depth)
 
     # --- batched wave compute (host numpy backend) ----------------------------
-    def _wave_compute(self, plane: int, xs, ys, size: int, modes: tuple,
-                      forced_modes=None):
+    def _wave_compute(self, plane: int, xs, ys, size: int, cands,
+                      htr, hbl, forced=None):
         """All blocks of one wave: mode decision + T/Q/IQ/recon.
-        ``forced_modes``: [B] mode values to use instead of deciding (the V
-        plane reuses the uv mode chosen on U — one shared chroma mode).
-        Returns (best_modes [B] as mode values, qcoeff [B,ch,cw], eob [B])."""
+        cands: [(mode, angle_delta)] candidate list; htr/hbl: [B]
+        above-right / bottom-left availability. ``forced``: (modes [B],
+        deltas [B]) to reuse instead of deciding (the V plane reuses the
+        uv choice made on U — one shared chroma mode).
+        Returns (modes [B], deltas [B], qcoeff [B,ch,cw], eob [B])."""
         cfg = self.cfg
         recon = self.recon[plane]
         src = self.src[plane]
         max_w, max_h = self.max_wh[plane]
-        b = len(xs)
-        above, left, tl = intra_ops.prepare_edges(
-            recon, xs, ys, size, size, bd=cfg.bit_depth,
-            max_w=max_w, max_h=max_h)
         ha, hl = ys > 0, xs > 0
+        above1, left1 = intra_ops.prepare_edges_av1(
+            recon, xs, ys, size, size, ha, hl, htr, hbl,
+            bd=cfg.bit_depth, max_w=max_w, max_h=max_h)
         srcs = np.stack([src[y:y + size, x:x + size]
-                         for x, y in zip(xs, ys)]).astype(np.int32)
-        if forced_modes is None:
-            preds = np.stack([
-                intra_ops.predict(m, above, left, tl, size, size,
-                                  have_above=ha, have_left=hl,
-                                  bd=cfg.bit_depth)
-                for m in modes])                              # [M,B,s,s]
-            costs = np.sum((srcs[None] - preds).astype(np.int64) ** 2,
-                           axis=(2, 3))                       # [M,B]
-            best = np.asarray(modes)[np.argmin(costs, axis=0)]
-            bsel = preds[np.argmin(costs, axis=0), np.arange(b)]
-        else:
-            best = np.asarray(forced_modes)
-            bsel = np.empty((b, size, size), dtype=np.int32)
-            for m in np.unique(best):
-                sel = best == m
-                bsel[sel] = intra_ops.predict(
-                    int(m), above[sel], left[sel], tl[sel], size, size,
-                    have_above=ha[sel], have_left=hl[sel], bd=cfg.bit_depth)
-
-        tx_size = common.tx_size_for_block(size, plane)
-        cw, ch_ = common.coded_dims(tx_size)
-        log_scale = quant_ops.tx_scale(tx_size)
-        qcoeff = np.zeros((b, ch_, cw), dtype=np.int32)
-        eob = np.zeros(b, dtype=np.int32)
-        recon_blocks = np.empty((b, size, size), dtype=recon.dtype)
-
-        # group by derived tx type (chroma derives from mode; luma is DCT)
-        if plane == 0:
-            tts = np.zeros(b, dtype=np.int32)
-        else:
-            tts = np.array([common.chroma_tx_type(int(m), tx_size, False)
-                            for m in best])
-        resid = srcs - bsel
-        for tt in np.unique(tts):
-            sel = np.nonzero(tts == tt)[0]
-            coeffs = tx_ops.forward_tx2d(resid[sel], int(tt), size, size)
-            coded = coeffs[:, :ch_, :cw].reshape(len(sel), -1)
-            scan = get_scan(tx_size, int(tt))
-            qc, dq, eo = quant_ops.quantize(coded, scan, self.qp, log_scale)
-            qcoeff[sel] = qc.reshape(-1, ch_, cw)
-            eob[sel] = eo
-            full = np.zeros((len(sel), size, size), dtype=np.int64)
-            full[:, :ch_, :cw] = dq.reshape(-1, ch_, cw)
-            r = tx_ops.inverse_tx2d(full, int(tt), size, size,
-                                    bd=cfg.bit_depth)
-            recon_blocks[sel] = tx_ops.recon_add(bsel[sel], r,
-                                                 bd=cfg.bit_depth)
+                         for x, y in zip(xs, ys)]).astype(np.int64)
+        best, deltas, qcoeff, eob, recon_blocks, _ = md.decide_block_batch(
+            plane, srcs, above1, left1, ha, hl, cands, self.qp, size,
+            self.lam, bd=cfg.bit_depth, nfl=cfg.nfl, forced=forced)
         for i, (x, y) in enumerate(zip(xs, ys)):
             recon[y:y + size, x:x + size] = recon_blocks[i]
-        return best, qcoeff, eob
+        return best, deltas, qcoeff, eob
 
     # --- leaf enumeration + dependency waves ----------------------------------
     def _fixed_leaf_sizes(self, target: int):
@@ -169,9 +129,12 @@ class WavefrontIntraEncoder:
 
     @staticmethod
     def _dependency_waves(leaves, mi_cols, mi_rows):
-        """Topological wave index per leaf: a leaf waits for every leaf its
-        above row / left column touches (longest-path layering). Handles
-        mixed block sizes (edge splits today, partition RD later)."""
+        """Topological wave index per leaf: a leaf waits for every
+        earlier-coded leaf its extended above row / left column strips can
+        read — 2x the block dimension, covering the above-right /
+        bottom-left reference extensions (longest-path layering). Later
+        leaves in the strips are spec-unavailable (replicated), so only
+        earlier ones (j < i in coding order) become dependencies."""
         idx_map = np.full((mi_rows, mi_cols), -1, dtype=np.int64)
         for i, (r, c, s) in enumerate(leaves):
             m = s >> 2
@@ -181,11 +144,13 @@ class WavefrontIntraEncoder:
             m = s >> 2
             w = 0
             if r > 0:
-                deps = idx_map[r - 1, c:min(c + m, mi_cols)]
+                deps = idx_map[r - 1, c:min(c + 2 * m, mi_cols)]
+                deps = deps[(deps >= 0) & (deps < i)]
                 if len(deps):
                     w = max(w, int(wave[deps].max()) + 1)
             if c > 0:
-                deps = idx_map[r:min(r + m, mi_rows), c - 1]
+                deps = idx_map[r:min(r + 2 * m, mi_rows), c - 1]
+                deps = deps[(deps >= 0) & (deps < i)]
                 if len(deps):
                     w = max(w, int(wave[deps].max()) + 1)
             wave[i] = w
@@ -202,7 +167,7 @@ class WavefrontIntraEncoder:
                        (self.mi_cols * 2, self.mi_rows * 2),
                        (self.mi_cols * 2, self.mi_rows * 2)]
 
-        modes = cfg.intra_modes
+        cands = common.intra_candidates(cfg)
         if cfg.fixed_partition_size is not None:
             self.leaf_sizes = self._fixed_leaf_sizes(cfg.fixed_partition_size)
         else:
@@ -215,10 +180,16 @@ class WavefrontIntraEncoder:
         self.leaf_index = {(r, c): i for i, (r, c, s) in enumerate(leaves)}
         self.y_mode = np.zeros(n, dtype=np.int32)
         self.uv_mode = np.zeros(n, dtype=np.int32)
+        self.y_delta = np.zeros(n, dtype=np.int32)
+        self.uv_delta = np.zeros(n, dtype=np.int32)
         self.qcoeff = [[None] * n, [None] * n, [None] * n]
         self.eobs = np.zeros((3, n), dtype=np.int32)
 
         larr = np.array([(r, c, s) for r, c, s in leaves], dtype=np.int64)
+        htr_all = np.array([avail.has_top_right(r, c, s >> 2, self.mi_cols)
+                            for r, c, s in leaves])
+        hbl_all = np.array([avail.has_bottom_left(r, c, s >> 2, self.mi_rows)
+                            for r, c, s in leaves])
         for wv in range(int(waves.max()) + 1 if n else 0):
             in_wave = np.nonzero(waves == wv)[0]
             for size in np.unique(larr[in_wave, 2]):
@@ -226,16 +197,21 @@ class WavefrontIntraEncoder:
                 size = int(size)
                 xs = larr[ids, 1] * 4
                 ys = larr[ids, 0] * 4
+                htr, hbl = htr_all[ids], hbl_all[ids]
                 csize = size >> 1
-                best, qc, eo = self._wave_compute(0, xs, ys, size, modes)
+                best, bdel, qc, eo = self._wave_compute(
+                    0, xs, ys, size, cands, htr, hbl)
                 self.y_mode[ids] = best
+                self.y_delta[ids] = bdel
                 self.eobs[0, ids] = eo
-                bestc, qcc, eoc = self._wave_compute(1, xs >> 1, ys >> 1,
-                                                     csize, modes)
+                bestc, cdel, qcc, eoc = self._wave_compute(
+                    1, xs >> 1, ys >> 1, csize, cands, htr, hbl)
                 self.uv_mode[ids] = bestc
+                self.uv_delta[ids] = cdel
                 self.eobs[1, ids] = eoc
-                _, qcv, eov = self._wave_compute(2, xs >> 1, ys >> 1, csize,
-                                                 modes, forced_modes=bestc)
+                _, _, qcv, eov = self._wave_compute(
+                    2, xs >> 1, ys >> 1, csize, cands, htr, hbl,
+                    forced=(bestc, cdel))
                 self.eobs[2, ids] = eov
                 for k, i in enumerate(ids):
                     self.qcoeff[0][i] = qc[k]
@@ -304,8 +280,14 @@ class WavefrontIntraEncoder:
                                mi_row, mi_col)
         mode_syntax.write_intra_luma_mode_kf(self.w, self.fc, self.ctxs,
                                              y_mode, mi_row, mi_col)
+        if intra_dir.is_directional(y_mode):
+            mode_syntax.write_angle_delta(self.w, self.fc, y_mode,
+                                          int(self.y_delta[li]))
         mode_syntax.write_intra_chroma_mode(self.w, self.fc, uv_mode,
                                             y_mode, size <= 32)
+        if intra_dir.is_directional(uv_mode):
+            mode_syntax.write_angle_delta(self.w, self.fc, uv_mode,
+                                          int(self.uv_delta[li]))
         self.ctxs.set_mi(mi_row, mi_col, bsize, y_mode, skip)
 
         plane_info = [(0, x, y, tx_y, DCT_DCT, y_mode, bsize),
