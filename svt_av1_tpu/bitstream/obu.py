@@ -115,6 +115,9 @@ class FrameHeader:
     loop_filter_levels: tuple = (0, 0, 0, 0)
     refresh_frame_flags: int = 0xFF
     order_hint: int = 0
+    # inter-frame fields
+    error_resilient: bool = True    # PRIMARY_REF_NONE path (MVP choice)
+    ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)  # slots for LAST..ALTREF
 
 
 def _obu_header(obu_type: int) -> int:
@@ -192,26 +195,44 @@ def write_sequence_header_obu(seq: SequenceHeader) -> bytes:
 
 def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
                                fh: FrameHeader) -> None:
-    """spec 5.9.2; KEY/show path of WriteFrameHeaderAv1
-    (EbEntropyCoding.c:4392). Only the intra-frame paths are emitted so far;
-    inter signaling lands with the inter rounds."""
-    assert fh.frame_type == KEY_FRAME and fh.show_frame, \
-        "MVP writer: shown key frames only (inter rounds extend this)"
+    """spec 5.9.2; KEY/show + INTER paths of WriteFrameHeaderAv1
+    (EbEntropyCoding.c:4392). Inter frames use error-resilient mode
+    (PRIMARY_REF_NONE — contexts reset per frame) and a found_ref frame
+    size; order hints and ref-frame-mvs stay disabled."""
+    is_key = fh.frame_type == KEY_FRAME
+    assert fh.show_frame, "non-shown frames land with the RA rounds"
     w.write_bit(0)                       # show_existing_frame
     w.write(fh.frame_type, 2)
     w.write_bit(int(fh.show_frame))
-    # error_resilient_mode implied 1 for shown key frames (not coded)
+    if not is_key:
+        w.write_bit(int(fh.error_resilient))
+        assert fh.error_resilient, "primary-ref CDF carry is post-MVP"
+    # (key+show: error_resilient implied 1, not coded)
     w.write_bit(int(fh.disable_cdf_update))
     # allow_screen_content_tools = seq_force (0), not coded
     w.write_bit(0)                       # frame_size_override_flag
     if seq.enable_order_hint:
         w.write(fh.order_hint, seq.order_hint_bits)
-    # primary_ref_frame = PRIMARY_REF_NONE (intra), not coded
-    # refresh_frame_flags = 0xFF for shown key frame, not coded
-    # frame_size(): size from sequence (override=0); superres disabled
-    # render_size():
-    w.write_bit(0)                       # render_and_frame_size_different
-    # allow_intrabc: allow_screen_content_tools == 0 -> not coded
+    # primary_ref_frame = PRIMARY_REF_NONE (intra / error resilient)
+    if is_key:
+        # refresh_frame_flags = 0xFF for shown key frame, not coded
+        # frame_size(): from sequence (override=0); superres disabled
+        w.write_bit(0)                   # render_and_frame_size_different
+        # allow_intrabc: allow_screen_content_tools == 0 -> not coded
+    else:
+        w.write(fh.refresh_frame_flags, 8)
+        # (error_resilient && enable_order_hint): ref_order_hint -> none
+        # (enable_order_hint): frame_refs_short_signaling -> none
+        for idx in fh.ref_frame_idx:
+            w.write(idx, 3)
+        # frame_size_with_refs(): take size from LAST
+        w.write_bit(1)                   # found_ref for ref 0
+        # superres disabled -> no bits; render size from ref
+        w.write_bit(0)                   # allow_high_precision_mv
+        w.write_bit(0)                   # is_filter_switchable
+        w.write(0, 2)                    # interpolation_filter (REGULAR)
+        w.write_bit(0)                   # is_motion_mode_switchable
+        # use_ref_frame_mvs = 0 (error resilient), not coded
     if fh.disable_cdf_update:
         pass                             # disable_frame_end_update_cdf = 1
     else:
@@ -239,9 +260,15 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
     # cdef_params / lr_params: seq tools disabled -> no bits
     assert not seq.enable_cdef and not seq.enable_restoration
     w.write_bit(int(fh.tx_mode_select))  # read_tx_mode
-    # frame_reference_mode / skip_mode / warped motion: intra -> no bits
+    if not is_key:
+        w.write_bit(0)                   # reference_select (single pred)
+    # skip_mode_params: skipModeAllowed = 0 -> no bits
+    # allow_warped_motion: seq disables warp -> no bits
     w.write_bit(int(fh.reduced_tx_set))
-    # global_motion_params / film_grain_params: intra / disabled -> no bits
+    if not is_key:
+        for _ in range(7):
+            w.write_bit(0)               # is_global[LAST..ALTREF]
+    # film_grain_params: disabled -> no bits
 
 
 def _write_tile_info(w: BitWriter, seq: SequenceHeader,
@@ -391,11 +418,27 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
     assert r.read_bit() == 0, "show_existing_frame unsupported"
     frame_type = r.read(2)
     show_frame = bool(r.read_bit())
-    assert frame_type == KEY_FRAME and show_frame
+    is_key = frame_type == KEY_FRAME
+    assert show_frame and frame_type in (KEY_FRAME, INTER_FRAME)
+    error_resilient = True
+    if not is_key:
+        error_resilient = bool(r.read_bit())
+        assert error_resilient, "primary-ref CDF carry unsupported"
     disable_cdf_update = bool(r.read_bit())
     assert r.read_bit() == 0  # frame_size_override
     order_hint = r.read(seq.order_hint_bits) if seq.enable_order_hint else 0
-    assert r.read_bit() == 0  # render_and_frame_size_different
+    refresh_frame_flags = 0xFF
+    ref_frame_idx = (0,) * 7
+    if is_key:
+        assert r.read_bit() == 0  # render_and_frame_size_different
+    else:
+        refresh_frame_flags = r.read(8)
+        ref_frame_idx = tuple(r.read(3) for _ in range(7))
+        assert r.read_bit() == 1, "found_ref expected for LAST"
+        assert r.read_bit() == 0  # allow_high_precision_mv
+        assert r.read_bit() == 0  # is_filter_switchable
+        assert r.read(2) == 0     # interpolation_filter REGULAR
+        assert r.read_bit() == 0  # is_motion_mode_switchable
     if disable_cdf_update:
         disable_end_update = True
     else:
@@ -417,9 +460,17 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
     lf_delta = r.read_bit()
     assert not lf_delta
     tx_mode_select = bool(r.read_bit())
+    if not is_key:
+        assert r.read_bit() == 0  # reference_select
     reduced_tx_set = bool(r.read_bit())
+    if not is_key:
+        for _ in range(7):
+            assert r.read_bit() == 0  # is_global
     r.byte_align()
     fh = FrameHeader(frame_type=frame_type, show_frame=show_frame,
+                     error_resilient=error_resilient,
+                     refresh_frame_flags=refresh_frame_flags,
+                     ref_frame_idx=ref_frame_idx,
                      base_q_idx=base_q_idx,
                      disable_cdf_update=disable_cdf_update,
                      disable_frame_end_update_cdf=disable_end_update,

@@ -1,0 +1,114 @@
+"""Motion compensation: AV1 sub-pel convolve (host NumPy oracle, batched).
+
+Normative inter prediction for translation-only single reference
+(reference behavior: av1_convolve_2d_sr_c ``EbInterPrediction.c:145``,
+sub_pel_filters_8/_4 ``:106-127``). One 2D path covers the x-only / y-only /
+copy cases bit-exactly (the phase-0 kernel is a pure delta and the rounding
+chain cancels — verified in tests against the dedicated paths' math).
+
+MVs are (row, col) in 1/8-pel luma units; chroma planes scale them to
+1/16-chroma-pel phases. References must be edge-padded (``pad_reference``)
+so clamped MVs always sample valid data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FILTER_BITS = 7
+ROUND0 = 3
+ROUND1 = 11
+REF_PAD = 32  # replicated border on each side of a reference plane
+
+# EIGHTTAP_REGULAR, 16 phases (reference EbInterPrediction.c:106)
+SUBPEL_FILTERS_8 = np.array([
+    [0, 0, 0, 128, 0, 0, 0, 0], [0, 2, -6, 126, 8, -2, 0, 0],
+    [0, 2, -10, 122, 18, -4, 0, 0], [0, 2, -12, 116, 28, -8, 2, 0],
+    [0, 2, -14, 110, 38, -10, 2, 0], [0, 2, -14, 102, 48, -12, 2, 0],
+    [0, 2, -16, 94, 58, -12, 2, 0], [0, 2, -14, 84, 66, -12, 2, 0],
+    [0, 2, -14, 76, 76, -14, 2, 0], [0, 2, -12, 66, 84, -14, 2, 0],
+    [0, 2, -12, 58, 94, -16, 2, 0], [0, 2, -12, 48, 102, -14, 2, 0],
+    [0, 2, -10, 38, 110, -14, 2, 0], [0, 2, -8, 28, 116, -12, 2, 0],
+    [0, 0, -4, 18, 122, -10, 2, 0], [0, 0, -2, 8, 126, -6, 2, 0],
+], dtype=np.int32)
+
+# 4-tap variant used when the block dimension is <= 4
+SUBPEL_FILTERS_4 = np.array([
+    [0, 0, 0, 128, 0, 0, 0, 0], [0, 0, -4, 126, 8, -2, 0, 0],
+    [0, 0, -8, 122, 18, -4, 0, 0], [0, 0, -10, 116, 28, -6, 0, 0],
+    [0, 0, -12, 110, 38, -8, 0, 0], [0, 0, -12, 102, 48, -10, 0, 0],
+    [0, 0, -14, 94, 58, -10, 0, 0], [0, 0, -12, 84, 66, -10, 0, 0],
+    [0, 0, -12, 76, 76, -12, 0, 0], [0, 0, -10, 66, 84, -12, 0, 0],
+    [0, 0, -10, 58, 94, -14, 0, 0], [0, 0, -10, 48, 102, -12, 0, 0],
+    [0, 0, -8, 38, 110, -12, 0, 0], [0, 0, -6, 28, 116, -10, 0, 0],
+    [0, 0, -4, 18, 122, -8, 0, 0], [0, 0, -2, 8, 126, -4, 0, 0],
+], dtype=np.int32)
+
+
+def pad_reference(plane: np.ndarray, pad: int = REF_PAD) -> np.ndarray:
+    """Edge-replicate pad (reference PadRefAndSetFlags semantics)."""
+    return np.pad(plane, pad, mode="edge")
+
+
+def _filters(dim: int):
+    return SUBPEL_FILTERS_4 if dim <= 4 else SUBPEL_FILTERS_8
+
+
+def mc_block_batch(ref_padded: np.ndarray, xs, ys, mvs, w: int, h: int,
+                   ss: int = 0, bd: int = 8) -> np.ndarray:
+    """Motion-compensated prediction for a batch of same-sized blocks.
+
+    ref_padded: padded reference plane (REF_PAD border). xs/ys: [B]
+    block positions in *plane* pixels (unpadded coords). mvs: [B, 2]
+    (row, col) in 1/8-pel luma units. ss: plane subsampling (0 luma,
+    1 chroma 4:2:0). Returns [B, h, w] uint8 predictions.
+    """
+    b = len(xs)
+    mvs = np.asarray(mvs, dtype=np.int64)
+    # 1/16-pel plane units
+    scaled_r = mvs[:, 0] << (1 - ss)
+    scaled_c = mvs[:, 1] << (1 - ss)
+    int_r = ys + (scaled_r >> 4)
+    int_c = xs + (scaled_c >> 4)
+    frac_r = scaled_r & 15
+    frac_c = scaled_c & 15
+    fx = _filters(w)
+    fy = _filters(h)
+    out = np.empty((b, h, w), dtype=np.uint8)
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    final_bits = 2 * FILTER_BITS - ROUND0 - ROUND1
+    sub = (1 << (offset_bits - ROUND1)) + (1 << (offset_bits - ROUND1 - 1))
+    for i in range(b):
+        y0 = int(int_r[i]) + REF_PAD
+        x0 = int(int_c[i]) + REF_PAD
+        win = ref_padded[y0 - 3:y0 + h + 4, x0 - 3:x0 + w + 4] \
+            .astype(np.int64)
+        xf = fx[frac_c[i]]
+        # horizontal pass: [h+7, w]
+        horiz = np.zeros((h + 7, w), dtype=np.int64)
+        horiz += 1 << (bd + FILTER_BITS - 1)
+        for k in range(8):
+            horiz += xf[k] * win[:, k:k + w]
+        horiz = (horiz + (1 << (ROUND0 - 1))) >> ROUND0
+        yf = fy[frac_r[i]]
+        vert = np.full((h, w), 1 << offset_bits, dtype=np.int64)
+        for k in range(8):
+            vert += yf[k] * horiz[k:k + h]
+        res = ((vert + (1 << (ROUND1 - 1))) >> ROUND1) - sub
+        if final_bits > 0:
+            res = (res + (1 << (final_bits - 1))) >> final_bits
+        out[i] = np.clip(res, 0, (1 << bd) - 1)
+    return out
+
+
+def clamp_mv_for_padding(mv, x: int, y: int, w: int, h: int,
+                         plane_w: int, plane_h: int, ss: int = 0):
+    """Clamp an MV (1/8-pel luma units) so the 8-tap sample window stays
+    inside the REF_PAD border at this plane's scale."""
+    margin = (REF_PAD - 5) << (2 + ss)  # plane px -> 1/8-pel luma units
+    min_r = -(y << (2 + ss)) - margin
+    max_r = ((plane_h - y - h) << (2 + ss)) + margin
+    min_c = -(x << (2 + ss)) - margin
+    max_c = ((plane_w - x - w) << (2 + ss)) + margin
+    return (int(np.clip(mv[0], min_r, max_r)),
+            int(np.clip(mv[1], min_c, max_c)))

@@ -56,6 +56,57 @@ def square_bsize(size_px: int) -> int:
     return SQUARE_BLOCK_OF_SIZE[size_px]
 
 
+def fixed_leaf_sizes(mi_rows: int, mi_cols: int, sb_rows: int, sb_cols: int,
+                     target: int):
+    """Uniform square partition {(mi_row, mi_col): size_px} with the
+    edge-split rule (blocks whose half-point crosses the mi area split
+    down to 8x8)."""
+    sizes = {}
+
+    def rec(mi_row, mi_col, psize):
+        if mi_row >= mi_rows or mi_col >= mi_cols:
+            return
+        hbs = psize >> 3
+        crosses = not ((mi_row + hbs) < mi_rows and (mi_col + hbs) < mi_cols)
+        if psize > target or (crosses and psize > 8):
+            half = psize >> 1
+            rec(mi_row, mi_col, half)
+            rec(mi_row, mi_col + hbs, half)
+            rec(mi_row + hbs, mi_col, half)
+            rec(mi_row + hbs, mi_col + hbs, half)
+        else:
+            sizes[(mi_row, mi_col)] = psize
+
+    for sb_y in range(0, sb_rows * 16, 16):
+        for sb_x in range(0, sb_cols * 16, 16):
+            rec(sb_y, sb_x, 64)
+    return sizes
+
+
+def leaves_in_coding_order(leaf_sizes: dict, mi_rows: int, mi_cols: int,
+                           sb_rows: int, sb_cols: int):
+    """Ordered (mi_row, mi_col, size) list from a leaf map."""
+    out = []
+
+    def rec(mi_row, mi_col, psize):
+        if mi_row >= mi_rows or mi_col >= mi_cols:
+            return
+        if leaf_sizes.get((mi_row, mi_col)) == psize:
+            out.append((mi_row, mi_col, psize))
+            return
+        hbs = psize >> 3
+        half = psize >> 1
+        rec(mi_row, mi_col, half)
+        rec(mi_row, mi_col + hbs, half)
+        rec(mi_row + hbs, mi_col, half)
+        rec(mi_row + hbs, mi_col + hbs, half)
+
+    for sb_y in range(0, sb_rows * 16, 16):
+        for sb_x in range(0, sb_cols * 16, 16):
+            rec(sb_y, sb_x, 64)
+    return out
+
+
 def intra_candidates(cfg):
     """(mode, angle_delta) candidate list from config, in a fixed order
     shared by every encoder backend (tie-breaks must agree)."""

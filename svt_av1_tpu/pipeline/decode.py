@@ -15,9 +15,11 @@ import numpy as np
 from svt_av1_tpu.bitstream import obu
 from svt_av1_tpu.entropy import coeff as coeff_syntax
 from svt_av1_tpu.entropy import modes as mode_syntax
+from svt_av1_tpu.entropy import mv as mv_syntax
 from svt_av1_tpu.entropy.cdf import FrameContext
 from svt_av1_tpu.entropy.ctx import TileContexts
 from svt_av1_tpu.entropy.writer import SymbolReader
+from svt_av1_tpu.pipeline import mvp
 from svt_av1_tpu.ops import intra as intra_ops
 from svt_av1_tpu.ops import intra_dir
 from svt_av1_tpu.ops import quant as quant_ops
@@ -29,9 +31,12 @@ from svt_av1_tpu.utils.blocks import (DC_PRED, PARTITION_NONE,
 
 
 class FrameDecoder:
-    def __init__(self, seq: obu.SequenceHeader, fh: obu.FrameHeader):
+    def __init__(self, seq: obu.SequenceHeader, fh: obu.FrameHeader,
+                 refs=None):
         self.seq = seq
         self.fh = fh
+        self.is_inter = fh.frame_type != obu.KEY_FRAME
+        self.refs = refs  # padded reference planes (inter frames)
         self.mi_cols = seq.mi_cols
         self.mi_rows = seq.mi_rows
         self.bd = seq.bit_depth
@@ -49,9 +54,11 @@ class FrameDecoder:
         assert self.fh.tile_cols_log2 == 0 and self.fh.tile_rows_log2 == 0, \
             "multi-tile decode lands with tile parallelism"
         self.fc = FrameContext(self.fh.base_q_idx)
+        self.nmv = mv_syntax.NmvContext()
         self.r = SymbolReader(data,
                               disable_cdf_update=self.fh.disable_cdf_update)
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
+        self.mvp_state = mvp.MvpState(self.mi_rows, self.mi_cols)
         for sb_y in range(0, self.seq.sb_rows * 16, 16):
             for sb_x in range(0, self.seq.sb_cols * 16, 16):
                 self._decode_partition(sb_y, sb_x, 64)
@@ -82,6 +89,83 @@ class FrameDecoder:
                 f"partition type {partition} (rect partitions land with RD)")
 
     def _decode_block(self, mi_row: int, mi_col: int, size: int) -> None:
+        if self.is_inter:
+            self._decode_inter_block(mi_row, mi_col, size)
+        else:
+            self._decode_intra_block(mi_row, mi_col, size)
+
+    def _decode_inter_block(self, mi_row: int, mi_col: int,
+                            size: int) -> None:
+        from svt_av1_tpu.entropy import inter_modes
+        from svt_av1_tpu.ops import mc
+        from svt_av1_tpu.pipeline.mvp import (GLOBALMV, LAST_FRAME,
+                                              NEARESTMV, NEARMV, NEWMV)
+        x, y = mi_col * 4, mi_row * 4
+        bsize = common.square_bsize(size)
+        s4 = size >> 2
+        skip = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
+                                     mi_row, mi_col)
+        is_inter = inter_modes.read_is_inter(self.r, self.fc,
+                                             self.mvp_state, mi_row, mi_col)
+        assert is_inter, "intra-in-inter decode lands with that encoder path"
+        ref = inter_modes.read_single_ref(self.r, self.fc, self.mvp_state,
+                                          mi_row, mi_col)
+        res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4)
+        mode = inter_modes.read_inter_mode(self.r, self.fc, res)
+        drl = inter_modes.read_drl_idx(self.r, self.fc, mode, res)
+        if mode == NEARESTMV:
+            mv = res.ref_list[0]
+        elif mode == NEARMV:
+            mv = res.ref_list[1] if drl == 0 else res.stack[1 + drl][0]
+        elif mode == GLOBALMV:
+            mv = (0, 0)
+        else:
+            pred = res.stack[drl][0] if res.count > 1 else res.ref_list[0]
+            dr, dc = mv_syntax.read_mv(self.r, self.nmv)
+            mv = (pred[0] + dr, pred[1] + dc)
+        self.ctxs.set_mi(mi_row, mi_col, bsize, 0, skip)
+        self.mvp_state.set_block(mi_row, mi_col, s4, ref, mv, mode)
+
+        csize = size >> 1
+        tx_y = common.tx_size_for_block(size, 0)
+        tx_uv = common.tx_size_for_block(csize, 1)
+        plane_info = [(0, x, y, size, tx_y, bsize, 0),
+                      (1, x >> 1, y >> 1, csize, tx_uv,
+                       common.square_bsize(csize), 1),
+                      (2, x >> 1, y >> 1, csize, tx_uv,
+                       common.square_bsize(csize), 1)]
+        mvarr = np.array([mv])
+        for p, px, py, psz, ts, pb, ss in plane_info:
+            pred = mc.mc_block_batch(self.refs[p], np.array([px]),
+                                     np.array([py]), mvarr, psz, psz,
+                                     ss=ss)[0]
+            x4, y4 = px >> 2, py >> 2
+            if skip:
+                self.recon[p][py:py + psz, px:px + psz] = pred
+                self.ctxs.update_txb_ctx(p, x4, y4, ts, 0)
+                continue
+            skip_ctx, sign_ctx = self.ctxs.txb_ctx(p, pb, ts, x4, y4)
+            qcoeff, tx_type, cul = coeff_syntax.read_coeffs_txb(
+                self.r, self.fc, ts, plane_type=int(p > 0),
+                txb_skip_ctx=skip_ctx, dc_sign_ctx=sign_ctx, is_inter=True,
+                base_qindex=self.fh.base_q_idx, uv_tx_type=0)
+            self.ctxs.update_txb_ctx(p, x4, y4, ts, cul)
+            if not np.any(qcoeff):
+                self.recon[p][py:py + psz, px:px + psz] = pred
+                continue
+            cw, ch = common.coded_dims(ts)
+            log_scale = quant_ops.tx_scale(ts)
+            dq = quant_ops.dequantize(qcoeff.reshape(1, -1), self.qp,
+                                      log_scale)
+            full = np.zeros((1, psz, psz), dtype=np.int64)
+            full[0, :ch, :cw] = dq.reshape(ch, cw)
+            resid = tx_ops.inverse_tx2d(full, tx_type, psz, psz,
+                                        bd=self.bd)[0]
+            self.recon[p][py:py + psz, px:px + psz] = tx_ops.recon_add(
+                pred[None].astype(np.int64), resid[None], bd=self.bd)[0]
+
+    def _decode_intra_block(self, mi_row: int, mi_col: int,
+                            size: int) -> None:
         x, y = mi_col * 4, mi_row * 4
         bsize = common.square_bsize(size)
         skip = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
@@ -162,32 +246,56 @@ class FrameDecoder:
                                                      bd=self.bd)[0]
 
 
+class StreamDecoder:
+    """Multi-frame decoder with reference-slot management (the decoder-side
+    analogue of the reference's reference queue, EbPictureManagerProcess)."""
+
+    def __init__(self, seq: obu.SequenceHeader = None):
+        self.seq = seq
+        self.slots = [None] * 8  # padded recon planes per slot
+
+    def decode_tu(self, tu: bytes):
+        """Returns cropped recon planes of the (shown) frame, or None."""
+        from svt_av1_tpu.ops import mc
+        recon = None
+        for obu_type, payload in obu.parse_obus(tu):
+            if obu_type == obu.OBU_TEMPORAL_DELIMITER:
+                continue
+            if obu_type == obu.OBU_SEQUENCE_HEADER:
+                self.seq = obu.parse_sequence_header_obu(payload)
+            elif obu_type == obu.OBU_FRAME:
+                assert self.seq is not None, "no sequence header seen"
+                fh, tiles = obu.parse_frame_obu(payload, self.seq)
+                refs = None
+                if fh.frame_type != obu.KEY_FRAME:
+                    base = self.slots[fh.ref_frame_idx[0]]
+                    assert base is not None, "missing reference frame"
+                    refs = [mc.pad_reference(p) for p in base]
+                dec = FrameDecoder(self.seq, fh, refs)
+                recon = dec.decode_tile(tiles[0])
+                for i in range(8):
+                    if (fh.refresh_frame_flags >> i) & 1:
+                        self.slots[i] = dec.recon
+            else:
+                raise NotImplementedError(f"obu type {obu_type}")
+        return recon
+
+
 def decode_temporal_unit(tu: bytes, seq: obu.SequenceHeader = None):
-    """Decode one temporal unit. Returns (seq, recon planes or None)."""
-    recon = None
-    for obu_type, payload in obu.parse_obus(tu):
-        if obu_type == obu.OBU_TEMPORAL_DELIMITER:
-            continue
-        if obu_type == obu.OBU_SEQUENCE_HEADER:
-            seq = obu.parse_sequence_header_obu(payload)
-        elif obu_type == obu.OBU_FRAME:
-            assert seq is not None, "no sequence header seen"
-            fh, tiles = obu.parse_frame_obu(payload, seq)
-            dec = FrameDecoder(seq, fh)
-            recon = dec.decode_tile(tiles[0])
-        else:
-            raise NotImplementedError(f"obu type {obu_type}")
-    return seq, recon
+    """Single-TU convenience wrapper (keyframe TUs). Returns (seq, recon)."""
+    dec = StreamDecoder(seq)
+    recon = dec.decode_tu(tu)
+    return dec.seq, recon
 
 
 def decode_ivf(fh) -> list:
     """Decode every frame of an IVF stream; returns list of plane triples."""
     from svt_av1_tpu.bitstream.ivf import read_ivf
     info, frames = read_ivf(fh)
-    seq = None
+    dec = StreamDecoder()
     out = []
     for _, payload in frames:
-        seq, recon = decode_temporal_unit(payload, seq)
+        recon = dec.decode_tu(payload)
         if recon is not None:
             out.append(recon)
     return out

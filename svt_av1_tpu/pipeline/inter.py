@@ -1,0 +1,251 @@
+"""Low-delay P frame encoder (single reference, BASELINE config 2).
+
+The TPU-shaped inter encode: unlike intra, inter prediction has NO
+in-frame dependency, so ME, mode decision, transform and reconstruction run
+fully batched over all blocks of the frame (one tensor program — the
+reference needs its wavefront machinery here, we don't; SURVEY.md §2.2).
+Only the syntax pass is sequential: it walks coding order, builds the
+ref-MV stack from coded state (``pipeline.mvp``), canonicalizes each
+block's MV into NEAREST/NEAR/GLOBAL/NEWMV, and emits bits.
+
+Reference equivalents: MotionEstimationKernel (EbMotionEstimationProcess.c),
+EncDec inter path (EbCodingLoop.c), write_modes_b inter syntax
+(EbEntropyCoding.c:1724ff).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from svt_av1_tpu.bitstream import obu
+from svt_av1_tpu.config import EncoderConfig
+from svt_av1_tpu.entropy import coeff as coeff_syntax
+from svt_av1_tpu.entropy import inter_modes
+from svt_av1_tpu.entropy import modes as mode_syntax
+from svt_av1_tpu.entropy import mv as mv_syntax
+from svt_av1_tpu.entropy.cdf import FrameContext
+from svt_av1_tpu.entropy.ctx import TileContexts
+from svt_av1_tpu.ops import mc, me
+from svt_av1_tpu.ops import quant as quant_ops
+from svt_av1_tpu.ops import transforms as tx_ops
+from svt_av1_tpu.pipeline import common, md, mvp
+from svt_av1_tpu.pipeline.intra import make_symbol_writer
+from svt_av1_tpu.pipeline.mvp import (GLOBALMV, LAST_FRAME, NEARESTMV,
+                                      NEARMV, NEWMV)
+from svt_av1_tpu.utils.blocks import (DC_PRED, DCT_DCT, PARTITION_NONE,
+                                      PARTITION_SPLIT, get_scan)
+
+
+class InterFrameEncoder:
+    def __init__(self, cfg: EncoderConfig, seq: obu.SequenceHeader):
+        self.cfg = cfg
+        self.seq = seq
+        self.mi_cols = seq.mi_cols
+        self.mi_rows = seq.mi_rows
+        self.qp = quant_ops.make_quant_params(cfg.base_q_idx,
+                                              bit_depth=cfg.bit_depth)
+        from svt_av1_tpu.pipeline import rd
+        self.lam = rd.rd_lambda(cfg.base_q_idx, cfg.bit_depth)
+
+    def encode(self, y, u, v, ref_planes):
+        """ref_planes: previous reconstruction [Y, U, V] (padded dims).
+        Returns (frame_obu_payload_tu, recon_planes(padded))."""
+        cfg = self.cfg
+        self.src = [common.pad_to_multiple(y, 64).astype(np.int32),
+                    common.pad_to_multiple(u, 32).astype(np.int32),
+                    common.pad_to_multiple(v, 32).astype(np.int32)]
+        self.recon = [np.zeros(p.shape, dtype=np.uint8) for p in self.src]
+        self.refs = [mc.pad_reference(p) for p in ref_planes]
+
+        target = cfg.fixed_partition_size or 16
+        self.leaf_sizes = common.fixed_leaf_sizes(
+            self.mi_rows, self.mi_cols, self.seq.sb_rows, self.seq.sb_cols,
+            target)
+        leaves = common.leaves_in_coding_order(
+            self.leaf_sizes, self.mi_rows, self.mi_cols, self.seq.sb_rows,
+            self.seq.sb_cols)
+        n = len(leaves)
+        self.leaf_index = {(r, c): i for i, (r, c, s) in enumerate(leaves)}
+        self.mvs = np.zeros((n, 2), dtype=np.int64)
+        self.qcoeff = [[None] * n, [None] * n, [None] * n]
+        self.eobs = np.zeros((3, n), dtype=np.int32)
+
+        larr = np.array([(r, c, s) for r, c, s in leaves], dtype=np.int64)
+        for size in np.unique(larr[:, 2]):
+            ids = np.nonzero(larr[:, 2] == size)[0]
+            self._encode_blocks(larr[ids], ids, int(size))
+
+        tile = self._syntax_pass()
+        fh = obu.FrameHeader(frame_type=obu.INTER_FRAME,
+                             base_q_idx=cfg.base_q_idx,
+                             disable_cdf_update=cfg.disable_cdf_update,
+                             refresh_frame_flags=0x01,
+                             ref_frame_idx=(0,) * 7)
+        tu = (obu.temporal_delimiter_obu()
+              + obu.write_frame_obu(self.seq, fh, [tile]))
+        return tu, self.recon
+
+    # --- batched ME + coding -------------------------------------------------
+    def _encode_blocks(self, blocks, ids, size: int) -> None:
+        cfg = self.cfg
+        xs = blocks[:, 1] * 4
+        ys = blocks[:, 0] * 4
+        b = len(ids)
+        csize = size >> 1
+
+        int_mvs, _ = me.fullpel_search(self.refs[0], self.src[0], xs, ys,
+                                       size)
+        mvs, _ = me.subpel_refine(self.refs[0], self.src[0], xs, ys, size,
+                                  int_mvs)
+        # candidate MVs per block: refined + (0,0); full-loop RD decides
+        zero = np.zeros_like(mvs)
+        cands = [mvs, zero]
+        plane_w, plane_h = self.src[0].shape[1], self.src[0].shape[0]
+        for k, cand in enumerate(cands):
+            for i in range(b):
+                cands[k][i] = mc.clamp_mv_for_padding(
+                    cand[i], int(xs[i]), int(ys[i]), size, size,
+                    plane_w, plane_h)
+        srcs = np.stack([self.src[0][yy:yy + size, xx:xx + size]
+                         for xx, yy in zip(xs, ys)]).astype(np.int64)
+        tx_size = common.tx_size_for_block(size, 0)
+        best_cost = None
+        chosen = None
+        for cand in cands:
+            pred = mc.mc_block_batch(self.refs[0], xs, ys, cand, size,
+                                     size).astype(np.int64)
+            qc, eo, rec, dist, rate = md._full_loop(
+                srcs, pred, np.zeros(b, dtype=np.int32), tx_size, size,
+                self.qp, cfg.bit_depth)
+            mv_bits = 2.0 + 0.5 * (np.abs(cand).sum(axis=1) > 0)
+            cost = dist + self.lam * (rate + mv_bits)
+            if best_cost is None:
+                best_cost = cost
+                chosen = [cand.copy(), qc, eo, rec]
+            else:
+                better = cost < best_cost
+                best_cost = np.where(better, cost, best_cost)
+                chosen[0] = np.where(better[:, None], cand, chosen[0])
+                chosen[1] = np.where(better[:, None, None], qc, chosen[1])
+                chosen[2] = np.where(better, eo, chosen[2])
+                chosen[3] = np.where(better[:, None, None], rec, chosen[3])
+
+        self.mvs[ids] = chosen[0]
+        self.eobs[0, ids] = chosen[2]
+        for k, i in enumerate(ids):
+            self.qcoeff[0][i] = chosen[1][k]
+        for k, i in enumerate(ids):
+            yy, xx = int(ys[k]), int(xs[k])
+            self.recon[0][yy:yy + size, xx:xx + size] = chosen[3][k]
+
+        # chroma: MC with the chosen MVs, DCT residual
+        tx_uv = common.tx_size_for_block(csize, 1)
+        for plane in (1, 2):
+            cxs, cys = xs >> 1, ys >> 1
+            srcs_c = np.stack([
+                self.src[plane][yy:yy + csize, xx:xx + csize]
+                for xx, yy in zip(cxs, cys)]).astype(np.int64)
+            pred = mc.mc_block_batch(self.refs[plane], cxs, cys,
+                                     chosen[0], csize, csize,
+                                     ss=1).astype(np.int64)
+            qc, eo, rec, _, _ = md._full_loop(
+                srcs_c, pred, np.zeros(b, dtype=np.int32), tx_uv, csize,
+                self.qp, cfg.bit_depth)
+            self.eobs[plane, ids] = eo
+            for k, i in enumerate(ids):
+                self.qcoeff[plane][i] = qc[k]
+                yy, xx = int(cys[k]), int(cxs[k])
+                self.recon[plane][yy:yy + csize, xx:xx + csize] = rec[k]
+
+    # --- sequential syntax pass ----------------------------------------------
+    def _syntax_pass(self) -> bytes:
+        cfg = self.cfg
+        self.fc = FrameContext(cfg.base_q_idx)
+        self.nmv = mv_syntax.NmvContext()
+        self.w = make_symbol_writer(cfg.native_entropy,
+                                    cfg.disable_cdf_update)
+        self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
+        self.mvp_state = mvp.MvpState(self.mi_rows, self.mi_cols)
+        for sb_y in range(0, self.seq.sb_rows * 16, 16):
+            for sb_x in range(0, self.seq.sb_cols * 16, 16):
+                self._emit_partition(sb_y, sb_x, 64)
+        return self.w.done()
+
+    def _emit_partition(self, mi_row, mi_col, psize) -> None:
+        if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+            return
+        bsize = common.square_bsize(psize)
+        hbs = psize >> 3
+        if self.leaf_sizes.get((mi_row, mi_col)) == psize:
+            partition = PARTITION_NONE
+        else:
+            partition = PARTITION_SPLIT
+        mode_syntax.write_partition(self.w, self.fc, self.ctxs, partition,
+                                    bsize, mi_row, mi_col,
+                                    self.mi_cols, self.mi_rows)
+        if partition == PARTITION_SPLIT:
+            half = psize >> 1
+            self._emit_partition(mi_row, mi_col, half)
+            self._emit_partition(mi_row, mi_col + hbs, half)
+            self._emit_partition(mi_row + hbs, mi_col, half)
+            self._emit_partition(mi_row + hbs, mi_col + hbs, half)
+        else:
+            self._emit_block(mi_row, mi_col, psize)
+            self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, bsize)
+
+    def _emit_block(self, mi_row, mi_col, size) -> None:
+        cfg = self.cfg
+        li = self.leaf_index[(mi_row, mi_col)]
+        mv = (int(self.mvs[li, 0]), int(self.mvs[li, 1]))
+        skip = int(self.eobs[:, li].sum() == 0)
+        bsize = common.square_bsize(size)
+        s4 = size >> 2
+
+        # inter_frame_mode_info order (spec 5.11.15): skip, is_inter, refs,
+        # mode, drl, mv
+        mode_syntax.write_skip(self.w, self.fc, self.ctxs, skip,
+                               mi_row, mi_col)
+        inter_modes.write_is_inter(self.w, self.fc, self.mvp_state,
+                                   mi_row, mi_col, 1)
+        inter_modes.write_single_ref(self.w, self.fc, self.mvp_state,
+                                    mi_row, mi_col, LAST_FRAME)
+        res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4)
+        if res.count >= 1 and mv == res.ref_list[0]:
+            mode = NEARESTMV
+        elif res.count >= 2 and mv == res.ref_list[1]:
+            mode = NEARMV
+        elif mv == (0, 0):
+            mode = GLOBALMV
+        else:
+            mode = NEWMV
+        inter_modes.write_inter_mode(self.w, self.fc, mode, res)
+        inter_modes.write_drl_idx(self.w, self.fc, mode, 0, res)
+        if mode == NEWMV:
+            pred = res.stack[0][0] if res.count > 1 else res.ref_list[0]
+            mv_syntax.write_mv(self.w, self.nmv, mv[0] - pred[0],
+                               mv[1] - pred[1])
+
+        self.ctxs.set_mi(mi_row, mi_col, bsize, DC_PRED, skip)
+        self.mvp_state.set_block(mi_row, mi_col, s4, LAST_FRAME, mv, mode)
+
+        csize = size >> 1
+        x, y = mi_col * 4, mi_row * 4
+        tx_y = common.tx_size_for_block(size, 0)
+        tx_uv = common.tx_size_for_block(csize, 1)
+        plane_info = [(0, x, y, tx_y, bsize),
+                      (1, x >> 1, y >> 1, tx_uv,
+                       common.square_bsize(csize)),
+                      (2, x >> 1, y >> 1, tx_uv,
+                       common.square_bsize(csize))]
+        for p, px, py, ts, pb in plane_info:
+            x4, y4 = px >> 2, py >> 2
+            if skip:
+                self.ctxs.update_txb_ctx(p, x4, y4, ts, 0)
+                continue
+            skip_ctx, sign_ctx = self.ctxs.txb_ctx(p, pb, ts, x4, y4)
+            cul = coeff_syntax.write_coeffs_txb(
+                self.w, self.fc, self.qcoeff[p][li], ts, DCT_DCT,
+                plane_type=int(p > 0), txb_skip_ctx=skip_ctx,
+                dc_sign_ctx=sign_ctx, is_inter=True,
+                base_qindex=cfg.base_q_idx)
+            self.ctxs.update_txb_ctx(p, x4, y4, ts, cul)

@@ -1,0 +1,313 @@
+"""Reference-MV stack construction (AV1 find_mv_stack, single reference).
+
+Port of the normative algorithm's semantics (reference:
+setup_ref_mv_list ``EbAdaptiveMotionVectorPrediction.c:905``, scans :685-835,
+add_ref_mv_candidate :595) specialized to this encoder's current shape:
+square blocks >= 8x8, single reference frame, translation-only global
+motion (gm candidate = (0,0)), no temporal MVs (use_ref_frame_mvs = 0 —
+the ZeroMv context therefore stays 0), single tile.
+
+Both the encoder syntax pass and the decoder drive the same ``MvpState``;
+the stack, DRL contexts and mode contexts are derived here for both, so
+they cannot diverge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_REF_MV_STACK_SIZE = 8
+MAX_MV_REF_CANDIDATES = 2
+REF_CAT_LEVEL = 640
+MV_BORDER = 128  # 1/8-pel units (16 px)
+MVREF_ROWS = 3
+
+INTRA_FRAME = 0
+LAST_FRAME = 1
+
+# prediction modes (AV1 joint enum tail)
+NEARESTMV = 13
+NEARMV = 14
+GLOBALMV = 15
+NEWMV = 16
+
+
+class MvpState:
+    """Per-frame coded motion info at mi (4x4) granularity."""
+
+    def __init__(self, mi_rows: int, mi_cols: int):
+        self.mi_rows = mi_rows
+        self.mi_cols = mi_cols
+        self.ref = np.full((mi_rows, mi_cols), INTRA_FRAME, dtype=np.int32)
+        self.mv = np.zeros((mi_rows, mi_cols, 2), dtype=np.int32)
+        self.mode = np.zeros((mi_rows, mi_cols), dtype=np.int32)
+        self.n8w = np.ones((mi_rows, mi_cols), dtype=np.int32)
+        self.n8h = np.ones((mi_rows, mi_cols), dtype=np.int32)
+
+    def set_block(self, mi_row: int, mi_col: int, s4: int, ref: int,
+                  mv, mode: int) -> None:
+        r, c = mi_row, mi_col
+        self.ref[r:r + s4, c:c + s4] = ref
+        self.mv[r:r + s4, c:c + s4] = mv
+        self.mode[r:r + s4, c:c + s4] = mode
+        self.n8w[r:r + s4, c:c + s4] = s4
+        self.n8h[r:r + s4, c:c + s4] = s4
+
+
+def _mvp_has_top_right(mi_row: int, mi_col: int, bs: int,
+                       sb_mi: int = 16) -> bool:
+    """MVP-specific top-right rule (reference :836; square blocks only)."""
+    mask_row = mi_row & (sb_mi - 1)
+    mask_col = mi_col & (sb_mi - 1)
+    if bs > 16:
+        return False
+    has_tr = not ((mask_row & bs) and (mask_col & bs))
+    b = bs
+    while b < sb_mi:
+        if mask_col & b:
+            if (mask_col & (2 * b)) and (mask_row & (2 * b)):
+                has_tr = False
+                break
+        else:
+            break
+        b <<= 1
+    return has_tr
+
+
+def _clamp_mv_ref(mv, mi_row, mi_col, s4, mi_rows, mi_cols):
+    bw = s4 * 4
+    bh = s4 * 4
+    to_left = -(mi_col * 32)
+    to_right = (mi_cols - mi_col) * 32 - bw * 8
+    to_top = -(mi_row * 32)
+    to_bottom = (mi_rows - mi_row) * 32 - bh * 8
+    row = int(np.clip(mv[0], to_top - bh * 8 - MV_BORDER,
+                      to_bottom + bh * 8 + MV_BORDER))
+    col = int(np.clip(mv[1], to_left - bw * 8 - MV_BORDER,
+                      to_right + bw * 8 + MV_BORDER))
+    return (row, col)
+
+
+class MvStackResult:
+    __slots__ = ("stack", "count", "mode_context", "ref_list",
+                 "nearest_count")
+
+    def drl_ctx(self, idx: int) -> int:
+        """av1_drl_ctx: context from adjacent stack weights."""
+        w0 = self.stack[idx][1]
+        w1 = self.stack[idx + 1][1] if idx + 1 < len(self.stack) else 0
+        if w0 >= REF_CAT_LEVEL and w1 >= REF_CAT_LEVEL:
+            return 0
+        if w0 >= REF_CAT_LEVEL and w1 < REF_CAT_LEVEL:
+            return 1
+        if w0 < REF_CAT_LEVEL and w1 < REF_CAT_LEVEL:
+            return 2
+        return 0
+
+    @property
+    def newmv_ctx(self) -> int:
+        return self.mode_context & 7
+
+    @property
+    def zeromv_ctx(self) -> int:
+        return (self.mode_context >> 3) & 1
+
+    @property
+    def refmv_ctx(self) -> int:
+        return (self.mode_context >> 4) & 0xF
+
+
+def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
+                  s4: int) -> MvStackResult:
+    """Build the ref-MV stack for a square block (s4 = size in mi units)."""
+    mi_rows, mi_cols = state.mi_rows, state.mi_cols
+    n8 = s4
+    gm_mv = (0, 0)
+    stack = []          # [mv(tuple), weight]
+    newmv_count = 0
+    row_match = False
+    col_match = False
+
+    up_avail = mi_row > 0
+    left_avail = mi_col > 0
+    max_row_offset = 0
+    max_col_offset = 0
+    if up_avail:
+        max_row_offset = max(-(MVREF_ROWS << 1), -mi_row)
+    if left_avail:
+        max_col_offset = max(-(MVREF_ROWS << 1), -mi_col)
+
+    def add_candidate(r, c, len_, weight):
+        nonlocal newmv_count
+        if state.ref[r, c] != LAST_FRAME:
+            return False
+        mv = (int(state.mv[r, c, 0]), int(state.mv[r, c, 1]))
+        for e in stack:
+            if e[0] == mv:
+                e[1] += weight * len_
+                break
+        else:
+            if len(stack) < MAX_REF_MV_STACK_SIZE:
+                stack.append([mv, weight * len_])
+        if state.mode[r, c] == NEWMV:
+            newmv_count += 1
+        return True
+
+    processed_rows = 0
+    processed_cols = 0
+
+    def scan_row(row_offset):
+        nonlocal processed_rows, row_match
+        end_mi = min(n8, mi_cols - mi_col, 16)
+        col_off = 1 if abs(row_offset) > 1 else 0
+        use_step_16 = n8 >= 16
+        i = 0
+        while i < end_mi:
+            r = mi_row + row_offset
+            c = mi_col + col_off + i
+            if c >= mi_cols:  # col_off=1 can step past the frame edge
+                break
+            cand_w = int(state.n8w[r, c])
+            cand_h = int(state.n8h[r, c])
+            length = min(n8, cand_w)
+            if use_step_16:
+                length = max(4, length)
+            elif abs(row_offset) > 1:
+                length = max(length, 2)
+            weight = 2
+            if 2 <= n8 <= cand_w:
+                inc = min(-max_row_offset + row_offset + 1, cand_h)
+                weight = max(weight, inc)
+                processed_rows = inc - row_offset - 1
+            if add_candidate(r, c, length, weight):
+                row_match = True
+            i += length
+
+    def scan_col(col_offset):
+        nonlocal processed_cols, col_match
+        end_mi = min(n8, mi_rows - mi_row, 16)
+        row_off = 1 if abs(col_offset) > 1 else 0
+        use_step_16 = n8 >= 16
+        i = 0
+        while i < end_mi:
+            r = mi_row + row_off + i
+            c = mi_col + col_offset
+            if r >= mi_rows:  # row_off=1 can step past the frame edge
+                break
+            cand_w = int(state.n8w[r, c])
+            cand_h = int(state.n8h[r, c])
+            length = min(n8, cand_h)
+            if use_step_16:
+                length = max(4, length)
+            elif abs(col_offset) > 1:
+                length = max(length, 2)
+            weight = 2
+            if 2 <= n8 <= cand_h:
+                inc = min(-max_col_offset + col_offset + 1, cand_w)
+                weight = max(weight, inc)
+                processed_cols = inc - col_offset - 1
+            if add_candidate(r, c, length, weight):
+                col_match = True
+            i += length
+
+    def scan_blk(row_offset, col_offset, count_row_match=True):
+        nonlocal row_match
+        r = mi_row + row_offset
+        c = mi_col + col_offset
+        if 0 <= r < mi_rows and 0 <= c < mi_cols:
+            if add_candidate(r, c, 2, 2) and count_row_match:
+                row_match = True
+
+    if abs(max_row_offset) >= 1:
+        scan_row(-1)
+    if abs(max_col_offset) >= 1:
+        scan_col(-1)
+    if _mvp_has_top_right(mi_row, mi_col, n8):
+        scan_blk(-1, n8)
+
+    nearest_match = int(row_match) + int(col_match)
+    nearest_count = len(stack)
+    nearest_newmv = newmv_count
+    for e in stack[:nearest_count]:
+        e[1] += REF_CAT_LEVEL
+
+    # (temporal scan skipped: use_ref_frame_mvs = 0)
+    saved_newmv = newmv_count
+    scan_blk(-1, -1)
+    for idx in range(2, MVREF_ROWS + 1):
+        row_offset = -(idx << 1) + 1
+        col_offset = -(idx << 1) + 1
+        if abs(row_offset) <= abs(max_row_offset) \
+                and abs(row_offset) > processed_rows:
+            scan_row(row_offset)
+        if abs(col_offset) <= abs(max_col_offset) \
+                and abs(col_offset) > processed_cols:
+            scan_col(col_offset)
+    newmv_count = saved_newmv  # outer scans use a dummy newmv counter
+
+    ref_match = int(row_match) + int(col_match)
+    mode_context = 0
+    if nearest_match == 0:
+        if ref_match >= 1:
+            mode_context |= 1
+        if ref_match == 1:
+            mode_context |= 1 << 4
+        elif ref_match >= 2:
+            mode_context |= 2 << 4
+    elif nearest_match == 1:
+        mode_context |= 2 if nearest_newmv > 0 else 3
+        if ref_match == 1:
+            mode_context |= 3 << 4
+        elif ref_match >= 2:
+            mode_context |= 4 << 4
+    else:
+        mode_context |= 4 if nearest_newmv >= 1 else 5
+        mode_context |= 5 << 4
+
+    # sort: nearest region then outer region (reference bubble semantics)
+    def _bubble(lo, hi):
+        ln = hi
+        while ln > lo:
+            nr = lo
+            for idx in range(lo + 1, ln):
+                if stack[idx - 1][1] < stack[idx][1]:
+                    stack[idx - 1], stack[idx] = stack[idx], stack[idx - 1]
+                    nr = idx
+            ln = nr
+
+    _bubble(0, nearest_count)
+    _bubble(nearest_count, len(stack))
+
+    # single-ref extension: relaxed re-scan of row -1 / col -1
+    mi_size = min(16, n8, mi_cols - mi_col, mi_rows - mi_row)
+
+    def relaxed_scan(row: bool):
+        i = 0
+        while i < mi_size and len(stack) < MAX_MV_REF_CANDIDATES:
+            r = (mi_row - 1, mi_col + i) if row else (mi_row + i, mi_col - 1)
+            rr, cc = r
+            if state.ref[rr, cc] > INTRA_FRAME:
+                mv = (int(state.mv[rr, cc, 0]), int(state.mv[rr, cc, 1]))
+                if all(e[0] != mv for e in stack):
+                    stack.append([mv, 2])
+            i += int(state.n8w[rr, cc] if row else state.n8h[rr, cc])
+
+    if abs(max_row_offset) >= 1:
+        relaxed_scan(True)
+    if abs(max_col_offset) >= 1:
+        relaxed_scan(False)
+
+    for e in stack:
+        e[0] = _clamp_mv_ref(e[0], mi_row, mi_col, s4, mi_rows, mi_cols)
+
+    ref_list = [gm_mv, gm_mv]
+    for idx in range(min(MAX_MV_REF_CANDIDATES, len(stack))):
+        ref_list[idx] = tuple(stack[idx][0])
+
+    res = MvStackResult()
+    res.stack = [(tuple(e[0]), e[1]) for e in stack]
+    res.count = len(stack)
+    res.mode_context = mode_context
+    res.ref_list = ref_list
+    res.nearest_count = nearest_count
+    return res

@@ -1,0 +1,92 @@
+"""Low-delay P end-to-end tests: ME, MC, MVP, inter syntax, GOP chain."""
+
+import io
+
+import numpy as np
+import pytest
+
+from svt_av1_tpu.config import EncoderConfig
+from svt_av1_tpu.ops import mc, me
+from svt_av1_tpu.pipeline.decode import decode_ivf
+from svt_av1_tpu.pipeline.encoder import Encoder, encode_ivf
+from tests.test_intra_e2e import psnr
+
+
+def _texture(seed=0, size=(400, 400)):
+    rng = np.random.default_rng(seed)
+    big = rng.normal(0, 1, size)
+    k = np.ones(7) / 7
+    for ax in (0, 1):
+        big = np.apply_along_axis(lambda m: np.convolve(m, k, mode="same"),
+                                  ax, big)
+    return np.clip(128 + big * 180, 0, 255).astype(np.uint8)
+
+
+BIG = _texture()
+
+
+def _clip(n, w, h, pan=(3, 5)):
+    out = []
+    for t in range(n):
+        y = BIG[pan[0] * t:pan[0] * t + h, pan[1] * t:pan[1] * t + w].copy()
+        y[30:54, 20 + 8 * t:44 + 8 * t] = 220  # moving bright object
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        v = np.full((h // 2, w // 2), 130, np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+def test_fullpel_me_finds_known_pan():
+    ref = BIG[0:128, 0:192]
+    cur = BIG[7:7 + 128, 11:11 + 192]
+    refp = mc.pad_reference(ref)
+    xs = np.array([16, 64, 96])
+    ys = np.array([32, 48, 64])
+    mvs, cost = me.fullpel_search(refp, cur, xs, ys, 16)
+    assert (mvs == [7, 11]).all() and (cost == 0).all()
+
+
+def test_subpel_mc_phase0_is_copy():
+    ref = BIG[:64, :64]
+    refp = mc.pad_reference(ref)
+    pred = mc.mc_block_batch(refp, np.array([8]), np.array([16]),
+                             np.array([[8 * 3, 8 * 5]]), 16, 16)[0]
+    np.testing.assert_array_equal(pred, ref[19:35, 13:29])
+
+
+@pytest.mark.parametrize("w,h", [(192, 128), (200, 120)])
+def test_ldp_roundtrip_exact(w, h):
+    frames = _clip(4, w, h)
+    cfg = EncoderConfig(width=w, height=h, qp=40)
+    enc = Encoder(cfg)
+    recons = []
+    for f in frames:
+        enc.send_picture(*f)
+        tu, rec = enc.get_packet()
+        recons.append(rec)
+    iv = encode_ivf(frames, cfg)
+    decs = decode_ivf(io.BytesIO(iv))
+    assert len(decs) == len(frames)
+    for rec, dec in zip(recons, decs):
+        for a, b in zip(rec, dec):
+            assert np.array_equal(a, b)
+
+
+def test_ldp_beats_all_intra_on_motion():
+    frames = _clip(5, 192, 128)
+    cfg_p = EncoderConfig(width=192, height=128, qp=40)
+    cfg_i = EncoderConfig(width=192, height=128, qp=40, intra_period=0)
+    iv_p = encode_ivf(frames, cfg_p)
+    iv_i = encode_ivf(frames, cfg_i)
+    decs = decode_ivf(io.BytesIO(iv_p))
+    min_psnr = min(psnr(f[0], d[0]) for f, d in zip(frames, decs))
+    assert len(iv_p) < 0.7 * len(iv_i)
+    assert min_psnr > 28
+
+
+def test_intra_period_inserts_keyframes():
+    frames = _clip(5, 128, 96)
+    cfg = EncoderConfig(width=128, height=96, qp=40, intra_period=1)
+    iv = encode_ivf(frames, cfg)  # K P K P K
+    decs = decode_ivf(io.BytesIO(iv))
+    assert len(decs) == 5
