@@ -52,7 +52,7 @@ class EncoderConfig:
     # --- tools ----------------------------------------------------------------
     enable_cdef: bool = False     # post-MVP round work
     enable_restoration: bool = False
-    enable_dlf: bool = False
+    enable_dlf: bool = True
     enable_tx_type_search: bool = False
     disable_cdf_update: bool = False
     native_entropy: bool = True   # C range coder (falls back to Python)

@@ -59,9 +59,14 @@ class FrameDecoder:
                               disable_cdf_update=self.fh.disable_cdf_update)
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
         self.mvp_state = mvp.MvpState(self.mi_rows, self.mi_cols)
+        self.leaf_sizes = {}
         for sb_y in range(0, self.seq.sb_rows * 16, 16):
             for sb_x in range(0, self.seq.sb_cols * 16, 16):
                 self._decode_partition(sb_y, sb_x, 64)
+        if any(self.fh.loop_filter_levels):
+            from svt_av1_tpu.ops import dlf
+            dlf.loop_filter_frame(self.recon, self.leaf_sizes, self.mi_rows,
+                                  self.mi_cols, self.fh.loop_filter_levels)
         w, h = self.seq.width, self.seq.height
         return [self.recon[0][:h, :w],
                 self.recon[1][:(h + 1) // 2, :(w + 1) // 2],
@@ -84,6 +89,7 @@ class FrameDecoder:
         elif partition == PARTITION_NONE:
             self._decode_block(mi_row, mi_col, size)
             self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, bsize)
+            self.leaf_sizes[(mi_row, mi_col)] = size
         else:
             raise NotImplementedError(
                 f"partition type {partition} (rect partitions land with RD)")

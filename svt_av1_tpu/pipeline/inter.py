@@ -76,9 +76,19 @@ class InterFrameEncoder:
             self._encode_blocks(larr[ids], ids, int(size))
 
         tile = self._syntax_pass()
+        lf_levels = (0, 0, 0, 0)
+        if cfg.enable_dlf:
+            from svt_av1_tpu.ops import dlf
+            lf_levels = dlf.pick_levels(self.recon, self.src,
+                                        self.leaf_sizes, self.mi_rows,
+                                        self.mi_cols, cfg.base_q_idx,
+                                        cfg.bit_depth)
+            dlf.loop_filter_frame(self.recon, self.leaf_sizes, self.mi_rows,
+                                  self.mi_cols, lf_levels)
         fh = obu.FrameHeader(frame_type=obu.INTER_FRAME,
                              base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
+                             loop_filter_levels=lf_levels,
                              refresh_frame_flags=0x01,
                              ref_frame_idx=(0,) * 7)
         tu = (obu.temporal_delimiter_obu()

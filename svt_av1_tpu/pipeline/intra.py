@@ -83,13 +83,24 @@ class IntraFrameEncoder:
                        (self.mi_cols * 2, self.mi_rows * 2),
                        (self.mi_cols * 2, self.mi_rows * 2)]
 
+        self.leaf_sizes = {}
         for sb_y in range(0, self.seq.sb_rows * 16, 16):
             for sb_x in range(0, self.seq.sb_cols * 16, 16):
                 self._code_partition(sb_y, sb_x, 64)
 
         tile = self.w.done()
+        lf_levels = (0, 0, 0, 0)
+        if cfg.enable_dlf:
+            from svt_av1_tpu.ops import dlf
+            lf_levels = dlf.pick_levels(self.recon, self.src,
+                                        self.leaf_sizes, self.mi_rows,
+                                        self.mi_cols, cfg.base_q_idx,
+                                        cfg.bit_depth)
+            dlf.loop_filter_frame(self.recon, self.leaf_sizes, self.mi_rows,
+                                  self.mi_cols, lf_levels)
         fh = obu.FrameHeader(base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
+                             loop_filter_levels=lf_levels,
                              reduced_tx_set=False)
         tu = (obu.temporal_delimiter_obu()
               + obu.write_sequence_header_obu(self.seq)
@@ -126,6 +137,7 @@ class IntraFrameEncoder:
         else:
             self._code_block(mi_row, mi_col, size)
             self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, bsize)
+            self.leaf_sizes[(mi_row, mi_col)] = size
 
     # --- block coding ---------------------------------------------------------------
     def _decide_plane(self, plane: int, x: int, y: int, size: int,

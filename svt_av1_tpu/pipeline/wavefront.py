@@ -219,8 +219,18 @@ class WavefrontIntraEncoder:
                     self.qcoeff[2][i] = qcv[k]
 
         tile = self._syntax_pass()
+        lf_levels = (0, 0, 0, 0)
+        if cfg.enable_dlf:
+            from svt_av1_tpu.ops import dlf
+            lf_levels = dlf.pick_levels(self.recon, self.src,
+                                        self.leaf_sizes, self.mi_rows,
+                                        self.mi_cols, cfg.base_q_idx,
+                                        cfg.bit_depth)
+            dlf.loop_filter_frame(self.recon, self.leaf_sizes, self.mi_rows,
+                                  self.mi_cols, lf_levels)
         fh = obu.FrameHeader(base_q_idx=cfg.base_q_idx,
-                             disable_cdf_update=cfg.disable_cdf_update)
+                             disable_cdf_update=cfg.disable_cdf_update,
+                             loop_filter_levels=lf_levels)
         tu = (obu.temporal_delimiter_obu()
               + obu.write_sequence_header_obu(self.seq)
               + obu.write_frame_obu(self.seq, fh, [tile]))
