@@ -1,0 +1,136 @@
+"""Encoder CLI — the framework's SvtAv1EncApp equivalent.
+
+Mirrors the reference app's main tokens (``EbAppConfig.c:266`` config_entry
+table): -i input (yuv/y4m/stdin), -b output IVF, -w/-h, -q, -n frames,
+--intra-period, --preset, -o recon yuv, --stat. Prints per-frame and summary
+stats like the reference's stat_report path.
+
+Usage:
+  python -m svt_av1_tpu.app -i in.y4m -b out.ivf -q 40
+  python -m svt_av1_tpu.app -i in.yuv -w 854 -h 480 -q 40 -b out.ivf
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from svt_av1_tpu.bitstream.ivf import write_ivf_frame, write_ivf_header
+from svt_av1_tpu.config import EncoderConfig
+from svt_av1_tpu.pipeline.encoder import Encoder
+from svt_av1_tpu.utils import yuv
+from svt_av1_tpu.utils.stats import StatReport
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="svt_av1_tpu", add_help=True,
+        description="TPU-native AV1 encoder (SvtAv1EncApp-compatible core "
+                    "options)")
+    p.add_argument("-i", "--input", required=True,
+                   help="input file (.y4m or raw .yuv; '-' = stdin y4m)")
+    p.add_argument("-b", "--output", required=True, help="output IVF file")
+    p.add_argument("-w", "--width", type=int, default=0)
+    p.add_argument("-h2", "--height", type=int, default=0,
+                   dest="height")
+    p.add_argument("-q", "--qp", type=int, default=40)
+    p.add_argument("-n", "--frames", type=int, default=0,
+                   help="max frames (0 = all)")
+    p.add_argument("--fps", type=int, default=30)
+    p.add_argument("--intra-period", type=int, default=-1)
+    p.add_argument("--preset", type=int, default=2,
+                   help="0 = highest quality .. 3 = fastest "
+                        "(reference enc_mode scale)")
+    p.add_argument("--bit-depth", type=int, default=8, choices=(8, 10))
+    p.add_argument("-o", "--recon", default=None,
+                   help="write reconstruction to this yuv file")
+    p.add_argument("--no-stats", action="store_true")
+    return p
+
+
+def preset_config(args) -> EncoderConfig:
+    """Map the preset scale onto mode-decision budgets (the analogue of
+    the reference's signal_derivation_*_oq feature levels)."""
+    kw = dict(width=args.width, height=args.height, qp=args.qp,
+              bit_depth=args.bit_depth, intra_period=args.intra_period,
+              frame_rate_num=args.fps)
+    if args.preset <= 0:       # M0: full tools
+        kw.update(fixed_partition_size=None, nfl=4,
+                  angle_deltas=(-3, -2, -1, 0, 1, 2, 3))
+    elif args.preset == 1:     # M1
+        kw.update(fixed_partition_size=None, nfl=3,
+                  angle_deltas=(-2, 0, 2))
+    elif args.preset == 2:     # M2
+        kw.update(fixed_partition_size=None, nfl=2, angle_deltas=(0,))
+    else:                      # M3: fastest
+        kw.update(fixed_partition_size=32, nfl=1, angle_deltas=(0,),
+                  intra_modes=(0, 1, 2, 9, 12))
+    return EncoderConfig(**kw)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # open input
+    if args.input == "-" or args.input.endswith(".y4m"):
+        fh = sys.stdin.buffer if args.input == "-" else open(args.input,
+                                                             "rb")
+        info, frames = yuv.read_y4m(fh,
+                                    args.frames if args.frames else None)
+        args.width, args.height = info["width"], info["height"]
+        args.bit_depth = info["bit_depth"]
+        args.fps = info["fps_num"]
+        fps_den = info["fps_den"]
+    else:
+        if not args.width or not args.height:
+            print("raw yuv input requires -w/-h2", file=sys.stderr)
+            return 2
+        fh = open(args.input, "rb")
+        frames = yuv.read_yuv_frames(fh, args.width, args.height,
+                                     args.bit_depth,
+                                     args.frames if args.frames else None)
+        fps_den = 1
+
+    cfg = preset_config(args)
+    enc = Encoder(cfg)
+    report = StatReport()
+    recon_fh = open(args.recon, "wb") if args.recon else None
+
+    t0 = time.perf_counter()
+    n = 0
+    with open(args.output, "wb") as out:
+        write_ivf_header(out, cfg.width, cfg.height, args.fps, fps_den, 0)
+        for frame in frames:
+            enc.send_picture(frame.y, frame.u, frame.v)
+            tu, recon = enc.get_packet()
+            write_ivf_frame(out, tu, n)
+            ftype = "KEY" if n == 0 or (cfg.intra_period >= 0 and
+                                        (cfg.intra_period == 0 or n % (
+                                            cfg.intra_period + 1) == 0)) \
+                else "P"
+            report.add(n, ftype, len(tu), (frame.y, frame.u, frame.v),
+                       recon, cfg.bit_depth)
+            if recon_fh is not None:
+                yuv.write_yuv_frame(recon_fh, yuv.Frame(*recon))
+            if not args.no_stats:
+                f = report.frames[-1]
+                print(f"frame {n:4d} {ftype:3s} {f.bytes:7d} B  "
+                      f"Y {f.psnr_y:6.2f}  U {f.psnr_u:6.2f}  "
+                      f"V {f.psnr_v:6.2f} dB")
+            n += 1
+    dt = time.perf_counter() - t0
+    if recon_fh is not None:
+        recon_fh.close()
+    s = report.summary(args.fps, fps_den)
+    if s and not args.no_stats:
+        print(f"\n{s['frames']} frames, {s['total_bytes']} bytes, "
+              f"{s['kbps']:.1f} kbps, "
+              f"PSNR Y {s['avg_psnr_y']:.2f} U {s['avg_psnr_u']:.2f} "
+              f"V {s['avg_psnr_v']:.2f} dB, "
+              f"{n / dt:.2f} fps encode speed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

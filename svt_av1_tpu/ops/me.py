@@ -118,8 +118,18 @@ def fullpel_search(ref_padded, src_plane, xs, ys, size: int,
     mv_b, cost_b = _exhaustive(ref_padded, src_plane, xa, ya, size,
                                np.zeros((b, 2), dtype=np.int64), 3)
     better = cost_b < cost_a
-    return (np.where(better[:, None], mv_b, mv_a),
-            np.where(better, cost_b, cost_a))
+    mvs = np.where(better[:, None], mv_b, mv_a)
+    cost = np.where(better, cost_b, cost_a)
+    # clamp so the 8-tap MC window of any refined sub-pel candidate stays
+    # inside the padded reference
+    H, W = src_plane.shape
+    for i in range(b):
+        r, c = mc.clamp_mv_for_padding((mvs[i, 0] * 8, mvs[i, 1] * 8),
+                                       int(xa[i]), int(ya[i]), size, size,
+                                       W, H)
+        mvs[i, 0], mvs[i, 1] = (r // 8) if r >= 0 else -((-r) // 8), \
+            (c // 8) if c >= 0 else -((-c) // 8)
+    return mvs, cost
 
 
 def subpel_refine(ref_padded, src_plane, xs, ys, size: int, int_mvs,
