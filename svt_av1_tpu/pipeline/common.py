@@ -107,6 +107,25 @@ def leaves_in_coding_order(leaf_sizes: dict, mi_rows: int, mi_cols: int,
     return out
 
 
+def tile_rects(sb_cols: int, sb_rows: int, mi_cols: int, mi_rows: int,
+               cols_log2: int, rows_log2: int):
+    """Uniform tile rectangles (spec 5.9.15 uniform spacing), raster order.
+    Returns [(mi_r0, mi_c0, mi_rows_t, mi_cols_t, sb_rows_t, sb_cols_t)]."""
+    tw_sb = (sb_cols + (1 << cols_log2) - 1) >> cols_log2
+    th_sb = (sb_rows + (1 << rows_log2) - 1) >> rows_log2
+    rects = []
+    for r0 in range(0, sb_rows, th_sb):
+        for c0 in range(0, sb_cols, tw_sb):
+            sb_r = min(th_sb, sb_rows - r0)
+            sb_c = min(tw_sb, sb_cols - c0)
+            mi_r0, mi_c0 = r0 * 16, c0 * 16
+            rects.append((mi_r0, mi_c0,
+                          min(sb_r * 16, mi_rows - mi_r0),
+                          min(sb_c * 16, mi_cols - mi_c0),
+                          sb_r, sb_c))
+    return rects
+
+
 def intra_candidates(cfg):
     """(mode, angle_delta) candidate list from config, in a fixed order
     shared by every encoder backend (tie-breaks must agree)."""

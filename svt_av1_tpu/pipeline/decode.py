@@ -19,7 +19,7 @@ from svt_av1_tpu.entropy import mv as mv_syntax
 from svt_av1_tpu.entropy.cdf import FrameContext
 from svt_av1_tpu.entropy.ctx import TileContexts
 from svt_av1_tpu.entropy.writer import SymbolReader
-from svt_av1_tpu.pipeline import mvp
+from svt_av1_tpu.pipeline import common, mvp
 from svt_av1_tpu.ops import intra as intra_ops
 from svt_av1_tpu.ops import intra_dir
 from svt_av1_tpu.ops import quant as quant_ops
@@ -50,9 +50,44 @@ class FrameDecoder:
                        (self.mi_cols * 2, self.mi_rows * 2),
                        (self.mi_cols * 2, self.mi_rows * 2)]
 
-    def decode_tile(self, data: bytes):
-        assert self.fh.tile_cols_log2 == 0 and self.fh.tile_rows_log2 == 0, \
-            "multi-tile decode lands with tile parallelism"
+    def decode_frame(self, tile_payloads):
+        frame_recon = self.recon
+        frame_mi_rows, frame_mi_cols = self.mi_rows, self.mi_cols
+        rects = common.tile_rects(self.seq.sb_cols, self.seq.sb_rows,
+                                  frame_mi_cols, frame_mi_rows,
+                                  self.fh.tile_cols_log2,
+                                  self.fh.tile_rows_log2)
+        assert len(rects) == len(tile_payloads)
+        frame_leaves = {}
+        for (mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs), data in \
+                zip(rects, tile_payloads):
+            assert self.is_inter is False or len(rects) == 1, \
+                "inter tiles land with the tile-parallel inter rounds"
+            y0, x0 = mi_r0 * 4, mi_c0 * 4
+            ph, pw = sb_rs * 64, sb_cs * 64
+            self.recon = [frame_recon[0][y0:y0 + ph, x0:x0 + pw],
+                          frame_recon[1][y0 // 2:(y0 + ph) // 2,
+                                         x0 // 2:(x0 + pw) // 2],
+                          frame_recon[2][y0 // 2:(y0 + ph) // 2,
+                                         x0 // 2:(x0 + pw) // 2]]
+            self.mi_rows, self.mi_cols = mi_rs, mi_cs
+            self.max_wh = [(mi_cs * 4, mi_rs * 4),
+                           (mi_cs * 2, mi_rs * 2), (mi_cs * 2, mi_rs * 2)]
+            self._decode_one_tile(data, sb_rs, sb_cs)
+            for (r, c), s in self.leaf_sizes.items():
+                frame_leaves[(r + mi_r0, c + mi_c0)] = s
+        self.recon = frame_recon
+        self.mi_rows, self.mi_cols = frame_mi_rows, frame_mi_cols
+        if any(self.fh.loop_filter_levels):
+            from svt_av1_tpu.ops import dlf
+            dlf.loop_filter_frame(self.recon, frame_leaves, self.mi_rows,
+                                  self.mi_cols, self.fh.loop_filter_levels)
+        w, h = self.seq.width, self.seq.height
+        return [self.recon[0][:h, :w],
+                self.recon[1][:(h + 1) // 2, :(w + 1) // 2],
+                self.recon[2][:(h + 1) // 2, :(w + 1) // 2]]
+
+    def _decode_one_tile(self, data: bytes, sb_rs: int, sb_cs: int):
         self.fc = FrameContext(self.fh.base_q_idx)
         self.nmv = mv_syntax.NmvContext()
         self.r = SymbolReader(data,
@@ -60,17 +95,9 @@ class FrameDecoder:
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
         self.mvp_state = mvp.MvpState(self.mi_rows, self.mi_cols)
         self.leaf_sizes = {}
-        for sb_y in range(0, self.seq.sb_rows * 16, 16):
-            for sb_x in range(0, self.seq.sb_cols * 16, 16):
+        for sb_y in range(0, sb_rs * 16, 16):
+            for sb_x in range(0, sb_cs * 16, 16):
                 self._decode_partition(sb_y, sb_x, 64)
-        if any(self.fh.loop_filter_levels):
-            from svt_av1_tpu.ops import dlf
-            dlf.loop_filter_frame(self.recon, self.leaf_sizes, self.mi_rows,
-                                  self.mi_cols, self.fh.loop_filter_levels)
-        w, h = self.seq.width, self.seq.height
-        return [self.recon[0][:h, :w],
-                self.recon[1][:(h + 1) // 2, :(w + 1) // 2],
-                self.recon[2][:(h + 1) // 2, :(w + 1) // 2]]
 
     def _decode_partition(self, mi_row: int, mi_col: int, size: int) -> None:
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
@@ -278,7 +305,7 @@ class StreamDecoder:
                     assert base is not None, "missing reference frame"
                     refs = [mc.pad_reference(p) for p in base]
                 dec = FrameDecoder(self.seq, fh, refs)
-                recon = dec.decode_tile(tiles[0])
+                recon = dec.decode_frame(tiles)
                 for i in range(8):
                     if (fh.refresh_frame_flags >> i) & 1:
                         self.slots[i] = dec.recon

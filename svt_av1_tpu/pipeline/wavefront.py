@@ -99,8 +99,8 @@ class WavefrontIntraEncoder:
             else:
                 sizes[(mi_row, mi_col)] = psize
 
-        for sb_y in range(0, self.seq.sb_rows * 16, 16):
-            for sb_x in range(0, self.seq.sb_cols * 16, 16):
+        for sb_y in range(0, self.sb_rows_t * 16, 16):
+            for sb_x in range(0, self.sb_cols_t * 16, 16):
                 rec(sb_y, sb_x, 64)
         return sizes
 
@@ -122,8 +122,8 @@ class WavefrontIntraEncoder:
             rec(mi_row + hbs, mi_col, half)
             rec(mi_row + hbs, mi_col + hbs, half)
 
-        for sb_y in range(0, self.seq.sb_rows * 16, 16):
-            for sb_x in range(0, self.seq.sb_cols * 16, 16):
+        for sb_y in range(0, self.sb_rows_t * 16, 16):
+            for sb_x in range(0, self.sb_cols_t * 16, 16):
                 rec(sb_y, sb_x, 64)
         return out
 
@@ -159,10 +159,43 @@ class WavefrontIntraEncoder:
     # --- main ------------------------------------------------------------------
     def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
         cfg = self.cfg
-        self.src = [common.pad_to_multiple(y, 64).astype(np.int32),
-                    common.pad_to_multiple(u, 32).astype(np.int32),
-                    common.pad_to_multiple(v, 32).astype(np.int32)]
-        self.recon = [np.zeros(p.shape, dtype=np.uint8) for p in self.src]
+        frame_src = [common.pad_to_multiple(y, 64).astype(np.int32),
+                     common.pad_to_multiple(u, 32).astype(np.int32),
+                     common.pad_to_multiple(v, 32).astype(np.int32)]
+        frame_recon = [np.zeros(p.shape, dtype=np.uint8) for p in frame_src]
+        frame_mi_rows, frame_mi_cols = self.mi_rows, self.mi_cols
+
+        rects = common.tile_rects(self.seq.sb_cols, self.seq.sb_rows,
+                                  frame_mi_cols, frame_mi_rows,
+                                  cfg.tile_cols_log2, cfg.tile_rows_log2)
+        payloads = []
+        frame_leaves = {}
+        for (mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs) in rects:
+            y0, x0 = mi_r0 * 4, mi_c0 * 4
+            ph, pw = sb_rs * 64, sb_cs * 64
+            self.src = [frame_src[0][y0:y0 + ph, x0:x0 + pw],
+                        frame_src[1][y0 // 2:(y0 + ph) // 2,
+                                     x0 // 2:(x0 + pw) // 2],
+                        frame_src[2][y0 // 2:(y0 + ph) // 2,
+                                     x0 // 2:(x0 + pw) // 2]]
+            self.recon = [frame_recon[0][y0:y0 + ph, x0:x0 + pw],
+                          frame_recon[1][y0 // 2:(y0 + ph) // 2,
+                                         x0 // 2:(x0 + pw) // 2],
+                          frame_recon[2][y0 // 2:(y0 + ph) // 2,
+                                         x0 // 2:(x0 + pw) // 2]]
+            self.mi_rows, self.mi_cols = mi_rs, mi_cs
+            self.sb_rows_t, self.sb_cols_t = sb_rs, sb_cs
+            payloads.append(self._encode_tile())
+            for (r, c), s in self.leaf_sizes.items():
+                frame_leaves[(r + mi_r0, c + mi_c0)] = s
+
+        self.mi_rows, self.mi_cols = frame_mi_rows, frame_mi_cols
+        self.src, self.recon = frame_src, frame_recon
+        self.leaf_sizes = frame_leaves
+        return self._package(frame_src, frame_recon, frame_leaves, payloads)
+
+    def _encode_tile(self) -> bytes:
+        cfg = self.cfg
         self.max_wh = [(self.mi_cols * 4, self.mi_rows * 4),
                        (self.mi_cols * 2, self.mi_rows * 2),
                        (self.mi_cols * 2, self.mi_rows * 2)]
@@ -172,8 +205,9 @@ class WavefrontIntraEncoder:
             self.leaf_sizes = self._fixed_leaf_sizes(cfg.fixed_partition_size)
         else:
             from svt_av1_tpu.pipeline import rd
-            self.leaf_sizes = rd.choose_partition(y, cfg, self.mi_cols,
-                                                  self.mi_rows)
+            self.leaf_sizes = rd.choose_partition(
+                np.asarray(self.src[0], dtype=np.uint8), cfg, self.mi_cols,
+                self.mi_rows)
         leaves = self._leaves()
         waves = self._dependency_waves(leaves, self.mi_cols, self.mi_rows)
         n = len(leaves)
@@ -218,26 +252,34 @@ class WavefrontIntraEncoder:
                     self.qcoeff[1][i] = qcc[k]
                     self.qcoeff[2][i] = qcv[k]
 
-        tile = self._syntax_pass()
+        return self._syntax_pass()
+
+    def _package(self, frame_src, frame_recon, frame_leaves, payloads):
+        cfg = self.cfg
         lf_levels = (0, 0, 0, 0)
         if cfg.enable_dlf:
             from svt_av1_tpu.ops import dlf
-            lf_levels = dlf.pick_levels(self.recon, self.src,
-                                        self.leaf_sizes, self.mi_rows,
+            lf_levels = dlf.pick_levels(frame_recon, frame_src,
+                                        frame_leaves, self.mi_rows,
                                         self.mi_cols, cfg.base_q_idx,
                                         cfg.bit_depth)
-            dlf.loop_filter_frame(self.recon, self.leaf_sizes, self.mi_rows,
+            dlf.loop_filter_frame(frame_recon, frame_leaves, self.mi_rows,
                                   self.mi_cols, lf_levels)
         fh = obu.FrameHeader(base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
-                             loop_filter_levels=lf_levels)
+                             loop_filter_levels=lf_levels,
+                             tile_cols_log2=cfg.tile_cols_log2,
+                             tile_rows_log2=cfg.tile_rows_log2)
         tu = (obu.temporal_delimiter_obu()
               + obu.write_sequence_header_obu(self.seq)
-              + obu.write_frame_obu(self.seq, fh, [tile]))
-        recon = [self.recon[0][:cfg.height, :cfg.width],
-                 self.recon[1][:(cfg.height + 1) // 2, :(cfg.width + 1) // 2],
-                 self.recon[2][:(cfg.height + 1) // 2, :(cfg.width + 1) // 2]]
-        return tu, recon, {"tile_bytes": len(tile), "tu_bytes": len(tu)}
+              + obu.write_frame_obu(self.seq, fh, payloads))
+        recon = [frame_recon[0][:cfg.height, :cfg.width],
+                 frame_recon[1][:(cfg.height + 1) // 2,
+                                :(cfg.width + 1) // 2],
+                 frame_recon[2][:(cfg.height + 1) // 2,
+                                :(cfg.width + 1) // 2]]
+        tb = sum(len(t) for t in payloads)
+        return tu, recon, {"tile_bytes": tb, "tu_bytes": len(tu)}
 
     # --- sequential syntax pass ---------------------------------------------------
     def _syntax_pass(self) -> bytes:
@@ -246,8 +288,8 @@ class WavefrontIntraEncoder:
         self.w = make_symbol_writer(cfg.native_entropy,
                                     cfg.disable_cdf_update)
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
-        for sb_y in range(0, self.seq.sb_rows * 16, 16):
-            for sb_x in range(0, self.seq.sb_cols * 16, 16):
+        for sb_y in range(0, self.sb_rows_t * 16, 16):
+            for sb_x in range(0, self.sb_cols_t * 16, 16):
                 self._emit_partition(sb_y, sb_x, 64)
         return self.w.done()
 
