@@ -47,7 +47,8 @@ class EncoderConfig:
     # --- rate control ---------------------------------------------------------
     rate_control_mode: int = RateControlMode.CQP
     qp: int = 40                  # 0..63 CLI-style qp; mapped to qindex
-    target_bit_rate: int = 0
+    target_bit_rate: int = 0      # bits/s (VBR mode)
+    qindex_override: Optional[int] = None  # exact qindex (set by RC)
 
     # --- tools ----------------------------------------------------------------
     enable_cdef: bool = False     # post-MVP round work
@@ -117,6 +118,9 @@ class EncoderConfig:
         """Map CLI-style qp (0..63) to an AV1 qindex (0..255).
 
         The reference maps qp via quantizer_to_qindex (4*qp clamped); we use
-        the same convention so ``-q 40`` operating points line up.
+        the same convention so ``-q 40`` operating points line up. A rate
+        controller sets ``qindex_override`` for exact per-frame control.
         """
+        if self.qindex_override is not None:
+            return self.qindex_override
         return min(255, self.qp * 4)

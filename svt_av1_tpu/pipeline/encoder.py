@@ -33,6 +33,15 @@ class Encoder:
         self._frame_idx = 0
         self._packets: List[bytes] = []
         self._recons: List[list] = []
+        self._rc = None
+        from svt_av1_tpu.config import RateControlMode
+        if cfg.rate_control_mode == RateControlMode.VBR \
+                and cfg.target_bit_rate > 0:
+            from svt_av1_tpu.pipeline.rc import RateControl
+            self._rc = RateControl(cfg.target_bit_rate,
+                                   cfg.frame_rate_num / cfg.frame_rate_den,
+                                   cfg.intra_period,
+                                   start_qindex=cfg.base_q_idx)
 
     def _is_key(self) -> bool:
         period = self.cfg.intra_period
@@ -47,7 +56,12 @@ class Encoder:
     def send_picture(self, y: np.ndarray, u: np.ndarray,
                      v: np.ndarray) -> None:
         cfg = self.cfg
-        if self._is_key():
+        is_key = self._is_key()
+        if self._rc is not None:
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, qindex_override=self._rc.frame_qindex(is_key))
+        if is_key:
             enc = WavefrontIntraEncoder(cfg)
             tu, recon, _ = enc.encode(y, u, v)
             self._ref = enc.recon          # padded planes
@@ -60,6 +74,8 @@ class Encoder:
                                :(cfg.width + 1) // 2],
                      padded[2][:(cfg.height + 1) // 2,
                                :(cfg.width + 1) // 2]]
+        if self._rc is not None:
+            self._rc.update(len(tu) * 8, is_key)
         self._packets.append(tu)
         self._recons.append(recon)
         self._frame_idx += 1

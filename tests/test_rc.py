@@ -1,0 +1,48 @@
+"""VBR rate-control tests: convergence + monotone quality."""
+
+import io
+
+import numpy as np
+
+from svt_av1_tpu.bitstream.ivf import write_ivf_frame, write_ivf_header
+from svt_av1_tpu.config import EncoderConfig, RateControlMode
+from svt_av1_tpu.pipeline.decode import decode_ivf
+from svt_av1_tpu.pipeline.encoder import Encoder
+from tests.test_inter_e2e import _clip
+from tests.test_intra_e2e import psnr
+
+
+def _run(target_bps, frames):
+    cfg = EncoderConfig(width=192, height=128, qp=40,
+                        rate_control_mode=RateControlMode.VBR,
+                        target_bit_rate=target_bps, frame_rate_num=30)
+    enc = Encoder(cfg)
+    buf = io.BytesIO()
+    write_ivf_header(buf, 192, 128, 30, 1, len(frames))
+    total = 0
+    for i, f in enumerate(frames):
+        enc.send_picture(*f)
+        tu, _ = enc.get_packet()
+        total += len(tu)
+        write_ivf_frame(buf, tu, i)
+    buf.seek(0)
+    decs = decode_ivf(buf)
+    kbps = total * 8 * 30 / len(frames) / 1000
+    avg = float(np.mean([psnr(f[0], d[0])
+                         for f, d in zip(frames, decs)]))
+    return kbps, avg, len(decs)
+
+
+def test_vbr_hits_target_within_tolerance():
+    frames = _clip(16, 192, 128)
+    kbps, _, n = _run(200_000, frames)
+    assert n == len(frames)
+    assert 0.6 * 200 < kbps < 1.4 * 200, kbps
+
+
+def test_vbr_rate_quality_monotone():
+    frames = _clip(12, 192, 128)
+    k1, p1, _ = _run(120_000, frames)
+    k2, p2, _ = _run(400_000, frames)
+    assert k2 > k1
+    assert p2 > p1
