@@ -61,7 +61,7 @@ def mc_block_batch(ref_padded: np.ndarray, xs, ys, mvs, w: int, h: int,
     ref_padded: padded reference plane (REF_PAD border). xs/ys: [B]
     block positions in *plane* pixels (unpadded coords). mvs: [B, 2]
     (row, col) in 1/8-pel luma units. ss: plane subsampling (0 luma,
-    1 chroma 4:2:0). Returns [B, h, w] uint8 predictions.
+    1 chroma 4:2:0). Returns [B, h, w] pixel-dtype predictions.
     """
     b = len(xs)
     mvs = np.asarray(mvs, dtype=np.int64)
@@ -74,7 +74,7 @@ def mc_block_batch(ref_padded: np.ndarray, xs, ys, mvs, w: int, h: int,
     frac_c = scaled_c & 15
     fx = _filters(w)
     fy = _filters(h)
-    out = np.empty((b, h, w), dtype=np.uint8)
+    out = np.empty((b, h, w), dtype=np.uint16 if bd > 8 else np.uint8)
     offset_bits = bd + 2 * FILTER_BITS - ROUND0
     final_bits = 2 * FILTER_BITS - ROUND0 - ROUND1
     sub = (1 << (offset_bits - ROUND1)) + (1 << (offset_bits - ROUND1 - 1))

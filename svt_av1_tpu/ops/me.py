@@ -92,9 +92,7 @@ def fullpel_search(ref_padded, src_plane, xs, ys, size: int,
     ref = ref_padded[pad:-pad, pad:-pad]
     ref_h = mc.pad_reference(decimate2(ref))
     ref_q = mc.pad_reference(decimate2(decimate2(ref)))
-    cur_h = decimate2(src_plane.astype(np.uint8)
-                      if src_plane.dtype != np.uint8
-                      else src_plane)
+    cur_h = decimate2(src_plane)
     cur_q = decimate2(cur_h)
     b = len(xs)
     xa = np.asarray(xs, dtype=np.int64)
@@ -133,7 +131,7 @@ def fullpel_search(ref_padded, src_plane, xs, ys, size: int,
 
 
 def subpel_refine(ref_padded, src_plane, xs, ys, size: int, int_mvs,
-                  steps=(4, 2)):
+                  steps=(4, 2), bd: int = 8):
     """Refine full-pel MVs to quarter-pel (1/8-units, even values).
     int_mvs: [B, 2] whole-pel. Returns [B, 2] in 1/8-pel units."""
     b = len(xs)
@@ -142,7 +140,7 @@ def subpel_refine(ref_padded, src_plane, xs, ys, size: int, int_mvs,
 
     def cost_of(cand):
         pred = mc.mc_block_batch(ref_padded, np.asarray(xs),
-                                 np.asarray(ys), cand, size, size)
+                                 np.asarray(ys), cand, size, size, bd=bd)
         return np.sum((srcs - pred.astype(np.int64)) ** 2, axis=(1, 2))
 
     best_cost = cost_of(mvs)

@@ -15,6 +15,11 @@ from svt_av1_tpu.utils.blocks import (MAX_TX_SIZE_OF_BLOCK, MODE_TO_TXFM,
 from svt_av1_tpu.entropy import tx_sets
 
 
+def pixel_dtype(bd: int):
+    import numpy as np
+    return np.uint16 if bd > 8 else np.uint8
+
+
 def pad_to_multiple(plane: np.ndarray, multiple: int) -> np.ndarray:
     """Edge-replicate pad to a multiple (reference PadPicture semantics)."""
     h, w = plane.shape

@@ -43,9 +43,10 @@ class FrameDecoder:
         self.qp = quant_ops.make_quant_params(fh.base_q_idx,
                                               bit_depth=self.bd)
         pw, ph = seq.sb_cols * 64, seq.sb_rows * 64
-        self.recon = [np.zeros((ph, pw), dtype=np.uint8),
-                      np.zeros((ph // 2, pw // 2), dtype=np.uint8),
-                      np.zeros((ph // 2, pw // 2), dtype=np.uint8)]
+        dt = common.pixel_dtype(self.bd)
+        self.recon = [np.zeros((ph, pw), dtype=dt),
+                      np.zeros((ph // 2, pw // 2), dtype=dt),
+                      np.zeros((ph // 2, pw // 2), dtype=dt)]
         self.max_wh = [(self.mi_cols * 4, self.mi_rows * 4),
                        (self.mi_cols * 2, self.mi_rows * 2),
                        (self.mi_cols * 2, self.mi_rows * 2)]
@@ -171,7 +172,7 @@ class FrameDecoder:
         for p, px, py, psz, ts, pb, ss in plane_info:
             pred = mc.mc_block_batch(self.refs[p], np.array([px]),
                                      np.array([py]), mvarr, psz, psz,
-                                     ss=ss)[0]
+                                     ss=ss, bd=self.bd)[0]
             x4, y4 = px >> 2, py >> 2
             if skip:
                 self.recon[p][py:py + psz, px:px + psz] = pred
@@ -267,7 +268,7 @@ class FrameDecoder:
                                      ha, hl, bd=self.bd)[0]
         if qcoeff is None or not np.any(qcoeff):
             recon[y:y + th, x:x + tw] = np.clip(
-                pred, 0, (1 << self.bd) - 1).astype(np.uint8)
+                pred, 0, (1 << self.bd) - 1).astype(self.recon[plane].dtype)
             return
         log_scale = quant_ops.tx_scale(tx_size)
         dq = quant_ops.dequantize(qcoeff.reshape(1, -1), self.qp, log_scale)

@@ -54,7 +54,8 @@ class InterFrameEncoder:
         self.src = [common.pad_to_multiple(y, 64).astype(np.int32),
                     common.pad_to_multiple(u, 32).astype(np.int32),
                     common.pad_to_multiple(v, 32).astype(np.int32)]
-        self.recon = [np.zeros(p.shape, dtype=np.uint8) for p in self.src]
+        self.recon = [np.zeros(p.shape, dtype=common.pixel_dtype(cfg.bit_depth))
+                      for p in self.src]
         self.refs = [mc.pad_reference(p) for p in ref_planes]
 
         target = cfg.fixed_partition_size or 16
@@ -77,7 +78,7 @@ class InterFrameEncoder:
 
         tile = self._syntax_pass()
         lf_levels = (0, 0, 0, 0)
-        if cfg.enable_dlf:
+        if cfg.enable_dlf and cfg.bit_depth == 8:
             from svt_av1_tpu.ops import dlf
             lf_levels = dlf.pick_levels(self.recon, self.src,
                                         self.leaf_sizes, self.mi_rows,
@@ -106,7 +107,7 @@ class InterFrameEncoder:
         int_mvs, _ = me.fullpel_search(self.refs[0], self.src[0], xs, ys,
                                        size)
         mvs, _ = me.subpel_refine(self.refs[0], self.src[0], xs, ys, size,
-                                  int_mvs)
+                                  int_mvs, bd=cfg.bit_depth)
         # candidate MVs per block: refined + (0,0); full-loop RD decides
         zero = np.zeros_like(mvs)
         cands = [mvs, zero]
@@ -123,7 +124,8 @@ class InterFrameEncoder:
         chosen = None
         for cand in cands:
             pred = mc.mc_block_batch(self.refs[0], xs, ys, cand, size,
-                                     size).astype(np.int64)
+                                     size,
+                                     bd=cfg.bit_depth).astype(np.int64)
             qc, eo, rec, dist, rate = md._full_loop(
                 srcs, pred, np.zeros(b, dtype=np.int32), tx_size, size,
                 self.qp, cfg.bit_depth)
@@ -156,8 +158,8 @@ class InterFrameEncoder:
                 self.src[plane][yy:yy + csize, xx:xx + csize]
                 for xx, yy in zip(cxs, cys)]).astype(np.int64)
             pred = mc.mc_block_batch(self.refs[plane], cxs, cys,
-                                     chosen[0], csize, csize,
-                                     ss=1).astype(np.int64)
+                                     chosen[0], csize, csize, ss=1,
+                                     bd=cfg.bit_depth).astype(np.int64)
             qc, eo, rec, _, _ = md._full_loop(
                 srcs_c, pred, np.zeros(b, dtype=np.int32), tx_uv, csize,
                 self.qp, cfg.bit_depth)

@@ -73,7 +73,8 @@ class IntraFrameEncoder:
                common.pad_to_multiple(u, 32),
                common.pad_to_multiple(v, 32)]
         self.src = [p.astype(np.int32) for p in src]
-        self.recon = [np.zeros_like(p, dtype=np.uint8) for p in src]
+        self.recon = [np.zeros_like(p, dtype=common.pixel_dtype(cfg.bit_depth))
+                      for p in src]
         self.fc = FrameContext(cfg.base_q_idx)
         self.w = make_symbol_writer(cfg.native_entropy,
                                     cfg.disable_cdf_update)
@@ -90,7 +91,7 @@ class IntraFrameEncoder:
 
         tile = self.w.done()
         lf_levels = (0, 0, 0, 0)
-        if cfg.enable_dlf:
+        if cfg.enable_dlf and cfg.bit_depth == 8:
             from svt_av1_tpu.ops import dlf
             lf_levels = dlf.pick_levels(self.recon, self.src,
                                         self.leaf_sizes, self.mi_rows,

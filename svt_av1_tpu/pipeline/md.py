@@ -93,7 +93,7 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
     """Full mode decision + coding for a batch of same-sized blocks.
 
     Returns (modes [B], deltas [B], qcoeff [B,ch,cw], eob [B],
-    recon [B,s,s] uint8, rd_cost [B]).
+    recon [B,s,s] pixel dtype, rd_cost [B]).
     ``forced``: (modes, deltas) arrays — skip the search (V plane reuses
     U's choice)."""
     b = srcs.shape[0]
@@ -116,7 +116,8 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
                                                ha[sel], hl[sel], bd=bd)
         qc, eo, rec, dist, rate = _full_loop(srcs, preds, tts_for(fmodes),
                                              tx_size, size, qp, bd)
-        return (fmodes, fdeltas, qc, eo, rec.astype(np.uint8),
+        return (fmodes, fdeltas, qc, eo,
+                rec.astype(np.uint16 if bd > 8 else np.uint8),
                 dist + lam * rate)
 
     preds = np.stack([
@@ -154,5 +155,6 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
             out[3] = np.where(better, eo, out[3])
             out[4] = np.where(better[:, None, None], rec, out[4])
             out[5] = best_cost
-    return (out[0], out[1], out[2], out[3], out[4].astype(np.uint8),
+    return (out[0], out[1], out[2], out[3],
+            out[4].astype(np.uint16 if bd > 8 else np.uint8),
             out[5])

@@ -162,7 +162,8 @@ class WavefrontIntraEncoder:
         frame_src = [common.pad_to_multiple(y, 64).astype(np.int32),
                      common.pad_to_multiple(u, 32).astype(np.int32),
                      common.pad_to_multiple(v, 32).astype(np.int32)]
-        frame_recon = [np.zeros(p.shape, dtype=np.uint8) for p in frame_src]
+        frame_recon = [np.zeros(p.shape, dtype=common.pixel_dtype(cfg.bit_depth))
+                       for p in frame_src]
         frame_mi_rows, frame_mi_cols = self.mi_rows, self.mi_cols
 
         rects = common.tile_rects(self.seq.sb_cols, self.seq.sb_rows,
@@ -206,7 +207,8 @@ class WavefrontIntraEncoder:
         else:
             from svt_av1_tpu.pipeline import rd
             self.leaf_sizes = rd.choose_partition(
-                np.asarray(self.src[0], dtype=np.uint8), cfg, self.mi_cols,
+                np.asarray(self.src[0], dtype=common.pixel_dtype(cfg.bit_depth)),
+                cfg, self.mi_cols,
                 self.mi_rows)
         leaves = self._leaves()
         waves = self._dependency_waves(leaves, self.mi_cols, self.mi_rows)
@@ -257,7 +259,7 @@ class WavefrontIntraEncoder:
     def _package(self, frame_src, frame_recon, frame_leaves, payloads):
         cfg = self.cfg
         lf_levels = (0, 0, 0, 0)
-        if cfg.enable_dlf:
+        if cfg.enable_dlf and cfg.bit_depth == 8:
             from svt_av1_tpu.ops import dlf
             lf_levels = dlf.pick_levels(frame_recon, frame_src,
                                         frame_leaves, self.mi_rows,
