@@ -98,27 +98,44 @@ def main(argv=None) -> int:
     recon_fh = open(args.recon, "wb") if args.recon else None
 
     t0 = time.perf_counter()
-    n = 0
+    n = 0          # packet counter (decode order)
+    shown = 0      # display counter
+    srcs = []      # sources in display order, for stats
+
+    def drain(out):
+        nonlocal n, shown
+        while True:
+            pkt = enc.get_packet()
+            if pkt is None:
+                return
+            tu, recon = pkt
+            write_ivf_frame(out, tu, n)
+            if recon is not None:
+                src = srcs[shown]
+                ftype = "KEY" if shown == 0 or (
+                    cfg.intra_period >= 0 and (
+                        cfg.intra_period == 0
+                        or shown % (cfg.intra_period + 1) == 0)) else "INT"
+                report.add(shown, ftype, len(tu), (src.y, src.u, src.v),
+                           recon, cfg.bit_depth)
+                if recon_fh is not None:
+                    yuv.write_yuv_frame(recon_fh, yuv.Frame(*recon))
+                if not args.no_stats:
+                    f = report.frames[-1]
+                    print(f"frame {shown:4d} {ftype:3s} {f.bytes:7d} B  "
+                          f"Y {f.psnr_y:6.2f}  U {f.psnr_u:6.2f}  "
+                          f"V {f.psnr_v:6.2f} dB")
+                shown += 1
+            n += 1
+
     with open(args.output, "wb") as out:
         write_ivf_header(out, cfg.width, cfg.height, args.fps, fps_den, 0)
         for frame in frames:
+            srcs.append(frame)
             enc.send_picture(frame.y, frame.u, frame.v)
-            tu, recon = enc.get_packet()
-            write_ivf_frame(out, tu, n)
-            ftype = "KEY" if n == 0 or (cfg.intra_period >= 0 and
-                                        (cfg.intra_period == 0 or n % (
-                                            cfg.intra_period + 1) == 0)) \
-                else "P"
-            report.add(n, ftype, len(tu), (frame.y, frame.u, frame.v),
-                       recon, cfg.bit_depth)
-            if recon_fh is not None:
-                yuv.write_yuv_frame(recon_fh, yuv.Frame(*recon))
-            if not args.no_stats:
-                f = report.frames[-1]
-                print(f"frame {n:4d} {ftype:3s} {f.bytes:7d} B  "
-                      f"Y {f.psnr_y:6.2f}  U {f.psnr_u:6.2f}  "
-                      f"V {f.psnr_v:6.2f} dB")
-            n += 1
+            drain(out)
+        enc.flush()
+        drain(out)
     dt = time.perf_counter() - t0
     if recon_fh is not None:
         recon_fh.close()

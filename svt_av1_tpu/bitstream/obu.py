@@ -135,6 +135,25 @@ def temporal_delimiter_obu() -> bytes:
     return wrap_obu(OBU_TEMPORAL_DELIMITER, b"")
 
 
+def show_existing_frame_tu(slot: int) -> bytes:
+    """A temporal unit that displays an already-decoded reference
+    (show_existing_frame; reference handles this in WriteFrameHeaderAv1)."""
+    w = BitWriter()
+    w.write_bit(1)                       # show_existing_frame
+    w.write(slot, 3)                     # frame_to_show_map_idx
+    w.trailing_bits()
+    return temporal_delimiter_obu() + wrap_obu(OBU_FRAME_HEADER, w.data())
+
+
+def parse_show_existing(payload: bytes):
+    """Returns slot index if this OBU_FRAME_HEADER is a show_existing
+    header, else None."""
+    r = BitReader(payload)
+    if r.read_bit() != 1:
+        return None
+    return r.read(3)
+
+
 def _tile_log2(blk_size: int, target: int) -> int:
     k = 0
     while (blk_size << k) < target:
@@ -200,11 +219,13 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
     (PRIMARY_REF_NONE — contexts reset per frame) and a found_ref frame
     size; order hints and ref-frame-mvs stay disabled."""
     is_key = fh.frame_type == KEY_FRAME
-    assert fh.show_frame, "non-shown frames land with the RA rounds"
+    assert is_key <= fh.show_frame, "non-shown key frames unsupported"
     w.write_bit(0)                       # show_existing_frame
     w.write(fh.frame_type, 2)
     w.write_bit(int(fh.show_frame))
-    if not is_key:
+    if not fh.show_frame:
+        w.write_bit(1)                   # showable_frame
+    if not (is_key and fh.show_frame):
         w.write_bit(int(fh.error_resilient))
         assert fh.error_resilient, "primary-ref CDF carry is post-MVP"
     # (key+show: error_resilient implied 1, not coded)
@@ -415,13 +436,15 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
 
     Returns (FrameHeader, [tile bytes])."""
     r = BitReader(payload)
-    assert r.read_bit() == 0, "show_existing_frame unsupported"
+    assert r.read_bit() == 0, "use parse_show_existing for those headers"
     frame_type = r.read(2)
     show_frame = bool(r.read_bit())
     is_key = frame_type == KEY_FRAME
-    assert show_frame and frame_type in (KEY_FRAME, INTER_FRAME)
+    assert frame_type in (KEY_FRAME, INTER_FRAME)
+    if not show_frame:
+        assert r.read_bit() == 1  # showable_frame
     error_resilient = True
-    if not is_key:
+    if not (is_key and show_frame):
         error_resilient = bool(r.read_bit())
         assert error_resilient, "primary-ref CDF carry unsupported"
     disable_cdf_update = bool(r.read_bit())

@@ -76,7 +76,17 @@ def write_single_ref(w, fc, state, mi_row, mi_col, ref: int) -> None:
     is_bwd = int(ref >= BWDREF_FRAME)
     w.write_symbol(is_bwd, fc.single_ref[p1_ctx][0], 2)
     if is_bwd:
-        raise NotImplementedError("backward refs land with the RA rounds")
+        # p2: ALTREF vs BWDREF/ALTREF2
+        p2_ctx = _two_way_ctx(counts[BWDREF_FRAME] + counts[ALTREF2_FRAME],
+                              counts[ALTREF_FRAME])
+        w.write_symbol(int(ref == ALTREF_FRAME), fc.single_ref[p2_ctx][1],
+                       2)
+        if ref != ALTREF_FRAME:
+            p6_ctx = _two_way_ctx(counts[BWDREF_FRAME],
+                                  counts[ALTREF2_FRAME])
+            w.write_symbol(int(ref == ALTREF2_FRAME),
+                           fc.single_ref[p6_ctx][5], 2)
+        return
     ll2 = counts[LAST_FRAME] + counts[LAST2_FRAME]
     l3g = counts[LAST3_FRAME] + counts[GOLDEN_FRAME]
     p3_ctx = _two_way_ctx(ll2, l3g)
@@ -96,7 +106,13 @@ def read_single_ref(r, fc, state, mi_row, mi_col) -> int:
         + counts[GOLDEN_FRAME]
     bwd = counts[BWDREF_FRAME] + counts[ALTREF2_FRAME] + counts[ALTREF_FRAME]
     if r.read_symbol(fc.single_ref[_two_way_ctx(fwd, bwd)][0], 2):
-        raise NotImplementedError("backward refs land with the RA rounds")
+        p2_ctx = _two_way_ctx(counts[BWDREF_FRAME] + counts[ALTREF2_FRAME],
+                              counts[ALTREF_FRAME])
+        if r.read_symbol(fc.single_ref[p2_ctx][1], 2):
+            return ALTREF_FRAME
+        p6_ctx = _two_way_ctx(counts[BWDREF_FRAME], counts[ALTREF2_FRAME])
+        return ALTREF2_FRAME if r.read_symbol(fc.single_ref[p6_ctx][5], 2) \
+            else BWDREF_FRAME
     ll2 = counts[LAST_FRAME] + counts[LAST2_FRAME]
     l3g = counts[LAST3_FRAME] + counts[GOLDEN_FRAME]
     if r.read_symbol(fc.single_ref[_two_way_ctx(ll2, l3g)][2], 2):

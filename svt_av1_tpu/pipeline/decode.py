@@ -144,7 +144,7 @@ class FrameDecoder:
         assert is_inter, "intra-in-inter decode lands with that encoder path"
         ref = inter_modes.read_single_ref(self.r, self.fc, self.mvp_state,
                                           mi_row, mi_col)
-        res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4)
+        res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4, ref)
         mode = inter_modes.read_inter_mode(self.r, self.fc, res)
         drl = inter_modes.read_drl_idx(self.r, self.fc, mode, res)
         if mode == NEARESTMV:
@@ -169,8 +169,9 @@ class FrameDecoder:
                       (2, x >> 1, y >> 1, csize, tx_uv,
                        common.square_bsize(csize), 1)]
         mvarr = np.array([mv])
+        ref_planes = self.refs[ref]
         for p, px, py, psz, ts, pb, ss in plane_info:
-            pred = mc.mc_block_batch(self.refs[p], np.array([px]),
+            pred = mc.mc_block_batch(ref_planes[p], np.array([px]),
                                      np.array([py]), mvarr, psz, psz,
                                      ss=ss, bd=self.bd)[0]
             x4, y4 = px >> 2, py >> 2
@@ -288,25 +289,46 @@ class StreamDecoder:
         self.seq = seq
         self.slots = [None] * 8  # padded recon planes per slot
 
+    def _crop(self, planes):
+        w, h = self.seq.width, self.seq.height
+        return [planes[0][:h, :w],
+                planes[1][:(h + 1) // 2, :(w + 1) // 2],
+                planes[2][:(h + 1) // 2, :(w + 1) // 2]]
+
     def decode_tu(self, tu: bytes):
-        """Returns cropped recon planes of the (shown) frame, or None."""
+        """Returns cropped recon planes of the shown frame, or None (the
+        TU coded a non-shown frame)."""
+        from svt_av1_tpu.entropy.inter_modes import ALTREF_FRAME
         from svt_av1_tpu.ops import mc
+        from svt_av1_tpu.pipeline.mvp import LAST_FRAME
         recon = None
         for obu_type, payload in obu.parse_obus(tu):
             if obu_type == obu.OBU_TEMPORAL_DELIMITER:
                 continue
             if obu_type == obu.OBU_SEQUENCE_HEADER:
                 self.seq = obu.parse_sequence_header_obu(payload)
+            elif obu_type == obu.OBU_FRAME_HEADER:
+                slot = obu.parse_show_existing(payload)
+                assert slot is not None, "bare frame headers unsupported"
+                assert self.slots[slot] is not None
+                recon = self._crop(self.slots[slot])
             elif obu_type == obu.OBU_FRAME:
                 assert self.seq is not None, "no sequence header seen"
                 fh, tiles = obu.parse_frame_obu(payload, self.seq)
                 refs = None
                 if fh.frame_type != obu.KEY_FRAME:
-                    base = self.slots[fh.ref_frame_idx[0]]
-                    assert base is not None, "missing reference frame"
-                    refs = [mc.pad_reference(p) for p in base]
+                    refs = {}
+                    last = self.slots[fh.ref_frame_idx[0]]
+                    assert last is not None, "missing LAST reference"
+                    refs[LAST_FRAME] = [mc.pad_reference(p) for p in last]
+                    alt = self.slots[fh.ref_frame_idx[6]]
+                    if alt is not None:
+                        refs[ALTREF_FRAME] = [mc.pad_reference(p)
+                                              for p in alt]
                 dec = FrameDecoder(self.seq, fh, refs)
-                recon = dec.decode_frame(tiles)
+                out = dec.decode_frame(tiles)
+                if fh.show_frame:
+                    recon = out
                 for i in range(8):
                     if (fh.refresh_frame_flags >> i) & 1:
                         self.slots[i] = dec.recon

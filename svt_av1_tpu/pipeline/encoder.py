@@ -2,13 +2,17 @@
 
 The framework's equivalent of the reference's public lifecycle
 (``EbApi.h:505-592``: eb_init_handle → set_parameter → init_encoder →
-send_picture → get_packet): an ``Encoder`` accepts frames in display order
-and yields temporal units. Low-delay GOP for now (KEY + P chain, intra
-period per config); hierarchical-B lands with the RA rounds.
+send_picture → get_packet) and of its PictureDecision stage's mini-GOP
+assembly (``EbPictureDecisionProcess.c:816``): frames arrive in display
+order; with ``hierarchical_levels`` > 0 they are re-ordered into a
+hierarchical-B pyramid (anchor coded first, non-shown; middles reference
+past+future anchors; display via show_existing_frame), otherwise a
+low-delay KEY + P chain.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import io
 from typing import Iterable, List, Optional, Tuple
 
@@ -17,22 +21,29 @@ import numpy as np
 from svt_av1_tpu.bitstream import obu
 from svt_av1_tpu.bitstream.ivf import write_ivf_frame, write_ivf_header
 from svt_av1_tpu.config import EncoderConfig
-from svt_av1_tpu.pipeline import common
 from svt_av1_tpu.pipeline.inter import InterFrameEncoder
 from svt_av1_tpu.pipeline.wavefront import WavefrontIntraEncoder
 
 
 class Encoder:
-    """Streaming encoder: send_picture / get_packet semantics."""
+    """Streaming encoder: send_picture / get_packet semantics.
+
+    get_packet returns (tu_bytes, display_recon_or_None): a None recon
+    means the TU coded a non-shown frame (its display arrives later via a
+    show_existing TU).
+    """
 
     def __init__(self, cfg: EncoderConfig):
+        assert cfg.hierarchical_levels <= 2, \
+            "deeper pyramids need interleaved display (next round)"
         self.cfg = cfg
         self.seq = obu.SequenceHeader(width=cfg.width, height=cfg.height,
                                       bit_depth=cfg.bit_depth)
-        self._ref = None          # padded recon planes of the last frame
-        self._frame_idx = 0
-        self._packets: List[bytes] = []
-        self._recons: List[list] = []
+        self._slots = [None] * 8   # padded recon per slot
+        self._base_slot = 0        # slot of the most recent past anchor
+        self._frame_idx = 0        # display-order index of next input
+        self._group: List[tuple] = []
+        self._out: List[Tuple[bytes, Optional[list]]] = []
         self._rc = None
         from svt_av1_tpu.config import RateControlMode
         if cfg.rate_control_mode == RateControlMode.VBR \
@@ -43,47 +54,133 @@ class Encoder:
                                    cfg.intra_period,
                                    start_qindex=cfg.base_q_idx)
 
-    def _is_key(self) -> bool:
+    # --- internals -----------------------------------------------------------
+    def _cfg_for(self, is_key: bool) -> EncoderConfig:
+        cfg = self.cfg
+        if self._rc is not None:
+            cfg = dataclasses.replace(
+                cfg, qindex_override=self._rc.frame_qindex(is_key))
+        return cfg
+
+    def _crop(self, padded):
+        cfg = self.cfg
+        return [padded[0][:cfg.height, :cfg.width],
+                padded[1][:(cfg.height + 1) // 2, :(cfg.width + 1) // 2],
+                padded[2][:(cfg.height + 1) // 2, :(cfg.width + 1) // 2]]
+
+    def _encode_key(self, y, u, v) -> None:
+        cfg = self._cfg_for(True)
+        enc = WavefrontIntraEncoder(cfg)
+        tu, recon, _ = enc.encode(y, u, v)
+        if self._rc is not None:
+            self._rc.update(len(tu) * 8, True)
+        for i in range(8):
+            self._slots[i] = enc.recon
+        self._base_slot = 0
+        self._out.append((tu, recon))
+
+    def _encode_inter(self, y, u, v, last_slot, alt_slot, refresh_slot,
+                      show, q_offset: int = 0) -> list:
+        """Encode one inter frame; returns its padded recon."""
+        cfg = self._cfg_for(False)
+        if q_offset:
+            # hierarchical qp scaling (reference: qp-scaling per temporal
+            # layer, av1_compute_qdelta path in EbRateControlProcess.c:953)
+            cfg = dataclasses.replace(
+                cfg, qindex_override=int(np.clip(
+                    cfg.base_q_idx + q_offset, 1, 255)))
+        enc = InterFrameEncoder(cfg, self.seq)
+        idx = [last_slot] * 7
+        alt = None
+        if alt_slot is not None:
+            idx[6] = alt_slot
+            alt = self._slots[alt_slot]
+        tu, padded = enc.encode(
+            y, u, v, self._slots[last_slot], alt_planes=alt,
+            refresh_frame_flags=1 << refresh_slot, ref_frame_idx=idx,
+            show_frame=show)
+        if self._rc is not None:
+            self._rc.update(len(tu) * 8, False)
+        self._slots[refresh_slot] = padded
+        self._out.append((tu, self._crop(padded) if show else None))
+        return padded
+
+    def _flush_group(self) -> None:
+        """Encode the buffered mini-GOP as a hierarchical pyramid."""
+        group = self._group
+        self._group = []
+        if not group:
+            return
+        g = len(group)
+        base = self._base_slot
+        # anchor (last frame of the group): P on the past anchor, non-shown
+        anchor_slot = 1 if base != 1 else 2
+        free = [s for s in range(8) if s not in (base, anchor_slot)]
+        ay, au, av = group[-1]
+        self._encode_inter(ay, au, av, base, None, anchor_slot,
+                           show=(g == 1))
+        slot_of = {g - 1: anchor_slot}
+
+        def rec(lo_idx, hi_idx, lo_slot, hi_slot, level):
+            # code the middle of (lo, hi) as B, non-shown
+            if hi_idx - lo_idx <= 1:
+                return
+            mid = (lo_idx + hi_idx) // 2
+            s = free.pop(0)
+            my, mu, mv_ = group[mid]
+            self._encode_inter(my, mu, mv_, lo_slot, hi_slot, s,
+                               show=False, q_offset=12 * level)
+            slot_of[mid] = s
+            rec(lo_idx, mid, lo_slot, s, level + 1)
+            rec(mid, hi_idx, s, hi_slot, level + 1)
+
+        rec(-1, g - 1, base, anchor_slot, 1)
+        # display pass: show each group frame in display order
+        for i in range(g):
+            if i in slot_of and (g > 1 or i != g - 1):
+                self._out.append((obu.show_existing_frame_tu(slot_of[i]),
+                                  self._crop(self._slots[slot_of[i]])))
+        self._base_slot = anchor_slot
+
+    def _is_key(self, idx: int) -> bool:
         period = self.cfg.intra_period
-        if self._frame_idx == 0:
+        if idx == 0:
             return True
         if period < 0:
             return False
         if period == 0:
             return True
-        return self._frame_idx % (period + 1) == 0
+        return idx % (period + 1) == 0
 
+    # --- public ---------------------------------------------------------------
     def send_picture(self, y: np.ndarray, u: np.ndarray,
                      v: np.ndarray) -> None:
         cfg = self.cfg
-        is_key = self._is_key()
-        if self._rc is not None:
-            import dataclasses
-            cfg = dataclasses.replace(
-                cfg, qindex_override=self._rc.frame_qindex(is_key))
-        if is_key:
-            enc = WavefrontIntraEncoder(cfg)
-            tu, recon, _ = enc.encode(y, u, v)
-            self._ref = enc.recon          # padded planes
-        else:
-            enc = InterFrameEncoder(cfg, self.seq)
-            tu, padded = enc.encode(y, u, v, self._ref)
-            self._ref = padded
-            recon = [padded[0][:cfg.height, :cfg.width],
-                     padded[1][:(cfg.height + 1) // 2,
-                               :(cfg.width + 1) // 2],
-                     padded[2][:(cfg.height + 1) // 2,
-                               :(cfg.width + 1) // 2]]
-        if self._rc is not None:
-            self._rc.update(len(tu) * 8, is_key)
-        self._packets.append(tu)
-        self._recons.append(recon)
+        is_key = self._is_key(self._frame_idx)
         self._frame_idx += 1
+        if cfg.hierarchical_levels == 0:
+            if is_key:
+                self._encode_key(y, u, v)
+            else:
+                self._encode_inter(y, u, v, self._base_slot, None,
+                                   self._base_slot, show=True)
+            return
+        if is_key:
+            self._flush_group()
+            self._encode_key(y, u, v)
+            return
+        self._group.append((y, u, v))
+        if len(self._group) == (1 << cfg.hierarchical_levels):
+            self._flush_group()
 
-    def get_packet(self) -> Optional[Tuple[bytes, list]]:
-        if not self._packets:
+    def flush(self) -> None:
+        """Encode any buffered frames (end of stream)."""
+        self._flush_group()
+
+    def get_packet(self) -> Optional[Tuple[bytes, Optional[list]]]:
+        if not self._out:
             return None
-        return self._packets.pop(0), self._recons.pop(0)
+        return self._out.pop(0)
 
 
 def encode_ivf(frames: Iterable[tuple], cfg: EncoderConfig) -> bytes:
@@ -93,8 +190,20 @@ def encode_ivf(frames: Iterable[tuple], cfg: EncoderConfig) -> bytes:
     frames = list(frames)
     write_ivf_header(buf, cfg.width, cfg.height, cfg.frame_rate_num,
                      cfg.frame_rate_den, len(frames))
-    for i, (y, u, v) in enumerate(frames):
-        enc.send_picture(y, u, v)
-        tu, _ = enc.get_packet()
-        write_ivf_frame(buf, tu, i)
+    n = 0
+    for f in frames:
+        enc.send_picture(*f)
+        while True:
+            pkt = enc.get_packet()
+            if pkt is None:
+                break
+            write_ivf_frame(buf, pkt[0], n)
+            n += 1
+    enc.flush()
+    while True:
+        pkt = enc.get_packet()
+        if pkt is None:
+            break
+        write_ivf_frame(buf, pkt[0], n)
+        n += 1
     return buf.getvalue()

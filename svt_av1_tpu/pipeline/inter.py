@@ -47,16 +47,23 @@ class InterFrameEncoder:
         from svt_av1_tpu.pipeline import rd
         self.lam = rd.rd_lambda(cfg.base_q_idx, cfg.bit_depth)
 
-    def encode(self, y, u, v, ref_planes):
-        """ref_planes: previous reconstruction [Y, U, V] (padded dims).
-        Returns (frame_obu_payload_tu, recon_planes(padded))."""
+    def encode(self, y, u, v, ref_planes, alt_planes=None,
+               refresh_frame_flags: int = 0x01,
+               ref_frame_idx=(0,) * 7, show_frame: bool = True):
+        """ref_planes: past reference recon [Y, U, V] (padded dims);
+        alt_planes: optional future reference (hierarchical B — blocks
+        choose LAST or ALTREF per-block). Returns (tu, recon(padded))."""
         cfg = self.cfg
         self.src = [common.pad_to_multiple(y, 64).astype(np.int32),
                     common.pad_to_multiple(u, 32).astype(np.int32),
                     common.pad_to_multiple(v, 32).astype(np.int32)]
         self.recon = [np.zeros(p.shape, dtype=common.pixel_dtype(cfg.bit_depth))
                       for p in self.src]
-        self.refs = [mc.pad_reference(p) for p in ref_planes]
+        from svt_av1_tpu.entropy.inter_modes import ALTREF_FRAME
+        self.refs = {LAST_FRAME: [mc.pad_reference(p) for p in ref_planes]}
+        if alt_planes is not None:
+            self.refs[ALTREF_FRAME] = [mc.pad_reference(p)
+                                       for p in alt_planes]
 
         target = cfg.fixed_partition_size or 16
         self.leaf_sizes = common.fixed_leaf_sizes(
@@ -68,6 +75,7 @@ class InterFrameEncoder:
         n = len(leaves)
         self.leaf_index = {(r, c): i for i, (r, c, s) in enumerate(leaves)}
         self.mvs = np.zeros((n, 2), dtype=np.int64)
+        self.block_ref = np.full(n, LAST_FRAME, dtype=np.int32)
         self.qcoeff = [[None] * n, [None] * n, [None] * n]
         self.eobs = np.zeros((3, n), dtype=np.int32)
 
@@ -90,76 +98,102 @@ class InterFrameEncoder:
                              base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
                              loop_filter_levels=lf_levels,
-                             refresh_frame_flags=0x01,
-                             ref_frame_idx=(0,) * 7)
+                             show_frame=show_frame,
+                             refresh_frame_flags=refresh_frame_flags,
+                             ref_frame_idx=tuple(ref_frame_idx))
         tu = (obu.temporal_delimiter_obu()
               + obu.write_frame_obu(self.seq, fh, [tile]))
         return tu, self.recon
 
     # --- batched ME + coding -------------------------------------------------
-    def _encode_blocks(self, blocks, ids, size: int) -> None:
+    def _ref_candidates(self, ref, xs, ys, size, srcs, tx_size):
+        """ME + full-loop RD for one reference; returns per-candidate
+        (cost, mv, qc, eo, rec) folded to the best."""
         cfg = self.cfg
-        xs = blocks[:, 1] * 4
-        ys = blocks[:, 0] * 4
-        b = len(ids)
-        csize = size >> 1
-
-        int_mvs, _ = me.fullpel_search(self.refs[0], self.src[0], xs, ys,
-                                       size)
-        mvs, _ = me.subpel_refine(self.refs[0], self.src[0], xs, ys, size,
+        refp = self.refs[ref]
+        int_mvs, _ = me.fullpel_search(refp[0], self.src[0], xs, ys, size)
+        mvs, _ = me.subpel_refine(refp[0], self.src[0], xs, ys, size,
                                   int_mvs, bd=cfg.bit_depth)
-        # candidate MVs per block: refined + (0,0); full-loop RD decides
         zero = np.zeros_like(mvs)
         cands = [mvs, zero]
         plane_w, plane_h = self.src[0].shape[1], self.src[0].shape[0]
+        b = len(xs)
         for k, cand in enumerate(cands):
             for i in range(b):
                 cands[k][i] = mc.clamp_mv_for_padding(
                     cand[i], int(xs[i]), int(ys[i]), size, size,
                     plane_w, plane_h)
-        srcs = np.stack([self.src[0][yy:yy + size, xx:xx + size]
-                         for xx, yy in zip(xs, ys)]).astype(np.int64)
-        tx_size = common.tx_size_for_block(size, 0)
-        best_cost = None
-        chosen = None
+        best = None
         for cand in cands:
-            pred = mc.mc_block_batch(self.refs[0], xs, ys, cand, size,
-                                     size,
+            pred = mc.mc_block_batch(refp[0], xs, ys, cand, size, size,
                                      bd=cfg.bit_depth).astype(np.int64)
             qc, eo, rec, dist, rate = md._full_loop(
                 srcs, pred, np.zeros(b, dtype=np.int32), tx_size, size,
                 self.qp, cfg.bit_depth)
             mv_bits = 2.0 + 0.5 * (np.abs(cand).sum(axis=1) > 0)
             cost = dist + self.lam * (rate + mv_bits)
-            if best_cost is None:
-                best_cost = cost
-                chosen = [cand.copy(), qc, eo, rec]
+            if best is None:
+                best = [cost, cand.copy(), qc, eo, rec]
             else:
-                better = cost < best_cost
-                best_cost = np.where(better, cost, best_cost)
-                chosen[0] = np.where(better[:, None], cand, chosen[0])
-                chosen[1] = np.where(better[:, None, None], qc, chosen[1])
-                chosen[2] = np.where(better, eo, chosen[2])
-                chosen[3] = np.where(better[:, None, None], rec, chosen[3])
+                bt = cost < best[0]
+                best[0] = np.where(bt, cost, best[0])
+                best[1] = np.where(bt[:, None], cand, best[1])
+                best[2] = np.where(bt[:, None, None], qc, best[2])
+                best[3] = np.where(bt, eo, best[3])
+                best[4] = np.where(bt[:, None, None], rec, best[4])
+        return best
 
-        self.mvs[ids] = chosen[0]
-        self.eobs[0, ids] = chosen[2]
+    def _encode_blocks(self, blocks, ids, size: int) -> None:
+        cfg = self.cfg
+        xs = blocks[:, 1] * 4
+        ys = blocks[:, 0] * 4
+        b = len(ids)
+        csize = size >> 1
+        srcs = np.stack([self.src[0][yy:yy + size, xx:xx + size]
+                         for xx, yy in zip(xs, ys)]).astype(np.int64)
+        tx_size = common.tx_size_for_block(size, 0)
+
+        per_ref = {ref: self._ref_candidates(ref, xs, ys, size, srcs,
+                                             tx_size)
+                   for ref in self.refs}
+        refs_order = sorted(per_ref)
+        chosen_ref = np.full(b, refs_order[0], dtype=np.int32)
+        chosen = [a.copy() if hasattr(a, "copy") else a
+                  for a in per_ref[refs_order[0]]]
+        for ref in refs_order[1:]:
+            cand = per_ref[ref]
+            bt = cand[0] < chosen[0]
+            chosen_ref = np.where(bt, ref, chosen_ref)
+            chosen[0] = np.where(bt, cand[0], chosen[0])
+            chosen[1] = np.where(bt[:, None], cand[1], chosen[1])
+            chosen[2] = np.where(bt[:, None, None], cand[2], chosen[2])
+            chosen[3] = np.where(bt, cand[3], chosen[3])
+            chosen[4] = np.where(bt[:, None, None], cand[4], chosen[4])
+
+        self.mvs[ids] = chosen[1]
+        self.block_ref[ids] = chosen_ref
+        self.eobs[0, ids] = chosen[3]
         for k, i in enumerate(ids):
-            self.qcoeff[0][i] = chosen[1][k]
-        for k, i in enumerate(ids):
+            self.qcoeff[0][i] = chosen[2][k]
             yy, xx = int(ys[k]), int(xs[k])
-            self.recon[0][yy:yy + size, xx:xx + size] = chosen[3][k]
+            self.recon[0][yy:yy + size, xx:xx + size] = chosen[4][k]
 
-        # chroma: MC with the chosen MVs, DCT residual
+        # chroma: MC with the chosen MV/ref, DCT residual
         tx_uv = common.tx_size_for_block(csize, 1)
         for plane in (1, 2):
             cxs, cys = xs >> 1, ys >> 1
             srcs_c = np.stack([
                 self.src[plane][yy:yy + csize, xx:xx + csize]
                 for xx, yy in zip(cxs, cys)]).astype(np.int64)
-            pred = mc.mc_block_batch(self.refs[plane], cxs, cys,
-                                     chosen[0], csize, csize, ss=1,
-                                     bd=cfg.bit_depth).astype(np.int64)
+            pred = np.empty((b, csize, csize), dtype=np.int64)
+            for ref in refs_order:
+                sel = np.nonzero(chosen_ref == ref)[0]
+                if len(sel) == 0:
+                    continue
+                pred[sel] = mc.mc_block_batch(
+                    self.refs[ref][plane], cxs[sel], cys[sel],
+                    chosen[1][sel], csize, csize, ss=1,
+                    bd=cfg.bit_depth).astype(np.int64)
             qc, eo, rec, _, _ = md._full_loop(
                 srcs_c, pred, np.zeros(b, dtype=np.int32), tx_uv, csize,
                 self.qp, cfg.bit_depth)
@@ -215,13 +249,14 @@ class InterFrameEncoder:
 
         # inter_frame_mode_info order (spec 5.11.15): skip, is_inter, refs,
         # mode, drl, mv
+        ref = int(self.block_ref[li])
         mode_syntax.write_skip(self.w, self.fc, self.ctxs, skip,
                                mi_row, mi_col)
         inter_modes.write_is_inter(self.w, self.fc, self.mvp_state,
                                    mi_row, mi_col, 1)
         inter_modes.write_single_ref(self.w, self.fc, self.mvp_state,
-                                    mi_row, mi_col, LAST_FRAME)
-        res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4)
+                                     mi_row, mi_col, ref)
+        res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4, ref)
         if res.count >= 1 and mv == res.ref_list[0]:
             mode = NEARESTMV
         elif res.count >= 2 and mv == res.ref_list[1]:
@@ -238,7 +273,7 @@ class InterFrameEncoder:
                                mv[1] - pred[1])
 
         self.ctxs.set_mi(mi_row, mi_col, bsize, DC_PRED, skip)
-        self.mvp_state.set_block(mi_row, mi_col, s4, LAST_FRAME, mv, mode)
+        self.mvp_state.set_block(mi_row, mi_col, s4, ref, mv, mode)
 
         csize = size >> 1
         x, y = mi_col * 4, mi_row * 4

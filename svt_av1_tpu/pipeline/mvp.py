@@ -118,8 +118,9 @@ class MvStackResult:
 
 
 def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
-                  s4: int) -> MvStackResult:
-    """Build the ref-MV stack for a square block (s4 = size in mi units)."""
+                  s4: int, ref_frame: int = LAST_FRAME) -> MvStackResult:
+    """Build the ref-MV stack for a square block (s4 = size in mi units)
+    against ``ref_frame``."""
     mi_rows, mi_cols = state.mi_rows, state.mi_cols
     n8 = s4
     gm_mv = (0, 0)
@@ -139,7 +140,7 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
 
     def add_candidate(r, c, len_, weight):
         nonlocal newmv_count
-        if state.ref[r, c] != LAST_FRAME:
+        if state.ref[r, c] != ref_frame:
             return False
         mv = (int(state.mv[r, c, 0]), int(state.mv[r, c, 1]))
         for e in stack:

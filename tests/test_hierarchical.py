@@ -1,0 +1,58 @@
+"""Hierarchical-B random access tests: pyramid coding, show_existing,
+display-order reconstruction."""
+
+import io
+
+import numpy as np
+import pytest
+
+from svt_av1_tpu.bitstream import obu
+from svt_av1_tpu.config import EncoderConfig
+from svt_av1_tpu.pipeline.decode import decode_ivf
+from svt_av1_tpu.pipeline.encoder import encode_ivf
+from tests.test_inter_e2e import _clip
+from tests.test_intra_e2e import psnr
+
+
+def test_show_existing_tu_roundtrip():
+    tu = obu.show_existing_frame_tu(5)
+    obus = obu.parse_obus(tu)
+    assert obus[0][0] == obu.OBU_TEMPORAL_DELIMITER
+    assert obus[1][0] == obu.OBU_FRAME_HEADER
+    assert obu.parse_show_existing(obus[1][1]) == 5
+
+
+@pytest.mark.parametrize("levels,n", [(1, 5), (2, 9), (2, 7)])
+def test_pyramid_display_order_correct(levels, n):
+    """Every source frame must come back in display order with sane
+    quality — wrong reorder/slot management would misalign them."""
+    frames = _clip(n, 192, 128)
+    cfg = EncoderConfig(width=192, height=128, qp=40,
+                        hierarchical_levels=levels)
+    iv = encode_ivf(frames, cfg)
+    decs = decode_ivf(io.BytesIO(iv))
+    assert len(decs) == n
+    for f, d in zip(frames, decs):
+        assert psnr(f[0], d[0]) > 27
+
+
+def test_pyramid_vs_ldp_rate():
+    """On static-ish content the pyramid with qp offsets must not cost
+    substantially more than LDP."""
+    frames = _clip(9, 192, 128)
+    c0 = EncoderConfig(width=192, height=128, qp=40, hierarchical_levels=0)
+    c2 = EncoderConfig(width=192, height=128, qp=40, hierarchical_levels=2)
+    iv0 = encode_ivf(frames, c0)
+    iv2 = encode_ivf(frames, c2)
+    assert len(iv2) < len(iv0) * 1.15
+
+
+def test_keyframe_inside_pyramid_stream():
+    frames = _clip(8, 128, 96)
+    cfg = EncoderConfig(width=128, height=96, qp=40,
+                        hierarchical_levels=2, intra_period=3)
+    iv = encode_ivf(frames, cfg)
+    decs = decode_ivf(io.BytesIO(iv))
+    assert len(decs) == 8
+    for f, d in zip(frames, decs):
+        assert psnr(f[0], d[0]) > 27
