@@ -118,6 +118,11 @@ class FrameHeader:
     # inter-frame fields
     error_resilient: bool = True    # PRIMARY_REF_NONE path (MVP choice)
     ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)  # slots for LAST..ALTREF
+    # cdef fields (used when seq.enable_cdef)
+    cdef_damping: int = 3
+    cdef_bits: int = 2
+    cdef_y_strengths: tuple = (0, 0, 0, 0)
+    cdef_uv_strengths: tuple = (0, 0, 0, 0)
 
 
 def _obu_header(obu_type: int) -> int:
@@ -278,8 +283,15 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
         w.write(lf[3], 6)
     w.write(0, 3)                        # loop_filter_sharpness
     w.write_bit(0)                       # loop_filter_delta_enabled
-    # cdef_params / lr_params: seq tools disabled -> no bits
-    assert not seq.enable_cdef and not seq.enable_restoration
+    # cdef_params (spec 5.9.19; only when the sequence enables CDEF)
+    if seq.enable_cdef:
+        w.write(fh.cdef_damping - 3, 2)
+        w.write(fh.cdef_bits, 2)
+        for i in range(1 << fh.cdef_bits):
+            w.write(fh.cdef_y_strengths[i], 6)
+            w.write(fh.cdef_uv_strengths[i], 6)
+    # lr_params: restoration disabled -> no bits
+    assert not seq.enable_restoration
     w.write_bit(int(fh.tx_mode_select))  # read_tx_mode
     if not is_key:
         w.write_bit(0)                   # reference_select (single pred)
@@ -482,6 +494,17 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
     r.read(3)                 # sharpness
     lf_delta = r.read_bit()
     assert not lf_delta
+    cdef_damping, cdef_bits = 3, 0
+    cdef_y, cdef_uv = (0,) * 8, (0,) * 8
+    if seq.enable_cdef:
+        cdef_damping = r.read(2) + 3
+        cdef_bits = r.read(2)
+        n = 1 << cdef_bits
+        ys, uvs = [], []
+        for _ in range(n):
+            ys.append(r.read(6))
+            uvs.append(r.read(6))
+        cdef_y, cdef_uv = tuple(ys), tuple(uvs)
     tx_mode_select = bool(r.read_bit())
     if not is_key:
         assert r.read_bit() == 0  # reference_select
@@ -494,6 +517,8 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
                      error_resilient=error_resilient,
                      refresh_frame_flags=refresh_frame_flags,
                      ref_frame_idx=ref_frame_idx,
+                     cdef_damping=cdef_damping, cdef_bits=cdef_bits,
+                     cdef_y_strengths=cdef_y, cdef_uv_strengths=cdef_uv,
                      base_q_idx=base_q_idx,
                      disable_cdf_update=disable_cdf_update,
                      disable_frame_end_update_cdf=disable_end_update,

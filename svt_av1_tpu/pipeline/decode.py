@@ -60,6 +60,12 @@ class FrameDecoder:
                                   self.fh.tile_rows_log2)
         assert len(rects) == len(tile_payloads)
         frame_leaves = {}
+        frame_skip = np.zeros((frame_mi_rows, frame_mi_cols), dtype=bool)
+        self.cdef_idx_map = None
+        if self.seq.enable_cdef:
+            self.cdef_idx_map = np.full((self.seq.sb_rows,
+                                         self.seq.sb_cols), -1,
+                                        dtype=np.int32)
         for (mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs), data in \
                 zip(rects, tile_payloads):
             assert self.is_inter is False or len(rects) == 1, \
@@ -74,15 +80,27 @@ class FrameDecoder:
             self.mi_rows, self.mi_cols = mi_rs, mi_cs
             self.max_wh = [(mi_cs * 4, mi_rs * 4),
                            (mi_cs * 2, mi_rs * 2), (mi_cs * 2, mi_rs * 2)]
+            self.tile_mi_off = (mi_r0, mi_c0)
             self._decode_one_tile(data, sb_rs, sb_cs)
             for (r, c), s in self.leaf_sizes.items():
                 frame_leaves[(r + mi_r0, c + mi_c0)] = s
+            frame_skip[mi_r0:mi_r0 + mi_rs, mi_c0:mi_c0 + mi_cs] = \
+                self.ctxs.mi_skip[:mi_rs, :mi_cs] > 0
         self.recon = frame_recon
         self.mi_rows, self.mi_cols = frame_mi_rows, frame_mi_cols
         if any(self.fh.loop_filter_levels):
             from svt_av1_tpu.ops import dlf
             dlf.loop_filter_frame(self.recon, frame_leaves, self.mi_rows,
                                   self.mi_cols, self.fh.loop_filter_levels)
+        if self.seq.enable_cdef:
+            from svt_av1_tpu.ops import cdef as cdef_ops
+            skip8 = frame_skip[0::2, 0::2] & frame_skip[0::2, 1::2] \
+                & frame_skip[1::2, 0::2] & frame_skip[1::2, 1::2]
+            cdef_ops.cdef_frame(self.recon, skip8, self.cdef_idx_map,
+                                self.fh.cdef_y_strengths,
+                                self.fh.cdef_uv_strengths,
+                                self.fh.cdef_damping, self.mi_rows,
+                                self.mi_cols, self.bd)
         w, h = self.seq.width, self.seq.height
         return [self.recon[0][:h, :w],
                 self.recon[1][:(h + 1) // 2, :(w + 1) // 2],
@@ -122,6 +140,17 @@ class FrameDecoder:
             raise NotImplementedError(
                 f"partition type {partition} (rect partitions land with RD)")
 
+    def _read_cdef(self, mi_row: int, mi_col: int, skip: int) -> None:
+        """read_cdef mirror: cdef_idx literal at the first non-skip block
+        of each 64x64."""
+        if self.cdef_idx_map is None or skip:
+            return
+        sbr = (mi_row + self.tile_mi_off[0]) // 16
+        sbc = (mi_col + self.tile_mi_off[1]) // 16
+        if self.cdef_idx_map[sbr, sbc] == -1:
+            self.cdef_idx_map[sbr, sbc] = self.r.read_literal(
+                self.fh.cdef_bits)
+
     def _decode_block(self, mi_row: int, mi_col: int, size: int) -> None:
         if self.is_inter:
             self._decode_inter_block(mi_row, mi_col, size)
@@ -139,6 +168,7 @@ class FrameDecoder:
         s4 = size >> 2
         skip = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
                                      mi_row, mi_col)
+        self._read_cdef(mi_row, mi_col, skip)
         is_inter = inter_modes.read_is_inter(self.r, self.fc,
                                              self.mvp_state, mi_row, mi_col)
         assert is_inter, "intra-in-inter decode lands with that encoder path"
@@ -205,6 +235,7 @@ class FrameDecoder:
         bsize = common.square_bsize(size)
         skip = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
                                      mi_row, mi_col)
+        self._read_cdef(mi_row, mi_col, skip)
         y_mode = mode_syntax.read_intra_luma_mode_kf(self.r, self.fc,
                                                      self.ctxs, mi_row,
                                                      mi_col)

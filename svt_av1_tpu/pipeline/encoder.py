@@ -38,7 +38,8 @@ class Encoder:
             "deeper pyramids need interleaved display (next round)"
         self.cfg = cfg
         self.seq = obu.SequenceHeader(width=cfg.width, height=cfg.height,
-                                      bit_depth=cfg.bit_depth)
+                                      bit_depth=cfg.bit_depth,
+                                      enable_cdef=cfg.enable_cdef)
         self._slots = [None] * 8   # padded recon per slot
         self._base_slot = 0        # slot of the most recent past anchor
         self._frame_idx = 0        # display-order index of next input

@@ -84,7 +84,6 @@ class InterFrameEncoder:
             ids = np.nonzero(larr[:, 2] == size)[0]
             self._encode_blocks(larr[ids], ids, int(size))
 
-        tile = self._syntax_pass()
         lf_levels = (0, 0, 0, 0)
         if cfg.enable_dlf and cfg.bit_depth == 8:
             from svt_av1_tpu.ops import dlf
@@ -94,13 +93,35 @@ class InterFrameEncoder:
                                         cfg.bit_depth)
             dlf.loop_filter_frame(self.recon, self.leaf_sizes, self.mi_rows,
                                   self.mi_cols, lf_levels)
+        cdef_kw = {}
+        self.cdef_idx_map = None
+        if cfg.enable_cdef:
+            from svt_av1_tpu.ops import cdef as cdef_ops
+            frame_skip = np.zeros((self.mi_rows, self.mi_cols), dtype=bool)
+            for (r, c), s in self.leaf_sizes.items():
+                li = self.leaf_index[(r, c)]
+                if self.eobs[:, li].sum() == 0:
+                    m = s >> 2
+                    frame_skip[r:r + m, c:c + m] = True
+            skip8 = frame_skip[0::2, 0::2] & frame_skip[0::2, 1::2] \
+                & frame_skip[1::2, 0::2] & frame_skip[1::2, 1::2]
+            idx_map, y_str, uv_str, damping = cdef_ops.cdef_search(
+                self.recon, self.src, skip8, self.mi_rows, self.mi_cols,
+                cfg.base_q_idx, cfg.bit_depth)
+            cdef_ops.cdef_frame(self.recon, skip8, idx_map, y_str, uv_str,
+                                damping, self.mi_rows, self.mi_cols,
+                                cfg.bit_depth)
+            self.cdef_idx_map = idx_map
+            cdef_kw = dict(cdef_damping=damping, cdef_bits=2,
+                           cdef_y_strengths=y_str, cdef_uv_strengths=uv_str)
+        tile = self._syntax_pass()
         fh = obu.FrameHeader(frame_type=obu.INTER_FRAME,
                              base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
                              loop_filter_levels=lf_levels,
                              show_frame=show_frame,
                              refresh_frame_flags=refresh_frame_flags,
-                             ref_frame_idx=tuple(ref_frame_idx))
+                             ref_frame_idx=tuple(ref_frame_idx), **cdef_kw)
         tu = (obu.temporal_delimiter_obu()
               + obu.write_frame_obu(self.seq, fh, [tile]))
         return tu, self.recon
@@ -212,6 +233,7 @@ class InterFrameEncoder:
                                     cfg.disable_cdf_update)
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
         self.mvp_state = mvp.MvpState(self.mi_rows, self.mi_cols)
+        self._cdef_written = set()
         for sb_y in range(0, self.seq.sb_rows * 16, 16):
             for sb_x in range(0, self.seq.sb_cols * 16, 16):
                 self._emit_partition(sb_y, sb_x, 64)
@@ -252,6 +274,11 @@ class InterFrameEncoder:
         ref = int(self.block_ref[li])
         mode_syntax.write_skip(self.w, self.fc, self.ctxs, skip,
                                mi_row, mi_col)
+        if self.cdef_idx_map is not None and not skip:
+            sbr, sbc = mi_row // 16, mi_col // 16
+            if (sbr, sbc) not in self._cdef_written:
+                self._cdef_written.add((sbr, sbc))
+                self.w.write_literal(int(self.cdef_idx_map[sbr, sbc]), 2)
         inter_modes.write_is_inter(self.w, self.fc, self.mvp_state,
                                    mi_row, mi_col, 1)
         inter_modes.write_single_ref(self.w, self.fc, self.mvp_state,

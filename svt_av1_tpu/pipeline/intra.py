@@ -55,9 +55,13 @@ class IntraFrameEncoder:
     """Encodes one shown keyframe as a single tile."""
 
     def __init__(self, cfg: EncoderConfig):
+        assert not cfg.enable_cdef, \
+            "oracle encoder covers the pre-filter pipeline; use the " \
+            "wavefront encoder for CDEF streams"
         self.cfg = cfg
         self.seq = obu.SequenceHeader(width=cfg.width, height=cfg.height,
-                                      bit_depth=cfg.bit_depth)
+                                      bit_depth=cfg.bit_depth,
+                                      enable_cdef=cfg.enable_cdef)
         self.mi_cols = self.seq.mi_cols
         self.mi_rows = self.seq.mi_rows
         self.qp = quant_ops.make_quant_params(cfg.base_q_idx,

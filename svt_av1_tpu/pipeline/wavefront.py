@@ -44,7 +44,8 @@ class WavefrontIntraEncoder:
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
         self.seq = obu.SequenceHeader(width=cfg.width, height=cfg.height,
-                                      bit_depth=cfg.bit_depth)
+                                      bit_depth=cfg.bit_depth,
+                                      enable_cdef=cfg.enable_cdef)
         self.mi_cols = self.seq.mi_cols
         self.mi_rows = self.seq.mi_rows
         self.qp = quant_ops.make_quant_params(cfg.base_q_idx,
@@ -169,33 +170,52 @@ class WavefrontIntraEncoder:
         rects = common.tile_rects(self.seq.sb_cols, self.seq.sb_rows,
                                   frame_mi_cols, frame_mi_rows,
                                   cfg.tile_cols_log2, cfg.tile_rows_log2)
-        payloads = []
+        tile_states = []
         frame_leaves = {}
-        for (mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs) in rects:
-            y0, x0 = mi_r0 * 4, mi_c0 * 4
-            ph, pw = sb_rs * 64, sb_cs * 64
-            self.src = [frame_src[0][y0:y0 + ph, x0:x0 + pw],
-                        frame_src[1][y0 // 2:(y0 + ph) // 2,
-                                     x0 // 2:(x0 + pw) // 2],
-                        frame_src[2][y0 // 2:(y0 + ph) // 2,
-                                     x0 // 2:(x0 + pw) // 2]]
-            self.recon = [frame_recon[0][y0:y0 + ph, x0:x0 + pw],
-                          frame_recon[1][y0 // 2:(y0 + ph) // 2,
-                                         x0 // 2:(x0 + pw) // 2],
-                          frame_recon[2][y0 // 2:(y0 + ph) // 2,
-                                         x0 // 2:(x0 + pw) // 2]]
-            self.mi_rows, self.mi_cols = mi_rs, mi_cs
-            self.sb_rows_t, self.sb_cols_t = sb_rs, sb_cs
-            payloads.append(self._encode_tile())
+        frame_skip = np.zeros((frame_mi_rows, frame_mi_cols), dtype=bool)
+        for rect in rects:
+            mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs = rect
+            self._enter_tile(frame_src, frame_recon, rect)
+            self._analyze_tile()
+            st = {k: getattr(self, k) for k in
+                  ("src", "recon", "mi_rows", "mi_cols", "sb_rows_t",
+                   "sb_cols_t", "max_wh", "leaf_sizes", "leaf_index",
+                   "y_mode", "uv_mode", "y_delta", "uv_delta", "qcoeff",
+                   "eobs")}
+            st["rect"] = rect
+            tile_states.append(st)
             for (r, c), s in self.leaf_sizes.items():
                 frame_leaves[(r + mi_r0, c + mi_c0)] = s
+                li = self.leaf_index[(r, c)]
+                if self.eobs[:, li].sum() == 0:
+                    m = s >> 2
+                    frame_skip[r + mi_r0:r + mi_r0 + m,
+                               c + mi_c0:c + mi_c0 + m] = True
 
         self.mi_rows, self.mi_cols = frame_mi_rows, frame_mi_cols
         self.src, self.recon = frame_src, frame_recon
         self.leaf_sizes = frame_leaves
-        return self._package(frame_src, frame_recon, frame_leaves, payloads)
+        return self._package(frame_src, frame_recon, frame_leaves,
+                             frame_skip, tile_states)
 
-    def _encode_tile(self) -> bytes:
+    def _enter_tile(self, frame_src, frame_recon, rect) -> None:
+        mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs = rect
+        y0, x0 = mi_r0 * 4, mi_c0 * 4
+        ph, pw = sb_rs * 64, sb_cs * 64
+        self.src = [frame_src[0][y0:y0 + ph, x0:x0 + pw],
+                    frame_src[1][y0 // 2:(y0 + ph) // 2,
+                                 x0 // 2:(x0 + pw) // 2],
+                    frame_src[2][y0 // 2:(y0 + ph) // 2,
+                                 x0 // 2:(x0 + pw) // 2]]
+        self.recon = [frame_recon[0][y0:y0 + ph, x0:x0 + pw],
+                      frame_recon[1][y0 // 2:(y0 + ph) // 2,
+                                     x0 // 2:(x0 + pw) // 2],
+                      frame_recon[2][y0 // 2:(y0 + ph) // 2,
+                                     x0 // 2:(x0 + pw) // 2]]
+        self.mi_rows, self.mi_cols = mi_rs, mi_cs
+        self.sb_rows_t, self.sb_cols_t = sb_rs, sb_cs
+
+    def _analyze_tile(self) -> None:
         cfg = self.cfg
         self.max_wh = [(self.mi_cols * 4, self.mi_rows * 4),
                        (self.mi_cols * 2, self.mi_rows * 2),
@@ -254,9 +274,10 @@ class WavefrontIntraEncoder:
                     self.qcoeff[1][i] = qcc[k]
                     self.qcoeff[2][i] = qcv[k]
 
-        return self._syntax_pass()
+        return None  # decisions stored on self; syntax runs after filters
 
-    def _package(self, frame_src, frame_recon, frame_leaves, payloads):
+    def _package(self, frame_src, frame_recon, frame_leaves, frame_skip,
+                 tile_states):
         cfg = self.cfg
         lf_levels = (0, 0, 0, 0)
         if cfg.enable_dlf and cfg.bit_depth == 8:
@@ -267,11 +288,35 @@ class WavefrontIntraEncoder:
                                         cfg.bit_depth)
             dlf.loop_filter_frame(frame_recon, frame_leaves, self.mi_rows,
                                   self.mi_cols, lf_levels)
+        cdef_kw = {}
+        self.cdef_idx_map = None
+        if cfg.enable_cdef:
+            from svt_av1_tpu.ops import cdef as cdef_ops
+            skip8 = frame_skip[0::2, 0::2] & frame_skip[0::2, 1::2] \
+                & frame_skip[1::2, 0::2] & frame_skip[1::2, 1::2]
+            idx_map, y_str, uv_str, damping = cdef_ops.cdef_search(
+                frame_recon, frame_src, skip8, self.mi_rows, self.mi_cols,
+                cfg.base_q_idx, cfg.bit_depth)
+            cdef_ops.cdef_frame(frame_recon, skip8, idx_map, y_str, uv_str,
+                                damping, self.mi_rows, self.mi_cols,
+                                cfg.bit_depth)
+            self.cdef_idx_map = idx_map
+            cdef_kw = dict(cdef_damping=damping, cdef_bits=2,
+                           cdef_y_strengths=y_str, cdef_uv_strengths=uv_str)
+        # syntax pass per tile (entropy stage runs after the filter stages,
+        # mirroring the reference pipeline order)
+        payloads = []
+        for st in tile_states:
+            for k, v in st.items():
+                if k != "rect":
+                    setattr(self, k, v)
+            self.tile_mi_off = (st["rect"][0], st["rect"][1])
+            payloads.append(self._syntax_pass())
         fh = obu.FrameHeader(base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
                              loop_filter_levels=lf_levels,
                              tile_cols_log2=cfg.tile_cols_log2,
-                             tile_rows_log2=cfg.tile_rows_log2)
+                             tile_rows_log2=cfg.tile_rows_log2, **cdef_kw)
         tu = (obu.temporal_delimiter_obu()
               + obu.write_sequence_header_obu(self.seq)
               + obu.write_frame_obu(self.seq, fh, payloads))
@@ -290,6 +335,7 @@ class WavefrontIntraEncoder:
         self.w = make_symbol_writer(cfg.native_entropy,
                                     cfg.disable_cdf_update)
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
+        self._cdef_written = set()
         for sb_y in range(0, self.sb_rows_t * 16, 16):
             for sb_x in range(0, self.sb_cols_t * 16, 16):
                 self._emit_partition(sb_y, sb_x, 64)
@@ -317,6 +363,18 @@ class WavefrontIntraEncoder:
             self._emit_block(mi_row, mi_col, psize)
             self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, bsize)
 
+    def _write_cdef_idx(self, mi_row, mi_col, skip) -> None:
+        """cdef_idx literal at the first non-skip block of each 64x64
+        (spec read_cdef mirror)."""
+        if getattr(self, "cdef_idx_map", None) is None or skip:
+            return
+        off = getattr(self, "tile_mi_off", (0, 0))
+        sbr = (mi_row + off[0]) // 16
+        sbc = (mi_col + off[1]) // 16
+        if (sbr, sbc) not in self._cdef_written:
+            self._cdef_written.add((sbr, sbc))
+            self.w.write_literal(int(self.cdef_idx_map[sbr, sbc]), 2)
+
     def _emit_block(self, mi_row, mi_col, size) -> None:
         cfg = self.cfg
         x, y = mi_col * 4, mi_row * 4
@@ -332,6 +390,7 @@ class WavefrontIntraEncoder:
 
         mode_syntax.write_skip(self.w, self.fc, self.ctxs, skip,
                                mi_row, mi_col)
+        self._write_cdef_idx(mi_row, mi_col, skip)
         mode_syntax.write_intra_luma_mode_kf(self.w, self.fc, self.ctxs,
                                              y_mode, mi_row, mi_col)
         if intra_dir.is_directional(y_mode):
