@@ -82,6 +82,7 @@ class EncoderConfig:
     # --- misc -------------------------------------------------------------------
     stat_report: bool = True
     recon_enabled: bool = False
+    scene_change_detection: bool = True  # auto keyframes on scene cuts
 
     def __post_init__(self):
         if self.width % 2 or self.height % 2:

@@ -312,6 +312,65 @@ def mode_decision_sse(modes: tuple, src, above, left, top_left,
     return best, preds, costs
 
 
+# --- inter core: full-pel ME + MC + transform/quant over a frame -------------------
+@functools.partial(jax.jit, static_argnames=("size", "search_range",
+                                             "search_step", "qindex", "bd"))
+def inter_core_step(cur, ref_padded, size: int = 16, search_range: int = 16,
+                    search_step: int = 2, qindex: int = 160, bd: int = 8):
+    """The inter encode compute core for one frame, fully batched: full-pel
+    SAD search over a static offset grid, motion compensation (full-pel),
+    residual DCT + quant + recon distortion.
+
+    cur: [H, W] int32 (H, W multiples of ``size``); ref_padded: padded by
+    ``search_range``. The reference's equivalent is the ME + EncDec inter
+    hot path (EbMotionEstimation.c / EbCodingLoop.c); here the whole frame
+    is one XLA program (SURVEY.md §2.2: inter has no in-frame deps).
+    Returns (best_mv [B,2] pels, qcoeff [B,n], eob [B], sse [B]).
+    """
+    H, W = cur.shape
+    bh, bw = H // size, W // size
+    pad = search_range
+    offsets = [(dy, dx)
+               for dy in range(-search_range, search_range + 1, search_step)
+               for dx in range(-search_range, search_range + 1, search_step)]
+    sads = []
+    for dy, dx in offsets:
+        shifted = jax.lax.dynamic_slice(ref_padded, (pad + dy, pad + dx),
+                                        (H, W))
+        d = jnp.abs(cur - shifted)
+        sads.append(d.reshape(bh, size, bw, size).sum(axis=(1, 3)))
+    sads = jnp.stack(sads)                                   # [O, bh, bw]
+    best = jnp.argmin(sads, axis=0).reshape(-1)              # [B]
+    offs = jnp.asarray(np.array(offsets, dtype=np.int32))    # [O, 2]
+    best_mv = offs[best]                                     # [B, 2]
+
+    ys = (jnp.arange(bh * bw, dtype=jnp.int32) // bw) * size
+    xs = (jnp.arange(bh * bw, dtype=jnp.int32) % bw) * size
+    rows = (ys + best_mv[:, 0] + pad)[:, None, None] \
+        + jnp.arange(size)[None, :, None]
+    cols = (xs + best_mv[:, 1] + pad)[:, None, None] \
+        + jnp.arange(size)[None, None, :]
+    pred = ref_padded[rows, cols]                            # [B, s, s]
+    srcs = cur.reshape(bh, size, bw, size).transpose(0, 2, 1, 3) \
+        .reshape(-1, size, size)
+    resid = srcs - pred
+    coeffs = fwd_tx2d(resid, 0, size, size)
+    cw = min(32, size)
+    coded = coeffs[:, :cw, :cw].reshape(coeffs.shape[0], -1)
+    from svt_av1_tpu.utils.blocks import MAX_TX_SIZE_OF_BLOCK
+    tx_size = MAX_TX_SIZE_OF_BLOCK[size]
+    scan = get_scan(tx_size, 0)
+    qp = quant_host.make_quant_params(qindex, bit_depth=bd)
+    log_scale = quant_host.tx_scale(tx_size)
+    qcoeff, dqcoeff, eob = quantize(coded, scan, qp, log_scale)
+    full = jnp.zeros_like(coeffs)
+    full = full.at[:, :cw, :cw].set(dqcoeff.reshape(-1, cw, cw))
+    r = inv_tx2d(full, 0, size, size, bd)
+    recon = jnp.clip(pred + r, 0, (1 << bd) - 1)
+    sse = jnp.sum((srcs - recon) ** 2, axis=(1, 2))
+    return best_mv, qcoeff, eob, sse
+
+
 # --- fused analysis step ------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("modes", "size", "qindex", "bd"))
 def intra_analysis_step(src, above, left, top_left, have_above, have_left,

@@ -45,6 +45,10 @@ class Encoder:
         self._frame_idx = 0        # display-order index of next input
         self._group: List[tuple] = []
         self._out: List[Tuple[bytes, Optional[list]]] = []
+        self._scd = None
+        if cfg.scene_change_detection:
+            from svt_av1_tpu.pipeline.scd import SceneChangeDetector
+            self._scd = SceneChangeDetector()
         self._rc = None
         from svt_av1_tpu.config import RateControlMode
         if cfg.rate_control_mode == RateControlMode.VBR \
@@ -158,6 +162,8 @@ class Encoder:
                      v: np.ndarray) -> None:
         cfg = self.cfg
         is_key = self._is_key(self._frame_idx)
+        if self._scd is not None and self._scd.is_scene_change(y):
+            is_key = True  # CRA/IDR on detected scene cut
         self._frame_idx += 1
         if cfg.hierarchical_levels == 0:
             if is_key:

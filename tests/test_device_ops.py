@@ -105,3 +105,24 @@ def test_analysis_step_runs_and_matches_mode_choice():
             costs.append(int(np.sum((src[i] - pred) ** 2)))
         assert modes[best[i]] == modes[int(np.argmin(costs))]
     assert np.asarray(sse).shape == (b,)
+
+
+def test_inter_core_step_finds_pan_and_zeroes_residual():
+    rng = np.random.default_rng(3)
+    H, W = 128, 192
+    big = rng.integers(0, 256, (H + 64, W + 64)).astype(np.int32)
+    ref = big[32:32 + H, 32:32 + W]
+    dy, dx = 6, -4
+    cur = big[32 + dy:32 + dy + H, 32 + dx:32 + dx + W]
+    refp = np.pad(ref, 16, mode="edge")
+    mv, qc, eob, sse = device.inter_core_step(
+        jnp.asarray(cur), jnp.asarray(refp), size=16, qindex=160)
+    mv = np.asarray(mv)
+    inner = [(i, m) for i, m in enumerate(mv)
+             if 16 <= (i // 12) * 16 and 16 <= (i % 12) * 16]
+    # interior blocks must find the exact pan with zero residual
+    found = np.asarray(eob)
+    assert (mv[:, 0] == dy).mean() > 0.8
+    assert (mv[:, 1] == dx).mean() > 0.8
+    assert (found == 0).mean() > 0.8
+    assert (np.asarray(sse)[(mv[:, 0] == dy) & (mv[:, 1] == dx)] == 0).all()
