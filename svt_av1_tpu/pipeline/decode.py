@@ -244,6 +244,10 @@ class FrameDecoder:
         cfl_allowed = size <= 32
         uv_mode = mode_syntax.read_intra_chroma_mode(self.r, self.fc,
                                                      y_mode, cfl_allowed)
+        self._cfl_alphas = (0, 0)
+        if uv_mode == 13:  # UV_CFL_PRED
+            from svt_av1_tpu.ops import cfl as cfl_ops
+            self._cfl_alphas = cfl_ops.read_cfl_alphas(self.r, self.fc)
         uv_delta = mode_syntax.read_angle_delta(self.r, self.fc, uv_mode) \
             if intra_dir.is_directional(uv_mode) else 0
         self.ctxs.set_mi(mi_row, mi_col, bsize, y_mode, skip)
@@ -296,8 +300,20 @@ class FrameDecoder:
             recon, np.array([x]), np.array([y]), tw, th, ha, hl,
             np.array([self._htr]), np.array([self._hbl]), bd=self.bd,
             max_w=max_w, max_h=max_h)
-        pred = intra_ops.predict_any(mode, delta, above1, left1, tw, th,
-                                     ha, hl, bd=self.bd)[0]
+        if mode == 13 and plane > 0:  # UV_CFL_PRED
+            from svt_av1_tpu.ops import cfl as cfl_ops
+            dc = intra_ops.predict(0, above1[:, 1:], left1[:, 1:],
+                                   above1[:, 0], tw, th, have_above=ha,
+                                   have_left=hl, bd=self.bd)
+            luma = self.recon[0][2 * y:2 * (y + th),
+                                 2 * x:2 * (x + tw)][None]
+            ac = cfl_ops.luma_ac_420(luma)
+            alpha = self._cfl_alphas[plane - 1]
+            pred = cfl_ops.predict(dc, ac, np.array([alpha]),
+                                   bd=self.bd)[0]
+        else:
+            pred = intra_ops.predict_any(mode, delta, above1, left1, tw, th,
+                                         ha, hl, bd=self.bd)[0]
         if qcoeff is None or not np.any(qcoeff):
             recon[y:y + th, x:x + tw] = np.clip(
                 pred, 0, (1 << self.bd) - 1).astype(self.recon[plane].dtype)

@@ -146,7 +146,7 @@ class IntraFrameEncoder:
 
     # --- block coding ---------------------------------------------------------------
     def _decide_plane(self, plane: int, x: int, y: int, size: int,
-                      htr: bool, hbl: bool, forced=None):
+                      htr: bool, hbl: bool, forced=None, cfl_luma=None):
         """Mode decision + coding for one plane of one block via the shared
         kernel (pipeline.md) so all backends decide identically."""
         from svt_av1_tpu.pipeline import md
@@ -162,7 +162,8 @@ class IntraFrameEncoder:
         return md.decide_block_batch(
             plane, srcs, above1, left1, ha, hl,
             common.intra_candidates(self.cfg), self.qp, size, self.lam,
-            bd=self.cfg.bit_depth, nfl=self.cfg.nfl, forced=forced)
+            bd=self.cfg.bit_depth, nfl=self.cfg.nfl, forced=forced,
+            cfl_luma=cfl_luma)
 
     def _code_block(self, mi_row: int, mi_col: int, size: int) -> None:
         x, y = mi_col * 4, mi_row * 4
@@ -172,13 +173,23 @@ class IntraFrameEncoder:
         csize = size >> 1
         cx, cy = x >> 1, y >> 1
 
-        ym, yd, qy, ey, ry, _ = self._decide_plane(0, x, y, size, htr, hbl)
-        um, ud, qu, eu, ru, _ = self._decide_plane(1, cx, cy, csize, htr,
-                                                   hbl)
-        _, _, qv, ev, rv, _ = self._decide_plane(2, cx, cy, csize, htr, hbl,
-                                                 forced=(um, ud))
+        ym, yd, qy, ey, ry, _, _ = self._decide_plane(0, x, y, size, htr,
+                                                      hbl)
+        # luma recon must land before the chroma decisions (CfL reads it)
+        self.recon[0][y:y + size, x:x + size] = ry[0]
+        cfl_luma = None
+        if size <= 32:
+            cfl_luma = self.recon[0][y:y + size, x:x + size][None]
+        um, ud, qu, eu, ru, _, au = self._decide_plane(
+            1, cx, cy, csize, htr, hbl, cfl_luma=cfl_luma)
+        _, _, qv, ev, rv, _, av = self._decide_plane(
+            2, cx, cy, csize, htr, hbl, forced=(um, ud),
+            cfl_luma=cfl_luma)
         y_mode, y_delta = int(ym[0]), int(yd[0])
         uv_mode, uv_delta = int(um[0]), int(ud[0])
+        alpha_u, alpha_v = int(au[0]), int(av[0])
+        if uv_mode == 13 and alpha_u == 0 and alpha_v == 0:
+            uv_mode = 0  # alpha-(0,0) CfL == DC prediction; code as DC
         skip = int(ey[0] == 0 and eu[0] == 0 and ev[0] == 0)
 
         tx_y = common.tx_size_for_block(size, 0)
@@ -194,6 +205,9 @@ class IntraFrameEncoder:
             mode_syntax.write_angle_delta(self.w, self.fc, y_mode, y_delta)
         mode_syntax.write_intra_chroma_mode(self.w, self.fc, uv_mode,
                                             y_mode, size <= 32)
+        if uv_mode == 13:
+            from svt_av1_tpu.ops import cfl as cfl_ops
+            cfl_ops.write_cfl_alphas(self.w, self.fc, alpha_u, alpha_v)
         if intra_dir.is_directional(uv_mode):
             mode_syntax.write_angle_delta(self.w, self.fc, uv_mode,
                                           uv_delta)

@@ -37,7 +37,8 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
-def candidate_mode_bits(cands: tuple, plane: int) -> np.ndarray:
+def candidate_mode_bits(cands: tuple, plane: int,
+                        cfl_allowed: bool = False) -> np.ndarray:
     """Static per-candidate syntax-rate estimate [M] from the default CDFs
     (the reference's MD rate tables are likewise CDF-derived,
     EbMdRateEstimation.c). Context-averaged; used only to bias the RD
@@ -48,12 +49,14 @@ def candidate_mode_bits(cands: tuple, plane: int) -> np.ndarray:
     if plane == 0:
         rows = tabs["kf_y_mode"].reshape(-1, 14)
     else:
-        rows = tabs["uv_mode"][0]            # cfl-not-allowed set, all y
+        rows = tabs["uv_mode"][int(cfl_allowed)]
     out = []
     for mode, delta in cands:
         bits = float(np.mean([_icdf_bits(r, mode) for r in rows]))
         if intra_dir.is_directional(mode):
             bits += _icdf_bits(tabs["angle_delta"][mode - 1], delta + 3)
+        if mode == 13:  # UV_CFL_PRED: joint sign + alpha index
+            bits += 7.0
         out.append(bits)
     return np.array(out)
 
@@ -87,17 +90,25 @@ def _full_loop(srcs, preds, tts, tx_size, size, qp, bd):
     return qcoeff, eob, recon, dist, rate
 
 
+UV_CFL = 13
+
+
 def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
                        qp, size: int, lam: float, bd: int = 8, nfl: int = 3,
-                       reduced_tx_set: bool = False, forced=None):
+                       reduced_tx_set: bool = False, forced=None,
+                       cfl_luma=None):
     """Full mode decision + coding for a batch of same-sized blocks.
 
     Returns (modes [B], deltas [B], qcoeff [B,ch,cw], eob [B],
-    recon [B,s,s] pixel dtype, rd_cost [B]).
+    recon [B,s,s] pixel dtype, rd_cost [B], alphas [B]).
     ``forced``: (modes, deltas) arrays — skip the search (V plane reuses
-    U's choice)."""
+    U's choice; CfL alphas are re-fit per plane). ``cfl_luma``: co-located
+    reconstructed luma [B, 2s, 2s] — enables the CfL candidate (chroma
+    planes of blocks <= 32x32)."""
+    from svt_av1_tpu.ops import cfl as cfl_ops
     b = srcs.shape[0]
     tx_size = common.tx_size_for_block(size, plane)
+    pix = np.uint16 if bd > 8 else np.uint8
 
     def tts_for(modes_arr):
         if plane == 0:
@@ -106,32 +117,53 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
                                                reduced_tx_set)
                          for m in modes_arr])
 
+    def cfl_pred_and_alpha(sel=None):
+        """CfL prediction + fitted alpha for (a subset of) the batch."""
+        idxs = np.arange(b) if sel is None else sel
+        ac = cfl_ops.luma_ac_420(cfl_luma[idxs])
+        dc = intra_ops.predict(0, above1[idxs, 1:], left1[idxs, 1:],
+                               above1[idxs, 0], size, size,
+                               have_above=ha[idxs], have_left=hl[idxs],
+                               bd=bd)
+        alpha = cfl_ops.fit_alpha(ac, srcs[idxs], dc)
+        return cfl_ops.predict(dc, ac, alpha, bd=bd), alpha
+
     if forced is not None:
         fmodes, fdeltas = np.asarray(forced[0]), np.asarray(forced[1])
+        alphas = np.zeros(b, dtype=np.int64)
         preds = np.empty((b, size, size), dtype=np.int64)
         for m, d in set(zip(fmodes.tolist(), fdeltas.tolist())):
-            sel = (fmodes == m) & (fdeltas == d)
-            preds[sel] = intra_ops.predict_any(int(m), int(d), above1[sel],
-                                               left1[sel], size, size,
-                                               ha[sel], hl[sel], bd=bd)
+            sel = np.nonzero((fmodes == m) & (fdeltas == d))[0]
+            if m == UV_CFL:
+                preds[sel], alphas[sel] = cfl_pred_and_alpha(sel)
+            else:
+                preds[sel] = intra_ops.predict_any(
+                    int(m), int(d), above1[sel], left1[sel], size, size,
+                    ha[sel], hl[sel], bd=bd)
         qc, eo, rec, dist, rate = _full_loop(srcs, preds, tts_for(fmodes),
                                              tx_size, size, qp, bd)
-        return (fmodes, fdeltas, qc, eo,
-                rec.astype(np.uint16 if bd > 8 else np.uint8),
-                dist + lam * rate)
+        return (fmodes, fdeltas, qc, eo, rec.astype(pix),
+                dist + lam * rate, alphas)
 
     preds = np.stack([
         intra_ops.predict_any(m, d, above1, left1, size, size, ha, hl,
                               bd=bd)
         for m, d in cands]).astype(np.int64)                  # [M,B,s,s]
+    all_cands = list(cands)
+    cand_alphas = None
+    if plane == 1 and cfl_luma is not None:
+        cfl_pred, cand_alphas = cfl_pred_and_alpha()
+        preds = np.concatenate([preds, cfl_pred[None]], axis=0)
+        all_cands = all_cands + [(UV_CFL, 0)]
     sse = np.sum((srcs[None] - preds) ** 2, axis=(2, 3))      # [M,B]
-    k = min(nfl, len(cands))
+    k = min(nfl, len(all_cands))
     # top-k candidate indices per block, ordered by SSE then candidate
     # index (stable) so every backend breaks ties identically
     order = np.argsort(sse, axis=0, kind="stable")[:k]        # [K,B]
 
-    carr = np.asarray(cands)
-    mode_bits = candidate_mode_bits(tuple(map(tuple, cands)), plane)
+    carr = np.asarray(all_cands)
+    mode_bits = candidate_mode_bits(tuple(map(tuple, all_cands)), plane,
+                                    cfl_luma is not None)
     best_cost = None
     out = None
     for kk in range(k):
@@ -155,6 +187,8 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
             out[3] = np.where(better, eo, out[3])
             out[4] = np.where(better[:, None, None], rec, out[4])
             out[5] = best_cost
-    return (out[0], out[1], out[2], out[3],
-            out[4].astype(np.uint16 if bd > 8 else np.uint8),
-            out[5])
+    alphas = np.zeros(b, dtype=np.int64)
+    if cand_alphas is not None:
+        alphas = np.where(out[0] == UV_CFL, cand_alphas, 0)
+    return (out[0], out[1], out[2], out[3], out[4].astype(pix), out[5],
+            alphas)

@@ -55,13 +55,15 @@ class WavefrontIntraEncoder:
 
     # --- batched wave compute (host numpy backend) ----------------------------
     def _wave_compute(self, plane: int, xs, ys, size: int, cands,
-                      htr, hbl, forced=None):
+                      htr, hbl, forced=None, cfl_luma=None):
         """All blocks of one wave: mode decision + T/Q/IQ/recon.
         cands: [(mode, angle_delta)] candidate list; htr/hbl: [B]
         above-right / bottom-left availability. ``forced``: (modes [B],
         deltas [B]) to reuse instead of deciding (the V plane reuses the
-        uv choice made on U — one shared chroma mode).
-        Returns (modes [B], deltas [B], qcoeff [B,ch,cw], eob [B])."""
+        uv choice made on U — one shared chroma mode). ``cfl_luma``:
+        co-located luma recon [B, 2s, 2s] (chroma planes, CfL-eligible).
+        Returns (modes [B], deltas [B], qcoeff [B,ch,cw], eob [B],
+        alphas [B])."""
         cfg = self.cfg
         recon = self.recon[plane]
         src = self.src[plane]
@@ -72,12 +74,14 @@ class WavefrontIntraEncoder:
             bd=cfg.bit_depth, max_w=max_w, max_h=max_h)
         srcs = np.stack([src[y:y + size, x:x + size]
                          for x, y in zip(xs, ys)]).astype(np.int64)
-        best, deltas, qcoeff, eob, recon_blocks, _ = md.decide_block_batch(
-            plane, srcs, above1, left1, ha, hl, cands, self.qp, size,
-            self.lam, bd=cfg.bit_depth, nfl=cfg.nfl, forced=forced)
+        best, deltas, qcoeff, eob, recon_blocks, _, alphas = \
+            md.decide_block_batch(
+                plane, srcs, above1, left1, ha, hl, cands, self.qp, size,
+                self.lam, bd=cfg.bit_depth, nfl=cfg.nfl, forced=forced,
+                cfl_luma=cfl_luma)
         for i, (x, y) in enumerate(zip(xs, ys)):
             recon[y:y + size, x:x + size] = recon_blocks[i]
-        return best, deltas, qcoeff, eob
+        return best, deltas, qcoeff, eob, alphas
 
     # --- leaf enumeration + dependency waves ----------------------------------
     def _fixed_leaf_sizes(self, target: int):
@@ -180,8 +184,8 @@ class WavefrontIntraEncoder:
             st = {k: getattr(self, k) for k in
                   ("src", "recon", "mi_rows", "mi_cols", "sb_rows_t",
                    "sb_cols_t", "max_wh", "leaf_sizes", "leaf_index",
-                   "y_mode", "uv_mode", "y_delta", "uv_delta", "qcoeff",
-                   "eobs")}
+                   "y_mode", "uv_mode", "y_delta", "uv_delta", "alpha_u",
+                   "alpha_v", "qcoeff", "eobs")}
             st["rect"] = rect
             tile_states.append(st)
             for (r, c), s in self.leaf_sizes.items():
@@ -238,6 +242,8 @@ class WavefrontIntraEncoder:
         self.uv_mode = np.zeros(n, dtype=np.int32)
         self.y_delta = np.zeros(n, dtype=np.int32)
         self.uv_delta = np.zeros(n, dtype=np.int32)
+        self.alpha_u = np.zeros(n, dtype=np.int64)
+        self.alpha_v = np.zeros(n, dtype=np.int64)
         self.qcoeff = [[None] * n, [None] * n, [None] * n]
         self.eobs = np.zeros((3, n), dtype=np.int32)
 
@@ -255,19 +261,27 @@ class WavefrontIntraEncoder:
                 ys = larr[ids, 0] * 4
                 htr, hbl = htr_all[ids], hbl_all[ids]
                 csize = size >> 1
-                best, bdel, qc, eo = self._wave_compute(
+                best, bdel, qc, eo, _ = self._wave_compute(
                     0, xs, ys, size, cands, htr, hbl)
                 self.y_mode[ids] = best
                 self.y_delta[ids] = bdel
                 self.eobs[0, ids] = eo
-                bestc, cdel, qcc, eoc = self._wave_compute(
-                    1, xs >> 1, ys >> 1, csize, cands, htr, hbl)
+                cfl_luma = None
+                if size <= 32:  # cfl_allowed (luma block <= 32x32)
+                    cfl_luma = np.stack([
+                        self.recon[0][y:y + size, x:x + size]
+                        for x, y in zip(xs, ys)])
+                bestc, cdel, qcc, eoc, au = self._wave_compute(
+                    1, xs >> 1, ys >> 1, csize, cands, htr, hbl,
+                    cfl_luma=cfl_luma)
                 self.uv_mode[ids] = bestc
                 self.uv_delta[ids] = cdel
+                self.alpha_u[ids] = au
                 self.eobs[1, ids] = eoc
-                _, _, qcv, eov = self._wave_compute(
+                _, _, qcv, eov, av = self._wave_compute(
                     2, xs >> 1, ys >> 1, csize, cands, htr, hbl,
-                    forced=(bestc, cdel))
+                    forced=(bestc, cdel), cfl_luma=cfl_luma)
+                self.alpha_v[ids] = av
                 self.eobs[2, ids] = eov
                 for k, i in enumerate(ids):
                     self.qcoeff[0][i] = qc[k]
@@ -396,8 +410,15 @@ class WavefrontIntraEncoder:
         if intra_dir.is_directional(y_mode):
             mode_syntax.write_angle_delta(self.w, self.fc, y_mode,
                                           int(self.y_delta[li]))
+        alpha_u = int(self.alpha_u[li])
+        alpha_v = int(self.alpha_v[li])
+        if uv_mode == 13 and alpha_u == 0 and alpha_v == 0:
+            uv_mode = 0  # alpha-(0,0) CfL == DC prediction; code as DC
         mode_syntax.write_intra_chroma_mode(self.w, self.fc, uv_mode,
                                             y_mode, size <= 32)
+        if uv_mode == 13:
+            from svt_av1_tpu.ops import cfl as cfl_ops
+            cfl_ops.write_cfl_alphas(self.w, self.fc, alpha_u, alpha_v)
         if intra_dir.is_directional(uv_mode):
             mode_syntax.write_angle_delta(self.w, self.fc, uv_mode,
                                           int(self.uv_delta[li]))

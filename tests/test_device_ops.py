@@ -115,11 +115,11 @@ def test_inter_core_step_finds_pan_and_zeroes_residual():
     dy, dx = 6, -4
     cur = big[32 + dy:32 + dy + H, 32 + dx:32 + dx + W]
     refp = np.pad(ref, 16, mode="edge")
+    refp = refp[8:-8, 8:-8]  # pad must equal search_range
     mv, qc, eob, sse = device.inter_core_step(
-        jnp.asarray(cur), jnp.asarray(refp), size=16, qindex=160)
+        jnp.asarray(cur), jnp.asarray(refp), size=16, search_range=8,
+        qindex=160)
     mv = np.asarray(mv)
-    inner = [(i, m) for i, m in enumerate(mv)
-             if 16 <= (i // 12) * 16 and 16 <= (i % 12) * 16]
     # interior blocks must find the exact pan with zero residual
     found = np.asarray(eob)
     assert (mv[:, 0] == dy).mean() > 0.8
