@@ -48,6 +48,7 @@ class EncoderConfig:
     rate_control_mode: int = RateControlMode.CQP
     qp: int = 40                  # 0..63 CLI-style qp; mapped to qindex
     target_bit_rate: int = 0      # bits/s (VBR mode)
+    look_ahead_distance: int = 0  # frames of lookahead for VBR weighting
     qindex_override: Optional[int] = None  # exact qindex (set by RC)
 
     # --- tools ----------------------------------------------------------------

@@ -27,25 +27,28 @@ def thresholds(level: int, sharpness: int = 0):
     return 2 * (level + 2) + limit, limit, level >> 4
 
 
-def _sc(x):
-    """signed char clamp."""
-    return np.clip(x, -128, 127)
+def _filter4(p1, p0, q0, q1, mask, thresh, bd=8):
+    """filter4 / highbd_filter4 (:133/:483). int32 [N] args; returns
+    new (p1, p0, q0, q1). For bd > 8 the +-128 pivot and clamps scale by
+    1 << (bd - 8)."""
+    shift = bd - 8
+    lo, hi, piv = -128 << shift, (128 << shift) - 1, 128 << shift
 
+    def _sc(x):
+        return np.clip(x, lo, hi)
 
-def _filter4(p1, p0, q0, q1, mask, thresh):
-    """filter4 (:133). All args int32 [N]; returns new (p1, p0, q0, q1)."""
-    ps1, ps0 = p1 - 128, p0 - 128
-    qs0, qs1 = q0 - 128, q1 - 128
+    ps1, ps0 = p1 - piv, p0 - piv
+    qs0, qs1 = q0 - piv, q1 - piv
     hev = (np.abs(p1 - p0) > thresh) | (np.abs(q1 - q0) > thresh)
     f = _sc(ps1 - qs1) * hev
     f = _sc(f + 3 * (qs0 - ps0)) * mask
     f1 = _sc(f + 4) >> 3
     f2 = _sc(f + 3) >> 3
-    oq0 = _sc(qs0 - f1) + 128
-    op0 = _sc(ps0 + f2) + 128
+    oq0 = _sc(qs0 - f1) + piv
+    op0 = _sc(ps0 + f2) + piv
     f3 = ((f1 + 1) >> 1) * ~hev
-    oq1 = _sc(qs1 - f3) + 128
-    op1 = _sc(ps1 + f3) + 128
+    oq1 = _sc(qs1 - f3) + piv
+    op1 = _sc(ps1 + f3) + piv
     return op1, op0, oq0, oq1
 
 
@@ -57,7 +60,7 @@ def _r4(x):
     return (x + 8) >> 4
 
 
-def _apply_len(s, mask_sel, length, blimit, limit, thresh):
+def _apply_len(s, mask_sel, length, blimit, limit, thresh, bd=8):
     """s: [N, 14] sample lines (p6..p0, q0..q6) int32. Filters in place
     for rows where mask_sel; returns s."""
     p = {i: s[:, 6 - i] for i in range(7)}
@@ -68,7 +71,8 @@ def _apply_len(s, mask_sel, length, blimit, limit, thresh):
         fmask = ~((am(p[1], p[0]) > limit) | (am(q[1], q[0]) > limit)
                   | (am(p[0], q[0]) * 2 + am(p[1], q[1]) // 2 > blimit))
         fmask &= mask_sel
-        np1, np0, nq0, nq1 = _filter4(p[1], p[0], q[0], q[1], fmask, thresh)
+        np1, np0, nq0, nq1 = _filter4(p[1], p[0], q[0], q[1], fmask, thresh,
+                                      bd)
         for idx, v in ((5, np1), (6, np0), (7, nq0), (8, nq1)):
             s[:, idx] = np.where(fmask, v, s[:, idx])
         return s
@@ -78,8 +82,9 @@ def _apply_len(s, mask_sel, length, blimit, limit, thresh):
                   | (am(q[1], q[0]) > limit) | (am(q[2], q[1]) > limit)
                   | (am(p[0], q[0]) * 2 + am(p[1], q[1]) // 2 > blimit))
         fmask &= mask_sel
-        flat = ~((am(p[1], p[0]) > 1) | (am(q[1], q[0]) > 1)
-                 | (am(p[2], p[0]) > 1) | (am(q[2], q[0]) > 1))
+        ft = 1 << (bd - 8)
+        flat = ~((am(p[1], p[0]) > ft) | (am(q[1], q[0]) > ft)
+                 | (am(p[2], p[0]) > ft) | (am(q[2], q[0]) > ft))
         wide = fmask & flat
         o = {}
         o[5] = _r3(p[2] * 3 + p[1] * 2 + p[0] * 2 + q[0])
@@ -87,7 +92,7 @@ def _apply_len(s, mask_sel, length, blimit, limit, thresh):
         o[7] = _r3(p[1] + p[0] * 2 + q[0] * 2 + q[1] * 2 + q[2])
         o[8] = _r3(p[0] + q[0] * 2 + q[1] * 2 + q[2] * 3)
         np1, np0, nq0, nq1 = _filter4(p[1], p[0], q[0], q[1],
-                                      fmask & ~flat, thresh)
+                                      fmask & ~flat, thresh, bd)
         nar = {5: np1, 6: np0, 7: nq0, 8: nq1}
         for idx in (5, 6, 7, 8):
             s[:, idx] = np.where(wide, o[idx],
@@ -101,9 +106,10 @@ def _apply_len(s, mask_sel, length, blimit, limit, thresh):
               | (am(q[2], q[1]) > limit) | (am(q[3], q[2]) > limit)
               | (am(p[0], q[0]) * 2 + am(p[1], q[1]) // 2 > blimit))
     fmask &= mask_sel
-    flat = ~((am(p[1], p[0]) > 1) | (am(q[1], q[0]) > 1)
-             | (am(p[2], p[0]) > 1) | (am(q[2], q[0]) > 1)
-             | (am(p[3], p[0]) > 1) | (am(q[3], q[0]) > 1))
+    ft = 1 << (bd - 8)
+    flat = ~((am(p[1], p[0]) > ft) | (am(q[1], q[0]) > ft)
+             | (am(p[2], p[0]) > ft) | (am(q[2], q[0]) > ft)
+             | (am(p[3], p[0]) > ft) | (am(q[3], q[0]) > ft))
     o8 = {}
     o8[4] = _r3(p[3] * 3 + p[2] * 2 + p[1] + p[0] + q[0])
     o8[5] = _r3(p[3] * 2 + p[2] + p[1] * 2 + p[0] + q[0] + q[1])
@@ -112,7 +118,7 @@ def _apply_len(s, mask_sel, length, blimit, limit, thresh):
     o8[8] = _r3(p[1] + p[0] + q[0] + q[1] * 2 + q[2] + q[3] * 2)
     o8[9] = _r3(p[0] + q[0] + q[1] + q[2] * 2 + q[3] * 3)
     np1, np0, nq0, nq1 = _filter4(p[1], p[0], q[0], q[1],
-                                  fmask & ~flat, thresh)
+                                  fmask & ~flat, thresh, bd)
     nar = {5: np1, 6: np0, 7: nq0, 8: nq1}
 
     if length == 8:
@@ -123,9 +129,9 @@ def _apply_len(s, mask_sel, length, blimit, limit, thresh):
         return s
 
     # length 14
-    flat2 = ~((am(p[4], p[0]) > 1) | (am(q[4], q[0]) > 1)
-              | (am(p[5], p[0]) > 1) | (am(q[5], q[0]) > 1)
-              | (am(p[6], p[0]) > 1) | (am(q[6], q[0]) > 1))
+    flat2 = ~((am(p[4], p[0]) > ft) | (am(q[4], q[0]) > ft)
+              | (am(p[5], p[0]) > ft) | (am(q[5], q[0]) > ft)
+              | (am(p[6], p[0]) > ft) | (am(q[6], q[0]) > ft))
     o14 = {}
     o14[1] = _r4(p[6] * 7 + p[5] * 2 + p[4] * 2 + p[3] + p[2] + p[1]
                  + p[0] + q[0])
@@ -163,10 +169,14 @@ def _apply_len(s, mask_sel, length, blimit, limit, thresh):
 
 
 def _edge_filter(plane, xs_edge, rows, lengths, level, sharpness,
-                 vertical: bool):
+                 vertical: bool, bd: int = 8):
     """Filter a set of edges: xs_edge [E] pixel coordinate of each edge
     line, rows [E] the pixel row (or col) of the line, lengths [E]."""
     blimit, limit, thresh = thresholds(level, sharpness)
+    shift = bd - 8
+    blimit <<= shift
+    limit <<= shift
+    thresh <<= shift
     wmax = plane.shape[1] - 1 if vertical else plane.shape[0] - 1
     write_range = {4: (5, 9), 6: (5, 9), 8: (4, 10), 14: (1, 13)}
     for L in (4, 6, 8, 14):
@@ -185,7 +195,8 @@ def _edge_filter(plane, xs_edge, rows, lengths, level, sharpness,
                 s[:, k] = plane[re, off]
             else:
                 s[:, k] = plane[off, re]
-        s = _apply_len(s, np.ones(n, dtype=bool), L, blimit, limit, thresh)
+        s = _apply_len(s, np.ones(n, dtype=bool), L, blimit, limit,
+                       thresh, bd)
         lo, hi = write_range[L]
         for k in range(lo, hi):
             off = k - 7
@@ -198,7 +209,8 @@ def _edge_filter(plane, xs_edge, rows, lengths, level, sharpness,
 def loop_filter_plane(plane: np.ndarray, tx_map: np.ndarray,
                       start_x: np.ndarray, start_y: np.ndarray,
                       level: int, w_eff: int, h_eff: int,
-                      sharpness: int = 0, is_luma: bool = True) -> None:
+                      sharpness: int = 0, is_luma: bool = True,
+                      bd: int = 8) -> None:
     """Filter one plane in place (both directions, vertical first — spec
     filters all vertical edges of the frame, then horizontal).
 
@@ -232,7 +244,8 @@ def loop_filter_plane(plane: np.ndarray, tx_map: np.ndarray,
             elens.append(lens)
     if exs:
         _edge_filter(work, np.concatenate(exs), np.concatenate(eys),
-                     np.concatenate(elens), level, sharpness, vertical=True)
+                     np.concatenate(elens), level, sharpness, vertical=True,
+                     bd=bd)
     # horizontal edges
     exs, eys, elens = [], [], []
     for r in range(1, uh):
@@ -247,8 +260,8 @@ def loop_filter_plane(plane: np.ndarray, tx_map: np.ndarray,
     if exs:
         _edge_filter(work, np.concatenate(exs), np.concatenate(eys),
                      np.concatenate(elens), level, sharpness,
-                     vertical=False)
-    np.clip(work, 0, 255, out=work)
+                     vertical=False, bd=bd)
+    np.clip(work, 0, (1 << bd) - 1, out=work)
     plane[:] = work.astype(plane.dtype)
 
 
@@ -282,6 +295,7 @@ def level_guess(qindex: int, bit_depth: int = 8) -> int:
 
 def pick_levels(recon_planes, src_planes, leaf_sizes, mi_rows, mi_cols,
                 qindex: int, bit_depth: int = 8):
+    # (bit_depth threads through to the highbd filter variants)
     """Search filter levels by filtered-SSE vs source (the batched stand-in
     for av1_pick_filter_level's bisection). Returns (y, y, u, v) levels."""
     g = level_guess(qindex, bit_depth)
@@ -299,7 +313,7 @@ def pick_levels(recon_planes, src_planes, leaf_sizes, mi_rows, mi_cols,
                     tx_map, sx, sy = build_tx_maps(leaf_sizes, mi_rows,
                                                    mi_cols, p)
                     loop_filter_plane(work, tx_map, sx, sy, lvl, w_eff,
-                                      h_eff, is_luma=p == 0)
+                                      h_eff, is_luma=p == 0, bd=bit_depth)
                 d = work[:h_eff, :w_eff].astype(np.int64) \
                     - src_planes[p][:h_eff, :w_eff]
                 planes_sse += int(np.sum(d * d))
@@ -314,7 +328,8 @@ def pick_levels(recon_planes, src_planes, leaf_sizes, mi_rows, mi_cols,
 
 
 def loop_filter_frame(recon_planes, leaf_sizes: dict, mi_rows: int,
-                      mi_cols: int, levels, sharpness: int = 0) -> None:
+                      mi_cols: int, levels, sharpness: int = 0,
+                      bd: int = 8) -> None:
     """Apply DLF in place to [Y, U, V] padded recon planes.
     levels: (y_vert, y_horz, u, v) — y uses levels[0] (this encoder keeps
     vert == horz)."""
@@ -328,4 +343,4 @@ def loop_filter_frame(recon_planes, leaf_sizes: dict, mi_rows: int,
         ss = 0 if plane == 0 else 1
         loop_filter_plane(recon_planes[plane], tx_map, sx, sy, level,
                           (mi_cols * 4) >> ss, (mi_rows * 4) >> ss,
-                          sharpness, is_luma=plane == 0)
+                          sharpness, is_luma=plane == 0, bd=bd)

@@ -91,7 +91,8 @@ class FrameDecoder:
         if any(self.fh.loop_filter_levels):
             from svt_av1_tpu.ops import dlf
             dlf.loop_filter_frame(self.recon, frame_leaves, self.mi_rows,
-                                  self.mi_cols, self.fh.loop_filter_levels)
+                                  self.mi_cols, self.fh.loop_filter_levels,
+                                  bd=self.bd)
         if self.seq.enable_cdef:
             from svt_av1_tpu.ops import cdef as cdef_ops
             skip8 = frame_skip[0::2, 0::2] & frame_skip[0::2, 1::2] \

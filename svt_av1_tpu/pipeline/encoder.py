@@ -49,6 +49,9 @@ class Encoder:
         if cfg.scene_change_detection:
             from svt_av1_tpu.pipeline.scd import SceneChangeDetector
             self._scd = SceneChangeDetector()
+        self._la: List[tuple] = []   # lookahead queue (frame, complexity)
+        self._la_prev = None
+        self._la_weight = 1.0
         self._rc = None
         from svt_av1_tpu.config import RateControlMode
         if cfg.rate_control_mode == RateControlMode.VBR \
@@ -64,7 +67,8 @@ class Encoder:
         cfg = self.cfg
         if self._rc is not None:
             cfg = dataclasses.replace(
-                cfg, qindex_override=self._rc.frame_qindex(is_key))
+                cfg, qindex_override=self._rc.frame_qindex(
+                    is_key, self._la_weight))
         return cfg
 
     def _crop(self, padded):
@@ -160,6 +164,35 @@ class Encoder:
     # --- public ---------------------------------------------------------------
     def send_picture(self, y: np.ndarray, u: np.ndarray,
                      v: np.ndarray) -> None:
+        """Accept one frame (display order). With lookahead, encoding of a
+        frame is deferred until its complexity window fills (the
+        InitialRateControl look-ahead analogue)."""
+        lad = self.cfg.look_ahead_distance
+        if lad > 0 and self._rc is not None:
+            from svt_av1_tpu.pipeline.scd import luma_stats
+            d, _ = luma_stats(y)
+            c = 1.0
+            if self._la_prev is not None and self._la_prev.shape == d.shape:
+                c = float(np.mean(np.abs(
+                    d.astype(np.int32) - self._la_prev.astype(np.int32))))
+            self._la_prev = d
+            self._la.append((y, u, v, max(c, 1e-3)))
+            if len(self._la) <= lad:
+                return
+            self._drain_lookahead()
+            return
+        self._encode_one(y, u, v)
+
+    def _drain_lookahead(self, all_frames: bool = False) -> None:
+        while self._la and (all_frames or len(self._la) >
+                            self.cfg.look_ahead_distance):
+            y, u, v, c = self._la.pop(0)
+            window = [c] + [e[3] for e in self._la]
+            self._la_weight = c / max(np.mean(window), 1e-3)
+            self._encode_one(y, u, v)
+            self._la_weight = 1.0
+
+    def _encode_one(self, y, u, v) -> None:
         cfg = self.cfg
         is_key = self._is_key(self._frame_idx)
         if self._scd is not None and self._scd.is_scene_change(y):
@@ -182,6 +215,7 @@ class Encoder:
 
     def flush(self) -> None:
         """Encode any buffered frames (end of stream)."""
+        self._drain_lookahead(all_frames=True)
         self._flush_group()
 
     def get_packet(self) -> Optional[Tuple[bytes, Optional[list]]]:

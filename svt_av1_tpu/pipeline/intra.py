@@ -95,14 +95,15 @@ class IntraFrameEncoder:
 
         tile = self.w.done()
         lf_levels = (0, 0, 0, 0)
-        if cfg.enable_dlf and cfg.bit_depth == 8:
+        if cfg.enable_dlf:
             from svt_av1_tpu.ops import dlf
             lf_levels = dlf.pick_levels(self.recon, self.src,
                                         self.leaf_sizes, self.mi_rows,
                                         self.mi_cols, cfg.base_q_idx,
                                         cfg.bit_depth)
             dlf.loop_filter_frame(self.recon, self.leaf_sizes, self.mi_rows,
-                                  self.mi_cols, lf_levels)
+                                  self.mi_cols, lf_levels,
+                                  bd=cfg.bit_depth)
         fh = obu.FrameHeader(base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
                              loop_filter_levels=lf_levels,

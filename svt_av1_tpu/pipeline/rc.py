@@ -36,12 +36,17 @@ class RateControl:
         # stays on target (keys are rare; approximation is fine)
         return self.frame_budget * (self.KEY_BOOST if is_key else 0.95)
 
-    def frame_qindex(self, is_key: bool) -> int:
+    def frame_qindex(self, is_key: bool, complexity: float = 1.0) -> int:
+        """complexity: lookahead weight (1.0 = average frame; > 1 means
+        the lookahead saw this frame is harder — spend proportionally
+        more bits by lowering q)."""
         q = self.q
         # buffer pressure: full positive buffer pushes q up ~40 steps
         q += 40.0 * np.clip(self.buffer / max(self.buffer_cap, 1), -1, 1)
         if is_key:
             q -= 18.0              # hierarchical qp offset for keys
+        if complexity != 1.0:
+            q -= 14.0 * np.log2(np.clip(complexity, 0.5, 2.0))
         return int(np.clip(round(q), 1, 255))
 
     def update(self, actual_bits: float, is_key: bool) -> None:

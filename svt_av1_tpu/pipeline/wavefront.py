@@ -294,14 +294,15 @@ class WavefrontIntraEncoder:
                  tile_states):
         cfg = self.cfg
         lf_levels = (0, 0, 0, 0)
-        if cfg.enable_dlf and cfg.bit_depth == 8:
+        if cfg.enable_dlf:
             from svt_av1_tpu.ops import dlf
             lf_levels = dlf.pick_levels(frame_recon, frame_src,
                                         frame_leaves, self.mi_rows,
                                         self.mi_cols, cfg.base_q_idx,
                                         cfg.bit_depth)
             dlf.loop_filter_frame(frame_recon, frame_leaves, self.mi_rows,
-                                  self.mi_cols, lf_levels)
+                                  self.mi_cols, lf_levels,
+                                  bd=cfg.bit_depth)
         cdef_kw = {}
         self.cdef_idx_map = None
         if cfg.enable_cdef:

@@ -120,9 +120,13 @@ def test_inter_core_step_finds_pan_and_zeroes_residual():
         jnp.asarray(cur), jnp.asarray(refp), size=16, search_range=8,
         qindex=160)
     mv = np.asarray(mv)
-    # interior blocks must find the exact pan with zero residual
-    found = np.asarray(eob)
     assert (mv[:, 0] == dy).mean() > 0.8
     assert (mv[:, 1] == dx).mean() > 0.8
-    assert (found == 0).mean() > 0.8
-    assert (np.asarray(sse)[(mv[:, 0] == dy) & (mv[:, 1] == dx)] == 0).all()
+    # interior blocks (1-block margin: border blocks read edge-padded
+    # reference content) must have zero residual
+    bw = W // 16
+    idx = np.arange(len(mv))
+    interior = ((idx // bw >= 1) & (idx // bw < H // 16 - 1)
+                & (idx % bw >= 1) & (idx % bw < bw - 1))
+    assert (np.asarray(eob)[interior] == 0).all()
+    assert (np.asarray(sse)[interior] == 0).all()

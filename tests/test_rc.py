@@ -7,7 +7,7 @@ import numpy as np
 from svt_av1_tpu.bitstream.ivf import write_ivf_frame, write_ivf_header
 from svt_av1_tpu.config import EncoderConfig, RateControlMode
 from svt_av1_tpu.pipeline.decode import decode_ivf
-from svt_av1_tpu.pipeline.encoder import Encoder
+from svt_av1_tpu.pipeline.encoder import Encoder, encode_ivf
 from tests.test_inter_e2e import _clip
 from tests.test_intra_e2e import psnr
 
@@ -46,3 +46,32 @@ def test_vbr_rate_quality_monotone():
     k2, p2, _ = _run(400_000, frames)
     assert k2 > k1
     assert p2 > p1
+
+
+def test_lookahead_rate_tracking():
+    """Lookahead-weighted VBR must decode fully and track the target at
+    least as well as no-lookahead on variable-complexity content."""
+    from tests.test_inter_e2e import _texture
+    big = _texture(seed=5)
+    frames = []
+    for t in range(6):
+        frames.append((big[0:128, 2 * t:2 * t + 192].copy(),
+                       np.full((64, 96), 120, np.uint8),
+                       np.full((64, 96), 130, np.uint8)))
+    for t in range(6):
+        frames.append((big[12 * t:12 * t + 128,
+                           100 + 15 * t:100 + 15 * t + 192].copy(),
+                       np.full((64, 96), 120, np.uint8),
+                       np.full((64, 96), 130, np.uint8)))
+    res = {}
+    for lad in (0, 4):
+        cfg = EncoderConfig(width=192, height=128, qp=40,
+                            rate_control_mode=RateControlMode.VBR,
+                            target_bit_rate=250_000,
+                            look_ahead_distance=lad,
+                            scene_change_detection=False)
+        iv = encode_ivf(frames, cfg)
+        decs = decode_ivf(io.BytesIO(iv))
+        assert len(decs) == len(frames)
+        res[lad] = abs(len(iv) * 8 * 30 / len(frames) - 250_000)
+    assert res[4] <= res[0] * 1.5
