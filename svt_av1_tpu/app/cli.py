@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--recon", default=None,
                    help="write reconstruction to this yuv file")
     p.add_argument("--no-stats", action="store_true")
+    p.add_argument("--film-grain", type=int, default=0, metavar="LEVEL",
+                   help="film grain synthesis strength 0..64 (0 = off)")
     return p
 
 
@@ -54,7 +56,8 @@ def preset_config(args) -> EncoderConfig:
     the reference's signal_derivation_*_oq feature levels)."""
     kw = dict(width=args.width, height=args.height, qp=args.qp,
               bit_depth=args.bit_depth, intra_period=args.intra_period,
-              frame_rate_num=args.fps)
+              frame_rate_num=args.fps,
+              film_grain_strength=args.film_grain)
     if args.preset <= 0:       # M0: full tools
         kw.update(fixed_partition_size=None, nfl=4,
                   angle_deltas=(-3, -2, -1, 0, 1, 2, 3),

@@ -123,6 +123,7 @@ class FrameHeader:
     cdef_bits: int = 2
     cdef_y_strengths: tuple = (0, 0, 0, 0)
     cdef_uv_strengths: tuple = (0, 0, 0, 0)
+    film_grain: object = None     # FilmGrainParams (ops.grain) or None
 
 
 def _obu_header(obu_type: int) -> int:
@@ -301,7 +302,12 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
     if not is_key:
         for _ in range(7):
             w.write_bit(0)               # is_global[LAST..ALTREF]
-    # film_grain_params: disabled -> no bits
+    if seq.film_grain_params_present:
+        from svt_av1_tpu.ops import grain as grain_ops
+        if fh.film_grain is None:
+            w.write_bit(0)               # apply_grain = 0
+        else:
+            grain_ops.write_params(w, fh.film_grain, not is_key)
 
 
 def _write_tile_info(w: BitWriter, seq: SequenceHeader,
@@ -512,6 +518,10 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
     if not is_key:
         for _ in range(7):
             assert r.read_bit() == 0  # is_global
+    film_grain = None
+    if seq.film_grain_params_present:
+        from svt_av1_tpu.ops import grain as grain_ops
+        film_grain = grain_ops.read_params(r, not is_key)
     r.byte_align()
     fh = FrameHeader(frame_type=frame_type, show_frame=show_frame,
                      error_resilient=error_resilient,
@@ -519,6 +529,7 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
                      ref_frame_idx=ref_frame_idx,
                      cdef_damping=cdef_damping, cdef_bits=cdef_bits,
                      cdef_y_strengths=cdef_y, cdef_uv_strengths=cdef_uv,
+                     film_grain=film_grain,
                      base_q_idx=base_q_idx,
                      disable_cdf_update=disable_cdf_update,
                      disable_frame_end_update_cdf=disable_end_update,

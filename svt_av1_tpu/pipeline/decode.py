@@ -335,13 +335,23 @@ class StreamDecoder:
 
     def __init__(self, seq: obu.SequenceHeader = None):
         self.seq = seq
-        self.slots = [None] * 8  # padded recon planes per slot
+        self.slots = [None] * 8       # padded recon planes per slot
+        self.slot_grain = [None] * 8  # film grain params per slot
 
     def _crop(self, planes):
         w, h = self.seq.width, self.seq.height
         return [planes[0][:h, :w],
                 planes[1][:(h + 1) // 2, :(w + 1) // 2],
                 planes[2][:(h + 1) // 2, :(w + 1) // 2]]
+
+    def _apply_grain(self, planes, params):
+        """Film grain synthesis at display (spec 7.18.3: grain is added
+        to the output copy only; reference buffers stay clean —
+        grainSynthesis.c:1174 av1_add_film_grain_run)."""
+        if params is None or not params.apply_grain:
+            return planes
+        from svt_av1_tpu.ops import grain as grain_ops
+        return grain_ops.apply_grain(planes, params, self.seq.bit_depth)
 
     def decode_tu(self, tu: bytes):
         """Returns cropped recon planes of the shown frame, or None (the
@@ -359,7 +369,8 @@ class StreamDecoder:
                 slot = obu.parse_show_existing(payload)
                 assert slot is not None, "bare frame headers unsupported"
                 assert self.slots[slot] is not None
-                recon = self._crop(self.slots[slot])
+                recon = self._apply_grain(self._crop(self.slots[slot]),
+                                          self.slot_grain[slot])
             elif obu_type == obu.OBU_FRAME:
                 assert self.seq is not None, "no sequence header seen"
                 fh, tiles = obu.parse_frame_obu(payload, self.seq)
@@ -376,10 +387,11 @@ class StreamDecoder:
                 dec = FrameDecoder(self.seq, fh, refs)
                 out = dec.decode_frame(tiles)
                 if fh.show_frame:
-                    recon = out
+                    recon = self._apply_grain(out, fh.film_grain)
                 for i in range(8):
                     if (fh.refresh_frame_flags >> i) & 1:
                         self.slots[i] = dec.recon
+                        self.slot_grain[i] = fh.film_grain
             else:
                 raise NotImplementedError(f"obu type {obu_type}")
         return recon

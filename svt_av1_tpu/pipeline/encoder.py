@@ -39,7 +39,14 @@ class Encoder:
         self.cfg = cfg
         self.seq = obu.SequenceHeader(width=cfg.width, height=cfg.height,
                                       bit_depth=cfg.bit_depth,
-                                      enable_cdef=cfg.enable_cdef)
+                                      enable_cdef=cfg.enable_cdef,
+                                      film_grain_params_present=(
+                                          cfg.film_grain_strength > 0))
+        self._grain = None
+        if cfg.film_grain_strength > 0:
+            from svt_av1_tpu.ops import grain as grain_ops
+            self._grain = grain_ops.default_params(cfg.film_grain_strength,
+                                                   cfg.film_grain_seed)
         self._slots = [None] * 8   # padded recon per slot
         self._base_slot = 0        # slot of the most recent past anchor
         self._frame_idx = 0        # display-order index of next input
@@ -73,9 +80,16 @@ class Encoder:
 
     def _crop(self, padded):
         cfg = self.cfg
-        return [padded[0][:cfg.height, :cfg.width],
-                padded[1][:(cfg.height + 1) // 2, :(cfg.width + 1) // 2],
-                padded[2][:(cfg.height + 1) // 2, :(cfg.width + 1) // 2]]
+        out = [padded[0][:cfg.height, :cfg.width],
+               padded[1][:(cfg.height + 1) // 2, :(cfg.width + 1) // 2],
+               padded[2][:(cfg.height + 1) // 2, :(cfg.width + 1) // 2]]
+        if self._grain is not None:
+            # display-path grain only: reference slots stay grain-free
+            # (spec 7.18.3 applies grain after the frame is output, not
+            # to the reference buffers; grainSynthesis.c:1174)
+            from svt_av1_tpu.ops import grain as grain_ops
+            out = grain_ops.apply_grain(out, self._grain, cfg.bit_depth)
+        return out
 
     def _encode_key(self, y, u, v) -> None:
         cfg = self._cfg_for(True)

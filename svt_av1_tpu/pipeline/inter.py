@@ -116,7 +116,13 @@ class InterFrameEncoder:
             cdef_kw = dict(cdef_damping=damping, cdef_bits=2,
                            cdef_y_strengths=y_str, cdef_uv_strengths=uv_str)
         tile = self._syntax_pass()
+        fg = None
+        if self.seq.film_grain_params_present:
+            from svt_av1_tpu.ops import grain as grain_ops
+            fg = grain_ops.default_params(cfg.film_grain_strength,
+                                          cfg.film_grain_seed)
         fh = obu.FrameHeader(frame_type=obu.INTER_FRAME,
+                             film_grain=fg,
                              base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
                              loop_filter_levels=lf_levels,

@@ -61,7 +61,9 @@ class IntraFrameEncoder:
         self.cfg = cfg
         self.seq = obu.SequenceHeader(width=cfg.width, height=cfg.height,
                                       bit_depth=cfg.bit_depth,
-                                      enable_cdef=cfg.enable_cdef)
+                                      enable_cdef=cfg.enable_cdef,
+                                      film_grain_params_present=(
+                                          cfg.film_grain_strength > 0))
         self.mi_cols = self.seq.mi_cols
         self.mi_rows = self.seq.mi_rows
         self.qp = quant_ops.make_quant_params(cfg.base_q_idx,
@@ -104,16 +106,24 @@ class IntraFrameEncoder:
             dlf.loop_filter_frame(self.recon, self.leaf_sizes, self.mi_rows,
                                   self.mi_cols, lf_levels,
                                   bd=cfg.bit_depth)
+        fg = None
+        if cfg.film_grain_strength > 0:
+            from svt_av1_tpu.ops import grain as grain_ops
+            fg = grain_ops.default_params(cfg.film_grain_strength,
+                                          cfg.film_grain_seed)
         fh = obu.FrameHeader(base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
                              loop_filter_levels=lf_levels,
-                             reduced_tx_set=False)
+                             reduced_tx_set=False, film_grain=fg)
         tu = (obu.temporal_delimiter_obu()
               + obu.write_sequence_header_obu(self.seq)
               + obu.write_frame_obu(self.seq, fh, [tile]))
         recon = [self.recon[0][:cfg.height, :cfg.width],
                  self.recon[1][:(cfg.height + 1) // 2, :(cfg.width + 1) // 2],
                  self.recon[2][:(cfg.height + 1) // 2, :(cfg.width + 1) // 2]]
+        if fg is not None:
+            from svt_av1_tpu.ops import grain as grain_ops
+            recon = grain_ops.apply_grain(recon, fg, cfg.bit_depth)
         stats = {"tile_bytes": len(tile), "tu_bytes": len(tu)}
         return tu, recon, stats
 

@@ -45,7 +45,9 @@ class WavefrontIntraEncoder:
         self.cfg = cfg
         self.seq = obu.SequenceHeader(width=cfg.width, height=cfg.height,
                                       bit_depth=cfg.bit_depth,
-                                      enable_cdef=cfg.enable_cdef)
+                                      enable_cdef=cfg.enable_cdef,
+                                      film_grain_params_present=(
+                                          cfg.film_grain_strength > 0))
         self.mi_cols = self.seq.mi_cols
         self.mi_rows = self.seq.mi_rows
         self.qp = quant_ops.make_quant_params(cfg.base_q_idx,
@@ -327,11 +329,17 @@ class WavefrontIntraEncoder:
                     setattr(self, k, v)
             self.tile_mi_off = (st["rect"][0], st["rect"][1])
             payloads.append(self._syntax_pass())
+        fg = None
+        if cfg.film_grain_strength > 0:
+            from svt_av1_tpu.ops import grain as grain_ops
+            fg = grain_ops.default_params(cfg.film_grain_strength,
+                                          cfg.film_grain_seed)
         fh = obu.FrameHeader(base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
                              loop_filter_levels=lf_levels,
                              tile_cols_log2=cfg.tile_cols_log2,
-                             tile_rows_log2=cfg.tile_rows_log2, **cdef_kw)
+                             tile_rows_log2=cfg.tile_rows_log2,
+                             film_grain=fg, **cdef_kw)
         tu = (obu.temporal_delimiter_obu()
               + obu.write_sequence_header_obu(self.seq)
               + obu.write_frame_obu(self.seq, fh, payloads))
@@ -340,6 +348,9 @@ class WavefrontIntraEncoder:
                                 :(cfg.width + 1) // 2],
                  frame_recon[2][:(cfg.height + 1) // 2,
                                 :(cfg.width + 1) // 2]]
+        if fg is not None:
+            from svt_av1_tpu.ops import grain as grain_ops
+            recon = grain_ops.apply_grain(recon, fg, cfg.bit_depth)
         tb = sum(len(t) for t in payloads)
         return tu, recon, {"tile_bytes": tb, "tu_bytes": len(tu)}
 
