@@ -124,6 +124,9 @@ class FrameHeader:
     cdef_y_strengths: tuple = (0, 0, 0, 0)
     cdef_uv_strengths: tuple = (0, 0, 0, 0)
     film_grain: object = None     # FilmGrainParams (ops.grain) or None
+    # lr_params (spec 5.9.20): (frame_restoration_types[3], unit_size_y,
+    # unit_size_uv) in plane pixels, or None when restoration is off
+    lr_params: object = None
 
 
 def _obu_header(obu_type: int) -> int:
@@ -291,8 +294,22 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
         for i in range(1 << fh.cdef_bits):
             w.write(fh.cdef_y_strengths[i], 6)
             w.write(fh.cdef_uv_strengths[i], 6)
-    # lr_params: restoration disabled -> no bits
-    assert not seq.enable_restoration
+    # lr_params (spec 5.9.20; reference encode_restoration_mode
+    # EbEntropyCoding.c:2706)
+    if seq.enable_restoration:
+        types, size_y, size_uv = fh.lr_params or ((0, 0, 0), 256, 128)
+        # bit pairs per plane: NONE=00 WIENER=10 SGRPROJ=11 SWITCHABLE=01
+        _LR_BITS = {0: (0, 0), 1: (1, 0), 2: (1, 1), 3: (0, 1)}
+        for t in types:
+            b0, b1 = _LR_BITS[t]
+            w.write_bit(b0)
+            w.write_bit(b1)
+        if any(types):
+            w.write_bit(int(size_y > 64))
+            if size_y > 64:
+                w.write_bit(int(size_y > 128))
+            if types[1] or types[2]:
+                w.write_bit(int(size_uv != size_y))
     w.write_bit(int(fh.tx_mode_select))  # read_tx_mode
     if not is_key:
         w.write_bit(0)                   # reference_select (single pred)
@@ -511,6 +528,21 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
             ys.append(r.read(6))
             uvs.append(r.read(6))
         cdef_y, cdef_uv = tuple(ys), tuple(uvs)
+    lr_params = None
+    if seq.enable_restoration:
+        _LR_TYPE = {(0, 0): 0, (1, 0): 1, (1, 1): 2, (0, 1): 3}
+        types = tuple(_LR_TYPE[(r.read_bit(), r.read_bit())]
+                      for _ in range(3))
+        size_y, size_uv = 256, 128
+        if any(types):
+            size_y = 64
+            if r.read_bit():
+                size_y = 256 if r.read_bit() else 128
+            size_uv = size_y
+            if types[1] or types[2]:
+                if r.read_bit():
+                    size_uv = size_y >> 1
+        lr_params = (types, size_y, size_uv)
     tx_mode_select = bool(r.read_bit())
     if not is_key:
         assert r.read_bit() == 0  # reference_select
@@ -529,7 +561,7 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
                      ref_frame_idx=ref_frame_idx,
                      cdef_damping=cdef_damping, cdef_bits=cdef_bits,
                      cdef_y_strengths=cdef_y, cdef_uv_strengths=cdef_uv,
-                     film_grain=film_grain,
+                     film_grain=film_grain, lr_params=lr_params,
                      base_q_idx=base_q_idx,
                      disable_cdf_update=disable_cdf_update,
                      disable_frame_end_update_cdf=disable_end_update,

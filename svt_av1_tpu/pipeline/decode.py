@@ -50,6 +50,40 @@ class FrameDecoder:
         self.max_wh = [(self.mi_cols * 4, self.mi_rows * 4),
                        (self.mi_cols * 2, self.mi_rows * 2),
                        (self.mi_cols * 2, self.mi_rows * 2)]
+        self.lr_rinfos = None
+        if fh.lr_params is not None and any(fh.lr_params[0]):
+            from svt_av1_tpu.ops import restoration as rst_ops
+            types, size_y, size_uv = fh.lr_params
+            self.lr_rinfos = []
+            for p in range(3):
+                ss = 1 if p else 0
+                Wp = (seq.width + ss) >> ss
+                Hp = (seq.height + ss) >> ss
+                size = size_y if p == 0 else size_uv
+                lims, hn, vn = rst_ops.unit_limits(Wp, Hp, size, ss)
+                self.lr_rinfos.append(rst_ops.RestorationInfo(
+                    frame_restoration_type=types[p], unit_size=size,
+                    units=[rst_ops.RestorationUnitInfo()
+                           for _ in lims], hunits=hn, vunits=vn))
+
+    def _read_lr(self, mi_row: int, mi_col: int) -> None:
+        """read_lr mirror (spec 5.11.57) at each superblock."""
+        if self.lr_rinfos is None:
+            return
+        from svt_av1_tpu.entropy import lr as lr_syntax
+        from svt_av1_tpu.ops import restoration as rst_ops
+        for p in range(3):
+            ri = self.lr_rinfos[p]
+            if ri.frame_restoration_type == rst_ops.RESTORE_NONE:
+                continue
+            ss = 1 if p else 0
+            Wp = (self.seq.width + ss) >> ss
+            Hp = (self.seq.height + ss) >> ss
+            for idx in rst_ops.units_in_sb(mi_row, mi_col, 16, Wp, Hp,
+                                           ri.unit_size, ss, ss):
+                ri.units[idx] = lr_syntax.read_lr_unit(
+                    self.r, self.fc, ri.frame_restoration_type,
+                    self.lr_ref[p], p > 0)
 
     def decode_frame(self, tile_payloads):
         frame_recon = self.recon
@@ -93,6 +127,16 @@ class FrameDecoder:
             dlf.loop_filter_frame(self.recon, frame_leaves, self.mi_rows,
                                   self.mi_cols, self.fh.loop_filter_levels,
                                   bd=self.bd)
+        lr_bounds = None
+        if self.lr_rinfos is not None:
+            from svt_av1_tpu.ops import restoration as rst_ops
+            lr_bounds = []
+            for p in range(3):
+                ss = 1 if p else 0
+                Hp = (self.seq.height + ss) >> ss
+                Wp = (self.seq.width + ss) >> ss
+                lr_bounds.append(rst_ops.save_deblock_boundary_lines(
+                    self.recon[p][:Hp, :Wp], Hp, ss))
         if self.seq.enable_cdef:
             from svt_av1_tpu.ops import cdef as cdef_ops
             skip8 = frame_skip[0::2, 0::2] & frame_skip[0::2, 1::2] \
@@ -102,6 +146,11 @@ class FrameDecoder:
                                 self.fh.cdef_uv_strengths,
                                 self.fh.cdef_damping, self.mi_rows,
                                 self.mi_cols, self.bd)
+        if self.lr_rinfos is not None:
+            from svt_av1_tpu.ops import restoration as rst_ops
+            rst_ops.loop_restoration_filter_frame(
+                self.recon, self.lr_rinfos, lr_bounds, self.seq.width,
+                self.seq.height, self.seq.bit_depth)
         w, h = self.seq.width, self.seq.height
         return [self.recon[0][:h, :w],
                 self.recon[1][:(h + 1) // 2, :(w + 1) // 2],
@@ -115,8 +164,13 @@ class FrameDecoder:
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
         self.mvp_state = mvp.MvpState(self.mi_rows, self.mi_cols)
         self.leaf_sizes = {}
+        from svt_av1_tpu.entropy import lr as lr_syntax
+        self.lr_ref = [lr_syntax.LrRefState() for _ in range(3)]
+        if self.lr_rinfos is not None:
+            assert self.tile_mi_off == (0, 0), "LR decode is single-tile"
         for sb_y in range(0, sb_rs * 16, 16):
             for sb_x in range(0, sb_cs * 16, 16):
+                self._read_lr(sb_y, sb_x)
                 self._decode_partition(sb_y, sb_x, 64)
 
     def _decode_partition(self, mi_row: int, mi_col: int, size: int) -> None:

@@ -46,8 +46,13 @@ class WavefrontIntraEncoder:
         self.seq = obu.SequenceHeader(width=cfg.width, height=cfg.height,
                                       bit_depth=cfg.bit_depth,
                                       enable_cdef=cfg.enable_cdef,
+                                      enable_restoration=cfg.enable_restoration,
                                       film_grain_params_present=(
                                           cfg.film_grain_strength > 0))
+        if cfg.enable_restoration:
+            assert cfg.tile_cols_log2 == 0 and cfg.tile_rows_log2 == 0, \
+                "LR syntax is single-tile for now"
+        self.lr_rinfos = None
         self.mi_cols = self.seq.mi_cols
         self.mi_rows = self.seq.mi_rows
         self.qp = quant_ops.make_quant_params(cfg.base_q_idx,
@@ -305,6 +310,16 @@ class WavefrontIntraEncoder:
             dlf.loop_filter_frame(frame_recon, frame_leaves, self.mi_rows,
                                   self.mi_cols, lf_levels,
                                   bd=cfg.bit_depth)
+        lr_bounds = None
+        if cfg.enable_restoration:
+            from svt_av1_tpu.ops import restoration as rst_ops
+            lr_bounds = []
+            for p in range(3):
+                ss = 1 if p else 0
+                Hp = (cfg.height + ss) >> ss
+                Wp = (cfg.width + ss) >> ss
+                lr_bounds.append(rst_ops.save_deblock_boundary_lines(
+                    frame_recon[p][:Hp, :Wp], Hp, ss))
         cdef_kw = {}
         self.cdef_idx_map = None
         if cfg.enable_cdef:
@@ -320,6 +335,19 @@ class WavefrontIntraEncoder:
             self.cdef_idx_map = idx_map
             cdef_kw = dict(cdef_damping=damping, cdef_bits=2,
                            cdef_y_strengths=y_str, cdef_uv_strengths=uv_str)
+        lr_kw = {}
+        if cfg.enable_restoration:
+            from svt_av1_tpu.ops import restoration as rst_ops
+            from svt_av1_tpu.pipeline import lr_search
+            self.lr_rinfos = lr_search.search_restoration(
+                frame_recon, frame_src, lr_bounds, cfg.width, cfg.height,
+                cfg.bit_depth, cfg.base_q_idx, self.lam)
+            rst_ops.loop_restoration_filter_frame(
+                frame_recon, self.lr_rinfos, lr_bounds, cfg.width,
+                cfg.height, cfg.bit_depth)
+            lr_kw = dict(lr_params=(
+                tuple(ri.frame_restoration_type for ri in self.lr_rinfos),
+                self.lr_rinfos[0].unit_size, self.lr_rinfos[1].unit_size))
         # syntax pass per tile (entropy stage runs after the filter stages,
         # mirroring the reference pipeline order)
         payloads = []
@@ -339,7 +367,7 @@ class WavefrontIntraEncoder:
                              loop_filter_levels=lf_levels,
                              tile_cols_log2=cfg.tile_cols_log2,
                              tile_rows_log2=cfg.tile_rows_log2,
-                             film_grain=fg, **cdef_kw)
+                             film_grain=fg, **cdef_kw, **lr_kw)
         tu = (obu.temporal_delimiter_obu()
               + obu.write_sequence_header_obu(self.seq)
               + obu.write_frame_obu(self.seq, fh, payloads))
@@ -362,10 +390,36 @@ class WavefrontIntraEncoder:
                                     cfg.disable_cdf_update)
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
         self._cdef_written = set()
+        from svt_av1_tpu.entropy import lr as lr_syntax
+        self.lr_ref = [lr_syntax.LrRefState() for _ in range(3)]
         for sb_y in range(0, self.sb_rows_t * 16, 16):
             for sb_x in range(0, self.sb_cols_t * 16, 16):
+                self._write_lr(sb_y, sb_x)
                 self._emit_partition(sb_y, sb_x, 64)
         return self.w.done()
+
+    def _write_lr(self, mi_row, mi_col) -> None:
+        """Per-SB restoration-unit coefficients (reference
+        loop_restoration_write_sb_coeffs call site EbEntropyCoding.c:5429;
+        av1_loop_restoration_corners_in_sb unit mapping)."""
+        if self.lr_rinfos is None:
+            return
+        from svt_av1_tpu.entropy import lr as lr_syntax
+        from svt_av1_tpu.ops import restoration as rst_ops
+        cfg = self.cfg
+        for p in range(3):
+            ri = self.lr_rinfos[p]
+            if ri.frame_restoration_type == rst_ops.RESTORE_NONE:
+                continue
+            ss = 1 if p else 0
+            Wp = (cfg.width + ss) >> ss
+            Hp = (cfg.height + ss) >> ss
+            for idx in rst_ops.units_in_sb(mi_row, mi_col, 16, Wp, Hp,
+                                           ri.unit_size, ss, ss):
+                lr_syntax.write_lr_unit(self.w, self.fc,
+                                        ri.frame_restoration_type,
+                                        ri.units[idx], self.lr_ref[p],
+                                        p > 0)
 
     def _emit_partition(self, mi_row, mi_col, psize) -> None:
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:

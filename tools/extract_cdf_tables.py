@@ -52,6 +52,9 @@ TABLES = [
     ("default_comp_ref_cdf", "comp_ref", (3, 3, 3)),
     ("default_comp_bwdref_cdf", "comp_bwdref", (3, 2, 3)),
     ("default_inter_compound_mode_cdf", "inter_compound_mode", (8, 9)),
+    ("default_switchable_restore_cdf", "switchable_restore", (5,)),
+    ("default_wiener_restore_cdf", "wiener_restore", (4,)),
+    ("default_sgrproj_restore_cdf", "sgrproj_restore", (4,)),
     # coefficient coding (per qindex bucket)
     ("av1_default_dc_sign_cdfs", "dc_sign", (4, 2, 3, 3)),
     ("av1_default_txb_skip_cdfs", "txb_skip", (4, 5, 13, 3)),
