@@ -302,3 +302,22 @@ def read_lr_unit(r, fc, frame_rtype: int, ref: LrRefState,
             rui.restoration_type = rst.RESTORE_SGRPROJ
             rui.sgr_ep, rui.sgr_xqd = read_sgrproj(r, ref)
     return rui
+
+
+def write_sb_units(w, fc, rinfos, refs, mi_row: int, mi_col: int,
+                   width: int, height: int) -> None:
+    """Write every restoration unit whose syntax lands at this SB
+    (call site mirror of EbEntropyCoding.c:5429)."""
+    if rinfos is None:
+        return
+    for p in range(3):
+        ri = rinfos[p]
+        if ri.frame_restoration_type == rst.RESTORE_NONE:
+            continue
+        ss = 1 if p else 0
+        Wp = (width + ss) >> ss
+        Hp = (height + ss) >> ss
+        for idx in rst.units_in_sb(mi_row, mi_col, 16, Wp, Hp,
+                                   ri.unit_size, ss, ss):
+            write_lr_unit(w, fc, ri.frame_restoration_type, ri.units[idx],
+                          refs[p], p > 0)

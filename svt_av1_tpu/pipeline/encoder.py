@@ -40,6 +40,7 @@ class Encoder:
         self.seq = obu.SequenceHeader(width=cfg.width, height=cfg.height,
                                       bit_depth=cfg.bit_depth,
                                       enable_cdef=cfg.enable_cdef,
+                                      enable_restoration=cfg.enable_restoration,
                                       film_grain_params_present=(
                                           cfg.film_grain_strength > 0))
         self._grain = None

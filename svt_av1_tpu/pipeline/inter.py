@@ -94,6 +94,17 @@ class InterFrameEncoder:
             dlf.loop_filter_frame(self.recon, self.leaf_sizes, self.mi_rows,
                                   self.mi_cols, lf_levels,
                                   bd=cfg.bit_depth)
+        self.lr_rinfos = None
+        lr_bounds = None
+        if cfg.enable_restoration:
+            from svt_av1_tpu.ops import restoration as rst_ops
+            lr_bounds = []
+            for p in range(3):
+                ss = 1 if p else 0
+                Hp = (cfg.height + ss) >> ss
+                Wp = (cfg.width + ss) >> ss
+                lr_bounds.append(rst_ops.save_deblock_boundary_lines(
+                    self.recon[p][:Hp, :Wp], Hp, ss))
         cdef_kw = {}
         self.cdef_idx_map = None
         if cfg.enable_cdef:
@@ -115,6 +126,19 @@ class InterFrameEncoder:
             self.cdef_idx_map = idx_map
             cdef_kw = dict(cdef_damping=damping, cdef_bits=2,
                            cdef_y_strengths=y_str, cdef_uv_strengths=uv_str)
+        lr_kw = {}
+        if cfg.enable_restoration:
+            from svt_av1_tpu.ops import restoration as rst_ops
+            from svt_av1_tpu.pipeline import lr_search
+            self.lr_rinfos = lr_search.search_restoration(
+                self.recon, self.src, lr_bounds, cfg.width, cfg.height,
+                cfg.bit_depth, cfg.base_q_idx, self.lam)
+            rst_ops.loop_restoration_filter_frame(
+                self.recon, self.lr_rinfos, lr_bounds, cfg.width,
+                cfg.height, cfg.bit_depth)
+            lr_kw = dict(lr_params=(
+                tuple(ri.frame_restoration_type for ri in self.lr_rinfos),
+                self.lr_rinfos[0].unit_size, self.lr_rinfos[1].unit_size))
         tile = self._syntax_pass()
         fg = None
         if self.seq.film_grain_params_present:
@@ -128,7 +152,8 @@ class InterFrameEncoder:
                              loop_filter_levels=lf_levels,
                              show_frame=show_frame,
                              refresh_frame_flags=refresh_frame_flags,
-                             ref_frame_idx=tuple(ref_frame_idx), **cdef_kw)
+                             ref_frame_idx=tuple(ref_frame_idx),
+                             **cdef_kw, **lr_kw)
         tu = (obu.temporal_delimiter_obu()
               + obu.write_frame_obu(self.seq, fh, [tile]))
         return tu, self.recon
@@ -241,8 +266,13 @@ class InterFrameEncoder:
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
         self.mvp_state = mvp.MvpState(self.mi_rows, self.mi_cols)
         self._cdef_written = set()
+        from svt_av1_tpu.entropy import lr as lr_syntax
+        self.lr_ref = [lr_syntax.LrRefState() for _ in range(3)]
         for sb_y in range(0, self.seq.sb_rows * 16, 16):
             for sb_x in range(0, self.seq.sb_cols * 16, 16):
+                lr_syntax.write_sb_units(self.w, self.fc, self.lr_rinfos,
+                                         self.lr_ref, sb_y, sb_x,
+                                         cfg.width, cfg.height)
                 self._emit_partition(sb_y, sb_x, 64)
         return self.w.done()
 

@@ -399,27 +399,10 @@ class WavefrontIntraEncoder:
         return self.w.done()
 
     def _write_lr(self, mi_row, mi_col) -> None:
-        """Per-SB restoration-unit coefficients (reference
-        loop_restoration_write_sb_coeffs call site EbEntropyCoding.c:5429;
-        av1_loop_restoration_corners_in_sb unit mapping)."""
-        if self.lr_rinfos is None:
-            return
         from svt_av1_tpu.entropy import lr as lr_syntax
-        from svt_av1_tpu.ops import restoration as rst_ops
-        cfg = self.cfg
-        for p in range(3):
-            ri = self.lr_rinfos[p]
-            if ri.frame_restoration_type == rst_ops.RESTORE_NONE:
-                continue
-            ss = 1 if p else 0
-            Wp = (cfg.width + ss) >> ss
-            Hp = (cfg.height + ss) >> ss
-            for idx in rst_ops.units_in_sb(mi_row, mi_col, 16, Wp, Hp,
-                                           ri.unit_size, ss, ss):
-                lr_syntax.write_lr_unit(self.w, self.fc,
-                                        ri.frame_restoration_type,
-                                        ri.units[idx], self.lr_ref[p],
-                                        p > 0)
+        lr_syntax.write_sb_units(self.w, self.fc, self.lr_rinfos,
+                                 self.lr_ref, mi_row, mi_col,
+                                 self.cfg.width, self.cfg.height)
 
     def _emit_partition(self, mi_row, mi_col, psize) -> None:
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:

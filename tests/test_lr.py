@@ -333,3 +333,44 @@ def test_sgr_tables_match_reference_constants():
     m = re.search(r"one_by_x\[MAX_NELEM\] = \{(.*?)\};", src, re.S)
     vals = [int(v) for v in re.findall(r"\d+", m.group(1))]
     assert (np.array(vals) == rst._ONE_BY_X).all()
+
+
+def test_inter_lr_roundtrip():
+    """Low-delay P with restoration on: every shown frame must decode
+    byte-exactly, and LR applies in-loop (refs are restored frames)."""
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    rng = np.random.RandomState(11)
+    h, w = 128, 192
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(4):
+        y = np.clip(128 + 50 * np.sin((yy + 3 * t) / 13.0)
+                    + rng.normal(0, 10, (h, w)), 0, 255).astype(np.uint8)
+        u = np.clip(120 + 30 * np.cos(xx[:h // 2, :w // 2] / 11.0)
+                    + rng.normal(0, 6, (h // 2, w // 2)),
+                    0, 255).astype(np.uint8)
+        v = np.full((h // 2, w // 2), 130, np.uint8)
+        frames.append((y, u, v))
+    cfg = EncoderConfig(width=w, height=h, qp=50, intra_period=16,
+                        enable_restoration=True,
+                        scene_change_detection=False)
+    enc = Encoder(cfg)
+    outs = []
+    for f in frames:
+        enc.send_picture(*f)
+        while (pkt := enc.get_packet()) is not None:
+            outs.append(pkt)
+    enc.flush()
+    while (pkt := enc.get_packet()) is not None:
+        outs.append(pkt)
+    dec = StreamDecoder()
+    shown = 0
+    for tu, disp in outs:
+        out = dec.decode_tu(tu)
+        if disp is None:
+            continue
+        shown += 1
+        for p in range(3):
+            assert (out[p] == disp[p]).all(), f"frame {shown} plane {p}"
+    assert shown == len(frames)
