@@ -86,6 +86,7 @@ class EncoderConfig:
     stat_report: bool = True
     recon_enabled: bool = False
     scene_change_detection: bool = True  # auto keyframes on scene cuts
+    intra_in_inter: bool = True   # allow intra blocks inside inter frames
 
     def __post_init__(self):
         if self.width % 2 or self.height % 2:

@@ -132,6 +132,22 @@ def read_intra_luma_mode_kf(r: SymbolReader, fc, ctxs: TileContexts,
     return r.read_symbol(fc.kf_y_mode[above][left], 13)
 
 
+# size_group_lookup for square blocks (reference EbDefinitions.h:1272)
+_SIZE_GROUP = {4: 0, 8: 1, 16: 2, 32: 3, 64: 3}
+
+
+def write_intra_luma_mode_if(w: SymbolWriter, fc, size: int,
+                             mode: int) -> None:
+    """Luma mode of an intra block inside an inter frame: y_mode_cdf
+    indexed by size group, no neighbor ctx (reference
+    EbEntropyCoding.c:1123 EncodeIntraLumaModeNonKeyAv1)."""
+    w.write_symbol(mode, fc.if_y_mode[_SIZE_GROUP[size]], 13)
+
+
+def read_intra_luma_mode_if(r: SymbolReader, fc, size: int) -> int:
+    return r.read_symbol(fc.if_y_mode[_SIZE_GROUP[size]], 13)
+
+
 MAX_ANGLE_DELTA = 3
 
 

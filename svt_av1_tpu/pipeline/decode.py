@@ -226,7 +226,12 @@ class FrameDecoder:
         self._read_cdef(mi_row, mi_col, skip)
         is_inter = inter_modes.read_is_inter(self.r, self.fc,
                                              self.mvp_state, mi_row, mi_col)
-        assert is_inter, "intra-in-inter decode lands with that encoder path"
+        if not is_inter:
+            # intra block inside an inter frame (spec 5.11.19)
+            self._decode_intra_tail(mi_row, mi_col, size, skip, kf=False)
+            self.mvp_state.set_block(mi_row, mi_col, s4, mvp.INTRA_FRAME,
+                                     (0, 0), 0)
+            return
         ref = inter_modes.read_single_ref(self.r, self.fc, self.mvp_state,
                                           mi_row, mi_col)
         res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4, ref)
@@ -286,14 +291,25 @@ class FrameDecoder:
 
     def _decode_intra_block(self, mi_row: int, mi_col: int,
                             size: int) -> None:
-        x, y = mi_col * 4, mi_row * 4
-        bsize = common.square_bsize(size)
         skip = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
                                      mi_row, mi_col)
         self._read_cdef(mi_row, mi_col, skip)
-        y_mode = mode_syntax.read_intra_luma_mode_kf(self.r, self.fc,
-                                                     self.ctxs, mi_row,
-                                                     mi_col)
+        self._decode_intra_tail(mi_row, mi_col, size, skip, kf=True)
+
+    def _decode_intra_tail(self, mi_row: int, mi_col: int, size: int,
+                           skip: int, kf: bool) -> None:
+        """Mode info + reconstruction of an intra block; keyframes use
+        the neighbor-ctx kf_y_mode CDF, inter frames the size-group
+        y_mode CDF (spec 5.11.18 vs 5.11.19)."""
+        x, y = mi_col * 4, mi_row * 4
+        bsize = common.square_bsize(size)
+        if kf:
+            y_mode = mode_syntax.read_intra_luma_mode_kf(self.r, self.fc,
+                                                         self.ctxs, mi_row,
+                                                         mi_col)
+        else:
+            y_mode = mode_syntax.read_intra_luma_mode_if(self.r, self.fc,
+                                                         size)
         y_delta = mode_syntax.read_angle_delta(self.r, self.fc, y_mode) \
             if intra_dir.is_directional(y_mode) else 0
         cfl_allowed = size <= 32

@@ -78,11 +78,16 @@ class InterFrameEncoder:
         self.block_ref = np.full(n, LAST_FRAME, dtype=np.int32)
         self.qcoeff = [[None] * n, [None] * n, [None] * n]
         self.eobs = np.zeros((3, n), dtype=np.int32)
+        self.block_is_inter = np.ones(n, dtype=bool)
+        self.intra_mode = np.zeros(n, dtype=np.int32)
+        self.inter_cost = np.zeros(n)
 
         larr = np.array([(r, c, s) for r, c, s in leaves], dtype=np.int64)
         for size in np.unique(larr[:, 2]):
             ids = np.nonzero(larr[:, 2] == size)[0]
             self._encode_blocks(larr[ids], ids, int(size))
+        if cfg.intra_in_inter:
+            self._intra_flip_pass(leaves)
 
         lf_levels = (0, 0, 0, 0)
         if cfg.enable_dlf:
@@ -226,6 +231,7 @@ class InterFrameEncoder:
         self.mvs[ids] = chosen[1]
         self.block_ref[ids] = chosen_ref
         self.eobs[0, ids] = chosen[3]
+        self.inter_cost[ids] = chosen[0]
         for k, i in enumerate(ids):
             self.qcoeff[0][i] = chosen[2][k]
             yy, xx = int(ys[k]), int(xs[k])
@@ -255,6 +261,79 @@ class InterFrameEncoder:
                 self.qcoeff[plane][i] = qc[k]
                 yy, xx = int(cys[k]), int(cxs[k])
                 self.recon[plane][yy:yy + csize, xx:xx + csize] = rec[k]
+
+    # --- intra-in-inter (sequential, coding order) ---------------------------
+    _INTRA_CAND_MODES = (0, 1, 2, 9, 12)  # DC, V, H, SMOOTH, PAETH
+
+    def _intra_flip_pass(self, leaves) -> None:
+        """Re-decide poorly-predicted blocks as intra (the reference's MD
+        evaluates intra candidates inside inter frames,
+        EbModeDecisionProcess intra candidate injection). Runs in coding
+        order after the batched inter pass so intra prediction sees final
+        neighbor reconstruction: earlier blocks are already final and
+        later blocks cannot feed an intra predictor."""
+        from svt_av1_tpu.ops import intra as intra_ops
+        from svt_av1_tpu.pipeline import avail, md
+        cfg = self.cfg
+        costs = self.inter_cost
+        thr = np.median(costs) * 1.2 + 1.0
+        mode_bits = 6.0  # is_inter + y/uv mode signaling estimate
+        for (r, c, size) in leaves:
+            li = self.leaf_index[(r, c)]
+            if costs[li] <= thr:
+                continue
+            x, y = c * 4, r * 4
+            s4 = size >> 2
+            tx_y = common.tx_size_for_block(size, 0)
+            ha = np.array([y > 0])
+            hl = np.array([x > 0])
+            htr = np.array([avail.has_top_right(r, c, s4, self.mi_cols)])
+            hbl = np.array([avail.has_bottom_left(r, c, s4, self.mi_rows)])
+            above1, left1 = intra_ops.prepare_edges_av1(
+                self.recon[0], np.array([x]), np.array([y]), size, size,
+                ha, hl, htr, hbl, bd=cfg.bit_depth,
+                max_w=self.mi_cols * 4, max_h=self.mi_rows * 4)
+            src = self.src[0][y:y + size, x:x + size][None].astype(np.int64)
+            best = None
+            for m in self._INTRA_CAND_MODES:
+                pred = intra_ops.predict_any(
+                    m, 0, above1, left1, size, size, ha, hl,
+                    bd=cfg.bit_depth).astype(np.int64)
+                qc, eo, rec, dist, rate = md._full_loop(
+                    src, pred, np.zeros(1, dtype=np.int32), tx_y, size,
+                    self.qp, cfg.bit_depth)
+                cost = float(dist[0] + self.lam * (rate[0] + mode_bits))
+                if best is None or cost < best[0]:
+                    best = (cost, m, qc[0], int(eo[0]), rec[0])
+            if best[0] >= costs[li]:
+                continue
+            cost, m, qc_y, eo_y, rec_y = best
+            self.block_is_inter[li] = False
+            self.intra_mode[li] = m
+            self.qcoeff[0][li] = qc_y
+            self.eobs[0, li] = eo_y
+            self.recon[0][y:y + size, x:x + size] = rec_y
+            # chroma follows luma mode (no CfL in inter frames yet)
+            csize = size >> 1
+            tx_uv = common.tx_size_for_block(csize, 1)
+            cx, cy = x >> 1, y >> 1
+            for p in (1, 2):
+                a1, l1 = intra_ops.prepare_edges_av1(
+                    self.recon[p], np.array([cx]), np.array([cy]), csize,
+                    csize, ha, hl, htr, hbl, bd=cfg.bit_depth,
+                    max_w=self.mi_cols * 2, max_h=self.mi_rows * 2)
+                pred = intra_ops.predict_any(
+                    m, 0, a1, l1, csize, csize, ha, hl,
+                    bd=cfg.bit_depth).astype(np.int64)
+                srcs_c = self.src[p][cy:cy + csize,
+                                     cx:cx + csize][None].astype(np.int64)
+                tt_u = common.chroma_tx_type(m, tx_uv, False)
+                qc, eo, rec, _, _ = md._full_loop(
+                    srcs_c, pred, np.full(1, tt_u, dtype=np.int32), tx_uv,
+                    csize, self.qp, cfg.bit_depth)
+                self.qcoeff[p][li] = qc[0]
+                self.eobs[p, li] = int(eo[0])
+                self.recon[p][cy:cy + csize, cx:cx + csize] = rec[0]
 
     # --- sequential syntax pass ----------------------------------------------
     def _syntax_pass(self) -> bytes:
@@ -316,6 +395,9 @@ class InterFrameEncoder:
             if (sbr, sbc) not in self._cdef_written:
                 self._cdef_written.add((sbr, sbc))
                 self.w.write_literal(int(self.cdef_idx_map[sbr, sbc]), 2)
+        if not self.block_is_inter[li]:
+            self._emit_intra_block(mi_row, mi_col, size, li, skip)
+            return
         inter_modes.write_is_inter(self.w, self.fc, self.mvp_state,
                                    mi_row, mi_col, 1)
         inter_modes.write_single_ref(self.w, self.fc, self.mvp_state,
@@ -358,5 +440,48 @@ class InterFrameEncoder:
                 self.w, self.fc, self.qcoeff[p][li], ts, DCT_DCT,
                 plane_type=int(p > 0), txb_skip_ctx=skip_ctx,
                 dc_sign_ctx=sign_ctx, is_inter=True,
+                base_qindex=cfg.base_q_idx)
+            self.ctxs.update_txb_ctx(p, x4, y4, ts, cul)
+
+    def _emit_intra_block(self, mi_row, mi_col, size, li, skip) -> None:
+        """Intra block syntax inside an inter frame (spec 5.11.19):
+        is_inter=0, y mode via the size-group y_mode CDF, chroma mode,
+        then intra-style coefficient coding."""
+        from svt_av1_tpu.ops import intra_dir
+        cfg = self.cfg
+        m = int(self.intra_mode[li])
+        bsize = common.square_bsize(size)
+        inter_modes.write_is_inter(self.w, self.fc, self.mvp_state,
+                                   mi_row, mi_col, 0)
+        mode_syntax.write_intra_luma_mode_if(self.w, self.fc, size, m)
+        if intra_dir.is_directional(m):
+            mode_syntax.write_angle_delta(self.w, self.fc, m, 0)
+        mode_syntax.write_intra_chroma_mode(self.w, self.fc, m, m,
+                                            size <= 32)
+        if intra_dir.is_directional(m):
+            mode_syntax.write_angle_delta(self.w, self.fc, m, 0)
+        self.ctxs.set_mi(mi_row, mi_col, bsize, m, skip)
+        self.mvp_state.set_block(mi_row, mi_col, size >> 2,
+                                 mvp.INTRA_FRAME, (0, 0), 0)
+        csize = size >> 1
+        x, y = mi_col * 4, mi_row * 4
+        tx_y = common.tx_size_for_block(size, 0)
+        tx_uv = common.tx_size_for_block(csize, 1)
+        tt_u = common.chroma_tx_type(m, tx_uv, False)
+        plane_info = [(0, x, y, tx_y, DCT_DCT, bsize),
+                      (1, x >> 1, y >> 1, tx_uv, tt_u,
+                       common.square_bsize(csize)),
+                      (2, x >> 1, y >> 1, tx_uv, tt_u,
+                       common.square_bsize(csize))]
+        for p, px, py, ts, tt, pb in plane_info:
+            x4, y4 = px >> 2, py >> 2
+            if skip:
+                self.ctxs.update_txb_ctx(p, x4, y4, ts, 0)
+                continue
+            skip_ctx, sign_ctx = self.ctxs.txb_ctx(p, pb, ts, x4, y4)
+            cul = coeff_syntax.write_coeffs_txb(
+                self.w, self.fc, self.qcoeff[p][li], ts, tt,
+                plane_type=int(p > 0), txb_skip_ctx=skip_ctx,
+                dc_sign_ctx=sign_ctx, intra_dir=m,
                 base_qindex=cfg.base_q_idx)
             self.ctxs.update_txb_ctx(p, x4, y4, ts, cul)

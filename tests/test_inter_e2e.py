@@ -90,3 +90,60 @@ def test_intra_period_inserts_keyframes():
     iv = encode_ivf(frames, cfg)  # K P K P K
     decs = decode_ivf(io.BytesIO(iv))
     assert len(decs) == 5
+
+
+def test_intra_blocks_in_inter_frames():
+    """A frame that changes content should flip blocks to intra
+    (spec 5.11.19 path) and still decode byte-exactly."""
+    import numpy as np
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    rng = np.random.RandomState(21)
+    h, w = 128, 192
+    y0 = rng.randint(30, 220, (h, w)).astype(np.uint8)
+    # frame 1: half the frame is new content (pan-in), half is static
+    y1 = y0.copy()
+    yy, xx = np.mgrid[0:h, 0:w // 2]
+    y1[:, :w // 2] = np.clip(128 + 90 * np.sin(yy / 5.0) *
+                             np.cos(xx / 4.0), 0, 255).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 110, np.uint8)
+    v = np.full((h // 2, w // 2), 150, np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=40, intra_period=16,
+                        scene_change_detection=False)
+    enc = Encoder(cfg)
+    outs = []
+    for f in ((y0, u, v), (y1, u, v)):
+        enc.send_picture(*f)
+        while (p := enc.get_packet()) is not None:
+            outs.append(p)
+    enc.flush()
+    while (p := enc.get_packet()) is not None:
+        outs.append(p)
+    dec = StreamDecoder()
+    flipped = 0
+    for tu, disp in outs:
+        out = dec.decode_tu(tu)
+        for p in range(3):
+            assert (out[p] == disp[p]).all()
+    # confirm the encoder actually used intra blocks on the changed frame
+    # (predicting the new content from the *keyframe* recon)
+    from svt_av1_tpu.pipeline.inter import InterFrameEncoder
+    from svt_av1_tpu.pipeline.wavefront import WavefrontIntraEncoder
+    kf = WavefrontIntraEncoder(cfg)
+    kf.encode(y0, u, v)
+    ie = InterFrameEncoder(cfg, kf.seq)
+    tu2, rec2 = ie.encode(y1, u, v, kf.recon)
+    assert (~ie.block_is_inter).sum() > 0, \
+        "no blocks flipped to intra on drastically new content"
+    # the flipped stream itself must decode byte-exactly
+    ktu, krec, _ = kf.encode(y0, u, v)
+    sdec = StreamDecoder()
+    sdec.decode_tu(ktu)
+    # re-encode against the fresh keyframe recon for a matched pair
+    ie2 = InterFrameEncoder(cfg, kf.seq)
+    tu3, rec3 = ie2.encode(y1, u, v, kf.recon)
+    out3 = sdec.decode_tu(tu3)
+    for p in range(3):
+        hh, ww = out3[p].shape
+        assert (out3[p] == rec3[p][:hh, :ww]).all(), f"plane {p}"
