@@ -34,8 +34,8 @@ class Encoder:
     """
 
     def __init__(self, cfg: EncoderConfig):
-        assert cfg.hierarchical_levels <= 2, \
-            "deeper pyramids need interleaved display (next round)"
+        assert cfg.hierarchical_levels <= 5, \
+            "pyramid depth capped at 5 (reference MAX_HIERARCHICAL_LEVELS)"
         self.cfg = cfg
         self.seq = obu.SequenceHeader(width=cfg.width, height=cfg.height,
                                       bit_depth=cfg.bit_depth,
@@ -105,7 +105,9 @@ class Encoder:
 
     def _encode_inter(self, y, u, v, last_slot, alt_slot, refresh_slot,
                       show, q_offset: int = 0) -> list:
-        """Encode one inter frame; returns its padded recon."""
+        """Encode one inter frame; returns its padded recon.
+        refresh_slot None = non-reference frame (refresh_frame_flags 0,
+        the leaf-B case of the reference's hierarchical pyramid)."""
         cfg = self._cfg_for(False)
         if q_offset:
             # hierarchical qp scaling (reference: qp-scaling per temporal
@@ -119,51 +121,61 @@ class Encoder:
         if alt_slot is not None:
             idx[6] = alt_slot
             alt = self._slots[alt_slot]
+        rff = 0 if refresh_slot is None else 1 << refresh_slot
         tu, padded = enc.encode(
             y, u, v, self._slots[last_slot], alt_planes=alt,
-            refresh_frame_flags=1 << refresh_slot, ref_frame_idx=idx,
+            refresh_frame_flags=rff, ref_frame_idx=idx,
             show_frame=show)
         if self._rc is not None:
             self._rc.update(len(tu) * 8, False)
-        self._slots[refresh_slot] = padded
+        if refresh_slot is not None:
+            self._slots[refresh_slot] = padded
         self._out.append((tu, self._crop(padded) if show else None))
         return padded
 
     def _flush_group(self) -> None:
-        """Encode the buffered mini-GOP as a hierarchical pyramid."""
+        """Encode the buffered mini-GOP as a hierarchical pyramid with
+        interleaved display (decode order = reference RA pattern: anchor
+        first, then an in-order traversal where leaf Bs are coded shown
+        with refresh_frame_flags 0 and interior Bs surface later via
+        show_existing_frame; PictureDecision mini-GOP analogue)."""
         group = self._group
         self._group = []
         if not group:
             return
         g = len(group)
         base = self._base_slot
-        # anchor (last frame of the group): P on the past anchor, non-shown
         anchor_slot = 1 if base != 1 else 2
         free = [s for s in range(8) if s not in (base, anchor_slot)]
         ay, au, av = group[-1]
         self._encode_inter(ay, au, av, base, None, anchor_slot,
                            show=(g == 1))
-        slot_of = {g - 1: anchor_slot}
 
         def rec(lo_idx, hi_idx, lo_slot, hi_slot, level):
-            # code the middle of (lo, hi) as B, non-shown
+            """Code + display frames lo_idx+1 .. hi_idx-1 in display
+            order; slots are released once a subtree is displayed."""
             if hi_idx - lo_idx <= 1:
                 return
             mid = (lo_idx + hi_idx) // 2
-            s = free.pop(0)
             my, mu, mv_ = group[mid]
+            if hi_idx - lo_idx == 2:
+                # leaf B: nothing references it -> code it shown directly
+                self._encode_inter(my, mu, mv_, lo_slot, hi_slot, None,
+                                   show=True, q_offset=12 * level)
+                return
+            s = free.pop(0)
             self._encode_inter(my, mu, mv_, lo_slot, hi_slot, s,
                                show=False, q_offset=12 * level)
-            slot_of[mid] = s
             rec(lo_idx, mid, lo_slot, s, level + 1)
+            self._out.append((obu.show_existing_frame_tu(s),
+                              self._crop(self._slots[s])))
             rec(mid, hi_idx, s, hi_slot, level + 1)
+            free.append(s)
 
         rec(-1, g - 1, base, anchor_slot, 1)
-        # display pass: show each group frame in display order
-        for i in range(g):
-            if i in slot_of and (g > 1 or i != g - 1):
-                self._out.append((obu.show_existing_frame_tu(slot_of[i]),
-                                  self._crop(self._slots[slot_of[i]])))
+        if g > 1:
+            self._out.append((obu.show_existing_frame_tu(anchor_slot),
+                              self._crop(self._slots[anchor_slot])))
         self._base_slot = anchor_slot
 
     def _is_key(self, idx: int) -> bool:

@@ -56,3 +56,64 @@ def test_keyframe_inside_pyramid_stream():
     assert len(decs) == 8
     for f, d in zip(frames, decs):
         assert psnr(f[0], d[0]) > 27
+
+
+def _run_gop(levels, n_frames, w=128, h=96, qp=35):
+    import numpy as np
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    rng = np.random.RandomState(31 + levels)
+    base = rng.randint(40, 200, (h, w)).astype(np.int32)
+    frames = []
+    for t in range(n_frames):
+        yy = np.clip(base + 3 * t, 0, 255).astype(np.uint8)
+        uu = np.full((h // 2, w // 2), 100 + t, np.uint8)
+        vv = np.full((h // 2, w // 2), 140 - t, np.uint8)
+        frames.append((yy, uu, vv))
+    cfg = EncoderConfig(width=w, height=h, qp=qp, intra_period=64,
+                        hierarchical_levels=levels,
+                        scene_change_detection=False)
+    enc = Encoder(cfg)
+    outs = []
+    for f in frames:
+        enc.send_picture(*f)
+        while (p := enc.get_packet()) is not None:
+            outs.append(p)
+    enc.flush()
+    while (p := enc.get_packet()) is not None:
+        outs.append(p)
+    dec = StreamDecoder()
+    shown = []
+    for tu, disp in outs:
+        out = dec.decode_tu(tu)
+        if disp is None:
+            assert out is None
+            continue
+        assert out is not None
+        for p in range(3):
+            assert (out[p] == disp[p]).all()
+        shown.append(disp)
+    return shown, frames
+
+
+def test_deep_pyramid_levels_3():
+    """8-frame mini-GOPs: interleaved display, leaf Bs coded shown with
+    refresh 0, slots recycled."""
+    shown, frames = _run_gop(3, 9)
+    assert len(shown) == len(frames)
+    # display order must match source order: shown frame t ~ source t
+    import numpy as np
+    for t, (disp, src) in enumerate(zip(shown, frames)):
+        err = np.abs(disp[0].astype(int) - src[0].astype(int)).mean()
+        assert err < 12, f"frame {t} mean err {err} (display order broken?)"
+
+
+def test_deep_pyramid_levels_4_partial_group():
+    """Partial final group (flush with < 2^levels frames)."""
+    shown, frames = _run_gop(4, 11)
+    assert len(shown) == len(frames)
+    import numpy as np
+    for t, (disp, src) in enumerate(zip(shown, frames)):
+        err = np.abs(disp[0].astype(int) - src[0].astype(int)).mean()
+        assert err < 12, f"frame {t} err {err}"
