@@ -61,7 +61,8 @@ def preset_config(args) -> EncoderConfig:
     if args.preset <= 0:       # M0: full tools
         kw.update(fixed_partition_size=None, nfl=4,
                   angle_deltas=(-3, -2, -1, 0, 1, 2, 3),
-                  enable_cdef=True, enable_restoration=True)
+                  enable_cdef=True, enable_restoration=True,
+                  enable_tx_type_search=True)
     elif args.preset == 1:     # M1
         kw.update(fixed_partition_size=None, nfl=3,
                   angle_deltas=(-2, 0, 2), enable_cdef=True)

@@ -174,7 +174,9 @@ class IntraFrameEncoder:
             plane, srcs, above1, left1, ha, hl,
             common.intra_candidates(self.cfg), self.qp, size, self.lam,
             bd=self.cfg.bit_depth, nfl=self.cfg.nfl, forced=forced,
-            cfl_luma=cfl_luma)
+            cfl_luma=cfl_luma,
+            tx_search=(plane == 0 and self.cfg.enable_tx_type_search
+                       and self.cfg.base_q_idx > 0))
 
     def _code_block(self, mi_row: int, mi_col: int, size: int) -> None:
         x, y = mi_col * 4, mi_row * 4
@@ -184,16 +186,16 @@ class IntraFrameEncoder:
         csize = size >> 1
         cx, cy = x >> 1, y >> 1
 
-        ym, yd, qy, ey, ry, _, _ = self._decide_plane(0, x, y, size, htr,
-                                                      hbl)
+        ym, yd, qy, ey, ry, _, _, ytt = self._decide_plane(0, x, y, size,
+                                                           htr, hbl)
         # luma recon must land before the chroma decisions (CfL reads it)
         self.recon[0][y:y + size, x:x + size] = ry[0]
         cfl_luma = None
         if size <= 32:
             cfl_luma = self.recon[0][y:y + size, x:x + size][None]
-        um, ud, qu, eu, ru, _, au = self._decide_plane(
+        um, ud, qu, eu, ru, _, au, _ = self._decide_plane(
             1, cx, cy, csize, htr, hbl, cfl_luma=cfl_luma)
-        _, _, qv, ev, rv, _, av = self._decide_plane(
+        _, _, qv, ev, rv, _, av, _ = self._decide_plane(
             2, cx, cy, csize, htr, hbl, forced=(um, ud),
             cfl_luma=cfl_luma)
         y_mode, y_delta = int(ym[0]), int(yd[0])
@@ -224,8 +226,8 @@ class IntraFrameEncoder:
                                           uv_delta)
         self.ctxs.set_mi(mi_row, mi_col, bsize, y_mode, skip)
 
-        plane_info = [(0, x, y, size, tx_y, DCT_DCT, y_mode, qy[0], ry[0],
-                       bsize),
+        plane_info = [(0, x, y, size, tx_y, int(ytt[0]), y_mode, qy[0],
+                       ry[0], bsize),
                       (1, cx, cy, csize, tx_uv, tt_u, uv_mode, qu[0], ru[0],
                        common.square_bsize(csize)),
                       (2, cx, cy, csize, tx_uv, tt_u, uv_mode, qv[0], rv[0],

@@ -96,11 +96,13 @@ UV_CFL = 13
 def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
                        qp, size: int, lam: float, bd: int = 8, nfl: int = 3,
                        reduced_tx_set: bool = False, forced=None,
-                       cfl_luma=None):
+                       cfl_luma=None, tx_search: bool = False):
     """Full mode decision + coding for a batch of same-sized blocks.
 
     Returns (modes [B], deltas [B], qcoeff [B,ch,cw], eob [B],
-    recon [B,s,s] pixel dtype, rd_cost [B], alphas [B]).
+    recon [B,s,s] pixel dtype, rd_cost [B], alphas [B], tx_types [B]).
+    ``tx_search``: luma-only TX-type RD sweep over the intra tx set of
+    this tx size (reference encode_pass_tx_search, EbCodingLoop.c:516).
     ``forced``: (modes, deltas) arrays — skip the search (V plane reuses
     U's choice; CfL alphas are re-fit per plane). ``cfl_luma``: co-located
     reconstructed luma [B, 2s, 2s] — enables the CfL candidate (chroma
@@ -140,10 +142,11 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
                 preds[sel] = intra_ops.predict_any(
                     int(m), int(d), above1[sel], left1[sel], size, size,
                     ha[sel], hl[sel], bd=bd)
-        qc, eo, rec, dist, rate = _full_loop(srcs, preds, tts_for(fmodes),
+        ftts = tts_for(fmodes)
+        qc, eo, rec, dist, rate = _full_loop(srcs, preds, ftts,
                                              tx_size, size, qp, bd)
         return (fmodes, fdeltas, qc, eo, rec.astype(pix),
-                dist + lam * rate, alphas)
+                dist + lam * rate, alphas, ftts)
 
     preds = np.stack([
         intra_ops.predict_any(m, d, above1, left1, size, size, ha, hl,
@@ -178,6 +181,7 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
         if best_cost is None:
             best_cost = cost
             out = [modes_k, deltas_k, qc, eo, rec, cost]
+            out_pred = preds_k
         else:
             better = cost < best_cost
             best_cost = np.where(better, cost, best_cost)
@@ -187,8 +191,63 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
             out[3] = np.where(better, eo, out[3])
             out[4] = np.where(better[:, None, None], rec, out[4])
             out[5] = best_cost
+            out_pred = np.where(better[:, None, None], preds_k, out_pred)
+    tts = tts_for(out[0])
+    if tx_search and plane == 0:
+        tts = _luma_tx_search(srcs, out_pred, out, tx_size, size, qp, bd,
+                              lam)
     alphas = np.zeros(b, dtype=np.int64)
     if cand_alphas is not None:
         alphas = np.where(out[0] == UV_CFL, cand_alphas, 0)
     return (out[0], out[1], out[2], out[3], out[4].astype(pix), out[5],
-            alphas)
+            alphas, tts)
+
+
+def _luma_tx_search(srcs, preds, out, tx_size, size, qp, bd, lam):
+    """Sweep the intra ext-tx set for the chosen mode of each block,
+    updating qcoeff/eob/recon/cost in place; returns per-block tx types.
+    Signaling rate uses default-CDF bit costs of the intra_ext_tx symbol
+    (reference av1_get_syntax_rate_from_cdf, EbMdRateEstimation.c:48)."""
+    from svt_av1_tpu.entropy import tx_sets
+    from svt_av1_tpu.entropy.cdf import default_tables
+    from svt_av1_tpu.utils.blocks import TX_SIZE_SQR
+    b = srcs.shape[0]
+    tts = np.zeros(b, dtype=np.int32)
+    set_type = tx_sets.ext_tx_set_type(tx_size, False, False)
+    nsyms = tx_sets.NUM_EXT_TX_SET[set_type]
+    if nsyms <= 1:
+        return tts
+    eset = tx_sets.ext_tx_set(tx_size, False, False)
+    sqr = int(TX_SIZE_SQR[tx_size])
+    table = default_tables()["intra_ext_tx"][eset][sqr]  # [13, nsyms+1]
+    modes = np.clip(out[0], 0, 12).astype(np.int64)
+    rows = table[modes].astype(np.int64)                 # [B, nsyms+1]
+
+    def sig_bits(tt):
+        sym = int(tx_sets.EXT_TX_IND[set_type][tt])
+        hi = np.full(b, 32768, dtype=np.int64) if sym == 0 \
+            else rows[:, sym - 1]
+        p = np.maximum(hi - rows[:, sym], 1)
+        return -np.log2(p / 32768.0)
+
+    allowed = [int(t) for t in np.nonzero(
+        tx_sets.EXT_TX_USED[set_type])[0]]
+    best_part = None
+    for tt in allowed:
+        qc, eo, rec, dist, rate = _full_loop(
+            srcs, preds, np.full(b, tt, dtype=np.int32), tx_size, size,
+            qp, bd)
+        part = dist + lam * (rate + sig_bits(tt))
+        if best_part is None:                 # DCT_DCT baseline (tt==0)
+            best_part = part
+            continue
+        better = part < best_part
+        if not better.any():
+            continue
+        out[5] = np.where(better, out[5] - best_part + part, out[5])
+        best_part = np.where(better, part, best_part)
+        out[2] = np.where(better[:, None, None], qc, out[2])
+        out[3] = np.where(better, eo, out[3])
+        out[4] = np.where(better[:, None, None], rec, out[4])
+        tts = np.where(better, tt, tts)
+    return tts

@@ -58,7 +58,7 @@ def _analyze_depth(src: np.ndarray, xs, ys, size: int, cands, qp,
         max_w=max_w, max_h=max_h)
     srcs = np.stack([src[y:y + size, x:x + size]
                      for x, y in zip(xs, ys)]).astype(np.int64)
-    best_mode, _, _, _, _, rd_cost, _ = md.decide_block_batch(
+    best_mode, _, _, _, _, rd_cost, _, _ = md.decide_block_batch(
         0, srcs, above1, left1, ha, hl, cands, qp, size, lam, bd=bd)
     # + mode/skip syntax floor (bits)
     return rd_cost + lam * 4.0, best_mode

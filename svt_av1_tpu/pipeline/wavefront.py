@@ -81,14 +81,16 @@ class WavefrontIntraEncoder:
             bd=cfg.bit_depth, max_w=max_w, max_h=max_h)
         srcs = np.stack([src[y:y + size, x:x + size]
                          for x, y in zip(xs, ys)]).astype(np.int64)
-        best, deltas, qcoeff, eob, recon_blocks, _, alphas = \
+        best, deltas, qcoeff, eob, recon_blocks, _, alphas, tts = \
             md.decide_block_batch(
                 plane, srcs, above1, left1, ha, hl, cands, self.qp, size,
                 self.lam, bd=cfg.bit_depth, nfl=cfg.nfl, forced=forced,
-                cfl_luma=cfl_luma)
+                cfl_luma=cfl_luma,
+                tx_search=(plane == 0 and cfg.enable_tx_type_search
+                           and cfg.base_q_idx > 0))
         for i, (x, y) in enumerate(zip(xs, ys)):
             recon[y:y + size, x:x + size] = recon_blocks[i]
-        return best, deltas, qcoeff, eob, alphas
+        return best, deltas, qcoeff, eob, alphas, tts
 
     # --- leaf enumeration + dependency waves ----------------------------------
     def _fixed_leaf_sizes(self, target: int):
@@ -192,7 +194,7 @@ class WavefrontIntraEncoder:
                   ("src", "recon", "mi_rows", "mi_cols", "sb_rows_t",
                    "sb_cols_t", "max_wh", "leaf_sizes", "leaf_index",
                    "y_mode", "uv_mode", "y_delta", "uv_delta", "alpha_u",
-                   "alpha_v", "qcoeff", "eobs")}
+                   "alpha_v", "qcoeff", "eobs", "y_tx_type")}
             st["rect"] = rect
             tile_states.append(st)
             for (r, c), s in self.leaf_sizes.items():
@@ -253,6 +255,7 @@ class WavefrontIntraEncoder:
         self.alpha_v = np.zeros(n, dtype=np.int64)
         self.qcoeff = [[None] * n, [None] * n, [None] * n]
         self.eobs = np.zeros((3, n), dtype=np.int32)
+        self.y_tx_type = np.zeros(n, dtype=np.int32)
 
         larr = np.array([(r, c, s) for r, c, s in leaves], dtype=np.int64)
         htr_all = np.array([avail.has_top_right(r, c, s >> 2, self.mi_cols)
@@ -268,24 +271,25 @@ class WavefrontIntraEncoder:
                 ys = larr[ids, 0] * 4
                 htr, hbl = htr_all[ids], hbl_all[ids]
                 csize = size >> 1
-                best, bdel, qc, eo, _ = self._wave_compute(
+                best, bdel, qc, eo, _, ytt = self._wave_compute(
                     0, xs, ys, size, cands, htr, hbl)
                 self.y_mode[ids] = best
                 self.y_delta[ids] = bdel
                 self.eobs[0, ids] = eo
+                self.y_tx_type[ids] = ytt
                 cfl_luma = None
                 if size <= 32:  # cfl_allowed (luma block <= 32x32)
                     cfl_luma = np.stack([
                         self.recon[0][y:y + size, x:x + size]
                         for x, y in zip(xs, ys)])
-                bestc, cdel, qcc, eoc, au = self._wave_compute(
+                bestc, cdel, qcc, eoc, au, _ = self._wave_compute(
                     1, xs >> 1, ys >> 1, csize, cands, htr, hbl,
                     cfl_luma=cfl_luma)
                 self.uv_mode[ids] = bestc
                 self.uv_delta[ids] = cdel
                 self.alpha_u[ids] = au
                 self.eobs[1, ids] = eoc
-                _, _, qcv, eov, av = self._wave_compute(
+                _, _, qcv, eov, av, _ = self._wave_compute(
                     2, xs >> 1, ys >> 1, csize, cands, htr, hbl,
                     forced=(bestc, cdel), cfl_luma=cfl_luma)
                 self.alpha_v[ids] = av
@@ -473,7 +477,8 @@ class WavefrontIntraEncoder:
                                           int(self.uv_delta[li]))
         self.ctxs.set_mi(mi_row, mi_col, bsize, y_mode, skip)
 
-        plane_info = [(0, x, y, tx_y, DCT_DCT, y_mode, bsize),
+        tt_y = int(self.y_tx_type[li])
+        plane_info = [(0, x, y, tx_y, tt_y, y_mode, bsize),
                       (1, x >> 1, y >> 1, tx_uv, tt_u, uv_mode,
                        common.square_bsize(csize)),
                       (2, x >> 1, y >> 1, tx_uv, tt_u, uv_mode,

@@ -96,3 +96,42 @@ def test_ivf_stream_multi_frame():
     for enc, dec in zip(encs, decs):
         for a, b in zip(enc, dec):
             assert np.array_equal(a, b)
+
+
+def test_tx_type_search_roundtrip_and_gain():
+    """enable_tx_type_search sweeps the intra ext-tx set; streams must
+    stay decoder-exact, oracle/wavefront identical, and RD not regress."""
+    import numpy as np
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.decode import decode_temporal_unit
+    from svt_av1_tpu.pipeline.intra import IntraFrameEncoder
+    from svt_av1_tpu.pipeline.wavefront import encode_keyframe_wavefront
+    rng = np.random.RandomState(41)
+    h, w = 120, 200
+    yy, xx = np.mgrid[0:h, 0:w]
+    # ramps + texture: content where ADST/identity variants win
+    y = np.clip(xx * 1.1 + 40 * np.sin(yy / 6.0) +
+                rng.normal(0, 4, (h, w)), 0, 255).astype(np.uint8)
+    u = np.clip(128 + yy[:60, :100] * 0.8, 0, 255).astype(np.uint8)
+    v = np.full((60, 100), 120, np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=40, enable_tx_type_search=True)
+    tu, recon, st = encode_keyframe_wavefront(y, u, v, cfg)
+    _, dec = decode_temporal_unit(tu)
+    for p in range(3):
+        assert (dec[p] == recon[p]).all(), f"plane {p}"
+    # oracle must match the wavefront stream byte for byte
+    tu2, recon2, _ = IntraFrameEncoder(cfg).encode(y, u, v)
+    assert tu == tu2
+    # search actually chose non-DCT types somewhere
+    enc = IntraFrameEncoder(cfg)
+    # (wavefront stores them; check via the wavefront encoder)
+    from svt_av1_tpu.pipeline.wavefront import WavefrontIntraEncoder
+    wf = WavefrontIntraEncoder(cfg)
+    wf.encode(y, u, v)
+    assert (wf.y_tx_type != 0).any(), "tx search never chose non-DCT"
+    # quality-at-size sanity: search should not lose vs DCT-only
+    cfg0 = EncoderConfig(width=w, height=h, qp=40)
+    tu0, recon0, _ = encode_keyframe_wavefront(y, u, v, cfg0)
+    sse = float(((recon[0].astype(int) - y) ** 2).sum())
+    sse0 = float(((recon0[0].astype(int) - y) ** 2).sum())
+    assert sse * 1.0 <= sse0 * 1.05 or len(tu) <= len(tu0)
