@@ -127,6 +127,7 @@ class FrameHeader:
     # lr_params (spec 5.9.20): (frame_restoration_types[3], unit_size_y,
     # unit_size_uv) in plane pixels, or None when restoration is off
     lr_params: object = None
+    reference_select: bool = False  # frame allows per-block compound
 
 
 def _obu_header(obu_type: int) -> int:
@@ -312,7 +313,7 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
                 w.write_bit(int(size_uv != size_y))
     w.write_bit(int(fh.tx_mode_select))  # read_tx_mode
     if not is_key:
-        w.write_bit(0)                   # reference_select (single pred)
+        w.write_bit(int(fh.reference_select))
     # skip_mode_params: skipModeAllowed = 0 -> no bits
     # allow_warped_motion: seq disables warp -> no bits
     w.write_bit(int(fh.reduced_tx_set))
@@ -544,8 +545,9 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
                     size_uv = size_y >> 1
         lr_params = (types, size_y, size_uv)
     tx_mode_select = bool(r.read_bit())
+    reference_select = False
     if not is_key:
-        assert r.read_bit() == 0  # reference_select
+        reference_select = bool(r.read_bit())
     reduced_tx_set = bool(r.read_bit())
     if not is_key:
         for _ in range(7):
@@ -562,6 +564,7 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
                      cdef_damping=cdef_damping, cdef_bits=cdef_bits,
                      cdef_y_strengths=cdef_y, cdef_uv_strengths=cdef_uv,
                      film_grain=film_grain, lr_params=lr_params,
+                     reference_select=reference_select,
                      base_q_idx=base_q_idx,
                      disable_cdf_update=disable_cdf_update,
                      disable_frame_end_update_cdf=disable_end_update,

@@ -11,8 +11,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from svt_av1_tpu.pipeline.mvp import (GLOBALMV, INTRA_FRAME, LAST_FRAME,
-                                      NEARESTMV, NEARMV, NEWMV, MvStackResult)
+from svt_av1_tpu.pipeline.mvp import (GLOBAL_GLOBALMV, GLOBALMV,
+                                      INTRA_FRAME, LAST_FRAME,
+                                      NEAR_NEARMV, NEAR_NEWMV,
+                                      NEAREST_NEARESTMV, NEAREST_NEWMV,
+                                      NEARESTMV, NEARMV, NEW_NEARESTMV,
+                                      NEW_NEARMV, NEW_NEWMV, NEWMV,
+                                      NONE_FRAME, MvStackResult)
 
 # ref frame enum (AV1)
 LAST2_FRAME = 2
@@ -27,14 +32,16 @@ def neighbor_ref_counts(state, mi_row: int, mi_col: int):
     """Counts of each ref frame among the above/left neighbors
     (av1_collect_neighbors_ref_counts)."""
     counts = np.zeros(8, dtype=np.int32)
-    if mi_row > 0:
-        r = int(state.ref[mi_row - 1, mi_col])
+    for rr, cc, ok in ((mi_row - 1, mi_col, mi_row > 0),
+                       (mi_row, mi_col - 1, mi_col > 0)):
+        if not ok:
+            continue
+        r = int(state.ref[rr, cc])
         if r > INTRA_FRAME:
             counts[r] += 1
-    if mi_col > 0:
-        r = int(state.ref[mi_row, mi_col - 1])
-        if r > INTRA_FRAME:
-            counts[r] += 1
+        r1 = int(state.ref1[rr, cc])
+        if r1 > INTRA_FRAME:
+            counts[r1] += 1
     return counts
 
 
@@ -124,6 +131,15 @@ def read_single_ref(r, fc, state, mi_row, mi_col) -> int:
         else LAST_FRAME
 
 
+def _new_mv_mode(mode: int) -> bool:
+    """Modes that read the NEWMV-style DRL range (spec 5.11.25)."""
+    return mode in (NEWMV, NEW_NEWMV, NEAREST_NEWMV, NEW_NEARESTMV)
+
+
+def _near_mv_mode(mode: int) -> bool:
+    return mode in (NEARMV, NEAR_NEARMV, NEAR_NEWMV, NEW_NEARMV)
+
+
 def write_inter_mode(w, fc, mode: int, res: MvStackResult) -> None:
     """WriteInterMode (EbEntropyCoding.c:1724)."""
     w.write_symbol(int(mode != NEWMV), fc.newmv[res.newmv_ctx], 2)
@@ -147,14 +163,14 @@ def read_inter_mode(r, fc, res: MvStackResult) -> int:
 def write_drl_idx(w, fc, mode: int, drl_index: int,
                   res: MvStackResult) -> None:
     """WriteDrlIdx (EbEntropyCoding.c:1756)."""
-    if mode == NEWMV:
+    if _new_mv_mode(mode):
         for idx in range(2):
             if res.count > idx + 1:
                 w.write_symbol(int(drl_index != idx),
                                fc.drl[res.drl_ctx(idx)], 2)
                 if drl_index == idx:
                     return
-    elif mode == NEARMV:
+    elif _near_mv_mode(mode):
         for idx in range(1, 3):
             if res.count > idx + 1:
                 w.write_symbol(int(drl_index != idx - 1),
@@ -165,7 +181,7 @@ def write_drl_idx(w, fc, mode: int, drl_index: int,
 
 def read_drl_idx(r, fc, mode: int, res: MvStackResult) -> int:
     drl = 0
-    if mode == NEWMV:
+    if _new_mv_mode(mode):
         for idx in range(2):
             if res.count > idx + 1:
                 if not r.read_symbol(fc.drl[res.drl_ctx(idx)], 2):
@@ -174,7 +190,7 @@ def read_drl_idx(r, fc, mode: int, res: MvStackResult) -> int:
             else:
                 return drl
         return drl
-    if mode == NEARMV:
+    if _near_mv_mode(mode):
         for idx in range(1, 3):
             if res.count > idx + 1:
                 if not r.read_symbol(fc.drl[res.drl_ctx(idx)], 2):
@@ -184,3 +200,155 @@ def read_drl_idx(r, fc, mode: int, res: MvStackResult) -> int:
                 return drl
         return drl
     return 0
+
+
+# --- compound prediction syntax ----------------------------------------------
+
+def _pred_kind(state, r, c):
+    """'intra', 0 (uni fwd), 1 (uni bwd), or 2 (bi) for a coded neighbor."""
+    ref = int(state.ref[r, c])
+    if ref == INTRA_FRAME:
+        return "intra"
+    if int(state.ref1[r, c]) > INTRA_FRAME:
+        return 2
+    return 1 if ref >= BWDREF_FRAME else 0
+
+
+def comp_inter_ctx(state, mi_row: int, mi_col: int) -> int:
+    """Av1GetReferenceModeContext (EbEntropyCoding.c:2087)."""
+    au = mi_row > 0
+    al = mi_col > 0
+    a = _pred_kind(state, mi_row - 1, mi_col) if au else None
+    l = _pred_kind(state, mi_row, mi_col - 1) if al else None
+    if au and al:
+        a_bi = a == 2
+        l_bi = l == 2
+        if not a_bi and not l_bi:
+            return int(a == 1) ^ int(l == 1)
+        if not a_bi:
+            return 2 + int(a == 1 or a == "intra")
+        if not l_bi:
+            return 2 + int(l == 1 or l == "intra")
+        return 4
+    if al:
+        return 3 if l == 2 else int(l == 1)
+    if au:
+        return 3 if a == 2 else int(a == 1)
+    return 1
+
+
+def comp_ref_type_ctx(state, mi_row: int, mi_col: int) -> int:
+    """Av1GetCompReferenceTypeContext (EbEntropyCoding.c:2163); the
+    uni-compound branches collapse (has_uni_comp_refs always 0 here)."""
+    au = mi_row > 0
+    al = mi_col > 0
+    a = _pred_kind(state, mi_row - 1, mi_col) if au else None
+    l = _pred_kind(state, mi_row, mi_col - 1) if al else None
+    if au and al:
+        if a == "intra" and l == "intra":
+            return 2
+        if l == "intra":
+            return 2 if a != 2 else 1
+        if a == "intra":
+            return 2 if l != 2 else 1
+        a_sg = a != 2
+        l_sg = l != 2
+        if a_sg and l_sg:
+            return 1 + 2 * int(not (int(a == 1) ^ int(l == 1)))
+        if a_sg or l_sg:
+            return 1      # single/comp, bidir neighbor
+        return 0          # comp/comp (bidir/bidir)
+    edge = l if al else (a if au else None)
+    if edge is None:
+        return 2
+    if edge == "intra" or edge != 2:
+        return 2
+    return 0
+
+
+def write_comp_inter(w, fc, state, mi_row, mi_col, is_compound: int) -> None:
+    w.write_symbol(is_compound,
+                   fc.comp_inter[comp_inter_ctx(state, mi_row, mi_col)], 2)
+
+
+def read_comp_inter(r, fc, state, mi_row, mi_col) -> int:
+    return r.read_symbol(
+        fc.comp_inter[comp_inter_ctx(state, mi_row, mi_col)], 2)
+
+
+def write_comp_refs(w, fc, state, mi_row, mi_col, fwd: int,
+                    bwd: int) -> None:
+    """Compound ref pair (BIDIR only; WriteRefFrames compound path,
+    EbEntropyCoding.c:2575ff). Supports (LAST, ALTREF)-style pairs."""
+    w.write_symbol(1, fc.comp_ref_type[comp_ref_type_ctx(state, mi_row,
+                                                         mi_col)], 2)
+    counts = neighbor_ref_counts(state, mi_row, mi_col)
+    # fwd: bit0 = fwd in {LAST3, GOLDEN} (ctx: LAST/LAST2 vs LAST3/GOLD)
+    ll2 = counts[LAST_FRAME] + counts[LAST2_FRAME]
+    l3g = counts[LAST3_FRAME] + counts[GOLDEN_FRAME]
+    bit0 = int(fwd in (LAST3_FRAME, GOLDEN_FRAME))
+    w.write_symbol(bit0, fc.comp_ref[_two_way_ctx(ll2, l3g)][0], 2)
+    if not bit0:
+        ctx = _two_way_ctx(counts[LAST_FRAME], counts[LAST2_FRAME])
+        w.write_symbol(int(fwd == LAST2_FRAME), fc.comp_ref[ctx][1], 2)
+    else:
+        ctx = _two_way_ctx(counts[LAST3_FRAME], counts[GOLDEN_FRAME])
+        w.write_symbol(int(fwd == GOLDEN_FRAME), fc.comp_ref[ctx][2], 2)
+    # bwd: bit = (bwd == ALTREF) (ctx: BWD+ALT2 vs ALT)
+    brf2 = counts[BWDREF_FRAME] + counts[ALTREF2_FRAME]
+    arf = counts[ALTREF_FRAME]
+    bitb = int(bwd == ALTREF_FRAME)
+    w.write_symbol(bitb, fc.comp_bwdref[_two_way_ctx(brf2, arf)][0], 2)
+    if not bitb:
+        ctx = _two_way_ctx(counts[BWDREF_FRAME], counts[ALTREF2_FRAME])
+        w.write_symbol(int(bwd == ALTREF2_FRAME),
+                       fc.comp_bwdref[ctx][1], 2)
+
+
+def read_comp_refs(r, fc, state, mi_row, mi_col):
+    t = r.read_symbol(fc.comp_ref_type[comp_ref_type_ctx(state, mi_row,
+                                                         mi_col)], 2)
+    assert t == 1, "unidirectional compound unsupported"
+    counts = neighbor_ref_counts(state, mi_row, mi_col)
+    ll2 = counts[LAST_FRAME] + counts[LAST2_FRAME]
+    l3g = counts[LAST3_FRAME] + counts[GOLDEN_FRAME]
+    if r.read_symbol(fc.comp_ref[_two_way_ctx(ll2, l3g)][0], 2):
+        ctx = _two_way_ctx(counts[LAST3_FRAME], counts[GOLDEN_FRAME])
+        fwd = GOLDEN_FRAME if r.read_symbol(fc.comp_ref[ctx][2], 2) \
+            else LAST3_FRAME
+    else:
+        ctx = _two_way_ctx(counts[LAST_FRAME], counts[LAST2_FRAME])
+        fwd = LAST2_FRAME if r.read_symbol(fc.comp_ref[ctx][1], 2) \
+            else LAST_FRAME
+    brf2 = counts[BWDREF_FRAME] + counts[ALTREF2_FRAME]
+    arf = counts[ALTREF_FRAME]
+    if r.read_symbol(fc.comp_bwdref[_two_way_ctx(brf2, arf)][0], 2):
+        bwd = ALTREF_FRAME
+    else:
+        ctx = _two_way_ctx(counts[BWDREF_FRAME], counts[ALTREF2_FRAME])
+        bwd = ALTREF2_FRAME if r.read_symbol(fc.comp_bwdref[ctx][1], 2) \
+            else BWDREF_FRAME
+    return fwd, bwd
+
+
+# compound_mode_ctx_map (EbEntropyCoding.c:1488)
+_COMPOUND_MODE_CTX_MAP = (
+    (0, 1, 1, 1, 1),
+    (1, 2, 3, 4, 4),
+    (4, 4, 5, 6, 7),
+)
+
+
+def compound_mode_ctx(res: MvStackResult) -> int:
+    """Av1ModeContextAnalyzer compound branch (EbEntropyCoding.c:1494)."""
+    return _COMPOUND_MODE_CTX_MAP[res.refmv_ctx >> 1][min(res.newmv_ctx, 4)]
+
+
+def write_inter_compound_mode(w, fc, mode: int, res: MvStackResult) -> None:
+    w.write_symbol(mode - NEAREST_NEARESTMV,
+                   fc.inter_compound_mode[compound_mode_ctx(res)], 8)
+
+
+def read_inter_compound_mode(r, fc, res: MvStackResult) -> int:
+    return NEAREST_NEARESTMV + r.read_symbol(
+        fc.inter_compound_mode[compound_mode_ctx(res)], 8)

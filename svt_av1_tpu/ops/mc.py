@@ -112,3 +112,57 @@ def clamp_mv_for_padding(mv, x: int, y: int, w: int, h: int,
     max_c = ((plane_w - x - w) << (2 + ss)) + margin
     return (int(np.clip(mv[0], min_r, max_r)),
             int(np.clip(mv[1], min_c, max_c)))
+
+
+ROUND1_COMP = 7  # COMPOUND_ROUND1_BITS
+
+
+def mc_block_batch_conv(ref_padded: np.ndarray, xs, ys, mvs, w: int,
+                        h: int, ss: int = 0, bd: int = 8) -> np.ndarray:
+    """Compound-path convolve returning CONV-domain values (round_1 = 7,
+    offset retained) — one side of a compound prediction (reference
+    av1_jnt_convolve_2d_c, EbInterPrediction.c:290, do_average = 0).
+    Returns [B, h, w] int32."""
+    b = len(xs)
+    mvs = np.asarray(mvs, dtype=np.int64)
+    scaled_r = mvs[:, 0] << (1 - ss)
+    scaled_c = mvs[:, 1] << (1 - ss)
+    int_r = ys + (scaled_r >> 4)
+    int_c = xs + (scaled_c >> 4)
+    frac_r = scaled_r & 15
+    frac_c = scaled_c & 15
+    fx = _filters(w)
+    fy = _filters(h)
+    out = np.empty((b, h, w), dtype=np.int32)
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    for i in range(b):
+        y0 = int(int_r[i]) + REF_PAD
+        x0 = int(int_c[i]) + REF_PAD
+        win = ref_padded[y0 - 3:y0 + h + 4, x0 - 3:x0 + w + 4] \
+            .astype(np.int64)
+        xf = fx[frac_c[i]]
+        horiz = np.full((h + 7, w), 1 << (bd + FILTER_BITS - 1),
+                        dtype=np.int64)
+        for k in range(8):
+            horiz += xf[k] * win[:, k:k + w]
+        horiz = (horiz + (1 << (ROUND0 - 1))) >> ROUND0
+        yf = fy[frac_r[i]]
+        vert = np.full((h, w), 1 << offset_bits, dtype=np.int64)
+        for k in range(8):
+            vert += yf[k] * horiz[k:k + h]
+        out[i] = (vert + (1 << (ROUND1_COMP - 1))) >> ROUND1_COMP
+    return out
+
+
+def compound_average(res0: np.ndarray, res1: np.ndarray,
+                     bd: int = 8) -> np.ndarray:
+    """Blend two CONV-domain predictions (simple average; jnt_comp is
+    disabled sequence-wide). Mirrors the do_average tail of
+    av1_jnt_convolve_2d_c (reference :341-356)."""
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    round_bits = 2 * FILTER_BITS - ROUND0 - ROUND1_COMP
+    tmp = (res0.astype(np.int64) + res1.astype(np.int64)) >> 1
+    tmp = tmp - ((1 << (offset_bits - ROUND1_COMP))
+                 + (1 << (offset_bits - ROUND1_COMP - 1)))
+    tmp = (tmp + (1 << (round_bits - 1))) >> round_bits
+    return np.clip(tmp, 0, (1 << bd) - 1)

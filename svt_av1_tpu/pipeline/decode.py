@@ -232,6 +232,10 @@ class FrameDecoder:
             self.mvp_state.set_block(mi_row, mi_col, s4, mvp.INTRA_FRAME,
                                      (0, 0), 0)
             return
+        if self.fh.reference_select and inter_modes.read_comp_inter(
+                self.r, self.fc, self.mvp_state, mi_row, mi_col):
+            self._decode_compound_tail(mi_row, mi_col, size, skip)
+            return
         ref = inter_modes.read_single_ref(self.r, self.fc, self.mvp_state,
                                           mi_row, mi_col)
         res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4, ref)
@@ -264,6 +268,89 @@ class FrameDecoder:
             pred = mc.mc_block_batch(ref_planes[p], np.array([px]),
                                      np.array([py]), mvarr, psz, psz,
                                      ss=ss, bd=self.bd)[0]
+            x4, y4 = px >> 2, py >> 2
+            if skip:
+                self.recon[p][py:py + psz, px:px + psz] = pred
+                self.ctxs.update_txb_ctx(p, x4, y4, ts, 0)
+                continue
+            skip_ctx, sign_ctx = self.ctxs.txb_ctx(p, pb, ts, x4, y4)
+            qcoeff, tx_type, cul = coeff_syntax.read_coeffs_txb(
+                self.r, self.fc, ts, plane_type=int(p > 0),
+                txb_skip_ctx=skip_ctx, dc_sign_ctx=sign_ctx, is_inter=True,
+                base_qindex=self.fh.base_q_idx, uv_tx_type=0)
+            self.ctxs.update_txb_ctx(p, x4, y4, ts, cul)
+            if not np.any(qcoeff):
+                self.recon[p][py:py + psz, px:px + psz] = pred
+                continue
+            cw, ch = common.coded_dims(ts)
+            log_scale = quant_ops.tx_scale(ts)
+            dq = quant_ops.dequantize(qcoeff.reshape(1, -1), self.qp,
+                                      log_scale)
+            full = np.zeros((1, psz, psz), dtype=np.int64)
+            full[0, :ch, :cw] = dq.reshape(ch, cw)
+            resid = tx_ops.inverse_tx2d(full, tx_type, psz, psz,
+                                        bd=self.bd)[0]
+            self.recon[p][py:py + psz, px:px + psz] = tx_ops.recon_add(
+                pred[None].astype(np.int64), resid[None], bd=self.bd)[0]
+
+    def _decode_compound_tail(self, mi_row: int, mi_col: int, size: int,
+                              skip: int) -> None:
+        """Compound (bidir) block: refs, compound mode, DRL, MVs, then
+        averaged prediction (spec 5.11.25/7.11.3; reference
+        av1_jnt_convolve_2d_c average path)."""
+        from svt_av1_tpu.entropy import inter_modes
+        from svt_av1_tpu.ops import mc
+        from svt_av1_tpu.pipeline.mvp import (GLOBAL_GLOBALMV,
+                                              NEAR_NEARMV,
+                                              NEAREST_NEARESTMV, NEW_NEWMV)
+        x, y = mi_col * 4, mi_row * 4
+        bsize = common.square_bsize(size)
+        s4 = size >> 2
+        fwd, bwd = inter_modes.read_comp_refs(self.r, self.fc,
+                                              self.mvp_state, mi_row,
+                                              mi_col)
+        res = mvp.find_mv_stack_comp(self.mvp_state, mi_row, mi_col, s4,
+                                     fwd, bwd)
+        mode = inter_modes.read_inter_compound_mode(self.r, self.fc, res)
+        drl = inter_modes.read_drl_idx(self.r, self.fc, mode, res)
+        if mode == NEAREST_NEARESTMV:
+            mv0, mv1 = res.ref_list[0]
+        elif mode == NEAR_NEARMV:
+            pair = res.ref_list[1] if drl == 0 else res.stack[1 + drl][0]
+            mv0, mv1 = pair
+        elif mode == GLOBAL_GLOBALMV:
+            mv0, mv1 = (0, 0), (0, 0)
+        elif mode == NEW_NEWMV:
+            pred = res.stack[drl][0] if res.count > 1 else res.ref_list[0]
+            d0 = mv_syntax.read_mv(self.r, self.nmv)
+            d1 = mv_syntax.read_mv(self.r, self.nmv)
+            mv0 = (pred[0][0] + d0[0], pred[0][1] + d0[1])
+            mv1 = (pred[1][0] + d1[0], pred[1][1] + d1[1])
+        else:
+            raise NotImplementedError(f"compound mode {mode}")
+        self.ctxs.set_mi(mi_row, mi_col, bsize, 0, skip)
+        self.mvp_state.set_block(mi_row, mi_col, s4, fwd, mv0, mode,
+                                 ref1=bwd, mv1=mv1)
+        csize = size >> 1
+        tx_y = common.tx_size_for_block(size, 0)
+        tx_uv = common.tx_size_for_block(csize, 1)
+        plane_info = [(0, x, y, size, tx_y, common.square_bsize(size), 0),
+                      (1, x >> 1, y >> 1, csize, tx_uv,
+                       common.square_bsize(csize), 1),
+                      (2, x >> 1, y >> 1, csize, tx_uv,
+                       common.square_bsize(csize), 1)]
+        rp0 = self.refs[fwd]
+        rp1 = self.refs[bwd]
+        arr0 = np.array([mv0])
+        arr1 = np.array([mv1])
+        for p, px, py, psz, ts, pb, ss in plane_info:
+            c0 = mc.mc_block_batch_conv(rp0[p], np.array([px]),
+                                        np.array([py]), arr0, psz, psz,
+                                        ss=ss, bd=self.bd)
+            c1 = mc.mc_block_batch_conv(rp1[p], np.array([px]),
+                                        np.array([py]), arr1, psz, psz,
+                                        ss=ss, bd=self.bd)
+            pred = mc.compound_average(c0, c1, self.bd)[0]
             x4, y4 = px >> 2, py >> 2
             if skip:
                 self.recon[p][py:py + psz, px:px + psz] = pred

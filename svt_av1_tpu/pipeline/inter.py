@@ -81,6 +81,9 @@ class InterFrameEncoder:
         self.block_is_inter = np.ones(n, dtype=bool)
         self.intra_mode = np.zeros(n, dtype=np.int32)
         self.inter_cost = np.zeros(n)
+        self.block_comp = np.zeros(n, dtype=bool)
+        self.mvs1 = np.zeros((n, 2), dtype=np.int64)
+        self.reference_select = alt_planes is not None
 
         larr = np.array([(r, c, s) for r, c, s in leaves], dtype=np.int64)
         for size in np.unique(larr[:, 2]):
@@ -151,6 +154,7 @@ class InterFrameEncoder:
             fg = grain_ops.default_params(cfg.film_grain_strength,
                                           cfg.film_grain_seed)
         fh = obu.FrameHeader(frame_type=obu.INTER_FRAME,
+                             reference_select=self.reference_select,
                              film_grain=fg,
                              base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
@@ -228,6 +232,32 @@ class InterFrameEncoder:
             chosen[3] = np.where(bt, cand[3], chosen[3])
             chosen[4] = np.where(bt[:, None, None], cand[4], chosen[4])
 
+        comp_sel = np.zeros(b, dtype=bool)
+        from svt_av1_tpu.entropy.inter_modes import ALTREF_FRAME as _ALT
+        if self.reference_select and _ALT in per_ref:
+            mv0 = per_ref[LAST_FRAME][1]
+            mv1 = per_ref[_ALT][1]
+            c0 = mc.mc_block_batch_conv(self.refs[LAST_FRAME][0], xs, ys,
+                                        mv0, size, size, bd=cfg.bit_depth)
+            c1 = mc.mc_block_batch_conv(self.refs[_ALT][0], xs, ys,
+                                        mv1, size, size, bd=cfg.bit_depth)
+            pred_c = mc.compound_average(c0, c1, cfg.bit_depth) \
+                .astype(np.int64)
+            qc, eo, rec, dist, rate = md._full_loop(
+                srcs, pred_c, np.zeros(b, dtype=np.int32), tx_size, size,
+                self.qp, cfg.bit_depth)
+            mv_bits = 3.0 + 0.5 * ((np.abs(mv0).sum(axis=1) > 0)
+                                   + (np.abs(mv1).sum(axis=1) > 0))
+            cost = dist + self.lam * (rate + mv_bits)
+            comp_sel = cost < chosen[0]
+            chosen[0] = np.where(comp_sel, cost, chosen[0])
+            chosen[1] = np.where(comp_sel[:, None], mv0, chosen[1])
+            chosen[2] = np.where(comp_sel[:, None, None], qc, chosen[2])
+            chosen[3] = np.where(comp_sel, eo, chosen[3])
+            chosen[4] = np.where(comp_sel[:, None, None], rec, chosen[4])
+            chosen_ref = np.where(comp_sel, LAST_FRAME, chosen_ref)
+            self.mvs1[ids] = np.where(comp_sel[:, None], mv1, 0)
+            self.block_comp[ids] = comp_sel
         self.mvs[ids] = chosen[1]
         self.block_ref[ids] = chosen_ref
         self.eobs[0, ids] = chosen[3]
@@ -246,13 +276,25 @@ class InterFrameEncoder:
                 for xx, yy in zip(cxs, cys)]).astype(np.int64)
             pred = np.empty((b, csize, csize), dtype=np.int64)
             for ref in refs_order:
-                sel = np.nonzero(chosen_ref == ref)[0]
+                sel = np.nonzero((chosen_ref == ref) & ~comp_sel)[0]
                 if len(sel) == 0:
                     continue
                 pred[sel] = mc.mc_block_batch(
                     self.refs[ref][plane], cxs[sel], cys[sel],
                     chosen[1][sel], csize, csize, ss=1,
                     bd=cfg.bit_depth).astype(np.int64)
+            csel = np.nonzero(comp_sel)[0]
+            if len(csel):
+                from svt_av1_tpu.entropy.inter_modes import \
+                    ALTREF_FRAME as _ALT2
+                cc0 = mc.mc_block_batch_conv(
+                    self.refs[LAST_FRAME][plane], cxs[csel], cys[csel],
+                    chosen[1][csel], csize, csize, ss=1, bd=cfg.bit_depth)
+                cc1 = mc.mc_block_batch_conv(
+                    self.refs[_ALT2][plane], cxs[csel], cys[csel],
+                    self.mvs1[ids][csel], csize, csize, ss=1,
+                    bd=cfg.bit_depth)
+                pred[csel] = mc.compound_average(cc0, cc1, cfg.bit_depth)
             qc, eo, rec, _, _ = md._full_loop(
                 srcs_c, pred, np.zeros(b, dtype=np.int32), tx_uv, csize,
                 self.qp, cfg.bit_depth)
@@ -400,6 +442,12 @@ class InterFrameEncoder:
             return
         inter_modes.write_is_inter(self.w, self.fc, self.mvp_state,
                                    mi_row, mi_col, 1)
+        if self.block_comp[li]:
+            self._emit_compound_tail(mi_row, mi_col, size, li, skip)
+            return
+        if self.reference_select:
+            inter_modes.write_comp_inter(self.w, self.fc, self.mvp_state,
+                                         mi_row, mi_col, 0)
         inter_modes.write_single_ref(self.w, self.fc, self.mvp_state,
                                      mi_row, mi_col, ref)
         res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4, ref)
@@ -421,6 +469,65 @@ class InterFrameEncoder:
         self.ctxs.set_mi(mi_row, mi_col, bsize, DC_PRED, skip)
         self.mvp_state.set_block(mi_row, mi_col, s4, ref, mv, mode)
 
+        csize = size >> 1
+        x, y = mi_col * 4, mi_row * 4
+        tx_y = common.tx_size_for_block(size, 0)
+        tx_uv = common.tx_size_for_block(csize, 1)
+        plane_info = [(0, x, y, tx_y, bsize),
+                      (1, x >> 1, y >> 1, tx_uv,
+                       common.square_bsize(csize)),
+                      (2, x >> 1, y >> 1, tx_uv,
+                       common.square_bsize(csize))]
+        for p, px, py, ts, pb in plane_info:
+            x4, y4 = px >> 2, py >> 2
+            if skip:
+                self.ctxs.update_txb_ctx(p, x4, y4, ts, 0)
+                continue
+            skip_ctx, sign_ctx = self.ctxs.txb_ctx(p, pb, ts, x4, y4)
+            cul = coeff_syntax.write_coeffs_txb(
+                self.w, self.fc, self.qcoeff[p][li], ts, DCT_DCT,
+                plane_type=int(p > 0), txb_skip_ctx=skip_ctx,
+                dc_sign_ctx=sign_ctx, is_inter=True,
+                base_qindex=cfg.base_q_idx)
+            self.ctxs.update_txb_ctx(p, x4, y4, ts, cul)
+
+    def _emit_compound_tail(self, mi_row, mi_col, size, li, skip) -> None:
+        """Compound (LAST, ALTREF) block syntax after skip/cdef/is_inter
+        (spec 5.11.25 compound branch). Modes used: NEAREST_NEARESTMV /
+        GLOBAL_GLOBALMV / NEW_NEWMV with DRL 0."""
+        from svt_av1_tpu.entropy.inter_modes import ALTREF_FRAME
+        from svt_av1_tpu.pipeline.mvp import (GLOBAL_GLOBALMV,
+                                              NEAREST_NEARESTMV, NEW_NEWMV)
+        cfg = self.cfg
+        bsize = common.square_bsize(size)
+        s4 = size >> 2
+        mv0 = (int(self.mvs[li, 0]), int(self.mvs[li, 1]))
+        mv1 = (int(self.mvs1[li, 0]), int(self.mvs1[li, 1]))
+        inter_modes.write_comp_inter(self.w, self.fc, self.mvp_state,
+                                     mi_row, mi_col, 1)
+        inter_modes.write_comp_refs(self.w, self.fc, self.mvp_state,
+                                    mi_row, mi_col, LAST_FRAME,
+                                    ALTREF_FRAME)
+        res = mvp.find_mv_stack_comp(self.mvp_state, mi_row, mi_col, s4,
+                                     LAST_FRAME, ALTREF_FRAME)
+        pair = (mv0, mv1)
+        if res.count >= 1 and pair == res.ref_list[0]:
+            mode = NEAREST_NEARESTMV
+        elif mv0 == (0, 0) and mv1 == (0, 0):
+            mode = GLOBAL_GLOBALMV
+        else:
+            mode = NEW_NEWMV
+        inter_modes.write_inter_compound_mode(self.w, self.fc, mode, res)
+        inter_modes.write_drl_idx(self.w, self.fc, mode, 0, res)
+        if mode == NEW_NEWMV:
+            pred = res.stack[0][0] if res.count > 1 else res.ref_list[0]
+            mv_syntax.write_mv(self.w, self.nmv, mv0[0] - pred[0][0],
+                               mv0[1] - pred[0][1])
+            mv_syntax.write_mv(self.w, self.nmv, mv1[0] - pred[1][0],
+                               mv1[1] - pred[1][1])
+        self.ctxs.set_mi(mi_row, mi_col, bsize, DC_PRED, skip)
+        self.mvp_state.set_block(mi_row, mi_col, s4, LAST_FRAME, mv0,
+                                 mode, ref1=ALTREF_FRAME, mv1=mv1)
         csize = size >> 1
         x, y = mi_col * 4, mi_row * 4
         tx_y = common.tx_size_for_block(size, 0)

@@ -22,14 +22,33 @@ REF_CAT_LEVEL = 640
 MV_BORDER = 128  # 1/8-pel units (16 px)
 MVREF_ROWS = 3
 
+NONE_FRAME = -1
 INTRA_FRAME = 0
 LAST_FRAME = 1
+BWDREF_FRAME = 5
+ALTREF_FRAME = 7
+
+# compound modes (AV1 enum, spec 6.10.24)
+NEAREST_NEARESTMV = 17
+NEAR_NEARMV = 18
+NEAREST_NEWMV = 19
+NEW_NEARESTMV = 20
+NEAR_NEWMV = 21
+NEW_NEARMV = 22
+GLOBAL_GLOBALMV = 23
+NEW_NEWMV = 24
 
 # prediction modes (AV1 joint enum tail)
 NEARESTMV = 13
 NEARMV = 14
 GLOBALMV = 15
 NEWMV = 16
+
+
+def _has_newmv(mode: int) -> bool:
+    """have_newmv_in_inter_mode (spec): NEWMV or any compound *NEW* mode."""
+    return mode in (NEWMV, NEW_NEWMV, NEAREST_NEWMV, NEW_NEARESTMV,
+                    NEAR_NEWMV, NEW_NEARMV)
 
 
 class MvpState:
@@ -40,15 +59,21 @@ class MvpState:
         self.mi_cols = mi_cols
         self.ref = np.full((mi_rows, mi_cols), INTRA_FRAME, dtype=np.int32)
         self.mv = np.zeros((mi_rows, mi_cols, 2), dtype=np.int32)
+        # second reference of a compound block (NONE_FRAME when single)
+        self.ref1 = np.full((mi_rows, mi_cols), NONE_FRAME, dtype=np.int32)
+        self.mv1 = np.zeros((mi_rows, mi_cols, 2), dtype=np.int32)
         self.mode = np.zeros((mi_rows, mi_cols), dtype=np.int32)
         self.n8w = np.ones((mi_rows, mi_cols), dtype=np.int32)
         self.n8h = np.ones((mi_rows, mi_cols), dtype=np.int32)
 
     def set_block(self, mi_row: int, mi_col: int, s4: int, ref: int,
-                  mv, mode: int) -> None:
+                  mv, mode: int, ref1: int = NONE_FRAME,
+                  mv1=(0, 0)) -> None:
         r, c = mi_row, mi_col
         self.ref[r:r + s4, c:c + s4] = ref
         self.mv[r:r + s4, c:c + s4] = mv
+        self.ref1[r:r + s4, c:c + s4] = ref1
+        self.mv1[r:r + s4, c:c + s4] = mv1
         self.mode[r:r + s4, c:c + s4] = mode
         self.n8w[r:r + s4, c:c + s4] = s4
         self.n8h[r:r + s4, c:c + s4] = s4
@@ -140,19 +165,23 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
 
     def add_candidate(r, c, len_, weight):
         nonlocal newmv_count
-        if state.ref[r, c] != ref_frame:
-            return False
-        mv = (int(state.mv[r, c, 0]), int(state.mv[r, c, 1]))
-        for e in stack:
-            if e[0] == mv:
-                e[1] += weight * len_
-                break
-        else:
-            if len(stack) < MAX_REF_MV_STACK_SIZE:
-                stack.append([mv, weight * len_])
-        if state.mode[r, c] == NEWMV:
-            newmv_count += 1
-        return True
+        matched = False
+        for cref, cmv in ((state.ref[r, c], state.mv[r, c]),
+                          (state.ref1[r, c], state.mv1[r, c])):
+            if cref != ref_frame:
+                continue
+            mv = (int(cmv[0]), int(cmv[1]))
+            for e in stack:
+                if e[0] == mv:
+                    e[1] += weight * len_
+                    break
+            else:
+                if len(stack) < MAX_REF_MV_STACK_SIZE:
+                    stack.append([mv, weight * len_])
+            if _has_newmv(int(state.mode[r, c])):
+                newmv_count += 1
+            matched = True
+        return matched
 
     processed_rows = 0
     processed_cols = 0
@@ -287,8 +316,12 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
         while i < mi_size and len(stack) < MAX_MV_REF_CANDIDATES:
             r = (mi_row - 1, mi_col + i) if row else (mi_row + i, mi_col - 1)
             rr, cc = r
-            if state.ref[rr, cc] > INTRA_FRAME:
-                mv = (int(state.mv[rr, cc, 0]), int(state.mv[rr, cc, 1]))
+            for cref, cmv in ((state.ref[rr, cc], state.mv[rr, cc]),
+                              (state.ref1[rr, cc], state.mv1[rr, cc])):
+                if cref <= INTRA_FRAME \
+                        or len(stack) >= MAX_MV_REF_CANDIDATES:
+                    continue
+                mv = (int(cmv[0]), int(cmv[1]))
                 if all(e[0] != mv for e in stack):
                     stack.append([mv, 2])
             i += int(state.n8w[rr, cc] if row else state.n8h[rr, cc])
@@ -307,6 +340,238 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
 
     res = MvStackResult()
     res.stack = [(tuple(e[0]), e[1]) for e in stack]
+    res.count = len(stack)
+    res.mode_context = mode_context
+    res.ref_list = ref_list
+    res.nearest_count = nearest_count
+    return res
+
+
+def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
+                       s4: int, rf0: int = LAST_FRAME,
+                       rf1: int = ALTREF_FRAME) -> MvStackResult:
+    """Compound ref-MV stack for the (rf0, rf1) pair (reference
+    setup_ref_mv_list compound path, EbAdaptiveMotionVectorPrediction.c:905
+    + the under-2 fill :1110-1240). Stack entries are ((mv0, mv1), w);
+    ref_list holds the two predictor *pairs*. Sign-bias inversion is a
+    no-op in our streams (enable_order_hint = 0 => all biases equal)."""
+    mi_rows, mi_cols = state.mi_rows, state.mi_cols
+    n8 = s4
+    gm = ((0, 0), (0, 0))
+    stack = []          # [ (mv0, mv1), weight ]
+    newmv_count = 0
+    row_match = False
+    col_match = False
+
+    up_avail = mi_row > 0
+    left_avail = mi_col > 0
+    max_row_offset = max(-(MVREF_ROWS << 1), -mi_row) if up_avail else 0
+    max_col_offset = max(-(MVREF_ROWS << 1), -mi_col) if left_avail else 0
+
+    def add_candidate(r, c, len_, weight):
+        nonlocal newmv_count
+        if state.ref[r, c] != rf0 or state.ref1[r, c] != rf1:
+            return False
+        pair = ((int(state.mv[r, c, 0]), int(state.mv[r, c, 1])),
+                (int(state.mv1[r, c, 0]), int(state.mv1[r, c, 1])))
+        for e in stack:
+            if e[0] == pair:
+                e[1] += weight * len_
+                break
+        else:
+            if len(stack) < MAX_REF_MV_STACK_SIZE:
+                stack.append([pair, weight * len_])
+        if _has_newmv(int(state.mode[r, c])):
+            newmv_count += 1
+        return True
+
+    processed_rows = 0
+    processed_cols = 0
+
+    def scan_row(row_offset):
+        nonlocal processed_rows, row_match
+        end_mi = min(n8, mi_cols - mi_col, 16)
+        col_off = 1 if abs(row_offset) > 1 else 0
+        use_step_16 = n8 >= 16
+        i = 0
+        while i < end_mi:
+            r = mi_row + row_offset
+            c = mi_col + col_off + i
+            if c >= mi_cols:
+                break
+            cand_w = int(state.n8w[r, c])
+            cand_h = int(state.n8h[r, c])
+            length = min(n8, cand_w)
+            if use_step_16:
+                length = max(4, length)
+            elif abs(row_offset) > 1:
+                length = max(length, 2)
+            weight = 2
+            if 2 <= n8 <= cand_w:
+                inc = min(-max_row_offset + row_offset + 1, cand_h)
+                weight = max(weight, inc)
+                processed_rows = inc - row_offset - 1
+            if add_candidate(r, c, length, weight):
+                row_match = True
+            i += length
+
+    def scan_col(col_offset):
+        nonlocal processed_cols, col_match
+        end_mi = min(n8, mi_rows - mi_row, 16)
+        row_off = 1 if abs(col_offset) > 1 else 0
+        use_step_16 = n8 >= 16
+        i = 0
+        while i < end_mi:
+            r = mi_row + row_off + i
+            c = mi_col + col_offset
+            if r >= mi_rows:
+                break
+            cand_w = int(state.n8w[r, c])
+            cand_h = int(state.n8h[r, c])
+            length = min(n8, cand_h)
+            if use_step_16:
+                length = max(4, length)
+            elif abs(col_offset) > 1:
+                length = max(length, 2)
+            weight = 2
+            if 2 <= n8 <= cand_h:
+                inc = min(-max_col_offset + col_offset + 1, cand_w)
+                weight = max(weight, inc)
+                processed_cols = inc - col_offset - 1
+            if add_candidate(r, c, length, weight):
+                col_match = True
+            i += length
+
+    def scan_blk(row_offset, col_offset):
+        nonlocal row_match
+        r = mi_row + row_offset
+        c = mi_col + col_offset
+        if 0 <= r < mi_rows and 0 <= c < mi_cols:
+            if add_candidate(r, c, 2, 2):
+                row_match = True
+
+    if abs(max_row_offset) >= 1:
+        scan_row(-1)
+    if abs(max_col_offset) >= 1:
+        scan_col(-1)
+    if _mvp_has_top_right(mi_row, mi_col, n8):
+        scan_blk(-1, n8)
+
+    nearest_match = int(row_match) + int(col_match)
+    nearest_count = len(stack)
+    nearest_newmv = newmv_count
+    for e in stack[:nearest_count]:
+        e[1] += REF_CAT_LEVEL
+
+    saved_newmv = newmv_count
+    scan_blk(-1, -1)
+    for idx in range(2, MVREF_ROWS + 1):
+        row_offset = -(idx << 1) + 1
+        col_offset = -(idx << 1) + 1
+        if abs(row_offset) <= abs(max_row_offset) \
+                and abs(row_offset) > processed_rows:
+            scan_row(row_offset)
+        if abs(col_offset) <= abs(max_col_offset) \
+                and abs(col_offset) > processed_cols:
+            scan_col(col_offset)
+    newmv_count = saved_newmv
+
+    ref_match = int(row_match) + int(col_match)
+    mode_context = 0
+    if nearest_match == 0:
+        if ref_match >= 1:
+            mode_context |= 1
+        if ref_match == 1:
+            mode_context |= 1 << 4
+        elif ref_match >= 2:
+            mode_context |= 2 << 4
+    elif nearest_match == 1:
+        mode_context |= 2 if nearest_newmv > 0 else 3
+        if ref_match == 1:
+            mode_context |= 3 << 4
+        elif ref_match >= 2:
+            mode_context |= 4 << 4
+    else:
+        mode_context |= 4 if nearest_newmv >= 1 else 5
+        mode_context |= 5 << 4
+
+    def _bubble(lo, hi):
+        ln = hi
+        while ln > lo:
+            nr = lo
+            for idx in range(lo + 1, ln):
+                if stack[idx - 1][1] < stack[idx][1]:
+                    stack[idx - 1], stack[idx] = stack[idx], stack[idx - 1]
+                    nr = idx
+            ln = nr
+
+    _bubble(0, nearest_count)
+    _bubble(nearest_count, len(stack))
+
+    # under-2 fill (reference :1119-1230)
+    if len(stack) < 2:
+        ref_id = [[], []]
+        ref_diff = [[], []]
+        mi_size = min(16, n8, mi_cols - mi_col, mi_rows - mi_row)
+
+        def collect(row: bool):
+            i = 0
+            while i < mi_size:
+                rr, cc = (mi_row - 1, mi_col + i) if row \
+                    else (mi_row + i, mi_col - 1)
+                for cref, cmv in ((state.ref[rr, cc], state.mv[rr, cc]),
+                                  (state.ref1[rr, cc],
+                                   state.mv1[rr, cc])):
+                    for cmp_idx, rf in ((0, rf0), (1, rf1)):
+                        if cref == rf and len(ref_id[cmp_idx]) < 2:
+                            ref_id[cmp_idx].append((int(cmv[0]),
+                                                    int(cmv[1])))
+                        elif cref > INTRA_FRAME \
+                                and len(ref_diff[cmp_idx]) < 2:
+                            # sign bias equal for all refs here: no invert
+                            ref_diff[cmp_idx].append((int(cmv[0]),
+                                                      int(cmv[1])))
+                i += int(state.n8w[rr, cc] if row else state.n8h[rr, cc])
+
+        if abs(max_row_offset) >= 1:
+            collect(True)
+        if abs(max_col_offset) >= 1:
+            collect(False)
+
+        comp_list = [[gm[0], gm[1]] for _ in range(3)]
+        for idx in range(2):
+            ci = 0
+            for mv in ref_id[idx]:
+                if ci >= 3:
+                    break
+                comp_list[ci][idx] = mv
+                ci += 1
+            for mv in ref_diff[idx]:
+                if ci >= 3:
+                    break
+                comp_list[ci][idx] = mv
+                ci += 1
+        if len(stack) == 1:
+            if tuple(comp_list[0]) == stack[0][0]:
+                stack.append([(comp_list[1][0], comp_list[1][1]), 2])
+            else:
+                stack.append([(comp_list[0][0], comp_list[0][1]), 2])
+        elif len(stack) == 0:
+            for idx in range(MAX_MV_REF_CANDIDATES):
+                stack.append([(comp_list[idx][0], comp_list[idx][1]), 2])
+
+    for e in stack:
+        e[0] = (_clamp_mv_ref(e[0][0], mi_row, mi_col, s4, mi_rows,
+                              mi_cols),
+                _clamp_mv_ref(e[0][1], mi_row, mi_col, s4, mi_rows,
+                              mi_cols))
+
+    ref_list = [gm, gm]
+    for idx in range(min(MAX_MV_REF_CANDIDATES, len(stack))):
+        ref_list[idx] = stack[idx][0]
+
+    res = MvStackResult()
+    res.stack = [(e[0], e[1]) for e in stack]
     res.count = len(stack)
     res.mode_context = mode_context
     res.ref_list = ref_list

@@ -117,3 +117,55 @@ def test_deep_pyramid_levels_4_partial_group():
     for t, (disp, src) in enumerate(zip(shown, frames)):
         err = np.abs(disp[0].astype(int) - src[0].astype(int)).mean()
         assert err < 12, f"frame {t} err {err}"
+
+
+def test_compound_prediction_roundtrip():
+    """Hierarchical-B with compound (LAST+ALTREF averaged) blocks:
+    byte-exact decode and actual compound usage."""
+    import numpy as np
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    rng = np.random.RandomState(51)
+    h, w = 96, 128
+    base = rng.randint(40, 200, (h, w)).astype(np.int32)
+    noise = [rng.normal(0, 6, (h, w)) for _ in range(5)]
+    frames = []
+    for t in range(5):
+        yy = np.clip(base + noise[t] + 2 * t, 0, 255).astype(np.uint8)
+        uu = np.full((h // 2, w // 2), 100, np.uint8)
+        vv = np.full((h // 2, w // 2), 140, np.uint8)
+        frames.append((yy, uu, vv))
+    cfg = EncoderConfig(width=w, height=h, qp=45, intra_period=32,
+                        hierarchical_levels=2,
+                        scene_change_detection=False)
+    enc = Encoder(cfg)
+    outs = []
+    for f in frames:
+        enc.send_picture(*f)
+        while (p := enc.get_packet()) is not None:
+            outs.append(p)
+    enc.flush()
+    while (p := enc.get_packet()) is not None:
+        outs.append(p)
+    dec = StreamDecoder()
+    shown = 0
+    for tu, disp in outs:
+        out = dec.decode_tu(tu)
+        if disp is None:
+            continue
+        shown += 1
+        for p in range(3):
+            assert (out[p] == disp[p]).all(), f"shown {shown} plane {p}"
+    assert shown == len(frames)
+    # direct check that compound blocks were chosen on a middle B frame
+    from svt_av1_tpu.pipeline.inter import InterFrameEncoder
+    from svt_av1_tpu.pipeline.wavefront import WavefrontIntraEncoder
+    kf = WavefrontIntraEncoder(cfg)
+    kf.encode(*frames[0])
+    anchor = InterFrameEncoder(cfg, kf.seq)
+    _, arec = anchor.encode(*frames[4], kf.recon, show_frame=False)
+    mid = InterFrameEncoder(cfg, kf.seq)
+    mid.encode(*frames[2], kf.recon, alt_planes=arec,
+               refresh_frame_flags=0, show_frame=True)
+    assert mid.block_comp.sum() > 0, "no compound blocks chosen"
