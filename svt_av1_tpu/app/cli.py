@@ -40,14 +40,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fps", type=int, default=30)
     p.add_argument("--intra-period", type=int, default=-1)
     p.add_argument("--preset", type=int, default=2,
-                   help="0 = highest quality .. 3 = fastest "
-                        "(reference enc_mode scale)")
+                   help="0 = highest quality .. 8 = fastest "
+                        "(reference enc_mode M0-M8 scale)")
+    p.add_argument("--hierarchical-levels", type=int, default=0,
+                   help="mini-GOP pyramid depth 0..5 (0 = low delay)")
+    p.add_argument("--lad", type=int, default=0,
+                   help="look-ahead distance (VBR weighting window)")
+    p.add_argument("--tbr", type=int, default=0,
+                   help="target bit rate (bits/s; enables VBR)")
     p.add_argument("--bit-depth", type=int, default=8, choices=(8, 10))
     p.add_argument("-o", "--recon", default=None,
                    help="write reconstruction to this yuv file")
     p.add_argument("--no-stats", action="store_true")
     p.add_argument("--film-grain", type=int, default=0, metavar="LEVEL",
                    help="film grain synthesis strength 0..64 (0 = off)")
+    p.add_argument("--nch", type=int, default=1,
+                   help="independent encoder channels; -i/-b take "
+                        "comma-separated lists (reference EbAppMain -nch)")
     return p
 
 
@@ -68,15 +77,57 @@ def preset_config(args) -> EncoderConfig:
                   angle_deltas=(-2, 0, 2), enable_cdef=True)
     elif args.preset == 2:     # M2
         kw.update(fixed_partition_size=None, nfl=2, angle_deltas=(0,))
-    else:                      # M3: fastest
+    elif args.preset == 3:     # M3
         kw.update(fixed_partition_size=32, nfl=1, angle_deltas=(0,),
                   intra_modes=(0, 1, 2, 9, 12))
+    elif args.preset == 4:     # M4
+        kw.update(fixed_partition_size=32, nfl=1, angle_deltas=(0,),
+                  intra_modes=(0, 1, 2, 12))
+    elif args.preset == 5:     # M5
+        kw.update(fixed_partition_size=16, nfl=1, angle_deltas=(0,),
+                  intra_modes=(0, 1, 2, 12))
+    elif args.preset == 6:     # M6
+        kw.update(fixed_partition_size=16, nfl=1, angle_deltas=(0,),
+                  intra_modes=(0, 1, 2), enable_dlf=True)
+    elif args.preset == 7:     # M7
+        kw.update(fixed_partition_size=16, nfl=1, angle_deltas=(0,),
+                  intra_modes=(0,), scene_change_detection=False)
+    else:                      # M8: fastest
+        kw.update(fixed_partition_size=64, nfl=1, angle_deltas=(0,),
+                  intra_modes=(0,), enable_dlf=False,
+                  scene_change_detection=False)
+    if args.hierarchical_levels:
+        kw.update(hierarchical_levels=args.hierarchical_levels)
+    if args.tbr:
+        from svt_av1_tpu.config import RateControlMode
+        kw.update(rate_control_mode=RateControlMode.VBR,
+                  target_bit_rate=args.tbr,
+                  look_ahead_distance=args.lad)
     return EncoderConfig(**kw)
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.nch > 1:
+        # multi-instance channels (reference EbAppMain.c:82-230): fully
+        # independent encoder instances driven from one process
+        import copy
+        inputs = args.input.split(",")
+        outputs = args.output.split(",")
+        assert len(inputs) == len(outputs) == args.nch, \
+            "--nch requires matching comma-separated -i and -b lists"
+        rc = 0
+        for i, (inp, outp) in enumerate(zip(inputs, outputs)):
+            ch = copy.copy(args)
+            ch.input, ch.output, ch.nch = inp, outp, 1
+            if not args.no_stats:
+                print(f"--- channel {i}: {inp} -> {outp}")
+            rc |= main_single(ch)
+        return rc
+    return main_single(args)
 
+
+def main_single(args) -> int:
     # open input
     if args.input == "-" or args.input.endswith(".y4m"):
         fh = sys.stdin.buffer if args.input == "-" else open(args.input,

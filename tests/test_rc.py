@@ -75,3 +75,38 @@ def test_lookahead_rate_tracking():
         assert len(decs) == len(frames)
         res[lad] = abs(len(iv) * 8 * 30 / len(frames) - 250_000)
     assert res[4] <= res[0] * 1.5
+
+
+def test_cli_presets_and_channels(tmp_path):
+    """M0-M8 preset mapping resolves to valid configs; --nch runs
+    independent channels."""
+    import numpy as np
+    from svt_av1_tpu.app.cli import build_parser, preset_config
+    for preset in range(9):
+        args = build_parser().parse_args(
+            ["-i", "x.y4m", "-b", "x.ivf", "--preset", str(preset)])
+        args.width, args.height, args.bit_depth = 128, 96, 8
+        cfg = preset_config(args)
+        assert cfg.width == 128
+    # vbr flags map through
+    args = build_parser().parse_args(
+        ["-i", "x.y4m", "-b", "x.ivf", "--tbr", "200000", "--lad", "4"])
+    args.width, args.height, args.bit_depth = 128, 96, 8
+    cfg = preset_config(args)
+    assert cfg.rate_control_mode == 1 and cfg.look_ahead_distance == 4
+    # channels: two tiny y4m encodes in one invocation
+    from svt_av1_tpu.app import cli
+    src = tmp_path / "in.y4m"
+    rng = np.random.RandomState(3)
+    with open(src, "wb") as f:
+        f.write(b"YUV4MPEG2 W64 H64 F30:1 Ip A1:1 C420\n")
+        for _ in range(2):
+            f.write(b"FRAME\n")
+            f.write(rng.randint(0, 255, 64 * 64).astype(np.uint8).tobytes())
+            f.write(np.full(2 * 32 * 32, 128, np.uint8).tobytes())
+    o1, o2 = tmp_path / "a.ivf", tmp_path / "b.ivf"
+    rc = cli.main(["-i", f"{src},{src}", "-b", f"{o1},{o2}",
+                   "--nch", "2", "--preset", "8", "--no-stats"])
+    assert rc == 0 and o1.stat().st_size > 0 and o2.stat().st_size > 0
+    from svt_av1_tpu.pipeline.decode import decode_ivf
+    assert len(decode_ivf(open(o1, "rb"))) == 2
