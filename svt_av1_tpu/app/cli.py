@@ -53,7 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write reconstruction to this yuv file")
     p.add_argument("--no-stats", action="store_true")
     p.add_argument("--film-grain", type=int, default=0, metavar="LEVEL",
-                   help="film grain synthesis strength 0..64 (0 = off)")
+                   help="film grain synthesis strength 0..64 (0 = off, -1 = auto-estimate from source noise)")
     p.add_argument("--nch", type=int, default=1,
                    help="independent encoder channels; -i/-b take "
                         "comma-separated lists (reference EbAppMain -nch)")

@@ -58,7 +58,9 @@ class EncoderConfig:
     enable_tx_type_search: bool = False
     disable_cdf_update: bool = False
     native_entropy: bool = True   # C range coder (falls back to Python)
-    film_grain_strength: int = 0  # 0 = off; 1..64 flat grain strength
+    film_grain_strength: int = 0  # 0 off; 1..64 flat strength; -1 auto
+                                  # (estimated from source noise by the
+                                  # GOP encoder's analysis stage)
     film_grain_seed: int = 45231  # 16-bit LFSR seed for grain synthesis
 
     # --- mode decision budget (static shapes for XLA) --------------------------

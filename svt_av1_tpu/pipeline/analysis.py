@@ -1,0 +1,129 @@
+"""Picture analysis: variance/activity maps, histograms, flat-block
+noise estimation, and automatic film-grain parameterization.
+
+TPU-first re-design of the reference's PictureAnalysis stage
+(EbPictureAnalysisProcess.c: ComputeBlockMeanComputeVariance :1986,
+CalculateHistogram :131, DetectInputPictureNoise :3181,
+denoise_estimate_film_grain :3336 backed by noise_model.c's flat-block
+finder): everything here is expressed as whole-frame vectorized window
+reductions (integral images / strided means) so the same math maps to
+jnp reductions on device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from svt_av1_tpu.ops.grain import FilmGrainParams
+
+
+def _block_reduce(x: np.ndarray, bs: int):
+    """[H, W] -> [H//bs, W//bs, bs*bs] window view (crop to multiple)."""
+    h = x.shape[0] // bs * bs
+    w = x.shape[1] // bs * bs
+    v = x[:h, :w].reshape(h // bs, bs, w // bs, bs)
+    return v.transpose(0, 2, 1, 3).reshape(h // bs, w // bs, bs * bs)
+
+
+def variance_maps(y: np.ndarray, sizes=(8, 16, 32, 64)) -> Dict[int, np.ndarray]:
+    """Per-block variance at each size (reference
+    ComputeBlockMeanComputeVariance; used for activity/complexity
+    classification)."""
+    out = {}
+    yf = y.astype(np.float64)
+    for bs in sizes:
+        if y.shape[0] < bs or y.shape[1] < bs:
+            continue
+        v = _block_reduce(yf, bs)
+        out[bs] = v.var(axis=2)
+    return out
+
+
+def luma_histogram(y: np.ndarray, bins: int = 256) -> np.ndarray:
+    """Frame luma histogram (CalculateHistogram analogue)."""
+    return np.bincount(y.reshape(-1).astype(np.int64), minlength=bins)
+
+
+def activity_class(y: np.ndarray) -> np.ndarray:
+    """Coarse 32x32 complexity classes 0..3 by variance quartile
+    (ComplexityClassifier32x32 analogue; feeds adaptive decisions)."""
+    vm = variance_maps(y, sizes=(32,)).get(32)
+    if vm is None or vm.size == 0:
+        return np.zeros((0, 0), dtype=np.int32)
+    qs = np.quantile(vm, [0.25, 0.5, 0.75])
+    return np.digitize(vm, qs).astype(np.int32)
+
+
+# --- noise estimation ---------------------------------------------------------
+
+# 3x3 Laplacian-style high-pass used by classical MAD noise estimators
+# (the role of DetectInputPictureNoise's noise extraction filter)
+_HP = np.array([[1, -2, 1], [-2, 4, -2], [1, -2, 1]], dtype=np.float64)
+
+
+def _highpass(y: np.ndarray) -> np.ndarray:
+    yf = y.astype(np.float64)
+    out = np.zeros((y.shape[0] - 2, y.shape[1] - 2))
+    for dr in range(3):
+        for dc in range(3):
+            out += _HP[dr, dc] * yf[dr:dr + out.shape[0],
+                                    dc:dc + out.shape[1]]
+    return out
+
+
+def flat_block_mask(y: np.ndarray, bs: int = 16) -> np.ndarray:
+    """Low-gradient, mid-tone blocks suitable for noise measurement
+    (noise_model.c flat-block finder analogue: gradient energy + DC
+    range gates)."""
+    gy = np.abs(np.diff(y.astype(np.float64), axis=0))
+    gx = np.abs(np.diff(y.astype(np.float64), axis=1))
+    grad = np.zeros(y.shape)
+    grad[:-1] += gy
+    grad[:, :-1] += gx
+    gmean = _block_reduce(grad, bs).mean(axis=2)
+    dc = _block_reduce(y.astype(np.float64), bs).mean(axis=2)
+    gthr = np.quantile(gmean, 0.5) if gmean.size else 0.0
+    return (gmean <= max(gthr, 6.0)) & (dc > 24) & (dc < 232)
+
+
+def estimate_noise_sigma(y: np.ndarray, bs: int = 16) -> float:
+    """Noise standard deviation from high-passed flat blocks
+    (Immerkaer-style MAD estimator; the DetectInputPictureNoise role)."""
+    if y.shape[0] < bs + 2 or y.shape[1] < bs + 2:
+        return 0.0
+    hp = _highpass(y)
+    mask = flat_block_mask(y[1:-1, 1:-1], bs)
+    hb = _block_reduce(np.abs(hp), bs).mean(axis=2)
+    mh = min(mask.shape[0], hb.shape[0])
+    mw = min(mask.shape[1], hb.shape[1])
+    sel = hb[:mh, :mw][mask[:mh, :mw]]
+    if sel.size == 0:
+        return 0.0
+    # E|HP(noise)| for iid sigma-noise with this kernel: sigma*6*sqrt(2/pi)
+    return float(np.median(sel) * np.sqrt(np.pi / 2.0) / 6.0)
+
+
+def _grain_unit_sigma(bd: int = 8) -> float:
+    """Std of the synthesized grain template at scaling value 1
+    (gaussian_sequence >> (12-bd), scaled by 1/2^scaling_shift)."""
+    from svt_av1_tpu.ops.grain import gaussian_sequence
+    g = gaussian_sequence().astype(np.float64)
+    return float((g / (1 << (12 - bd))).std() / 256.0)
+
+
+def estimate_grain_params(y: np.ndarray, bd: int = 8,
+                          seed: int = 45231) -> FilmGrainParams:
+    """Map measured source noise to synthesis parameters: pick the flat
+    luma scaling value whose synthesized grain matches the measured
+    sigma (the role of denoise_estimate_film_grain + noise_model.c's
+    scaling-LUT solve). Returns apply_grain=False params when the
+    source is clean."""
+    sigma = estimate_noise_sigma(y)
+    if sigma < 0.8:
+        return FilmGrainParams(apply_grain=False)
+    unit = _grain_unit_sigma(bd)
+    scale = int(np.clip(round(sigma / unit), 1, 255))
+    return FilmGrainParams(grain_seed=seed & 0xFFFF,
+                           scaling_points_y=((0, scale), (255, scale)))

@@ -189,11 +189,31 @@ class Encoder:
         return idx % (period + 1) == 0
 
     # --- public ---------------------------------------------------------------
+    def _resolve_auto_grain(self, y) -> None:
+        """film_grain_strength == -1: estimate synthesis strength from
+        the first frame's measured noise (PictureAnalysis
+        denoise_estimate_film_grain analogue)."""
+        from svt_av1_tpu.pipeline import analysis
+        params = analysis.estimate_grain_params(y, self.cfg.bit_depth)
+        strength = 0
+        if params.apply_grain:
+            strength = min(int(params.scaling_points_y[0][1]), 64)
+        self.cfg = dataclasses.replace(self.cfg,
+                                       film_grain_strength=strength)
+        self.seq.film_grain_params_present = strength > 0
+        self._grain = None
+        if strength > 0:
+            from svt_av1_tpu.ops import grain as grain_ops
+            self._grain = grain_ops.default_params(
+                strength, self.cfg.film_grain_seed)
+
     def send_picture(self, y: np.ndarray, u: np.ndarray,
                      v: np.ndarray) -> None:
         """Accept one frame (display order). With lookahead, encoding of a
         frame is deferred until its complexity window fills (the
         InitialRateControl look-ahead analogue)."""
+        if self.cfg.film_grain_strength == -1:
+            self._resolve_auto_grain(y)
         lad = self.cfg.look_ahead_distance
         if lad > 0 and self._rc is not None:
             from svt_av1_tpu.pipeline.scd import luma_stats

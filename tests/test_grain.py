@@ -139,3 +139,59 @@ def test_gop_grain_roundtrip_with_show_existing():
         for p in range(3):
             assert (out[p] == disp[p]).all(), f"shown {shown} plane {p}"
     assert shown == len(frames)
+
+
+def test_picture_analysis_maps():
+    from svt_av1_tpu.pipeline import analysis
+    r = np.random.RandomState(5)
+    y = r.randint(0, 255, (96, 128)).astype(np.uint8)
+    vm = analysis.variance_maps(y)
+    assert set(vm) == {8, 16, 32, 64}
+    assert vm[64].shape == (1, 2)
+    h = analysis.luma_histogram(y)
+    assert h.sum() == y.size and h.shape == (256,)
+    ac = analysis.activity_class(y)
+    assert ac.shape == (3, 4) and ac.max() <= 3
+
+
+def test_noise_estimator_tracks_sigma():
+    from svt_av1_tpu.pipeline import analysis
+    r = np.random.RandomState(6)
+    base = np.clip(np.tile(np.linspace(40, 200, 192), (128, 1)),
+                   0, 255)
+    assert analysis.estimate_noise_sigma(base.astype(np.uint8)) < 0.8
+    for true_sigma in (4.0, 10.0):
+        noisy = np.clip(base + r.normal(0, true_sigma, base.shape),
+                        0, 255).astype(np.uint8)
+        est = analysis.estimate_noise_sigma(noisy)
+        assert 0.6 * true_sigma < est < 1.5 * true_sigma, \
+            (true_sigma, est)
+
+
+def test_auto_film_grain_end_to_end():
+    """film_grain_strength=-1: the GOP encoder estimates grain from the
+    source; noisy input -> grain on + exact roundtrip, clean -> off."""
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    r = np.random.RandomState(7)
+    base = np.clip(np.tile(np.linspace(30, 220, 128), (96, 1)), 0, 255)
+    noisy = np.clip(base + r.normal(0, 9, base.shape), 0,
+                    255).astype(np.uint8)
+    u = np.full((48, 64), 100, np.uint8)
+    v = np.full((48, 64), 140, np.uint8)
+    cfg = EncoderConfig(width=128, height=96, qp=40,
+                        film_grain_strength=-1)
+    enc = Encoder(cfg)
+    enc.send_picture(noisy, u, v)
+    enc.flush()
+    tu, disp = enc.get_packet()
+    assert enc.cfg.film_grain_strength > 0, "noise not detected"
+    dec = StreamDecoder()
+    out = dec.decode_tu(tu)
+    for p in range(3):
+        assert (out[p] == disp[p]).all()
+    # clean input -> grain stays off
+    enc2 = Encoder(cfg)
+    enc2.send_picture(base.astype(np.uint8), u, v)
+    enc2.flush()
+    assert enc2.cfg.film_grain_strength == 0
