@@ -128,6 +128,8 @@ class FrameHeader:
     # unit_size_uv) in plane pixels, or None when restoration is off
     lr_params: object = None
     reference_select: bool = False  # frame allows per-block compound
+    delta_q_present: bool = False   # per-SB delta qindex (spec 5.9.17)
+    delta_q_res: int = 2            # log2 step of coded deltas
 
 
 def _obu_header(obu_type: int) -> int:
@@ -277,8 +279,11 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
     w.write_bit(0)                       # using_qmatrix
     w.write_bit(0)                       # segmentation_enabled
     if fh.base_q_idx > 0:
-        w.write_bit(0)                   # delta_q_present
-    # delta_lf_params: skipped (delta_q_present == 0)
+        w.write_bit(int(fh.delta_q_present))
+        if fh.delta_q_present:
+            w.write(fh.delta_q_res, 2)
+    if fh.delta_q_present:
+        w.write_bit(0)                   # delta_lf_present
     # loop_filter_params (CodedLossless false):
     lf = fh.loop_filter_levels
     w.write(lf[0], 6)
@@ -509,8 +514,14 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
     assert r.read_bit() == 0  # DeltaQUAc
     assert r.read_bit() == 0  # using_qmatrix
     assert r.read_bit() == 0  # segmentation_enabled
+    delta_q_present = False
+    delta_q_res = 2
     if base_q_idx > 0:
-        assert r.read_bit() == 0  # delta_q_present
+        delta_q_present = bool(r.read_bit())
+        if delta_q_present:
+            delta_q_res = r.read(2)
+    if delta_q_present:
+        assert r.read_bit() == 0  # delta_lf_present
     lf0, lf1 = r.read(6), r.read(6)
     lf2 = lf3 = 0
     if lf0 or lf1:
@@ -565,6 +576,8 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
                      cdef_y_strengths=cdef_y, cdef_uv_strengths=cdef_uv,
                      film_grain=film_grain, lr_params=lr_params,
                      reference_select=reference_select,
+                     delta_q_present=delta_q_present,
+                     delta_q_res=delta_q_res,
                      base_q_idx=base_q_idx,
                      disable_cdf_update=disable_cdf_update,
                      disable_frame_end_update_cdf=disable_end_update,

@@ -89,6 +89,8 @@ class EncoderConfig:
     recon_enabled: bool = False
     scene_change_detection: bool = True  # auto keyframes on scene cuts
     intra_in_inter: bool = True   # allow intra blocks inside inter frames
+    adaptive_quantization: int = 0  # 0 off; 1 = variance AQ (per-SB
+                                    # delta qindex, reference QPM)
 
     def __post_init__(self):
         if self.width % 2 or self.height % 2:

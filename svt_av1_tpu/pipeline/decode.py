@@ -156,6 +156,23 @@ class FrameDecoder:
                 self.recon[1][:(h + 1) // 2, :(w + 1) // 2],
                 self.recon[2][:(h + 1) // 2, :(w + 1) // 2]]
 
+    def _read_delta_q(self, mi_row: int, mi_col: int, size: int,
+                      skip: int) -> None:
+        """read_delta_qindex mirror (spec 5.11.5)."""
+        if not self.fh.delta_q_present or not self._read_deltas:
+            return
+        self._read_deltas = False
+        if size == 64 and skip:
+            return
+        from svt_av1_tpu.entropy import delta as delta_syntax
+        d = delta_syntax.read_delta_qindex(self.r, self.fc)
+        self.cur_qindex = delta_syntax.apply_delta(self.cur_qindex, d,
+                                                   self.fh.delta_q_res)
+        if self.cur_qindex not in self._dq_cache:
+            self._dq_cache[self.cur_qindex] = quant_ops.make_quant_params(
+                self.cur_qindex, bit_depth=self.bd)
+        self.qp = self._dq_cache[self.cur_qindex]
+
     def _decode_one_tile(self, data: bytes, sb_rs: int, sb_cs: int):
         self.fc = FrameContext(self.fh.base_q_idx)
         self.nmv = mv_syntax.NmvContext()
@@ -168,8 +185,12 @@ class FrameDecoder:
         self.lr_ref = [lr_syntax.LrRefState() for _ in range(3)]
         if self.lr_rinfos is not None:
             assert self.tile_mi_off == (0, 0), "LR decode is single-tile"
+        self.cur_qindex = self.fh.base_q_idx
+        self._dq_cache = {self.cur_qindex: self.qp}
+        self.qp = self._dq_cache[self.cur_qindex]
         for sb_y in range(0, sb_rs * 16, 16):
             for sb_x in range(0, sb_cs * 16, 16):
+                self._read_deltas = self.fh.delta_q_present
                 self._read_lr(sb_y, sb_x)
                 self._decode_partition(sb_y, sb_x, 64)
 
@@ -224,6 +245,7 @@ class FrameDecoder:
         skip = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
                                      mi_row, mi_col)
         self._read_cdef(mi_row, mi_col, skip)
+        self._read_delta_q(mi_row, mi_col, size, skip)
         is_inter = inter_modes.read_is_inter(self.r, self.fc,
                                              self.mvp_state, mi_row, mi_col)
         if not is_inter:
@@ -381,6 +403,7 @@ class FrameDecoder:
         skip = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
                                      mi_row, mi_col)
         self._read_cdef(mi_row, mi_col, skip)
+        self._read_delta_q(mi_row, mi_col, size, skip)
         self._decode_intra_tail(mi_row, mi_col, size, skip, kf=True)
 
     def _decode_intra_tail(self, mi_row: int, mi_col: int, size: int,

@@ -55,9 +55,10 @@ class IntraFrameEncoder:
     """Encodes one shown keyframe as a single tile."""
 
     def __init__(self, cfg: EncoderConfig):
-        assert not cfg.enable_cdef and not cfg.enable_restoration, \
-            "oracle encoder covers the pre-filter pipeline; use the " \
-            "wavefront encoder for CDEF/LR streams"
+        assert not cfg.enable_cdef and not cfg.enable_restoration \
+            and not cfg.adaptive_quantization, \
+            "oracle encoder covers the pre-filter flat-QP pipeline; use " \
+            "the wavefront encoder for CDEF/LR/AQ streams"
         self.cfg = cfg
         self.seq = obu.SequenceHeader(width=cfg.width, height=cfg.height,
                                       bit_depth=cfg.bit_depth,

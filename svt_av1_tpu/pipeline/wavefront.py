@@ -62,7 +62,8 @@ class WavefrontIntraEncoder:
 
     # --- batched wave compute (host numpy backend) ----------------------------
     def _wave_compute(self, plane: int, xs, ys, size: int, cands,
-                      htr, hbl, forced=None, cfl_luma=None):
+                      htr, hbl, forced=None, cfl_luma=None, qp=None,
+                      lam=None):
         """All blocks of one wave: mode decision + T/Q/IQ/recon.
         cands: [(mode, angle_delta)] candidate list; htr/hbl: [B]
         above-right / bottom-left availability. ``forced``: (modes [B],
@@ -83,14 +84,70 @@ class WavefrontIntraEncoder:
                          for x, y in zip(xs, ys)]).astype(np.int64)
         best, deltas, qcoeff, eob, recon_blocks, _, alphas, tts = \
             md.decide_block_batch(
-                plane, srcs, above1, left1, ha, hl, cands, self.qp, size,
-                self.lam, bd=cfg.bit_depth, nfl=cfg.nfl, forced=forced,
+                plane, srcs, above1, left1, ha, hl, cands,
+                self.qp if qp is None else qp, size,
+                self.lam if lam is None else lam,
+                bd=cfg.bit_depth, nfl=cfg.nfl, forced=forced,
                 cfl_luma=cfl_luma,
                 tx_search=(plane == 0 and cfg.enable_tx_type_search
                            and cfg.base_q_idx > 0))
         for i, (x, y) in enumerate(zip(xs, ys)):
             recon[y:y + size, x:x + size] = recon_blocks[i]
         return best, deltas, qcoeff, eob, alphas, tts
+
+    # --- adaptive quantization (QPM) ------------------------------------------
+    DELTA_Q_RES = 2  # coded deltas step 1 << 2 = 4 qindex units
+
+    def _qp_for(self, qidx: int):
+        """Quant params + lambda for one SB qindex (cached)."""
+        if not hasattr(self, "_qp_cache"):
+            self._qp_cache = {}
+        if qidx not in self._qp_cache:
+            from svt_av1_tpu.pipeline import rd
+            self._qp_cache[qidx] = (
+                quant_ops.make_quant_params(qidx,
+                                            bit_depth=self.cfg.bit_depth),
+                rd.rd_lambda(qidx, self.cfg.bit_depth))
+        return self._qp_cache[qidx]
+
+    def _variance_qmap(self, y_padded) -> np.ndarray:
+        """Per-SB qindex from local variance (the reference's
+        SourceBasedOperations/QPM: flat areas get finer quantization,
+        busy areas coarser; Av1QpModulationLcu EbCodingLoop.c:2222).
+        Offsets are multiples of 1 << DELTA_Q_RES so every SB-to-SB
+        delta is codable."""
+        cfg = self.cfg
+        step = 1 << self.DELTA_Q_RES
+        sbs = 64
+        h = self.seq.sb_rows * sbs
+        w = self.seq.sb_cols * sbs
+        v = y_padded[:h, :w].astype(np.float64)
+        v = v.reshape(self.seq.sb_rows, sbs, self.seq.sb_cols, sbs)
+        var = v.transpose(0, 2, 1, 3).reshape(self.seq.sb_rows,
+                                              self.seq.sb_cols,
+                                              -1).var(axis=2)
+        med = max(float(np.median(var)), 1.0)
+        off = np.round(4.0 * np.log2(np.maximum(var, 1.0) / med))
+        off = np.clip(off, -16, 16)
+        off = (np.round(off / step) * step).astype(np.int64)
+        return np.clip(cfg.base_q_idx + off, 1, 255).astype(np.int32)
+
+    def _write_delta_q(self, mi_row, mi_col, size, skip) -> None:
+        """Per-SB qindex delta at the first block of the SB (spec
+        5.11.5: a full-SB skip block codes nothing and leaves the
+        running qindex unchanged)."""
+        if self.qmap_t is None or not self._read_deltas:
+            return
+        self._read_deltas = False
+        if size == 64 and skip:
+            return
+        from svt_av1_tpu.entropy import delta as delta_syntax
+        target = int(self.qmap_t[mi_row // 16, mi_col // 16])
+        d = (target - self.cur_qindex) >> self.DELTA_Q_RES
+        delta_syntax.write_delta_qindex(self.w, self.fc, d)
+        self.cur_qindex = delta_syntax.apply_delta(self.cur_qindex, d,
+                                                   self.DELTA_Q_RES)
+        assert self.cur_qindex == target
 
     # --- leaf enumeration + dependency waves ----------------------------------
     def _fixed_leaf_sizes(self, target: int):
@@ -183,6 +240,9 @@ class WavefrontIntraEncoder:
         rects = common.tile_rects(self.seq.sb_cols, self.seq.sb_rows,
                                   frame_mi_cols, frame_mi_rows,
                                   cfg.tile_cols_log2, cfg.tile_rows_log2)
+        self.qmap = None
+        if cfg.adaptive_quantization:
+            self.qmap = self._variance_qmap(frame_src[0])
         tile_states = []
         frame_leaves = {}
         frame_skip = np.zeros((frame_mi_rows, frame_mi_cols), dtype=bool)
@@ -194,7 +254,8 @@ class WavefrontIntraEncoder:
                   ("src", "recon", "mi_rows", "mi_cols", "sb_rows_t",
                    "sb_cols_t", "max_wh", "leaf_sizes", "leaf_index",
                    "y_mode", "uv_mode", "y_delta", "uv_delta", "alpha_u",
-                   "alpha_v", "qcoeff", "eobs", "y_tx_type")}
+                   "alpha_v", "qcoeff", "eobs", "y_tx_type",
+                   "qmap_t")}
             st["rect"] = rect
             tile_states.append(st)
             for (r, c), s in self.leaf_sizes.items():
@@ -227,6 +288,10 @@ class WavefrontIntraEncoder:
                                      x0 // 2:(x0 + pw) // 2]]
         self.mi_rows, self.mi_cols = mi_rs, mi_cs
         self.sb_rows_t, self.sb_cols_t = sb_rs, sb_cs
+        self.qmap_t = None
+        if self.qmap is not None:
+            sr, sc = mi_r0 // 16, mi_c0 // 16
+            self.qmap_t = self.qmap[sr:sr + sb_rs, sc:sc + sb_cs]
 
     def _analyze_tile(self) -> None:
         cfg = self.cfg
@@ -265,39 +330,52 @@ class WavefrontIntraEncoder:
         for wv in range(int(waves.max()) + 1 if n else 0):
             in_wave = np.nonzero(waves == wv)[0]
             for size in np.unique(larr[in_wave, 2]):
-                ids = in_wave[larr[in_wave, 2] == size]
+                sids = in_wave[larr[in_wave, 2] == size]
                 size = int(size)
-                xs = larr[ids, 1] * 4
-                ys = larr[ids, 0] * 4
-                htr, hbl = htr_all[ids], hbl_all[ids]
-                csize = size >> 1
-                best, bdel, qc, eo, _, ytt = self._wave_compute(
-                    0, xs, ys, size, cands, htr, hbl)
-                self.y_mode[ids] = best
-                self.y_delta[ids] = bdel
-                self.eobs[0, ids] = eo
-                self.y_tx_type[ids] = ytt
-                cfl_luma = None
-                if size <= 32:  # cfl_allowed (luma block <= 32x32)
-                    cfl_luma = np.stack([
-                        self.recon[0][y:y + size, x:x + size]
-                        for x, y in zip(xs, ys)])
-                bestc, cdel, qcc, eoc, au, _ = self._wave_compute(
-                    1, xs >> 1, ys >> 1, csize, cands, htr, hbl,
-                    cfl_luma=cfl_luma)
-                self.uv_mode[ids] = bestc
-                self.uv_delta[ids] = cdel
-                self.alpha_u[ids] = au
-                self.eobs[1, ids] = eoc
-                _, _, qcv, eov, av, _ = self._wave_compute(
-                    2, xs >> 1, ys >> 1, csize, cands, htr, hbl,
-                    forced=(bestc, cdel), cfl_luma=cfl_luma)
-                self.alpha_v[ids] = av
-                self.eobs[2, ids] = eov
-                for k, i in enumerate(ids):
-                    self.qcoeff[0][i] = qc[k]
-                    self.qcoeff[1][i] = qcc[k]
-                    self.qcoeff[2][i] = qcv[k]
+                if self.qmap_t is None:
+                    qgroups = [(None, sids)]
+                else:
+                    qv = self.qmap_t[larr[sids, 0] // 16,
+                                     larr[sids, 1] // 16]
+                    qgroups = [(int(q), sids[qv == q])
+                               for q in np.unique(qv)]
+                for qidx, ids in qgroups:
+                    if len(ids) == 0:
+                        continue
+                    qp, lam = (None, None) if qidx is None \
+                        else self._qp_for(qidx)
+                    xs = larr[ids, 1] * 4
+                    ys = larr[ids, 0] * 4
+                    htr, hbl = htr_all[ids], hbl_all[ids]
+                    csize = size >> 1
+                    best, bdel, qc, eo, _, ytt = self._wave_compute(
+                        0, xs, ys, size, cands, htr, hbl, qp=qp, lam=lam)
+                    self.y_mode[ids] = best
+                    self.y_delta[ids] = bdel
+                    self.eobs[0, ids] = eo
+                    self.y_tx_type[ids] = ytt
+                    cfl_luma = None
+                    if size <= 32:  # cfl_allowed (luma block <= 32x32)
+                        cfl_luma = np.stack([
+                            self.recon[0][y:y + size, x:x + size]
+                            for x, y in zip(xs, ys)])
+                    bestc, cdel, qcc, eoc, au, _ = self._wave_compute(
+                        1, xs >> 1, ys >> 1, csize, cands, htr, hbl,
+                        cfl_luma=cfl_luma, qp=qp, lam=lam)
+                    self.uv_mode[ids] = bestc
+                    self.uv_delta[ids] = cdel
+                    self.alpha_u[ids] = au
+                    self.eobs[1, ids] = eoc
+                    _, _, qcv, eov, av, _ = self._wave_compute(
+                        2, xs >> 1, ys >> 1, csize, cands, htr, hbl,
+                        forced=(bestc, cdel), cfl_luma=cfl_luma, qp=qp,
+                        lam=lam)
+                    self.alpha_v[ids] = av
+                    self.eobs[2, ids] = eov
+                    for k, i in enumerate(ids):
+                        self.qcoeff[0][i] = qc[k]
+                        self.qcoeff[1][i] = qcc[k]
+                        self.qcoeff[2][i] = qcv[k]
 
         return None  # decisions stored on self; syntax runs after filters
 
@@ -371,6 +449,8 @@ class WavefrontIntraEncoder:
                              loop_filter_levels=lf_levels,
                              tile_cols_log2=cfg.tile_cols_log2,
                              tile_rows_log2=cfg.tile_rows_log2,
+                             delta_q_present=(self.qmap is not None),
+                             delta_q_res=self.DELTA_Q_RES,
                              film_grain=fg, **cdef_kw, **lr_kw)
         tu = (obu.temporal_delimiter_obu()
               + obu.write_sequence_header_obu(self.seq)
@@ -396,8 +476,10 @@ class WavefrontIntraEncoder:
         self._cdef_written = set()
         from svt_av1_tpu.entropy import lr as lr_syntax
         self.lr_ref = [lr_syntax.LrRefState() for _ in range(3)]
+        self.cur_qindex = cfg.base_q_idx
         for sb_y in range(0, self.sb_rows_t * 16, 16):
             for sb_x in range(0, self.sb_cols_t * 16, 16):
+                self._read_deltas = self.qmap_t is not None
                 self._write_lr(sb_y, sb_x)
                 self._emit_partition(sb_y, sb_x, 64)
         return self.w.done()
@@ -458,6 +540,7 @@ class WavefrontIntraEncoder:
         mode_syntax.write_skip(self.w, self.fc, self.ctxs, skip,
                                mi_row, mi_col)
         self._write_cdef_idx(mi_row, mi_col, skip)
+        self._write_delta_q(mi_row, mi_col, size, skip)
         mode_syntax.write_intra_luma_mode_kf(self.w, self.fc, self.ctxs,
                                              y_mode, mi_row, mi_col)
         if intra_dir.is_directional(y_mode):
