@@ -127,3 +127,21 @@ def estimate_grain_params(y: np.ndarray, bd: int = 8,
     scale = int(np.clip(round(sigma / unit), 1, 255))
     return FilmGrainParams(grain_seed=seed & 0xFFFF,
                            scaling_points_y=((0, scale), (255, scale)))
+
+
+def variance_qmap(y_padded: np.ndarray, sb_rows: int, sb_cols: int,
+                  base_q_idx: int, delta_q_res: int) -> np.ndarray:
+    """Per-SB qindex from local variance (QPM; Av1QpModulationLcu
+    EbCodingLoop.c:2222): flat SBs get finer quantization, busy SBs
+    coarser. Offsets are multiples of 1 << delta_q_res so every
+    SB-to-SB delta is codable."""
+    step = 1 << delta_q_res
+    sbs = 64
+    v = y_padded[:sb_rows * sbs, :sb_cols * sbs].astype(np.float64)
+    v = v.reshape(sb_rows, sbs, sb_cols, sbs)
+    var = v.transpose(0, 2, 1, 3).reshape(sb_rows, sb_cols, -1).var(axis=2)
+    med = max(float(np.median(var)), 1.0)
+    off = np.round(4.0 * np.log2(np.maximum(var, 1.0) / med))
+    off = np.clip(off, -16, 16)
+    off = (np.round(off / step) * step).astype(np.int64)
+    return np.clip(base_q_idx + off, 1, 255).astype(np.int32)

@@ -85,10 +85,25 @@ class InterFrameEncoder:
         self.mvs1 = np.zeros((n, 2), dtype=np.int64)
         self.reference_select = alt_planes is not None
 
+        self.qmap = None
+        if cfg.adaptive_quantization:
+            from svt_av1_tpu.pipeline import analysis
+            self.qmap = analysis.variance_qmap(
+                self.src[0], self.seq.sb_rows, self.seq.sb_cols,
+                cfg.base_q_idx, self.DELTA_Q_RES)
         larr = np.array([(r, c, s) for r, c, s in leaves], dtype=np.int64)
         for size in np.unique(larr[:, 2]):
-            ids = np.nonzero(larr[:, 2] == size)[0]
-            self._encode_blocks(larr[ids], ids, int(size))
+            sids = np.nonzero(larr[:, 2] == size)[0]
+            if self.qmap is None:
+                qgroups = [(None, sids)]
+            else:
+                qv = self.qmap[larr[sids, 0] // 16, larr[sids, 1] // 16]
+                qgroups = [(int(q), sids[qv == q])
+                           for q in np.unique(qv)]
+            for qidx, ids in qgroups:
+                if len(ids):
+                    self._encode_blocks(larr[ids], ids, int(size),
+                                        qidx=qidx)
         if cfg.intra_in_inter:
             self._intra_flip_pass(leaves)
 
@@ -155,6 +170,8 @@ class InterFrameEncoder:
                                           cfg.film_grain_seed)
         fh = obu.FrameHeader(frame_type=obu.INTER_FRAME,
                              reference_select=self.reference_select,
+                             delta_q_present=(self.qmap is not None),
+                             delta_q_res=self.DELTA_Q_RES,
                              film_grain=fg,
                              base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
@@ -168,10 +185,13 @@ class InterFrameEncoder:
         return tu, self.recon
 
     # --- batched ME + coding -------------------------------------------------
-    def _ref_candidates(self, ref, xs, ys, size, srcs, tx_size):
+    def _ref_candidates(self, ref, xs, ys, size, srcs, tx_size,
+                        qp=None, lam=None):
         """ME + full-loop RD for one reference; returns per-candidate
         (cost, mv, qc, eo, rec) folded to the best."""
         cfg = self.cfg
+        qp = self.qp if qp is None else qp
+        lam = self.lam if lam is None else lam
         refp = self.refs[ref]
         int_mvs, _ = me.fullpel_search(refp[0], self.src[0], xs, ys, size)
         mvs, _ = me.subpel_refine(refp[0], self.src[0], xs, ys, size,
@@ -191,9 +211,9 @@ class InterFrameEncoder:
                                      bd=cfg.bit_depth).astype(np.int64)
             qc, eo, rec, dist, rate = md._full_loop(
                 srcs, pred, np.zeros(b, dtype=np.int32), tx_size, size,
-                self.qp, cfg.bit_depth)
+                qp, cfg.bit_depth)
             mv_bits = 2.0 + 0.5 * (np.abs(cand).sum(axis=1) > 0)
-            cost = dist + self.lam * (rate + mv_bits)
+            cost = dist + lam * (rate + mv_bits)
             if best is None:
                 best = [cost, cand.copy(), qc, eo, rec]
             else:
@@ -205,8 +225,24 @@ class InterFrameEncoder:
                 best[4] = np.where(bt[:, None, None], rec, best[4])
         return best
 
-    def _encode_blocks(self, blocks, ids, size: int) -> None:
+    DELTA_Q_RES = 2
+
+    def _qp_for(self, qidx):
+        if qidx is None:
+            return self.qp, self.lam
+        if not hasattr(self, "_qp_cache"):
+            self._qp_cache = {}
+        if qidx not in self._qp_cache:
+            from svt_av1_tpu.pipeline import rd
+            self._qp_cache[qidx] = (
+                quant_ops.make_quant_params(qidx,
+                                            bit_depth=self.cfg.bit_depth),
+                rd.rd_lambda(qidx, self.cfg.bit_depth))
+        return self._qp_cache[qidx]
+
+    def _encode_blocks(self, blocks, ids, size: int, qidx=None) -> None:
         cfg = self.cfg
+        qp, lam = self._qp_for(qidx)
         xs = blocks[:, 1] * 4
         ys = blocks[:, 0] * 4
         b = len(ids)
@@ -216,7 +252,7 @@ class InterFrameEncoder:
         tx_size = common.tx_size_for_block(size, 0)
 
         per_ref = {ref: self._ref_candidates(ref, xs, ys, size, srcs,
-                                             tx_size)
+                                             tx_size, qp, lam)
                    for ref in self.refs}
         refs_order = sorted(per_ref)
         chosen_ref = np.full(b, refs_order[0], dtype=np.int32)
@@ -245,10 +281,10 @@ class InterFrameEncoder:
                 .astype(np.int64)
             qc, eo, rec, dist, rate = md._full_loop(
                 srcs, pred_c, np.zeros(b, dtype=np.int32), tx_size, size,
-                self.qp, cfg.bit_depth)
+                qp, cfg.bit_depth)
             mv_bits = 3.0 + 0.5 * ((np.abs(mv0).sum(axis=1) > 0)
                                    + (np.abs(mv1).sum(axis=1) > 0))
-            cost = dist + self.lam * (rate + mv_bits)
+            cost = dist + lam * (rate + mv_bits)
             comp_sel = cost < chosen[0]
             chosen[0] = np.where(comp_sel, cost, chosen[0])
             chosen[1] = np.where(comp_sel[:, None], mv0, chosen[1])
@@ -297,7 +333,7 @@ class InterFrameEncoder:
                 pred[csel] = mc.compound_average(cc0, cc1, cfg.bit_depth)
             qc, eo, rec, _, _ = md._full_loop(
                 srcs_c, pred, np.zeros(b, dtype=np.int32), tx_uv, csize,
-                self.qp, cfg.bit_depth)
+                qp, cfg.bit_depth)
             self.eobs[plane, ids] = eo
             for k, i in enumerate(ids):
                 self.qcoeff[plane][i] = qc[k]
@@ -326,6 +362,9 @@ class InterFrameEncoder:
                 continue
             x, y = c * 4, r * 4
             s4 = size >> 2
+            qidx = None if self.qmap is None \
+                else int(self.qmap[r // 16, c // 16])
+            qp, lam = self._qp_for(qidx)
             tx_y = common.tx_size_for_block(size, 0)
             ha = np.array([y > 0])
             hl = np.array([x > 0])
@@ -343,8 +382,8 @@ class InterFrameEncoder:
                     bd=cfg.bit_depth).astype(np.int64)
                 qc, eo, rec, dist, rate = md._full_loop(
                     src, pred, np.zeros(1, dtype=np.int32), tx_y, size,
-                    self.qp, cfg.bit_depth)
-                cost = float(dist[0] + self.lam * (rate[0] + mode_bits))
+                    qp, cfg.bit_depth)
+                cost = float(dist[0] + lam * (rate[0] + mode_bits))
                 if best is None or cost < best[0]:
                     best = (cost, m, qc[0], int(eo[0]), rec[0])
             if best[0] >= costs[li]:
@@ -372,7 +411,7 @@ class InterFrameEncoder:
                 tt_u = common.chroma_tx_type(m, tx_uv, False)
                 qc, eo, rec, _, _ = md._full_loop(
                     srcs_c, pred, np.full(1, tt_u, dtype=np.int32), tx_uv,
-                    csize, self.qp, cfg.bit_depth)
+                    csize, qp, cfg.bit_depth)
                 self.qcoeff[p][li] = qc[0]
                 self.eobs[p, li] = int(eo[0])
                 self.recon[p][cy:cy + csize, cx:cx + csize] = rec[0]
@@ -389,13 +428,30 @@ class InterFrameEncoder:
         self._cdef_written = set()
         from svt_av1_tpu.entropy import lr as lr_syntax
         self.lr_ref = [lr_syntax.LrRefState() for _ in range(3)]
+        self.cur_qindex = cfg.base_q_idx
         for sb_y in range(0, self.seq.sb_rows * 16, 16):
             for sb_x in range(0, self.seq.sb_cols * 16, 16):
+                self._read_deltas = self.qmap is not None
                 lr_syntax.write_sb_units(self.w, self.fc, self.lr_rinfos,
                                          self.lr_ref, sb_y, sb_x,
                                          cfg.width, cfg.height)
                 self._emit_partition(sb_y, sb_x, 64)
         return self.w.done()
+
+    def _write_delta_q(self, mi_row, mi_col, size, skip) -> None:
+        """Per-SB delta qindex (spec 5.11.5; QPM write side)."""
+        if self.qmap is None or not self._read_deltas:
+            return
+        self._read_deltas = False
+        if size == 64 and skip:
+            return
+        from svt_av1_tpu.entropy import delta as delta_syntax
+        target = int(self.qmap[mi_row // 16, mi_col // 16])
+        d = (target - self.cur_qindex) >> self.DELTA_Q_RES
+        delta_syntax.write_delta_qindex(self.w, self.fc, d)
+        self.cur_qindex = delta_syntax.apply_delta(self.cur_qindex, d,
+                                                   self.DELTA_Q_RES)
+        assert self.cur_qindex == target
 
     def _emit_partition(self, mi_row, mi_col, psize) -> None:
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
@@ -437,6 +493,7 @@ class InterFrameEncoder:
             if (sbr, sbc) not in self._cdef_written:
                 self._cdef_written.add((sbr, sbc))
                 self.w.write_literal(int(self.cdef_idx_map[sbr, sbc]), 2)
+        self._write_delta_q(mi_row, mi_col, size, skip)
         if not self.block_is_inter[li]:
             self._emit_intra_block(mi_row, mi_col, size, li, skip)
             return

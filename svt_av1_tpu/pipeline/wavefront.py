@@ -116,21 +116,11 @@ class WavefrontIntraEncoder:
         busy areas coarser; Av1QpModulationLcu EbCodingLoop.c:2222).
         Offsets are multiples of 1 << DELTA_Q_RES so every SB-to-SB
         delta is codable."""
-        cfg = self.cfg
-        step = 1 << self.DELTA_Q_RES
-        sbs = 64
-        h = self.seq.sb_rows * sbs
-        w = self.seq.sb_cols * sbs
-        v = y_padded[:h, :w].astype(np.float64)
-        v = v.reshape(self.seq.sb_rows, sbs, self.seq.sb_cols, sbs)
-        var = v.transpose(0, 2, 1, 3).reshape(self.seq.sb_rows,
-                                              self.seq.sb_cols,
-                                              -1).var(axis=2)
-        med = max(float(np.median(var)), 1.0)
-        off = np.round(4.0 * np.log2(np.maximum(var, 1.0) / med))
-        off = np.clip(off, -16, 16)
-        off = (np.round(off / step) * step).astype(np.int64)
-        return np.clip(cfg.base_q_idx + off, 1, 255).astype(np.int32)
+        from svt_av1_tpu.pipeline import analysis
+        return analysis.variance_qmap(y_padded, self.seq.sb_rows,
+                                      self.seq.sb_cols,
+                                      self.cfg.base_q_idx,
+                                      self.DELTA_Q_RES)
 
     def _write_delta_q(self, mi_row, mi_col, size, skip) -> None:
         """Per-SB qindex delta at the first block of the SB (spec

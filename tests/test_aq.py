@@ -77,3 +77,38 @@ def test_aq_with_tiles_roundtrip():
     _, dec = decode_temporal_unit(tu)
     for p in range(3):
         assert (dec[p] == recon[p]).all(), f"plane {p} tiles+AQ"
+
+
+def test_aq_inter_roundtrip():
+    """AQ on a low-delay sequence: per-SB deltas in inter frames too."""
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    rng = np.random.RandomState(9)
+    h, w = 128, 256
+    frames = []
+    for t in range(3):
+        y, u, v = _mixed_content(w, h, seed=10 + 0)  # static content
+        y = np.clip(y.astype(int) + t, 0, 255).astype(np.uint8)
+        frames.append((y, u, v))
+    cfg = EncoderConfig(width=w, height=h, qp=45, intra_period=16,
+                        adaptive_quantization=1,
+                        scene_change_detection=False)
+    enc = Encoder(cfg)
+    outs = []
+    for f in frames:
+        enc.send_picture(*f)
+        while (p := enc.get_packet()) is not None:
+            outs.append(p)
+    enc.flush()
+    while (p := enc.get_packet()) is not None:
+        outs.append(p)
+    dec = StreamDecoder()
+    shown = 0
+    for tu, disp in outs:
+        out = dec.decode_tu(tu)
+        if disp is None:
+            continue
+        shown += 1
+        for p in range(3):
+            assert (out[p] == disp[p]).all(), f"frame {shown} plane {p}"
+    assert shown == len(frames)
