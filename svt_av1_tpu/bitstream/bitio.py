@@ -28,6 +28,10 @@ class BitWriter:
         for i in range(nbits - 1, -1, -1):
             self.write_bit((value >> i) & 1)
 
+    # alias so entropy-layer subexp primitives can ride raw header bits
+    def write_literal(self, value: int, nbits: int) -> None:
+        self.write(value, nbits)
+
     def write_uvlc(self, value: int) -> None:
         """uvlc(): Exp-Golomb, spec 4.10.3."""
         v = value + 1
@@ -69,6 +73,9 @@ class BitReader:
         bit = (byte >> (7 - (self._pos & 7))) & 1
         self._pos += 1
         return bit
+
+    def read_literal(self, nbits: int) -> int:
+        return self.read(nbits)
 
     def read(self, nbits: int) -> int:
         v = 0

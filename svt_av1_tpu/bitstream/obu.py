@@ -130,6 +130,9 @@ class FrameHeader:
     reference_select: bool = False  # frame allows per-block compound
     delta_q_present: bool = False   # per-SB delta qindex (spec 5.9.17)
     delta_q_res: int = 2            # log2 step of coded deltas
+    # per-ref (LAST..ALTREF) global translation MV, 1/8-pel (row, col);
+    # components must be even (allow_high_precision_mv = 0)
+    gm_trans: tuple = ((0, 0),) * 7
 
 
 def _obu_header(obu_type: int) -> int:
@@ -222,6 +225,62 @@ def write_sequence_header_obu(seq: SequenceHeader) -> bytes:
     w.write_bit(int(seq.film_grain_params_present))
     w.trailing_bits()
     return wrap_obu(OBU_SEQUENCE_HEADER, w.data())
+
+
+# global motion (spec 5.9.24/5.9.25; reference WriteGlobalMotion
+# EbEntropyCoding.c:3611, write_global_motion_params :3542).
+# Translation-only with allow_high_precision_mv = 0:
+#   trans_bits = GM_ABS_TRANS_ONLY_BITS - 1 = 8
+#   trans_prec_diff = GM_TRANS_ONLY_PREC_DIFF + 1 = 14
+# coded value v relates to the 1/8-pel MV component as mv = 2 * v
+# (wmmat = v << 14; mv = wmmat >> 13), so components are always even.
+_GM_TRANS_BITS = 8
+_GM_SUBEXP_K = 3
+
+
+def _write_gm_component(w, v: int) -> None:
+    from svt_av1_tpu.entropy.lr import write_primitive_refsubexpfin
+    n = (1 << _GM_TRANS_BITS) + 1
+    scaled_n = (n << 1) - 1
+    write_primitive_refsubexpfin(w, scaled_n, _GM_SUBEXP_K, n - 1,
+                                 v + n - 1)
+
+
+def _read_gm_component(r) -> int:
+    from svt_av1_tpu.entropy.lr import read_primitive_refsubexpfin
+    n = (1 << _GM_TRANS_BITS) + 1
+    scaled_n = (n << 1) - 1
+    return read_primitive_refsubexpfin(r, scaled_n, _GM_SUBEXP_K,
+                                       n - 1) - (n - 1)
+
+
+def _write_global_motion(w: BitWriter, fh: "FrameHeader") -> None:
+    for i in range(7):
+        mv = fh.gm_trans[i]
+        if mv == (0, 0):
+            w.write_bit(0)               # is_global
+            continue
+        assert mv[0] % 2 == 0 and mv[1] % 2 == 0, "gm needs even mvs"
+        w.write_bit(1)                   # is_global
+        w.write_bit(0)                   # is_rot_zoom
+        w.write_bit(1)                   # is_translation
+        _write_gm_component(w, mv[1] >> 1)   # wmmat[0]: col
+        _write_gm_component(w, mv[0] >> 1)   # wmmat[1]: row
+    return
+
+
+def _parse_global_motion(r: BitReader):
+    out = []
+    for _ in range(7):
+        if not r.read_bit():
+            out.append((0, 0))
+            continue
+        assert r.read_bit() == 0, "rot-zoom gm unsupported"
+        assert r.read_bit() == 1, "affine gm unsupported"
+        col = _read_gm_component(r) << 1
+        row = _read_gm_component(r) << 1
+        out.append((row, col))
+    return tuple(out)
 
 
 def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
@@ -323,8 +382,7 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
     # allow_warped_motion: seq disables warp -> no bits
     w.write_bit(int(fh.reduced_tx_set))
     if not is_key:
-        for _ in range(7):
-            w.write_bit(0)               # is_global[LAST..ALTREF]
+        _write_global_motion(w, fh)
     if seq.film_grain_params_present:
         from svt_av1_tpu.ops import grain as grain_ops
         if fh.film_grain is None:
@@ -560,9 +618,9 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
     if not is_key:
         reference_select = bool(r.read_bit())
     reduced_tx_set = bool(r.read_bit())
+    gm_trans = ((0, 0),) * 7
     if not is_key:
-        for _ in range(7):
-            assert r.read_bit() == 0  # is_global
+        gm_trans = _parse_global_motion(r)
     film_grain = None
     if seq.film_grain_params_present:
         from svt_av1_tpu.ops import grain as grain_ops
@@ -576,6 +634,7 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
                      cdef_y_strengths=cdef_y, cdef_uv_strengths=cdef_uv,
                      film_grain=film_grain, lr_params=lr_params,
                      reference_select=reference_select,
+                     gm_trans=gm_trans,
                      delta_q_present=delta_q_present,
                      delta_q_res=delta_q_res,
                      base_q_idx=base_q_idx,

@@ -260,7 +260,9 @@ class FrameDecoder:
             return
         ref = inter_modes.read_single_ref(self.r, self.fc, self.mvp_state,
                                           mi_row, mi_col)
-        res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4, ref)
+        gm_mv = self.fh.gm_trans[ref - 1]
+        res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4, ref,
+                                gm_mv=gm_mv)
         mode = inter_modes.read_inter_mode(self.r, self.fc, res)
         drl = inter_modes.read_drl_idx(self.r, self.fc, mode, res)
         if mode == NEARESTMV:
@@ -268,7 +270,7 @@ class FrameDecoder:
         elif mode == NEARMV:
             mv = res.ref_list[1] if drl == 0 else res.stack[1 + drl][0]
         elif mode == GLOBALMV:
-            mv = (0, 0)
+            mv = gm_mv
         else:
             pred = res.stack[drl][0] if res.count > 1 else res.ref_list[0]
             dr, dc = mv_syntax.read_mv(self.r, self.nmv)
@@ -331,8 +333,9 @@ class FrameDecoder:
         fwd, bwd = inter_modes.read_comp_refs(self.r, self.fc,
                                               self.mvp_state, mi_row,
                                               mi_col)
+        gm_pair = (self.fh.gm_trans[fwd - 1], self.fh.gm_trans[bwd - 1])
         res = mvp.find_mv_stack_comp(self.mvp_state, mi_row, mi_col, s4,
-                                     fwd, bwd)
+                                     fwd, bwd, gm=gm_pair)
         mode = inter_modes.read_inter_compound_mode(self.r, self.fc, res)
         drl = inter_modes.read_drl_idx(self.r, self.fc, mode, res)
         if mode == NEAREST_NEARESTMV:
@@ -341,7 +344,7 @@ class FrameDecoder:
             pair = res.ref_list[1] if drl == 0 else res.stack[1 + drl][0]
             mv0, mv1 = pair
         elif mode == GLOBAL_GLOBALMV:
-            mv0, mv1 = (0, 0), (0, 0)
+            mv0, mv1 = gm_pair
         elif mode == NEW_NEWMV:
             pred = res.stack[drl][0] if res.count > 1 else res.ref_list[0]
             d0 = mv_syntax.read_mv(self.r, self.nmv)

@@ -106,6 +106,7 @@ class InterFrameEncoder:
                                         qidx=qidx)
         if cfg.intra_in_inter:
             self._intra_flip_pass(leaves)
+        self._estimate_gm()
 
         lf_levels = (0, 0, 0, 0)
         if cfg.enable_dlf:
@@ -168,7 +169,10 @@ class InterFrameEncoder:
             from svt_av1_tpu.ops import grain as grain_ops
             fg = grain_ops.default_params(cfg.film_grain_strength,
                                           cfg.film_grain_seed)
+        gm_tuple = tuple(self.gm_mv.get(ref, (0, 0))
+                         for ref in range(1, 8))
         fh = obu.FrameHeader(frame_type=obu.INTER_FRAME,
+                             gm_trans=gm_tuple,
                              reference_select=self.reference_select,
                              delta_q_present=(self.qmap is not None),
                              delta_q_res=self.DELTA_Q_RES,
@@ -340,6 +344,32 @@ class InterFrameEncoder:
                 yy, xx = int(cys[k]), int(cxs[k])
                 self.recon[plane][yy:yy + csize, xx:xx + csize] = rec[k]
 
+    # --- global motion estimation ---------------------------------------------
+    def _estimate_gm(self) -> None:
+        """Translation-only global motion from the decided MV field: the
+        modal MV per reference becomes that ref's gm when it dominates
+        (the role of SetGlobalMotionField's translation-only model,
+        EbModeDecisionConfigurationProcess.c:317 — applied post-decision
+        here: gm only changes *signaling*, blocks whose MV equals gm
+        code as GLOBALMV)."""
+        from collections import Counter
+        self.gm_mv = {}
+        for ref in self.refs:
+            sel = [i for i in range(len(self.block_is_inter))
+                   if self.block_is_inter[i] and not self.block_comp[i]
+                   and int(self.block_ref[i]) == ref]
+            if len(sel) < 4:
+                continue
+            counts = Counter((int(self.mvs[i, 0]), int(self.mvs[i, 1]))
+                             for i in sel)
+            mv, cnt = counts.most_common(1)[0]
+            if mv == (0, 0) or cnt < max(4, len(sel) // 4):
+                continue
+            if abs(mv[0]) > 511 or abs(mv[1]) > 511 \
+                    or mv[0] % 2 or mv[1] % 2:
+                continue
+            self.gm_mv[ref] = mv
+
     # --- intra-in-inter (sequential, coding order) ---------------------------
     _INTRA_CAND_MODES = (0, 1, 2, 9, 12)  # DC, V, H, SMOOTH, PAETH
 
@@ -507,12 +537,14 @@ class InterFrameEncoder:
                                          mi_row, mi_col, 0)
         inter_modes.write_single_ref(self.w, self.fc, self.mvp_state,
                                      mi_row, mi_col, ref)
-        res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4, ref)
+        gm_mv = self.gm_mv.get(ref, (0, 0))
+        res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4, ref,
+                                gm_mv=gm_mv)
         if res.count >= 1 and mv == res.ref_list[0]:
             mode = NEARESTMV
         elif res.count >= 2 and mv == res.ref_list[1]:
             mode = NEARMV
-        elif mv == (0, 0):
+        elif mv == gm_mv:
             mode = GLOBALMV
         else:
             mode = NEWMV
@@ -565,12 +597,15 @@ class InterFrameEncoder:
         inter_modes.write_comp_refs(self.w, self.fc, self.mvp_state,
                                     mi_row, mi_col, LAST_FRAME,
                                     ALTREF_FRAME)
+        gm_pair = (self.gm_mv.get(LAST_FRAME, (0, 0)),
+                   self.gm_mv.get(ALTREF_FRAME, (0, 0)))
         res = mvp.find_mv_stack_comp(self.mvp_state, mi_row, mi_col, s4,
-                                     LAST_FRAME, ALTREF_FRAME)
+                                     LAST_FRAME, ALTREF_FRAME,
+                                     gm=gm_pair)
         pair = (mv0, mv1)
         if res.count >= 1 and pair == res.ref_list[0]:
             mode = NEAREST_NEARESTMV
-        elif mv0 == (0, 0) and mv1 == (0, 0):
+        elif pair == gm_pair:
             mode = GLOBAL_GLOBALMV
         else:
             mode = NEW_NEWMV

@@ -143,12 +143,13 @@ class MvStackResult:
 
 
 def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
-                  s4: int, ref_frame: int = LAST_FRAME) -> MvStackResult:
+                  s4: int, ref_frame: int = LAST_FRAME,
+                  gm_mv=(0, 0)) -> MvStackResult:
     """Build the ref-MV stack for a square block (s4 = size in mi units)
-    against ``ref_frame``."""
+    against ``ref_frame``. ``gm_mv``: the frame's global translation MV
+    for this ref (fills ref_list defaults, spec gm_mv_candidates)."""
     mi_rows, mi_cols = state.mi_rows, state.mi_cols
     n8 = s4
-    gm_mv = (0, 0)
     stack = []          # [mv(tuple), weight]
     newmv_count = 0
     row_match = False
@@ -349,7 +350,8 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
 
 def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
                        s4: int, rf0: int = LAST_FRAME,
-                       rf1: int = ALTREF_FRAME) -> MvStackResult:
+                       rf1: int = ALTREF_FRAME,
+                       gm=((0, 0), (0, 0))) -> MvStackResult:
     """Compound ref-MV stack for the (rf0, rf1) pair (reference
     setup_ref_mv_list compound path, EbAdaptiveMotionVectorPrediction.c:905
     + the under-2 fill :1110-1240). Stack entries are ((mv0, mv1), w);
@@ -357,7 +359,6 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
     no-op in our streams (enable_order_hint = 0 => all biases equal)."""
     mi_rows, mi_cols = state.mi_rows, state.mi_cols
     n8 = s4
-    gm = ((0, 0), (0, 0))
     stack = []          # [ (mv0, mv1), weight ]
     newmv_count = 0
     row_match = False

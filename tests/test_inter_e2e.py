@@ -147,3 +147,48 @@ def test_intra_blocks_in_inter_frames():
     for p in range(3):
         hh, ww = out3[p].shape
         assert (out3[p] == rec3[p][:hh, :ww]).all(), f"plane {p}"
+
+
+def test_global_motion_pan():
+    """A panning sequence should elect a global translation MV and code
+    GLOBALMV blocks; streams stay byte-exact."""
+    import numpy as np
+    from svt_av1_tpu.bitstream.bitio import BitReader, BitWriter
+    from svt_av1_tpu.bitstream import obu
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    rng = np.random.RandomState(61)
+    big = rng.randint(30, 220, (160, 260)).astype(np.uint8)
+    frames = []
+    for t in range(3):
+        dx = 4 * t  # pan 4 px/frame to the right
+        y = big[16:16 + 128, 16 + dx:16 + dx + 192]
+        u = np.full((64, 96), 100, np.uint8)
+        v = np.full((64, 96), 140, np.uint8)
+        frames.append((np.ascontiguousarray(y), u, v))
+    cfg = EncoderConfig(width=192, height=128, qp=40, intra_period=16,
+                        scene_change_detection=False)
+    enc = Encoder(cfg)
+    outs = []
+    for f in frames:
+        enc.send_picture(*f)
+        while (p := enc.get_packet()) is not None:
+            outs.append(p)
+    enc.flush()
+    while (p := enc.get_packet()) is not None:
+        outs.append(p)
+    dec = StreamDecoder()
+    for tu, disp in outs:
+        out = dec.decode_tu(tu)
+        for p in range(3):
+            assert (out[p] == disp[p]).all()
+    # the inter TUs should signal a nonzero global translation
+    found_gm = False
+    for tu, _ in outs[1:]:
+        for obu_type, payload in obu.parse_obus(tu):
+            if obu_type == obu.OBU_FRAME:
+                fh, _t = obu.parse_frame_obu(payload, dec.seq)
+                if any(g != (0, 0) for g in fh.gm_trans):
+                    found_gm = True
+    assert found_gm, "pan did not produce a global motion signal"
