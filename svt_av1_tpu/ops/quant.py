@@ -57,6 +57,7 @@ class QuantParams:
     quant: tuple
     quant_shift: tuple
     dequant: tuple
+    qindex: int = 0
 
 
 @functools.lru_cache(maxsize=256)
@@ -78,7 +79,7 @@ def make_quant_params(qindex: int, dc_delta: int = 0, ac_delta: int = 0,
         rnd.append((qround * qv) >> 7)
         deq.append(qv)
     return QuantParams(tuple(zbin), tuple(rnd), tuple(quant), tuple(qshift),
-                       tuple(deq))
+                       tuple(deq), qindex)
 
 
 def quantize(coeff: np.ndarray, scan: np.ndarray, qp: QuantParams,

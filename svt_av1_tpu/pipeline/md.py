@@ -19,11 +19,73 @@ from svt_av1_tpu.pipeline import common
 from svt_av1_tpu.utils.blocks import DCT_DCT, get_scan
 
 
+import functools
+
+
 def coeff_rate_proxy(qcoeff: np.ndarray) -> np.ndarray:
-    """~bits to code quantized levels, [B] from [B, n]."""
+    """~bits to code quantized levels, [B] from [B, n] (fallback when
+    no CDF bucket is known)."""
     aq = np.abs(qcoeff).astype(np.float64)
     return np.sum(np.where(aq > 0, 2.0 + 2.0 * np.log2(1.0 + aq), 0.0),
                   axis=1)
+
+
+@functools.lru_cache(maxsize=32)
+def _level_cost_lut(qctx: int, plane_type: int, txs_ctx: int) -> np.ndarray:
+    """Expected bits per |level| 0..255 from the default coefficient
+    CDFs, context-averaged (the role of the reference's CDF->cost
+    tables, av1_estimate_coefficients_rate EbMdRateEstimation.c:392)."""
+    from svt_av1_tpu.entropy.cdf import default_tables
+    tabs = default_tables()
+    base = tabs["coeff_base"][qctx, txs_ctx, plane_type]    # [42, 5]
+    br = tabs["coeff_br"][min(qctx, 3), min(txs_ctx, 3),
+                          plane_type]                        # [21, 5]
+
+    def avg_bits(rows, sym):
+        hi = np.where(sym == 0, 32768.0, rows[:, sym - 1].astype(float))
+        p = np.maximum(hi - rows[:, sym], 1.0) / 32768.0
+        return float(np.mean(-np.log2(p)))
+
+    b = [avg_bits(base, s) for s in range(4)]
+    brb = [avg_bits(br, s) for s in range(4)]
+    lut = np.zeros(256)
+    for lvl in range(1, 256):
+        cost = 1.0  # sign
+        if lvl < 3:
+            cost += b[lvl]
+        else:
+            cost += b[3]
+            rem = lvl - 3
+            for _ in range(4):          # BR_CDF rounds
+                sym = min(rem, 3)
+                cost += brb[sym]
+                rem -= sym
+                if sym < 3:
+                    break
+            if rem > 0:                  # golomb tail
+                length = int(rem + 1).bit_length()
+                cost += 2 * length - 1
+        lut[lvl] = cost
+    lut[0] = b[0]
+    return lut
+
+
+def coeff_rate_cdf(qcoeff: np.ndarray, eob: np.ndarray, qindex: int,
+                   plane_type: int, tx_size: int) -> np.ndarray:
+    """CDF-LUT coefficient rate [B]: txb-skip / eob-position bits plus
+    per-level costs for the eob-prefix of each block."""
+    from svt_av1_tpu.entropy import coeff_ctx as cc
+    from svt_av1_tpu.entropy.cdf import coef_qctx
+    qctx = coef_qctx(qindex)
+    lut = _level_cost_lut(qctx, plane_type, int(cc.txs_ctx(tx_size)))
+    aq = np.minimum(np.abs(qcoeff.reshape(qcoeff.shape[0], -1)), 255)
+    n = aq.shape[1]
+    eobf = eob.astype(np.float64)
+    # only the eob-prefix is coded: drop the per-zero cost of the tail
+    rate = lut[aq].sum(axis=1) - (n - eobf) * lut[0]
+    rate = np.maximum(rate, 0.0)
+    rate += np.where(eobf > 0, 3.0 + np.log2(eobf + 1.0), 0.6)
+    return rate
 
 
 def _icdf_bits(icdf_row, sym: int) -> float:
@@ -32,8 +94,6 @@ def _icdf_bits(icdf_row, sym: int) -> float:
     p = max(hi - int(icdf_row[sym]), 1) / 32768.0
     return -np.log2(p)
 
-
-import functools
 
 
 @functools.lru_cache(maxsize=64)
@@ -61,10 +121,11 @@ def candidate_mode_bits(cands: tuple, plane: int,
     return np.array(out)
 
 
-def _full_loop(srcs, preds, tts, tx_size, size, qp, bd):
+def _full_loop(srcs, preds, tts, tx_size, size, qp, bd, plane_type=0):
     """T/Q/IQ/recon for one candidate per block.
     srcs/preds [B,s,s]; tts [B]. Returns (qcoeff [B,ch,cw], eob [B],
-    recon [B,s,s], dist [B], rate [B])."""
+    recon [B,s,s], dist [B], rate [B]). Rate uses the CDF-derived
+    level-cost LUT bucketed by the quantizer's qindex."""
     b = srcs.shape[0]
     cw, ch = common.coded_dims(tx_size)
     log_scale = quant_ops.tx_scale(tx_size)
@@ -81,7 +142,8 @@ def _full_loop(srcs, preds, tts, tx_size, size, qp, bd):
         qc, dq, eo = quant_ops.quantize(coded, scan, qp, log_scale)
         qcoeff[sel] = qc.reshape(-1, ch, cw)
         eob[sel] = eo
-        rate[sel] = coeff_rate_proxy(qc)
+        rate[sel] = coeff_rate_cdf(qc.reshape(-1, ch, cw), eo,
+                                   qp.qindex, plane_type, tx_size)
         full = np.zeros((len(sel), size, size), dtype=np.int64)
         full[:, :ch, :cw] = dq.reshape(-1, ch, cw)
         r = tx_ops.inverse_tx2d(full, int(tt), size, size, bd=bd)
@@ -160,13 +222,14 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
         all_cands = all_cands + [(UV_CFL, 0)]
     sse = np.sum((srcs[None] - preds) ** 2, axis=(2, 3))      # [M,B]
     k = min(nfl, len(all_cands))
-    # top-k candidate indices per block, ordered by SSE then candidate
-    # index (stable) so every backend breaks ties identically
-    order = np.argsort(sse, axis=0, kind="stable")[:k]        # [K,B]
-
     carr = np.asarray(all_cands)
     mode_bits = candidate_mode_bits(tuple(map(tuple, all_cands)), plane,
                                     cfl_luma is not None)
+    # fast-loop cost = SSE + lambda * mode rate (the reference's fast
+    # loop likewise rates candidates, ProductPerformFastLoop); stable
+    # sort so every backend breaks ties identically
+    fast_cost = sse + lam * mode_bits[:, None]
+    order = np.argsort(fast_cost, axis=0, kind="stable")[:k]  # [K,B]
     best_cost = None
     out = None
     for kk in range(k):

@@ -60,8 +60,11 @@ def _analyze_depth(src: np.ndarray, xs, ys, size: int, cands, qp,
                      for x, y in zip(xs, ys)]).astype(np.int64)
     best_mode, _, _, _, _, rd_cost, _, _ = md.decide_block_batch(
         0, srcs, above1, left1, ha, hl, cands, qp, size, lam, bd=bd)
-    # + mode/skip syntax floor (bits)
-    return rd_cost + lam * 4.0, best_mode
+    # per-leaf syntax floor: skip + partition share + chroma mode and
+    # coefficient overhead invisible to this luma-only open-loop score
+    # (empirically ~16 bits; keeps the DP from over-splitting now that
+    # the CDF-derived coefficient rates are well-calibrated)
+    return rd_cost + lam * 16.0, best_mode
 
 
 def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,

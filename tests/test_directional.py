@@ -85,16 +85,21 @@ def test_directional_roundtrip_and_equivalence(deltas):
 
 
 def test_directional_modes_used_and_help_on_diagonals():
-    y, u, v = _diag_frame(192, 128)
-    base = EncoderConfig(width=192, height=128, qp=30,
+    # sharp diagonal stripes: only directional extension can follow the
+    # pattern; smooth-family interpolation cannot (this is the content
+    # class the z1/z2/z3 predictors exist for)
+    h, w = 128, 192
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.where((xx + yy) % 16 < 3, 200, 60).astype(np.uint8)
+    u = np.full((64, 96), 128, np.uint8)
+    v = u.copy()
+    base = EncoderConfig(width=w, height=h, qp=30,
                          fixed_partition_size=None,
                          intra_modes=(0, 9, 10, 11, 12))  # no directional
-    full = EncoderConfig(width=192, height=128, qp=30,
+    full = EncoderConfig(width=w, height=h, qp=30,
                          fixed_partition_size=None)
     _, rec_b, st_b = encode_keyframe_wavefront(y, u, v, base)
     _, rec_f, st_f = encode_keyframe_wavefront(y, u, v, full)
-    cost_b = st_b["tu_bytes"]
-    cost_f = st_f["tu_bytes"]
-    # directional set must improve rate at comparable quality on diagonals
-    assert cost_f < cost_b
+    # directional set must improve rate at comparable-or-better quality
+    assert st_f["tu_bytes"] < st_b["tu_bytes"]
     assert psnr(y, rec_f[0]) > psnr(y, rec_b[0]) - 0.3
