@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-stats", action="store_true")
     p.add_argument("--film-grain", type=int, default=0, metavar="LEVEL",
                    help="film grain synthesis strength 0..64 (0 = off, -1 = auto-estimate from source noise)")
+    p.add_argument("--jobs", type=int, default=1,
+                   help="parallel GOP workers (closed GOPs + CQP only; "
+                        "reads the whole input into memory)")
+    p.add_argument("--trace", default=None, metavar="JSON",
+                   help="write per-stage timing spans to this file")
     p.add_argument("--nch", type=int, default=1,
                    help="independent encoder channels; -i/-b take "
                         "comma-separated lists (reference EbAppMain -nch)")
@@ -128,6 +133,10 @@ def main(argv=None) -> int:
 
 
 def main_single(args) -> int:
+    if getattr(args, "trace", None):
+        from svt_av1_tpu.utils.trace import TRACER
+        TRACER.enabled = True
+        TRACER.reset()
     # open input
     if args.input == "-" or args.input.endswith(".y4m"):
         fh = sys.stdin.buffer if args.input == "-" else open(args.input,
@@ -149,6 +158,12 @@ def main_single(args) -> int:
         fps_den = 1
 
     cfg = preset_config(args)
+    if args.jobs > 1:
+        from svt_av1_tpu.pipeline import parallel
+        if not parallel.parallelizable(cfg):
+            print("--jobs needs --intra-period >= 0, CQP, and no scene "
+                  "detection; falling back to 1", file=sys.stderr)
+            args.jobs = 1
     enc = Encoder(cfg)
     report = StatReport()
     recon_fh = open(args.recon, "wb") if args.recon else None
@@ -186,15 +201,29 @@ def main_single(args) -> int:
 
     with open(args.output, "wb") as out:
         write_ivf_header(out, cfg.width, cfg.height, args.fps, fps_den, 0)
-        for frame in frames:
-            srcs.append(frame)
-            enc.send_picture(frame.y, frame.u, frame.v)
+        if args.jobs > 1:
+            from svt_av1_tpu.pipeline import parallel
+            all_frames = list(frames)
+            srcs.extend(all_frames)
+            pkts = parallel.encode_parallel(
+                [(f.y, f.u, f.v) for f in all_frames], cfg, args.jobs)
+            enc._out.extend(pkts)
             drain(out)
-        enc.flush()
-        drain(out)
+        else:
+            for frame in frames:
+                srcs.append(frame)
+                enc.send_picture(frame.y, frame.u, frame.v)
+                drain(out)
+            enc.flush()
+            drain(out)
     dt = time.perf_counter() - t0
     if recon_fh is not None:
         recon_fh.close()
+    if getattr(args, "trace", None):
+        from svt_av1_tpu.utils.trace import TRACER
+        TRACER.dump(args.trace)
+        if not args.no_stats:
+            print(f"trace: {TRACER.summary()}")
     s = report.summary(args.fps, fps_den)
     if s and not args.no_stats:
         print(f"\n{s['frames']} frames, {s['total_bytes']} bytes, "

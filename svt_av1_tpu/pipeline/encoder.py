@@ -93,9 +93,11 @@ class Encoder:
         return out
 
     def _encode_key(self, y, u, v) -> None:
+        from svt_av1_tpu.utils.trace import span
         cfg = self._cfg_for(True)
         enc = WavefrontIntraEncoder(cfg)
-        tu, recon, _ = enc.encode(y, u, v)
+        with span("keyframe"):
+            tu, recon, _ = enc.encode(y, u, v)
         if self._rc is not None:
             self._rc.update(len(tu) * 8, True)
         for i in range(8):
@@ -122,10 +124,12 @@ class Encoder:
             idx[6] = alt_slot
             alt = self._slots[alt_slot]
         rff = 0 if refresh_slot is None else 1 << refresh_slot
-        tu, padded = enc.encode(
-            y, u, v, self._slots[last_slot], alt_planes=alt,
-            refresh_frame_flags=rff, ref_frame_idx=idx,
-            show_frame=show)
+        from svt_av1_tpu.utils.trace import span
+        with span("inter_frame"):
+            tu, padded = enc.encode(
+                y, u, v, self._slots[last_slot], alt_planes=alt,
+                refresh_frame_flags=rff, ref_frame_idx=idx,
+                show_frame=show)
         if self._rc is not None:
             self._rc.update(len(tu) * 8, False)
         if refresh_slot is not None:
@@ -264,6 +268,47 @@ class Encoder:
         """Encode any buffered frames (end of stream)."""
         self._drain_lookahead(all_frames=True)
         self._flush_group()
+
+    # --- state serialization (checkpoint/resume) -------------------------------
+    def save_state(self) -> dict:
+        """Serializable encoder state: reference slots, GOP buffer, RC
+        and lookahead state (the role of the reference's implicit
+        state-in-process-memory; explicit here so long encodes can
+        checkpoint/resume across host restarts)."""
+        import copy
+        return {
+            "version": 1,
+            "cfg": dataclasses.asdict(self.cfg),
+            "slots": [None if s is None else [p.copy() for p in s]
+                      for s in self._slots],
+            "base_slot": self._base_slot,
+            "frame_idx": self._frame_idx,
+            "group": copy.deepcopy(self._group),
+            "la": copy.deepcopy(self._la),
+            "la_prev": None if self._la_prev is None
+            else self._la_prev.copy(),
+            "rc": None if self._rc is None else self._rc.__dict__.copy(),
+            "scd": None if self._scd is None else self._scd.__dict__.copy(),
+        }
+
+    @classmethod
+    def load_state(cls, state: dict) -> "Encoder":
+        """Rebuild an Encoder mid-stream from save_state() output."""
+        assert state.get("version") == 1
+        cfg = EncoderConfig(**state["cfg"])
+        enc = cls(cfg)
+        enc._slots = [None if s is None else [p.copy() for p in s]
+                      for s in state["slots"]]
+        enc._base_slot = state["base_slot"]
+        enc._frame_idx = state["frame_idx"]
+        enc._group = list(state["group"])
+        enc._la = list(state["la"])
+        enc._la_prev = state["la_prev"]
+        if state["rc"] is not None:
+            enc._rc.__dict__.update(state["rc"])
+        if state["scd"] is not None and enc._scd is not None:
+            enc._scd.__dict__.update(state["scd"])
+        return enc
 
     def get_packet(self) -> Optional[Tuple[bytes, Optional[list]]]:
         if not self._out:

@@ -372,16 +372,18 @@ class WavefrontIntraEncoder:
     def _package(self, frame_src, frame_recon, frame_leaves, frame_skip,
                  tile_states):
         cfg = self.cfg
+        from svt_av1_tpu.utils.trace import span
         lf_levels = (0, 0, 0, 0)
         if cfg.enable_dlf:
             from svt_av1_tpu.ops import dlf
-            lf_levels = dlf.pick_levels(frame_recon, frame_src,
-                                        frame_leaves, self.mi_rows,
-                                        self.mi_cols, cfg.base_q_idx,
-                                        cfg.bit_depth)
-            dlf.loop_filter_frame(frame_recon, frame_leaves, self.mi_rows,
-                                  self.mi_cols, lf_levels,
-                                  bd=cfg.bit_depth)
+            with span("dlf"):
+                lf_levels = dlf.pick_levels(frame_recon, frame_src,
+                                            frame_leaves, self.mi_rows,
+                                            self.mi_cols, cfg.base_q_idx,
+                                            cfg.bit_depth)
+                dlf.loop_filter_frame(frame_recon, frame_leaves,
+                                      self.mi_rows, self.mi_cols,
+                                      lf_levels, bd=cfg.bit_depth)
         lr_bounds = None
         if cfg.enable_restoration:
             from svt_av1_tpu.ops import restoration as rst_ops
@@ -428,7 +430,8 @@ class WavefrontIntraEncoder:
                 if k != "rect":
                     setattr(self, k, v)
             self.tile_mi_off = (st["rect"][0], st["rect"][1])
-            payloads.append(self._syntax_pass())
+            with span("entropy"):
+                payloads.append(self._syntax_pass())
         fg = None
         if cfg.film_grain_strength > 0:
             from svt_av1_tpu.ops import grain as grain_ops

@@ -110,3 +110,72 @@ def test_cli_presets_and_channels(tmp_path):
     assert rc == 0 and o1.stat().st_size > 0 and o2.stat().st_size > 0
     from svt_av1_tpu.pipeline.decode import decode_ivf
     assert len(decode_ivf(open(o1, "rb"))) == 2
+
+
+def test_encoder_checkpoint_resume():
+    """save_state/load_state mid-stream: the resumed encoder must emit
+    byte-identical packets to an uninterrupted run."""
+    import numpy as np
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    rng = np.random.RandomState(71)
+    base = rng.randint(40, 200, (96, 128)).astype(np.int32)
+    frames = []
+    for t in range(6):
+        y = np.clip(base + 2 * t, 0, 255).astype(np.uint8)
+        u = np.full((48, 64), 100, np.uint8)
+        v = np.full((48, 64), 140, np.uint8)
+        frames.append((y, u, v))
+    cfg = EncoderConfig(width=128, height=96, qp=40, intra_period=16,
+                        hierarchical_levels=1,
+                        scene_change_detection=False)
+
+    def run(enc, fs):
+        outs = []
+        for f in fs:
+            enc.send_picture(*f)
+            while (p := enc.get_packet()) is not None:
+                outs.append(p[0])
+        return outs
+
+    ref_enc = Encoder(cfg)
+    ref = run(ref_enc, frames)
+    ref_enc.flush()
+    while (p := ref_enc.get_packet()) is not None:
+        ref.append(p[0])
+
+    enc1 = Encoder(cfg)
+    part1 = run(enc1, frames[:3])
+    state = enc1.save_state()
+    enc2 = Encoder.load_state(state)
+    part2 = run(enc2, frames[3:])
+    enc2.flush()
+    while (p := enc2.get_packet()) is not None:
+        part2.append(p[0])
+    got = part1 + part2
+    assert len(got) == len(ref)
+    for i, (a, b) in enumerate(zip(got, ref)):
+        assert a == b, f"packet {i} differs after resume"
+
+
+def test_parallel_gop_encode_matches_serial():
+    """Parallel GOP workers must produce byte-identical packet streams."""
+    import numpy as np
+    from svt_av1_tpu.pipeline import parallel
+    from svt_av1_tpu.pipeline.parallel import encode_parallel
+    rng = np.random.RandomState(81)
+    frames = []
+    base = rng.randint(40, 200, (96, 128)).astype(np.int32)
+    for t in range(6):
+        y = np.clip(base + 3 * t, 0, 255).astype(np.uint8)
+        u = np.full((48, 64), 100, np.uint8)
+        v = np.full((48, 64), 140, np.uint8)
+        frames.append((y, u, v))
+    cfg = EncoderConfig(width=128, height=96, qp=42, intra_period=2,
+                        scene_change_detection=False)
+    assert parallel.parallelizable(cfg)
+    assert parallel.gop_chunks(6, cfg) == [(0, 3), (3, 6)]
+    serial = encode_parallel(frames, cfg, jobs=1)
+    par = encode_parallel(frames, cfg, jobs=3)
+    assert len(serial) == len(par)
+    for i, (a, b) in enumerate(zip(serial, par)):
+        assert a[0] == b[0], f"packet {i} differs"
