@@ -326,7 +326,9 @@ class FrameDecoder:
         from svt_av1_tpu.ops import mc
         from svt_av1_tpu.pipeline.mvp import (GLOBAL_GLOBALMV,
                                               NEAR_NEARMV,
-                                              NEAREST_NEARESTMV, NEW_NEWMV)
+                                              NEAREST_NEARESTMV,
+                                              NEAREST_NEWMV,
+                                              NEW_NEARESTMV, NEW_NEWMV)
         x, y = mi_col * 4, mi_row * 4
         bsize = common.square_bsize(size)
         s4 = size >> 2
@@ -345,12 +347,18 @@ class FrameDecoder:
             mv0, mv1 = pair
         elif mode == GLOBAL_GLOBALMV:
             mv0, mv1 = gm_pair
-        elif mode == NEW_NEWMV:
+        elif mode in (NEW_NEWMV, NEAREST_NEWMV, NEW_NEARESTMV):
             pred = res.stack[drl][0] if res.count > 1 else res.ref_list[0]
-            d0 = mv_syntax.read_mv(self.r, self.nmv)
-            d1 = mv_syntax.read_mv(self.r, self.nmv)
-            mv0 = (pred[0][0] + d0[0], pred[0][1] + d0[1])
-            mv1 = (pred[1][0] + d1[0], pred[1][1] + d1[1])
+            if mode == NEW_NEARESTMV or mode == NEW_NEWMV:
+                d0 = mv_syntax.read_mv(self.r, self.nmv)
+                mv0 = (pred[0][0] + d0[0], pred[0][1] + d0[1])
+            else:
+                mv0 = res.ref_list[0][0]
+            if mode == NEAREST_NEWMV or mode == NEW_NEWMV:
+                d1 = mv_syntax.read_mv(self.r, self.nmv)
+                mv1 = (pred[1][0] + d1[0], pred[1][1] + d1[1])
+            else:
+                mv1 = res.ref_list[0][1]
         else:
             raise NotImplementedError(f"compound mode {mode}")
         self.ctxs.set_mi(mi_row, mi_col, bsize, 0, skip)

@@ -586,7 +586,10 @@ class InterFrameEncoder:
         GLOBAL_GLOBALMV / NEW_NEWMV with DRL 0."""
         from svt_av1_tpu.entropy.inter_modes import ALTREF_FRAME
         from svt_av1_tpu.pipeline.mvp import (GLOBAL_GLOBALMV,
-                                              NEAREST_NEARESTMV, NEW_NEWMV)
+                                              NEAR_NEARMV,
+                                              NEAREST_NEARESTMV,
+                                              NEAREST_NEWMV,
+                                              NEW_NEARESTMV, NEW_NEWMV)
         cfg = self.cfg
         bsize = common.square_bsize(size)
         s4 = size >> 2
@@ -605,16 +608,23 @@ class InterFrameEncoder:
         pair = (mv0, mv1)
         if res.count >= 1 and pair == res.ref_list[0]:
             mode = NEAREST_NEARESTMV
+        elif res.count >= 2 and pair == res.ref_list[1]:
+            mode = NEAR_NEARMV
         elif pair == gm_pair:
             mode = GLOBAL_GLOBALMV
+        elif res.count >= 1 and mv0 == res.ref_list[0][0]:
+            mode = NEAREST_NEWMV      # only the backward component is new
+        elif res.count >= 1 and mv1 == res.ref_list[0][1]:
+            mode = NEW_NEARESTMV
         else:
             mode = NEW_NEWMV
         inter_modes.write_inter_compound_mode(self.w, self.fc, mode, res)
         inter_modes.write_drl_idx(self.w, self.fc, mode, 0, res)
-        if mode == NEW_NEWMV:
-            pred = res.stack[0][0] if res.count > 1 else res.ref_list[0]
+        pred = res.stack[0][0] if res.count > 1 else res.ref_list[0]
+        if mode in (NEW_NEWMV, NEW_NEARESTMV):
             mv_syntax.write_mv(self.w, self.nmv, mv0[0] - pred[0][0],
                                mv0[1] - pred[0][1])
+        if mode in (NEW_NEWMV, NEAREST_NEWMV):
             mv_syntax.write_mv(self.w, self.nmv, mv1[0] - pred[1][0],
                                mv1[1] - pred[1][1])
         self.ctxs.set_mi(mi_row, mi_col, bsize, DC_PRED, skip)

@@ -169,3 +169,40 @@ def test_compound_prediction_roundtrip():
     mid.encode(*frames[2], kf.recon, alt_planes=arec,
                refresh_frame_flags=0, show_frame=True)
     assert mid.block_comp.sum() > 0, "no compound blocks chosen"
+
+
+def test_compound_mixed_motion_roundtrip():
+    """Opposed motion against past/future refs: exercises the NEAR and
+    mixed NEAREST_NEW/NEW_NEAREST compound canonicalizations."""
+    import numpy as np
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.inter import InterFrameEncoder
+    from svt_av1_tpu.pipeline.wavefront import WavefrontIntraEncoder
+    rng = np.random.RandomState(91)
+    h, w = 128, 192
+    big = rng.randint(30, 220, (200, 280)).astype(np.uint8)
+    f0 = np.ascontiguousarray(big[8:8 + h, 8:8 + w])
+    f2 = np.ascontiguousarray(big[8:8 + h, 24:24 + w])
+    f1 = np.ascontiguousarray(big[8:8 + h, 16:16 + w])
+    u = np.full((64, 96), 100, np.uint8)
+    v = np.full((64, 96), 140, np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=45, intra_period=32,
+                        scene_change_detection=False)
+    kf = WavefrontIntraEncoder(cfg)
+    ktu, _, _ = kf.encode(f0, u, v)
+    anchor = InterFrameEncoder(cfg, kf.seq)
+    atu, arec = anchor.encode(f2, u, v, kf.recon, show_frame=False,
+                              refresh_frame_flags=2, ref_frame_idx=[0] * 7)
+    mid = InterFrameEncoder(cfg, kf.seq)
+    mtu, mrec = mid.encode(f1, u, v, kf.recon, alt_planes=arec,
+                           refresh_frame_flags=0, show_frame=True,
+                           ref_frame_idx=[0, 0, 0, 0, 0, 0, 1])
+    assert mid.block_comp.sum() > 0
+    dec = StreamDecoder()
+    dec.decode_tu(ktu)
+    dec.decode_tu(atu)
+    out = dec.decode_tu(mtu)
+    for p in range(3):
+        hh, ww = out[p].shape
+        assert (out[p] == mrec[p][:hh, :ww]).all(), f"plane {p}"
