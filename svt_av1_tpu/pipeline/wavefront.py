@@ -259,8 +259,12 @@ class WavefrontIntraEncoder:
         self.mi_rows, self.mi_cols = frame_mi_rows, frame_mi_cols
         self.src, self.recon = frame_src, frame_recon
         self.leaf_sizes = frame_leaves
-        return self._package(frame_src, frame_recon, frame_leaves,
-                             frame_skip, tile_states)
+        out = self._package(frame_src, frame_recon, frame_leaves,
+                            frame_skip, tile_states)
+        # the per-tile syntax pass re-binds self.recon/src to tile views;
+        # restore the whole padded frame (GOP ref slots read enc.recon)
+        self.src, self.recon = frame_src, frame_recon
+        return out
 
     def _enter_tile(self, frame_src, frame_recon, rect) -> None:
         mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs = rect
