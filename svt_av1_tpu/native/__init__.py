@@ -13,7 +13,8 @@ import subprocess
 from pathlib import Path
 
 _REPO = Path(__file__).resolve().parents[2]
-_SOURCES = [_REPO / "native" / "svt_ec.c"]
+_SOURCES = [_REPO / "native" / "svt_ec.c",
+            _REPO / "native" / "svt_txfm.c"]
 _BUILD = _REPO / "native" / "build"
 
 c_i32p = ctypes.POINTER(ctypes.c_int32)
@@ -45,6 +46,11 @@ def lib() -> ctypes.CDLL:
     L.svt_ec_bool.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     L.svt_ec_literal.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     L.svt_ec_done.restype = ctypes.c_int
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_i8p = ctypes.POINTER(ctypes.c_int8)
+    L.svt_txfm_exec.argtypes = [c_i64p, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_int, c_i32p, c_i32p, c_i64p,
+                                c_i64p, c_i8p, ctypes.c_int, ctypes.c_int]
     L.svt_ec_done.argtypes = [ctypes.c_void_p, c_u8p, ctypes.c_int]
     L.svt_write_coeffs_txb.restype = ctypes.c_int32
     L.svt_write_coeffs_txb.argtypes = [

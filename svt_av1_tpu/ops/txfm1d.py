@@ -54,6 +54,64 @@ def _stages(key: str) -> List[Tuple[np.ndarray, ...]]:
     return out
 
 
+@functools.lru_cache(maxsize=128)
+def _flat_stages(key: str, cos_bit: int):
+    """Flattened stage tables with weights resolved against the cospi
+    table — the operand layout of the native executor
+    (native/svt_txfm.c)."""
+    cospi = _tables()["cospi"][cos_bit - COS_BIT_MIN]
+    stages = _stages(key)
+    n = len(stages[0][0])
+    ns = len(stages)
+    a = np.empty((ns, n), dtype=np.int32)
+    b = np.empty((ns, n), dtype=np.int32)
+    w0 = np.empty((ns, n), dtype=np.int64)
+    w1 = np.empty((ns, n), dtype=np.int64)
+    kd = np.empty((ns, n), dtype=np.int8)
+    for i, (sa, sb, sw0, sw1, sk) in enumerate(stages):
+        is_btf = sk == 1
+        a[i] = sa
+        b[i] = sb
+        w0[i] = np.where(is_btf, np.sign(sw0) * cospi[np.abs(sw0) - 1], sw0)
+        w1[i] = np.where(is_btf, np.sign(sw1) * cospi[np.abs(sw1) - 1], sw1)
+        kd[i] = sk
+    return (np.ascontiguousarray(a), np.ascontiguousarray(b),
+            np.ascontiguousarray(w0), np.ascontiguousarray(w1),
+            np.ascontiguousarray(kd), ns, n)
+
+
+_NATIVE = None
+
+
+def _native_lib():
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from svt_av1_tpu import native
+            _NATIVE = native.lib()
+        except Exception:
+            _NATIVE = False
+    return _NATIVE
+
+
+def exec_network_native(x: np.ndarray, key: str, cos_bit: int,
+                        clamp_bit: int) -> np.ndarray:
+    import ctypes
+    lib = _native_lib()
+    a, b, w0, w1, kd, ns, n = _flat_stages(key, cos_bit)
+    out = np.ascontiguousarray(x, dtype=np.int64)
+    lib.svt_txfm_exec(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.shape[0], n, ns,
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        w0.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        w1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        kd.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        cos_bit, max(clamp_bit, 2))
+    return out
+
+
 def exec_network(x: np.ndarray, key: str, cos_bit: int,
                  clamp_bit: int) -> np.ndarray:
     """Run butterfly network ``key`` over batched rows ``x`` [batch, N].
@@ -149,4 +207,6 @@ def run_1d(x: np.ndarray, kind: str, n: int, cos_bit: int, inverse: bool,
         return (iadst4 if inverse else fadst4)(x, cos_bit)
     key = ("i" if inverse else "f") + ("dct" if kind == "dct" else "adst") \
         + str(n)
+    if _native_lib():
+        return exec_network_native(x, key, cos_bit, clamp_bit)
     return exec_network(x, key, cos_bit, clamp_bit)
