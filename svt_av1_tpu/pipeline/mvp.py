@@ -68,15 +68,35 @@ class MvpState:
 
     def set_block(self, mi_row: int, mi_col: int, s4: int, ref: int,
                   mv, mode: int, ref1: int = NONE_FRAME,
-                  mv1=(0, 0)) -> None:
+                  mv1=(0, 0), h4: int = None) -> None:
         r, c = mi_row, mi_col
-        self.ref[r:r + s4, c:c + s4] = ref
-        self.mv[r:r + s4, c:c + s4] = mv
-        self.ref1[r:r + s4, c:c + s4] = ref1
-        self.mv1[r:r + s4, c:c + s4] = mv1
-        self.mode[r:r + s4, c:c + s4] = mode
-        self.n8w[r:r + s4, c:c + s4] = s4
-        self.n8h[r:r + s4, c:c + s4] = s4
+        w4 = s4
+        h4 = s4 if h4 is None else h4
+        self.ref[r:r + h4, c:c + w4] = ref
+        self.mv[r:r + h4, c:c + w4] = mv
+        self.ref1[r:r + h4, c:c + w4] = ref1
+        self.mv1[r:r + h4, c:c + w4] = mv1
+        self.mode[r:r + h4, c:c + w4] = mode
+        self.n8w[r:r + h4, c:c + w4] = w4
+        self.n8h[r:r + h4, c:c + w4] = h4
+
+
+def _mvp_has_top_right_rect(mi_row: int, mi_col: int, w4: int, h4: int,
+                            sb_mi: int = 16) -> bool:
+    """Rect-aware MVP top-right (reference has_top_right
+    EbAdaptiveMotionVectorPrediction.c:836): square rule on
+    bs = max(w4, h4) plus the two-rectangle adjustments."""
+    bs = max(w4, h4)
+    has_tr = _mvp_has_top_right(mi_row, mi_col, bs, sb_mi)
+    if w4 < h4:
+        is_sec_rect = bool(mi_col & (h4 - 1))
+        if not is_sec_rect:
+            has_tr = True
+    if w4 > h4:
+        is_sec_rect = bool(mi_row & (w4 - 1))
+        if is_sec_rect:
+            has_tr = False
+    return has_tr
 
 
 def _mvp_has_top_right(mi_row: int, mi_col: int, bs: int,
@@ -99,9 +119,9 @@ def _mvp_has_top_right(mi_row: int, mi_col: int, bs: int,
     return has_tr
 
 
-def _clamp_mv_ref(mv, mi_row, mi_col, s4, mi_rows, mi_cols):
+def _clamp_mv_ref(mv, mi_row, mi_col, s4, mi_rows, mi_cols, h4=None):
     bw = s4 * 4
-    bh = s4 * 4
+    bh = (s4 if h4 is None else h4) * 4
     to_left = -(mi_col * 32)
     to_right = (mi_cols - mi_col) * 32 - bw * 8
     to_top = -(mi_row * 32)
@@ -144,12 +164,13 @@ class MvStackResult:
 
 def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
                   s4: int, ref_frame: int = LAST_FRAME,
-                  gm_mv=(0, 0)) -> MvStackResult:
-    """Build the ref-MV stack for a square block (s4 = size in mi units)
-    against ``ref_frame``. ``gm_mv``: the frame's global translation MV
-    for this ref (fills ref_list defaults, spec gm_mv_candidates)."""
+                  gm_mv=(0, 0), h4: int = None) -> MvStackResult:
+    """Build the ref-MV stack for a block (s4 = width in mi units; h4
+    defaults square) against ``ref_frame``. ``gm_mv``: the frame's
+    global translation MV for this ref."""
     mi_rows, mi_cols = state.mi_rows, state.mi_cols
-    n8 = s4
+    w4 = s4
+    h4 = s4 if h4 is None else h4
     stack = []          # [mv(tuple), weight]
     newmv_count = 0
     row_match = False
@@ -189,9 +210,9 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
 
     def scan_row(row_offset):
         nonlocal processed_rows, row_match
-        end_mi = min(n8, mi_cols - mi_col, 16)
+        end_mi = min(w4, mi_cols - mi_col, 16)
         col_off = 1 if abs(row_offset) > 1 else 0
-        use_step_16 = n8 >= 16
+        use_step_16 = w4 >= 16
         i = 0
         while i < end_mi:
             r = mi_row + row_offset
@@ -200,13 +221,13 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
                 break
             cand_w = int(state.n8w[r, c])
             cand_h = int(state.n8h[r, c])
-            length = min(n8, cand_w)
+            length = min(w4, cand_w)
             if use_step_16:
                 length = max(4, length)
             elif abs(row_offset) > 1:
                 length = max(length, 2)
             weight = 2
-            if 2 <= n8 <= cand_w:
+            if 2 <= w4 <= cand_w:
                 inc = min(-max_row_offset + row_offset + 1, cand_h)
                 weight = max(weight, inc)
                 processed_rows = inc - row_offset - 1
@@ -216,9 +237,9 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
 
     def scan_col(col_offset):
         nonlocal processed_cols, col_match
-        end_mi = min(n8, mi_rows - mi_row, 16)
+        end_mi = min(h4, mi_rows - mi_row, 16)
         row_off = 1 if abs(col_offset) > 1 else 0
-        use_step_16 = n8 >= 16
+        use_step_16 = h4 >= 16
         i = 0
         while i < end_mi:
             r = mi_row + row_off + i
@@ -227,13 +248,13 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
                 break
             cand_w = int(state.n8w[r, c])
             cand_h = int(state.n8h[r, c])
-            length = min(n8, cand_h)
+            length = min(h4, cand_h)
             if use_step_16:
                 length = max(4, length)
             elif abs(col_offset) > 1:
                 length = max(length, 2)
             weight = 2
-            if 2 <= n8 <= cand_h:
+            if 2 <= h4 <= cand_h:
                 inc = min(-max_col_offset + col_offset + 1, cand_w)
                 weight = max(weight, inc)
                 processed_cols = inc - col_offset - 1
@@ -253,8 +274,8 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
         scan_row(-1)
     if abs(max_col_offset) >= 1:
         scan_col(-1)
-    if _mvp_has_top_right(mi_row, mi_col, n8):
-        scan_blk(-1, n8)
+    if _mvp_has_top_right_rect(mi_row, mi_col, w4, h4):
+        scan_blk(-1, w4)
 
     nearest_match = int(row_match) + int(col_match)
     nearest_count = len(stack)
@@ -310,7 +331,8 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
     _bubble(nearest_count, len(stack))
 
     # single-ref extension: relaxed re-scan of row -1 / col -1
-    mi_size = min(16, n8, mi_cols - mi_col, mi_rows - mi_row)
+    mi_size = min(min(16, w4, mi_cols - mi_col),
+                  min(16, h4, mi_rows - mi_row))
 
     def relaxed_scan(row: bool):
         i = 0
@@ -333,7 +355,8 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
         relaxed_scan(False)
 
     for e in stack:
-        e[0] = _clamp_mv_ref(e[0], mi_row, mi_col, s4, mi_rows, mi_cols)
+        e[0] = _clamp_mv_ref(e[0], mi_row, mi_col, w4, mi_rows, mi_cols,
+                             h4)
 
     ref_list = [gm_mv, gm_mv]
     for idx in range(min(MAX_MV_REF_CANDIDATES, len(stack))):
@@ -351,14 +374,16 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
 def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
                        s4: int, rf0: int = LAST_FRAME,
                        rf1: int = ALTREF_FRAME,
-                       gm=((0, 0), (0, 0))) -> MvStackResult:
+                       gm=((0, 0), (0, 0)),
+                       h4: int = None) -> MvStackResult:
     """Compound ref-MV stack for the (rf0, rf1) pair (reference
     setup_ref_mv_list compound path, EbAdaptiveMotionVectorPrediction.c:905
     + the under-2 fill :1110-1240). Stack entries are ((mv0, mv1), w);
     ref_list holds the two predictor *pairs*. Sign-bias inversion is a
     no-op in our streams (enable_order_hint = 0 => all biases equal)."""
     mi_rows, mi_cols = state.mi_rows, state.mi_cols
-    n8 = s4
+    w4 = s4
+    h4 = s4 if h4 is None else h4
     stack = []          # [ (mv0, mv1), weight ]
     newmv_count = 0
     row_match = False
@@ -391,9 +416,9 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
 
     def scan_row(row_offset):
         nonlocal processed_rows, row_match
-        end_mi = min(n8, mi_cols - mi_col, 16)
+        end_mi = min(w4, mi_cols - mi_col, 16)
         col_off = 1 if abs(row_offset) > 1 else 0
-        use_step_16 = n8 >= 16
+        use_step_16 = w4 >= 16
         i = 0
         while i < end_mi:
             r = mi_row + row_offset
@@ -402,13 +427,13 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
                 break
             cand_w = int(state.n8w[r, c])
             cand_h = int(state.n8h[r, c])
-            length = min(n8, cand_w)
+            length = min(w4, cand_w)
             if use_step_16:
                 length = max(4, length)
             elif abs(row_offset) > 1:
                 length = max(length, 2)
             weight = 2
-            if 2 <= n8 <= cand_w:
+            if 2 <= w4 <= cand_w:
                 inc = min(-max_row_offset + row_offset + 1, cand_h)
                 weight = max(weight, inc)
                 processed_rows = inc - row_offset - 1
@@ -418,9 +443,9 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
 
     def scan_col(col_offset):
         nonlocal processed_cols, col_match
-        end_mi = min(n8, mi_rows - mi_row, 16)
+        end_mi = min(h4, mi_rows - mi_row, 16)
         row_off = 1 if abs(col_offset) > 1 else 0
-        use_step_16 = n8 >= 16
+        use_step_16 = h4 >= 16
         i = 0
         while i < end_mi:
             r = mi_row + row_off + i
@@ -429,13 +454,13 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
                 break
             cand_w = int(state.n8w[r, c])
             cand_h = int(state.n8h[r, c])
-            length = min(n8, cand_h)
+            length = min(h4, cand_h)
             if use_step_16:
                 length = max(4, length)
             elif abs(col_offset) > 1:
                 length = max(length, 2)
             weight = 2
-            if 2 <= n8 <= cand_h:
+            if 2 <= h4 <= cand_h:
                 inc = min(-max_col_offset + col_offset + 1, cand_w)
                 weight = max(weight, inc)
                 processed_cols = inc - col_offset - 1
@@ -455,8 +480,8 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
         scan_row(-1)
     if abs(max_col_offset) >= 1:
         scan_col(-1)
-    if _mvp_has_top_right(mi_row, mi_col, n8):
-        scan_blk(-1, n8)
+    if _mvp_has_top_right_rect(mi_row, mi_col, w4, h4):
+        scan_blk(-1, w4)
 
     nearest_match = int(row_match) + int(col_match)
     nearest_count = len(stack)
@@ -513,7 +538,8 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
     if len(stack) < 2:
         ref_id = [[], []]
         ref_diff = [[], []]
-        mi_size = min(16, n8, mi_cols - mi_col, mi_rows - mi_row)
+        mi_size = min(min(16, w4, mi_cols - mi_col),
+                      min(16, h4, mi_rows - mi_row))
 
         def collect(row: bool):
             i = 0
@@ -562,10 +588,10 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
                 stack.append([(comp_list[idx][0], comp_list[idx][1]), 2])
 
     for e in stack:
-        e[0] = (_clamp_mv_ref(e[0][0], mi_row, mi_col, s4, mi_rows,
-                              mi_cols),
-                _clamp_mv_ref(e[0][1], mi_row, mi_col, s4, mi_rows,
-                              mi_cols))
+        e[0] = (_clamp_mv_ref(e[0][0], mi_row, mi_col, w4, mi_rows,
+                              mi_cols, h4),
+                _clamp_mv_ref(e[0][1], mi_row, mi_col, w4, mi_rows,
+                              mi_cols, h4))
 
     ref_list = [gm, gm]
     for idx in range(min(MAX_MV_REF_CANDIDATES, len(stack))):
