@@ -206,7 +206,7 @@ def _edge_filter(plane, xs_edge, rows, lengths, level, sharpness,
                 plane[xe + off, re] = s[:, k]
 
 
-def loop_filter_plane(plane: np.ndarray, tx_map: np.ndarray,
+def loop_filter_plane(plane: np.ndarray, tx_map, 
                       start_x: np.ndarray, start_y: np.ndarray,
                       level: int, w_eff: int, h_eff: int,
                       sharpness: int = 0, is_luma: bool = True,
@@ -214,13 +214,15 @@ def loop_filter_plane(plane: np.ndarray, tx_map: np.ndarray,
     """Filter one plane in place (both directions, vertical first — spec
     filters all vertical edges of the frame, then horizontal).
 
-    tx_map: [units_h, units_w] tx dim in px per 4px unit; start_x/start_y:
-    bool maps marking units that begin a transform block horizontally /
-    vertically. w_eff/h_eff: coded plane dims (filtering stays inside).
+    tx_map: (txw_map, txh_map) [units_h, units_w] tx dims in px per 4px
+    unit (vertical edges filter by tx WIDTH, horizontal by HEIGHT);
+    start_x/start_y mark units that begin a transform block. w_eff/h_eff:
+    coded plane dims (filtering stays inside).
     """
     if level == 0:
         return
-    uh, uw = tx_map.shape
+    txw_map, txh_map = tx_map
+    uh, uw = txw_map.shape
     uh = min(uh, h_eff // 4)
     uw = min(uw, w_eff // 4)
 
@@ -237,7 +239,7 @@ def loop_filter_plane(plane: np.ndarray, tx_map: np.ndarray,
         runits = np.nonzero(start_x[:uh, c])[0]
         if len(runits) == 0:
             continue
-        lens = length_of(tx_map[runits, c], tx_map[runits, c - 1])
+        lens = length_of(txw_map[runits, c], txw_map[runits, c - 1])
         for k in range(4):  # each unit spans 4 pixel rows
             exs.append(np.full(len(runits), c * 4))
             eys.append(runits * 4 + k)
@@ -252,7 +254,7 @@ def loop_filter_plane(plane: np.ndarray, tx_map: np.ndarray,
         cunits = np.nonzero(start_y[r, :uw])[0]
         if len(cunits) == 0:
             continue
-        lens = length_of(tx_map[r, cunits], tx_map[r - 1, cunits])
+        lens = length_of(txh_map[r, cunits], txh_map[r - 1, cunits])
         for k in range(4):
             exs.append(np.full(len(cunits), r * 4))
             eys.append(cunits * 4 + k)
@@ -269,21 +271,28 @@ def build_tx_maps(leaf_sizes: dict, mi_rows: int, mi_cols: int,
                   plane: int):
     """Per-plane tx maps from the leaf map: (tx_map, start_x, start_y) in
     plane 4px units."""
+    from svt_av1_tpu.pipeline.common import leaf_wh
     ss = 0 if plane == 0 else 1
     uh = (mi_rows + ss) >> ss
     uw = (mi_cols + ss) >> ss
-    tx_map = np.full((uh, uw), 64, dtype=np.int32)
+    txw_map = np.full((uh, uw), 64, dtype=np.int32)
+    txh_map = np.full((uh, uw), 64, dtype=np.int32)
     start_x = np.zeros((uh, uw), dtype=bool)
     start_y = np.zeros((uh, uw), dtype=bool)
-    for (r, c), s in leaf_sizes.items():
-        ts = s if plane == 0 else min(32, s >> 1)
+    for (r, c), v in leaf_sizes.items():
+        bw, bh = leaf_wh(v)
+        tw = bw if plane == 0 else min(32, bw >> 1)
+        th = bh if plane == 0 else min(32, bh >> 1)
         r0, c0 = r >> ss, c >> ss
-        m = max(1, (s >> 2) >> ss)
-        step = max(1, ts // 4)
-        tx_map[r0:r0 + m, c0:c0 + m] = ts
-        start_x[r0:r0 + m, c0:c0 + m:step] = True
-        start_y[r0:r0 + m:step, c0:c0 + m] = True
-    return tx_map, start_x, start_y
+        mw = max(1, (bw >> 2) >> ss)
+        mh = max(1, (bh >> 2) >> ss)
+        step_x = max(1, tw // 4)
+        step_y = max(1, th // 4)
+        txw_map[r0:r0 + mh, c0:c0 + mw] = tw
+        txh_map[r0:r0 + mh, c0:c0 + mw] = th
+        start_x[r0:r0 + mh, c0:c0 + mw:step_x] = True
+        start_y[r0:r0 + mh:step_y, c0:c0 + mw] = True
+    return (txw_map, txh_map), start_x, start_y
 
 
 def level_guess(qindex: int, bit_depth: int = 8) -> int:

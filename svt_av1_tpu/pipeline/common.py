@@ -61,6 +61,34 @@ def square_bsize(size_px: int) -> int:
     return SQUARE_BLOCK_OF_SIZE[size_px]
 
 
+# (w_px, h_px) -> BLOCK_* enum (squares + the 2:1 rects partitions make)
+_RECT_BSIZE = {(4, 4): 0, (4, 8): 1, (8, 4): 2, (8, 8): 3, (8, 16): 4,
+               (16, 8): 5, (16, 16): 6, (16, 32): 7, (32, 16): 8,
+               (32, 32): 9, (32, 64): 10, (64, 32): 11, (64, 64): 12}
+
+# (w_px, h_px) -> TX_* (max_txsize_rect_lookup for TX_MODE_LARGEST)
+_RECT_TX = {(4, 4): 0, (8, 8): 1, (16, 16): 2, (32, 32): 3, (64, 64): 4,
+            (4, 8): 5, (8, 4): 6, (8, 16): 7, (16, 8): 8, (16, 32): 9,
+            (32, 16): 10, (32, 64): 11, (64, 32): 12}
+
+
+def leaf_wh(v):
+    """Normalize a leaf-map value: int size -> (size, size)."""
+    return (v, v) if isinstance(v, (int, np.integer)) else tuple(v)
+
+
+def rect_bsize(w_px: int, h_px: int) -> int:
+    return _RECT_BSIZE[(w_px, h_px)]
+
+
+def tx_size_for_rect(w_px: int, h_px: int, plane: int) -> int:
+    """TX_MODE_LARGEST tx for a (possibly rect) block; chroma dims are
+    already halved by the caller and capped at 32 per side."""
+    if plane == 0:
+        return _RECT_TX[(w_px, h_px)]
+    return _RECT_TX[(min(32, w_px), min(32, h_px))]
+
+
 def fixed_leaf_sizes(mi_rows: int, mi_cols: int, sb_rows: int, sb_cols: int,
                      target: int):
     """Uniform square partition {(mi_row, mi_col): size_px} with the
@@ -90,16 +118,32 @@ def fixed_leaf_sizes(mi_rows: int, mi_cols: int, sb_rows: int, sb_cols: int,
 
 def leaves_in_coding_order(leaf_sizes: dict, mi_rows: int, mi_cols: int,
                            sb_rows: int, sb_cols: int):
-    """Ordered (mi_row, mi_col, size) list from a leaf map."""
+    """Ordered (mi_row, mi_col, size_or_(w,h)) list from a leaf map.
+    Rect leaves are stored under BOTH half keys with the same (w, h)
+    value; the recursion emits them in coding order (top/bottom for
+    HORZ, left/right for VERT)."""
     out = []
 
     def rec(mi_row, mi_col, psize):
         if mi_row >= mi_rows or mi_col >= mi_cols:
             return
-        if leaf_sizes.get((mi_row, mi_col)) == psize:
+        v = leaf_sizes.get((mi_row, mi_col))
+        hbs = psize >> 3
+        if v == psize:
             out.append((mi_row, mi_col, psize))
             return
-        hbs = psize >> 3
+        if v is not None and not isinstance(v, (int, np.integer)):
+            w, h = v
+            if w == psize and h == psize >> 1:      # HORZ: top then bottom
+                out.append((mi_row, mi_col, (w, h)))
+                if mi_row + hbs < mi_rows:
+                    out.append((mi_row + hbs, mi_col, (w, h)))
+                return
+            if w == psize >> 1 and h == psize:      # VERT: left then right
+                out.append((mi_row, mi_col, (w, h)))
+                if mi_col + hbs < mi_cols:
+                    out.append((mi_row, mi_col + hbs, (w, h)))
+                return
         half = psize >> 1
         rec(mi_row, mi_col, half)
         rec(mi_row, mi_col + hbs, half)

@@ -25,8 +25,9 @@ from svt_av1_tpu.ops import intra_dir
 from svt_av1_tpu.ops import quant as quant_ops
 from svt_av1_tpu.ops import transforms as tx_ops
 from svt_av1_tpu.pipeline import avail, common
-from svt_av1_tpu.utils.blocks import (DC_PRED, PARTITION_NONE,
-                                      PARTITION_SPLIT, TX_HEIGHT, TX_WIDTH,
+from svt_av1_tpu.utils.blocks import (DC_PRED, PARTITION_HORZ,
+                                      PARTITION_NONE, PARTITION_SPLIT,
+                                      PARTITION_VERT, TX_HEIGHT, TX_WIDTH,
                                       get_scan)
 
 
@@ -212,9 +213,31 @@ class FrameDecoder:
             self._decode_block(mi_row, mi_col, size)
             self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, bsize)
             self.leaf_sizes[(mi_row, mi_col)] = size
+        elif partition in (PARTITION_HORZ, PARTITION_VERT):
+            assert not self.is_inter, "rect partitions are intra-only"
+            hbs = size >> 3
+            half = size >> 1
+            wh = (size, half) if partition == PARTITION_HORZ \
+                else (half, size)
+            subsize = common.rect_bsize(*wh)
+            skip0 = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
+                                          mi_row, mi_col)
+            self._read_cdef(mi_row, mi_col, skip0)
+            self._read_delta_q(mi_row, mi_col, 0, skip0)
+            self._decode_intra_tail(mi_row, mi_col, wh, skip0, kf=True)
+            self.leaf_sizes[(mi_row, mi_col)] = wh
+            r2 = mi_row + (hbs if partition == PARTITION_HORZ else 0)
+            c2 = mi_col + (0 if partition == PARTITION_HORZ else hbs)
+            if r2 < self.mi_rows and c2 < self.mi_cols:
+                skip1 = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
+                                              r2, c2)
+                self._read_cdef(r2, c2, skip1)
+                self._read_delta_q(r2, c2, 0, skip1)
+                self._decode_intra_tail(r2, c2, wh, skip1, kf=True)
+                self.leaf_sizes[(r2, c2)] = wh
+            self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, subsize)
         else:
-            raise NotImplementedError(
-                f"partition type {partition} (rect partitions land with RD)")
+            raise NotImplementedError(f"partition type {partition}")
 
     def _read_cdef(self, mi_row: int, mi_col: int, skip: int) -> None:
         """read_cdef mirror: cdef_idx literal at the first non-skip block
@@ -423,17 +446,18 @@ class FrameDecoder:
         the neighbor-ctx kf_y_mode CDF, inter frames the size-group
         y_mode CDF (spec 5.11.18 vs 5.11.19)."""
         x, y = mi_col * 4, mi_row * 4
-        bsize = common.square_bsize(size)
+        bw, bh = common.leaf_wh(size)
+        bsize = common.rect_bsize(bw, bh)
         if kf:
             y_mode = mode_syntax.read_intra_luma_mode_kf(self.r, self.fc,
                                                          self.ctxs, mi_row,
                                                          mi_col)
         else:
             y_mode = mode_syntax.read_intra_luma_mode_if(self.r, self.fc,
-                                                         size)
+                                                         max(bw, bh))
         y_delta = mode_syntax.read_angle_delta(self.r, self.fc, y_mode) \
             if intra_dir.is_directional(y_mode) else 0
-        cfl_allowed = size <= 32
+        cfl_allowed = bw <= 32 and bh <= 32
         uv_mode = mode_syntax.read_intra_chroma_mode(self.r, self.fc,
                                                      y_mode, cfl_allowed)
         self._cfl_alphas = (0, 0)
@@ -443,22 +467,22 @@ class FrameDecoder:
         uv_delta = mode_syntax.read_angle_delta(self.r, self.fc, uv_mode) \
             if intra_dir.is_directional(uv_mode) else 0
         self.ctxs.set_mi(mi_row, mi_col, bsize, y_mode, skip)
-        self._htr = avail.has_top_right(mi_row, mi_col, size >> 2,
-                                        self.mi_cols)
-        self._hbl = avail.has_bottom_left(mi_row, mi_col, size >> 2,
-                                          self.mi_rows)
+        self._htr = avail.has_top_right_wh(mi_row, mi_col, bw >> 2,
+                                           bh >> 2, self.mi_cols)
+        self._hbl = avail.has_bottom_left_wh(mi_row, mi_col, bw >> 2,
+                                             bh >> 2, self.mi_rows)
 
-        csize = size >> 1
+        cw, ch = bw >> 1, bh >> 1
         cx, cy = x >> 1, y >> 1
-        tx_y = common.tx_size_for_block(size, 0)
-        tx_uv = common.tx_size_for_block(csize, 1)
+        tx_y = common.tx_size_for_rect(bw, bh, 0)
+        tx_uv = common.tx_size_for_rect(cw, ch, 1)
         tt_u = common.chroma_tx_type(uv_mode, tx_uv,
                                      self.fh.reduced_tx_set)
         plane_info = [(0, x, y, tx_y, y_mode, y_delta, bsize),
                       (1, cx, cy, tx_uv, uv_mode, uv_delta,
-                       common.square_bsize(csize)),
+                       common.rect_bsize(cw, ch)),
                       (2, cx, cy, tx_uv, uv_mode, uv_delta,
-                       common.square_bsize(csize))]
+                       common.rect_bsize(cw, ch))]
         for p, px, py, ts, m, d, pb in plane_info:
             if skip:
                 self._predict_into(p, px, py, ts, m, d, None, 0)

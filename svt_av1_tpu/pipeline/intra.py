@@ -56,9 +56,11 @@ class IntraFrameEncoder:
 
     def __init__(self, cfg: EncoderConfig):
         assert not cfg.enable_cdef and not cfg.enable_restoration \
-            and not cfg.adaptive_quantization, \
-            "oracle encoder covers the pre-filter flat-QP pipeline; use " \
-            "the wavefront encoder for CDEF/LR/AQ streams"
+            and not cfg.adaptive_quantization \
+            and (cfg.fixed_partition_size is not None
+                 or not cfg.enable_rect_partitions), \
+            "oracle encoder covers the square pre-filter flat-QP " \
+            "pipeline; use the wavefront encoder for CDEF/LR/AQ/rect"
         self.cfg = cfg
         self.seq = obu.SequenceHeader(width=cfg.width, height=cfg.height,
                                       bit_depth=cfg.bit_depth,

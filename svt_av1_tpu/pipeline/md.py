@@ -123,20 +123,21 @@ def candidate_mode_bits(cands: tuple, plane: int,
 
 def _full_loop(srcs, preds, tts, tx_size, size, qp, bd, plane_type=0):
     """T/Q/IQ/recon for one candidate per block.
-    srcs/preds [B,s,s]; tts [B]. Returns (qcoeff [B,ch,cw], eob [B],
-    recon [B,s,s], dist [B], rate [B]). Rate uses the CDF-derived
-    level-cost LUT bucketed by the quantizer's qindex."""
+    srcs/preds [B,h,w]; tts [B]; size: int (square) or (w, h). Returns
+    (qcoeff [B,ch,cw], eob [B], recon [B,h,w], dist [B], rate [B]).
+    Rate uses the CDF-derived level-cost LUT bucketed by qindex."""
     b = srcs.shape[0]
+    w, h = common.leaf_wh(size)
     cw, ch = common.coded_dims(tx_size)
     log_scale = quant_ops.tx_scale(tx_size)
     qcoeff = np.zeros((b, ch, cw), dtype=np.int32)
     eob = np.zeros(b, dtype=np.int32)
-    recon = np.empty((b, size, size), dtype=np.int64)
+    recon = np.empty((b, h, w), dtype=np.int64)
     rate = np.zeros(b, dtype=np.float64)
     resid = srcs - preds
     for tt in np.unique(tts):
         sel = np.nonzero(tts == tt)[0]
-        coeffs = tx_ops.forward_tx2d(resid[sel], int(tt), size, size)
+        coeffs = tx_ops.forward_tx2d(resid[sel], int(tt), w, h)
         coded = coeffs[:, :ch, :cw].reshape(len(sel), -1)
         scan = get_scan(tx_size, int(tt))
         qc, dq, eo = quant_ops.quantize(coded, scan, qp, log_scale)
@@ -144,9 +145,9 @@ def _full_loop(srcs, preds, tts, tx_size, size, qp, bd, plane_type=0):
         eob[sel] = eo
         rate[sel] = coeff_rate_cdf(qc.reshape(-1, ch, cw), eo,
                                    qp.qindex, plane_type, tx_size)
-        full = np.zeros((len(sel), size, size), dtype=np.int64)
+        full = np.zeros((len(sel), h, w), dtype=np.int64)
         full[:, :ch, :cw] = dq.reshape(-1, ch, cw)
-        r = tx_ops.inverse_tx2d(full, int(tt), size, size, bd=bd)
+        r = tx_ops.inverse_tx2d(full, int(tt), w, h, bd=bd)
         recon[sel] = tx_ops.recon_add(preds[sel], r, bd=bd)
     dist = np.sum((srcs - recon) ** 2, axis=(1, 2)).astype(np.float64)
     return qcoeff, eob, recon, dist, rate
@@ -171,7 +172,8 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
     planes of blocks <= 32x32)."""
     from svt_av1_tpu.ops import cfl as cfl_ops
     b = srcs.shape[0]
-    tx_size = common.tx_size_for_block(size, plane)
+    bw, bh = common.leaf_wh(size)
+    tx_size = common.tx_size_for_rect(bw, bh, plane)
     pix = np.uint16 if bd > 8 else np.uint8
 
     def tts_for(modes_arr):
@@ -186,7 +188,7 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
         idxs = np.arange(b) if sel is None else sel
         ac = cfl_ops.luma_ac_420(cfl_luma[idxs])
         dc = intra_ops.predict(0, above1[idxs, 1:], left1[idxs, 1:],
-                               above1[idxs, 0], size, size,
+                               above1[idxs, 0], bw, bh,
                                have_above=ha[idxs], have_left=hl[idxs],
                                bd=bd)
         alpha = cfl_ops.fit_alpha(ac, srcs[idxs], dc)
@@ -195,14 +197,14 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
     if forced is not None:
         fmodes, fdeltas = np.asarray(forced[0]), np.asarray(forced[1])
         alphas = np.zeros(b, dtype=np.int64)
-        preds = np.empty((b, size, size), dtype=np.int64)
+        preds = np.empty((b, bh, bw), dtype=np.int64)
         for m, d in set(zip(fmodes.tolist(), fdeltas.tolist())):
             sel = np.nonzero((fmodes == m) & (fdeltas == d))[0]
             if m == UV_CFL:
                 preds[sel], alphas[sel] = cfl_pred_and_alpha(sel)
             else:
                 preds[sel] = intra_ops.predict_any(
-                    int(m), int(d), above1[sel], left1[sel], size, size,
+                    int(m), int(d), above1[sel], left1[sel], bw, bh,
                     ha[sel], hl[sel], bd=bd)
         ftts = tts_for(fmodes)
         qc, eo, rec, dist, rate = _full_loop(srcs, preds, ftts,
@@ -211,9 +213,9 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
                 dist + lam * rate, alphas, ftts)
 
     preds = np.stack([
-        intra_ops.predict_any(m, d, above1, left1, size, size, ha, hl,
+        intra_ops.predict_any(m, d, above1, left1, bw, bh, ha, hl,
                               bd=bd)
-        for m, d in cands]).astype(np.int64)                  # [M,B,s,s]
+        for m, d in cands]).astype(np.int64)                  # [M,B,h,w]
     all_cands = list(cands)
     cand_alphas = None
     if plane == 1 and cfl_luma is not None:

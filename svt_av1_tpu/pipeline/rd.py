@@ -41,22 +41,25 @@ def _block_grid(w_eff: int, h_eff: int, size: int):
     return gx.reshape(-1), gy.reshape(-1)
 
 
-def _analyze_depth(src: np.ndarray, xs, ys, size: int, cands, qp,
+def _analyze_depth(src: np.ndarray, xs, ys, size, cands, qp,
                    max_w: int, max_h: int, mi_cols: int, mi_rows: int,
                    lam: float, bd: int = 8):
     """Open-loop analysis of all blocks at one depth via the shared mode
-    decision kernel. Returns (rd_cost [B], best_mode [B])."""
+    decision kernel. ``size``: int (square) or (w, h) rect. Returns
+    (rd_cost [B], best_mode [B])."""
     from svt_av1_tpu.pipeline import avail, md
+    bw, bh = common.leaf_wh(size)
     ha, hl = ys > 0, xs > 0
-    s4 = size >> 2
-    htr = np.array([avail.has_top_right(y >> 2, x >> 2, s4, mi_cols)
+    htr = np.array([avail.has_top_right_wh(y >> 2, x >> 2, bw >> 2,
+                                           bh >> 2, mi_cols)
                     for x, y in zip(xs, ys)])
-    hbl = np.array([avail.has_bottom_left(y >> 2, x >> 2, s4, mi_rows)
+    hbl = np.array([avail.has_bottom_left_wh(y >> 2, x >> 2, bw >> 2,
+                                             bh >> 2, mi_rows)
                     for x, y in zip(xs, ys)])
     above1, left1 = intra_ops.prepare_edges_av1(
-        src, xs, ys, size, size, ha, hl, htr, hbl, bd=bd,
+        src, xs, ys, bw, bh, ha, hl, htr, hbl, bd=bd,
         max_w=max_w, max_h=max_h)
-    srcs = np.stack([src[y:y + size, x:x + size]
+    srcs = np.stack([src[y:y + bh, x:x + bw]
                      for x, y in zip(xs, ys)]).astype(np.int64)
     best_mode, _, _, _, _, rd_cost, _, _ = md.decide_block_batch(
         0, srcs, above1, left1, ha, hl, cands, qp, size, lam, bd=bd)
@@ -93,6 +96,37 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
         rows = (h_eff + size - 1) // size
         cost[size] = c.reshape(rows, cols)
 
+    # rectangular arms (PARTITION_HORZ / PARTITION_VERT): two half-blocks
+    # per square node, evaluated at the node grid (min leaf dim 8 keeps
+    # chroma >= 4x4)
+    rect_cost = {}
+    if cfg.enable_rect_partitions:
+        for size in sizes[:-1]:
+            if size < 16:
+                continue
+            half = size // 2
+            cols = (w_eff + size - 1) // size
+            rows = (h_eff + size - 1) // size
+            gx, gy = _block_grid(w_eff, h_eff, size)
+            for key, wh, dx, dy in (("h", (size, half), 0, half),
+                                    ("v", (half, size), half, 0)):
+                xs = np.concatenate([gx, gx + dx])
+                ys = np.concatenate([gy, gy + dy])
+                # skip out-of-area second halves cleanly (cost -> inf)
+                ok = (xs + wh[0] <= ((w_eff + 63) // 64) * 64) \
+                    & (ys + wh[1] <= ((h_eff + 63) // 64) * 64)
+                c = np.full(len(xs), np.inf)
+                sel = np.nonzero(ok)[0]
+                if len(sel):
+                    cc, _ = _analyze_depth(src, xs[sel], ys[sel], wh,
+                                           cands, qp, w_eff, h_eff,
+                                           mi_cols, mi_rows, lam,
+                                           cfg.bit_depth)
+                    c[sel] = cc
+                n = len(gx)
+                rect_cost[(size, key)] = (c[:n] + c[n:]).reshape(rows,
+                                                                 cols)
+
     # bottom-up DP. "crosses" must mirror the emit/_leaves rule exactly:
     # a block is forced to split when its HALF-point falls outside the mi
     # area (has_rows/has_cols, EncodePartitionAv1 EbEntropyCoding.c:950).
@@ -112,9 +146,18 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
         xs_b = np.arange(cols)[None, :] * size
         crosses = ((ys_b + size // 2 >= h_eff)
                    | (xs_b + size // 2 >= w_eff))
-        take_leaf = (leaf_c <= sum4) & ~crosses
-        choice[size] = take_leaf
-        best = np.where(take_leaf, leaf_c, sum4)
+        options = [(0, np.where(crosses, np.inf, leaf_c)),
+                   (1, sum4)]
+        if (size, "h") in rect_cost:
+            rb = lam * (split_bits + 1.0)
+            options.append((2, np.where(crosses, np.inf,
+                                        rect_cost[(size, "h")] + rb)))
+            options.append((3, np.where(crosses, np.inf,
+                                        rect_cost[(size, "v")] + rb)))
+        stackc = np.stack([o[1] for o in options])
+        pick = np.argmin(stackc, axis=0)
+        choice[size] = np.array([o[0] for o in options])[pick]
+        best = np.take_along_axis(stackc, pick[None], axis=0)[0]
 
     leaves = {}
 
@@ -123,17 +166,27 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
             return
         hbs = size >> 3
         crosses = (r + hbs) >= mi_rows or (c + hbs) >= mi_cols
-        is_leaf = False
+        kind = 1  # split
         if not (crosses and size > 8):
             if size <= min_size:
-                is_leaf = True
+                kind = 0
             elif size in choice:
-                is_leaf = bool(choice[size][(r * 4) // size,
-                                            (c * 4) // size])
-        if is_leaf:
+                kind = int(choice[size][(r * 4) // size,
+                                        (c * 4) // size])
+        if kind == 0:
             leaves[(r, c)] = size
             return
         half = size // 2
+        if kind == 2:      # HORZ
+            leaves[(r, c)] = (size, half)
+            if r + hbs < mi_rows:
+                leaves[(r + hbs, c)] = (size, half)
+            return
+        if kind == 3:      # VERT
+            leaves[(r, c)] = (half, size)
+            if c + hbs < mi_cols:
+                leaves[(r, c + hbs)] = (half, size)
+            return
         walk(r, c, half)
         walk(r, c + hbs, half)
         walk(r + hbs, c, half)

@@ -73,14 +73,15 @@ class WavefrontIntraEncoder:
         Returns (modes [B], deltas [B], qcoeff [B,ch,cw], eob [B],
         alphas [B])."""
         cfg = self.cfg
+        bw, bh = common.leaf_wh(size)
         recon = self.recon[plane]
         src = self.src[plane]
         max_w, max_h = self.max_wh[plane]
         ha, hl = ys > 0, xs > 0
         above1, left1 = intra_ops.prepare_edges_av1(
-            recon, xs, ys, size, size, ha, hl, htr, hbl,
+            recon, xs, ys, bw, bh, ha, hl, htr, hbl,
             bd=cfg.bit_depth, max_w=max_w, max_h=max_h)
-        srcs = np.stack([src[y:y + size, x:x + size]
+        srcs = np.stack([src[y:y + bh, x:x + bw]
                          for x, y in zip(xs, ys)]).astype(np.int64)
         best, deltas, qcoeff, eob, recon_blocks, _, alphas, tts = \
             md.decide_block_batch(
@@ -92,7 +93,7 @@ class WavefrontIntraEncoder:
                 tx_search=(plane == 0 and cfg.enable_tx_type_search
                            and cfg.base_q_idx > 0))
         for i, (x, y) in enumerate(zip(xs, ys)):
-            recon[y:y + size, x:x + size] = recon_blocks[i]
+            recon[y:y + bh, x:x + bw] = recon_blocks[i]
         return best, deltas, qcoeff, eob, alphas, tts
 
     # --- adaptive quantization (QPM) ------------------------------------------
@@ -166,27 +167,12 @@ class WavefrontIntraEncoder:
         return sizes
 
     def _leaves(self):
-        """Leaf blocks (mi_row, mi_col, size) in coding order from
-        ``self.leaf_sizes``."""
-        out = []
-
-        def rec(mi_row, mi_col, psize):
-            if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
-                return
-            if self.leaf_sizes.get((mi_row, mi_col)) == psize:
-                out.append((mi_row, mi_col, psize))
-                return
-            hbs = psize >> 3
-            half = psize >> 1
-            rec(mi_row, mi_col, half)
-            rec(mi_row, mi_col + hbs, half)
-            rec(mi_row + hbs, mi_col, half)
-            rec(mi_row + hbs, mi_col + hbs, half)
-
-        for sb_y in range(0, self.sb_rows_t * 16, 16):
-            for sb_x in range(0, self.sb_cols_t * 16, 16):
-                rec(sb_y, sb_x, 64)
-        return out
+        """Leaf blocks (mi_row, mi_col, (w, h)) in coding order
+        (square leaves normalized to tuples)."""
+        raw = common.leaves_in_coding_order(self.leaf_sizes, self.mi_rows,
+                                            self.mi_cols, self.sb_rows_t,
+                                            self.sb_cols_t)
+        return [(r, c, common.leaf_wh(v)) for r, c, v in raw]
 
     @staticmethod
     def _dependency_waves(leaves, mi_cols, mi_rows):
@@ -197,20 +183,20 @@ class WavefrontIntraEncoder:
         leaves in the strips are spec-unavailable (replicated), so only
         earlier ones (j < i in coding order) become dependencies."""
         idx_map = np.full((mi_rows, mi_cols), -1, dtype=np.int64)
-        for i, (r, c, s) in enumerate(leaves):
-            m = s >> 2
-            idx_map[r:r + m, c:c + m] = i
+        for i, (r, c, wh) in enumerate(leaves):
+            mw, mh = wh[0] >> 2, wh[1] >> 2
+            idx_map[r:r + mh, c:c + mw] = i
         wave = np.zeros(len(leaves), dtype=np.int64)
-        for i, (r, c, s) in enumerate(leaves):
-            m = s >> 2
+        for i, (r, c, wh) in enumerate(leaves):
+            mw, mh = wh[0] >> 2, wh[1] >> 2
             w = 0
             if r > 0:
-                deps = idx_map[r - 1, c:min(c + 2 * m, mi_cols)]
+                deps = idx_map[r - 1, c:min(c + 2 * mw, mi_cols)]
                 deps = deps[(deps >= 0) & (deps < i)]
                 if len(deps):
                     w = max(w, int(wave[deps].max()) + 1)
             if c > 0:
-                deps = idx_map[r:min(r + 2 * m, mi_rows), c - 1]
+                deps = idx_map[r:min(r + 2 * mh, mi_rows), c - 1]
                 deps = deps[(deps >= 0) & (deps < i)]
                 if len(deps):
                     w = max(w, int(wave[deps].max()) + 1)
@@ -252,9 +238,9 @@ class WavefrontIntraEncoder:
                 frame_leaves[(r + mi_r0, c + mi_c0)] = s
                 li = self.leaf_index[(r, c)]
                 if self.eobs[:, li].sum() == 0:
-                    m = s >> 2
-                    frame_skip[r + mi_r0:r + mi_r0 + m,
-                               c + mi_c0:c + mi_c0 + m] = True
+                    lw, lh = common.leaf_wh(s)
+                    frame_skip[r + mi_r0:r + mi_r0 + (lh >> 2),
+                               c + mi_c0:c + mi_c0 + (lw >> 2)] = True
 
         self.mi_rows, self.mi_cols = frame_mi_rows, frame_mi_cols
         self.src, self.recon = frame_src, frame_recon
@@ -316,16 +302,20 @@ class WavefrontIntraEncoder:
         self.eobs = np.zeros((3, n), dtype=np.int32)
         self.y_tx_type = np.zeros(n, dtype=np.int32)
 
-        larr = np.array([(r, c, s) for r, c, s in leaves], dtype=np.int64)
-        htr_all = np.array([avail.has_top_right(r, c, s >> 2, self.mi_cols)
-                            for r, c, s in leaves])
-        hbl_all = np.array([avail.has_bottom_left(r, c, s >> 2, self.mi_rows)
-                            for r, c, s in leaves])
+        larr = np.array([(r, c, wh[0], wh[1]) for r, c, wh in leaves],
+                        dtype=np.int64)
+        htr_all = np.array([avail.has_top_right_wh(
+            r, c, wh[0] >> 2, wh[1] >> 2, self.mi_cols)
+            for r, c, wh in leaves])
+        hbl_all = np.array([avail.has_bottom_left_wh(
+            r, c, wh[0] >> 2, wh[1] >> 2, self.mi_rows)
+            for r, c, wh in leaves])
+        shape_key = larr[:, 2] * 1000 + larr[:, 3]
         for wv in range(int(waves.max()) + 1 if n else 0):
             in_wave = np.nonzero(waves == wv)[0]
-            for size in np.unique(larr[in_wave, 2]):
-                sids = in_wave[larr[in_wave, 2] == size]
-                size = int(size)
+            for sk in np.unique(shape_key[in_wave]):
+                sids = in_wave[shape_key[in_wave] == sk]
+                bw, bh = int(sk) // 1000, int(sk) % 1000
                 if self.qmap_t is None:
                     qgroups = [(None, sids)]
                 else:
@@ -341,29 +331,29 @@ class WavefrontIntraEncoder:
                     xs = larr[ids, 1] * 4
                     ys = larr[ids, 0] * 4
                     htr, hbl = htr_all[ids], hbl_all[ids]
-                    csize = size >> 1
                     best, bdel, qc, eo, _, ytt = self._wave_compute(
-                        0, xs, ys, size, cands, htr, hbl, qp=qp, lam=lam)
+                        0, xs, ys, (bw, bh), cands, htr, hbl, qp=qp,
+                        lam=lam)
                     self.y_mode[ids] = best
                     self.y_delta[ids] = bdel
                     self.eobs[0, ids] = eo
                     self.y_tx_type[ids] = ytt
                     cfl_luma = None
-                    if size <= 32:  # cfl_allowed (luma block <= 32x32)
+                    if bw <= 32 and bh <= 32:  # cfl_allowed
                         cfl_luma = np.stack([
-                            self.recon[0][y:y + size, x:x + size]
+                            self.recon[0][y:y + bh, x:x + bw]
                             for x, y in zip(xs, ys)])
                     bestc, cdel, qcc, eoc, au, _ = self._wave_compute(
-                        1, xs >> 1, ys >> 1, csize, cands, htr, hbl,
-                        cfl_luma=cfl_luma, qp=qp, lam=lam)
+                        1, xs >> 1, ys >> 1, (bw >> 1, bh >> 1), cands,
+                        htr, hbl, cfl_luma=cfl_luma, qp=qp, lam=lam)
                     self.uv_mode[ids] = bestc
                     self.uv_delta[ids] = cdel
                     self.alpha_u[ids] = au
                     self.eobs[1, ids] = eoc
                     _, _, qcv, eov, av, _ = self._wave_compute(
-                        2, xs >> 1, ys >> 1, csize, cands, htr, hbl,
-                        forced=(bestc, cdel), cfl_luma=cfl_luma, qp=qp,
-                        lam=lam)
+                        2, xs >> 1, ys >> 1, (bw >> 1, bh >> 1), cands,
+                        htr, hbl, forced=(bestc, cdel), cfl_luma=cfl_luma,
+                        qp=qp, lam=lam)
                     self.alpha_v[ids] = av
                     self.eobs[2, ids] = eov
                     for k, i in enumerate(ids):
@@ -490,24 +480,39 @@ class WavefrontIntraEncoder:
     def _emit_partition(self, mi_row, mi_col, psize) -> None:
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
             return
+        from svt_av1_tpu.utils.blocks import PARTITION_HORZ, PARTITION_VERT
         bsize = common.square_bsize(psize)
         hbs = psize >> 3
-        if self.leaf_sizes.get((mi_row, mi_col)) == psize:
+        half = psize >> 1
+        v = self.leaf_sizes.get((mi_row, mi_col))
+        if v == psize:
             partition = PARTITION_NONE
+        elif v == (psize, half):
+            partition = PARTITION_HORZ
+        elif v == (half, psize):
+            partition = PARTITION_VERT
         else:
             partition = PARTITION_SPLIT
         mode_syntax.write_partition(self.w, self.fc, self.ctxs, partition,
                                     bsize, mi_row, mi_col,
                                     self.mi_cols, self.mi_rows)
         if partition == PARTITION_SPLIT:
-            half = psize >> 1
             self._emit_partition(mi_row, mi_col, half)
             self._emit_partition(mi_row, mi_col + hbs, half)
             self._emit_partition(mi_row + hbs, mi_col, half)
             self._emit_partition(mi_row + hbs, mi_col + hbs, half)
-        else:
+        elif partition == PARTITION_NONE:
             self._emit_block(mi_row, mi_col, psize)
             self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, bsize)
+        else:
+            wh = v
+            self._emit_block(mi_row, mi_col, wh)
+            r2 = mi_row + (hbs if partition == PARTITION_HORZ else 0)
+            c2 = mi_col + (0 if partition == PARTITION_HORZ else hbs)
+            if r2 < self.mi_rows and c2 < self.mi_cols:
+                self._emit_block(r2, c2, wh)
+            self.ctxs.update_partition_ctx(mi_row, mi_col, bsize,
+                                           common.rect_bsize(*wh))
 
     def _write_cdef_idx(self, mi_row, mi_col, skip) -> None:
         """cdef_idx literal at the first non-skip block of each 64x64
@@ -525,19 +530,21 @@ class WavefrontIntraEncoder:
         cfg = self.cfg
         x, y = mi_col * 4, mi_row * 4
         li = self.leaf_index[(mi_row, mi_col)]
-        bsize = common.square_bsize(size)
-        csize = size >> 1
+        bw, bh = common.leaf_wh(size)
+        bsize = common.rect_bsize(bw, bh)
+        cw, ch = bw >> 1, bh >> 1
         y_mode = int(self.y_mode[li])
         uv_mode = int(self.uv_mode[li])
-        tx_y = common.tx_size_for_block(size, 0)
-        tx_uv = common.tx_size_for_block(csize, 1)
+        tx_y = common.tx_size_for_rect(bw, bh, 0)
+        tx_uv = common.tx_size_for_rect(cw, ch, 1)
         tt_u = common.chroma_tx_type(uv_mode, tx_uv, False)
         skip = int(self.eobs[:, li].sum() == 0)
 
         mode_syntax.write_skip(self.w, self.fc, self.ctxs, skip,
                                mi_row, mi_col)
         self._write_cdef_idx(mi_row, mi_col, skip)
-        self._write_delta_q(mi_row, mi_col, size, skip)
+        self._write_delta_q(mi_row, mi_col,
+                            size if bw == bh else 0, skip)
         mode_syntax.write_intra_luma_mode_kf(self.w, self.fc, self.ctxs,
                                              y_mode, mi_row, mi_col)
         if intra_dir.is_directional(y_mode):
@@ -548,7 +555,7 @@ class WavefrontIntraEncoder:
         if uv_mode == 13 and alpha_u == 0 and alpha_v == 0:
             uv_mode = 0  # alpha-(0,0) CfL == DC prediction; code as DC
         mode_syntax.write_intra_chroma_mode(self.w, self.fc, uv_mode,
-                                            y_mode, size <= 32)
+                                            y_mode, bw <= 32 and bh <= 32)
         if uv_mode == 13:
             from svt_av1_tpu.ops import cfl as cfl_ops
             cfl_ops.write_cfl_alphas(self.w, self.fc, alpha_u, alpha_v)
@@ -560,9 +567,9 @@ class WavefrontIntraEncoder:
         tt_y = int(self.y_tx_type[li])
         plane_info = [(0, x, y, tx_y, tt_y, y_mode, bsize),
                       (1, x >> 1, y >> 1, tx_uv, tt_u, uv_mode,
-                       common.square_bsize(csize)),
+                       common.rect_bsize(cw, ch)),
                       (2, x >> 1, y >> 1, tx_uv, tt_u, uv_mode,
-                       common.square_bsize(csize))]
+                       common.rect_bsize(cw, ch))]
         for p, px, py, ts, tt, m, pb in plane_info:
             x4, y4 = px >> 2, py >> 2
             if skip:

@@ -16,16 +16,18 @@ def test_partition_covers_frame_exactly():
     from svt_av1_tpu.bitstream.obu import SequenceHeader
     seq = SequenceHeader(width=200, height=120)
     leaves = rd.choose_partition(y, cfg, seq.mi_cols, seq.mi_rows)
+    from svt_av1_tpu.pipeline.common import leaf_wh
     cover = np.zeros((seq.mi_rows, seq.mi_cols), dtype=int)
     for (r, c), s in leaves.items():
-        m = s >> 2
-        cover[r:r + m, c:c + m] += 1
+        lw, lh = leaf_wh(s)
+        cover[r:r + (lh >> 2), c:c + (lw >> 2)] += 1
     assert (cover == 1).all(), "leaves must tile the mi area exactly once"
     for (r, c), s in leaves.items():
-        hbs = s >> 3
-        if s > 8:
-            assert (r + hbs) < seq.mi_rows and (c + hbs) < seq.mi_cols, \
-                "edge-crossing leaf above 8x8"
+        lw, lh = leaf_wh(s)
+        if max(lw, lh) > 8:
+            hbs = max(lw, lh) >> 3
+            assert (r + min(hbs, lh >> 2) - 1) < seq.mi_rows \
+                and (c + min(hbs, lw >> 2) - 1) < seq.mi_cols
 
 
 @pytest.mark.parametrize("w,h,qp", [(128, 96, 30), (200, 120, 45)])

@@ -1,0 +1,98 @@
+"""Rectangular partition tests (PARTITION_HORZ/VERT, spec 5.11.4):
+handcrafted leaf maps across tool combinations, RD selection benefit,
+and decoder byte-exactness."""
+
+import numpy as np
+import pytest
+from unittest import mock
+
+from svt_av1_tpu.config import EncoderConfig
+from svt_av1_tpu.pipeline import rd
+from svt_av1_tpu.pipeline.decode import decode_temporal_unit
+from svt_av1_tpu.pipeline.wavefront import WavefrontIntraEncoder
+
+
+def _content(w, h, seed=6):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(128 + 70 * np.sin((xx + yy) / 7.0)
+                + rng.normal(0, 8, (h, w)), 0, 255).astype(np.uint8)
+    u = rng.randint(60, 200, ((h + 1) // 2, (w + 1) // 2)).astype(np.uint8)
+    v = np.full(((h + 1) // 2, (w + 1) // 2), 150, np.uint8)
+    return y, u, v
+
+
+_MIXED_MAP = {
+    (0, 0): (32, 16), (4, 0): (32, 16),       # 32 node HORZ
+    (0, 8): (16, 32), (0, 12): (16, 32),      # 32 node VERT
+    (8, 0): (16, 8), (10, 0): (16, 8),        # 16 node HORZ
+    (8, 4): 16, (12, 0): 16, (12, 4): 16,
+    (8, 8): 32,
+    (0, 16): (64, 32), (8, 16): (64, 32),
+    (16, 0): (32, 64), (16, 8): (32, 64),
+    (16, 16): 64,
+}
+
+
+@pytest.mark.parametrize("tools", [
+    {}, {"enable_dlf": True, "enable_tx_type_search": True},
+    {"adaptive_quantization": 1}, {"enable_cdef": True},
+    {"enable_restoration": True}, {"bit_depth": 10},
+])
+def test_handcrafted_rect_map_roundtrip(tools):
+    bd = tools.get("bit_depth", 8)
+    y, u, v = _content(128, 128)
+    if bd == 10:
+        y = (y.astype(np.uint16) << 2)
+        u = (u.astype(np.uint16) << 2)
+        v = (v.astype(np.uint16) << 2)
+    cfg = EncoderConfig(width=128, height=128, qp=35,
+                        fixed_partition_size=None, **tools)
+    with mock.patch.object(rd, "choose_partition",
+                           return_value=dict(_MIXED_MAP)):
+        enc = WavefrontIntraEncoder(cfg)
+        tu, recon, _ = enc.encode(y, u, v)
+    _, dec = decode_temporal_unit(tu)
+    for p in range(3):
+        assert (dec[p] == recon[p]).all(), f"{tools} plane {p}"
+
+
+def test_rd_picks_rect_and_it_pays():
+    """Horizontally banded content: the DP should choose HORZ leaves and
+    reduce bits at no quality loss."""
+    rng = np.random.RandomState(7)
+    h, w = 192, 256
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.where((yy // 16) % 2 == 0, 80 + xx * 0.3, 180 - xx * 0.2)
+    y = np.clip(y + rng.normal(0, 3, (h, w)), 0, 255).astype(np.uint8)
+    u = np.full((96, 128), 110, np.uint8)
+    v = np.full((96, 128), 150, np.uint8)
+    out = {}
+    for rect in (False, True):
+        cfg = EncoderConfig(width=w, height=h, qp=35,
+                            fixed_partition_size=None,
+                            enable_rect_partitions=rect)
+        enc = WavefrontIntraEncoder(cfg)
+        tu, rec, st = enc.encode(y, u, v)
+        nrect = sum(1 for s in enc.leaf_sizes.values()
+                    if isinstance(s, tuple))
+        sse = float(((rec[0].astype(int) - y) ** 2).sum())
+        out[rect] = (st["tu_bytes"], sse, nrect, tu, rec)
+    assert out[True][2] > 0, "RD never chose a rect partition"
+    assert out[True][0] < out[False][0], "rect did not reduce bits"
+    assert out[True][1] <= out[False][1] * 1.05
+    # the rect-bearing stream must decode exactly
+    _, dec = decode_temporal_unit(out[True][3])
+    for p in range(3):
+        assert (dec[p] == out[True][4][p]).all()
+
+
+def test_rect_with_odd_frame_size():
+    y, u, v = _content(200, 120, seed=9)
+    cfg = EncoderConfig(width=200, height=120, qp=40,
+                        fixed_partition_size=None)
+    enc = WavefrontIntraEncoder(cfg)
+    tu, recon, _ = enc.encode(y, u, v)
+    _, dec = decode_temporal_unit(tu)
+    for p in range(3):
+        assert (dec[p] == recon[p]).all()
