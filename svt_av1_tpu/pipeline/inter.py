@@ -65,10 +65,15 @@ class InterFrameEncoder:
             self.refs[ALTREF_FRAME] = [mc.pad_reference(p)
                                        for p in alt_planes]
 
-        target = cfg.fixed_partition_size or 16
-        self.leaf_sizes = common.fixed_leaf_sizes(
-            self.mi_rows, self.mi_cols, self.seq.sb_rows, self.seq.sb_cols,
-            target)
+        if cfg.fixed_partition_size is None:
+            from svt_av1_tpu.pipeline import rd as rd_mod
+            self.leaf_sizes = rd_mod.choose_partition_inter(
+                y, self.refs[LAST_FRAME][0], cfg, self.mi_cols,
+                self.mi_rows)
+        else:
+            self.leaf_sizes = common.fixed_leaf_sizes(
+                self.mi_rows, self.mi_cols, self.seq.sb_rows,
+                self.seq.sb_cols, cfg.fixed_partition_size)
         leaves = common.leaves_in_coding_order(
             self.leaf_sizes, self.mi_rows, self.mi_cols, self.seq.sb_rows,
             self.seq.sb_cols)

@@ -196,3 +196,87 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
         for sb_c in range(0, mi_cols, 16):
             walk(sb_r, sb_c, 64)
     return leaves
+
+
+def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
+                           cfg: EncoderConfig, mi_cols: int,
+                           mi_rows: int):
+    """Square partition DP for inter frames from motion-compensated
+    residual energy (the inter analogue of the intra DP above; the
+    reference derives inter partitions from the same ME-driven MD
+    search). Per depth: full-pel HME, SSE of the compensated block,
+    per-leaf syntax overhead; bottom-up split decision."""
+    from svt_av1_tpu.ops import me
+    lam = rd_lambda(cfg.base_q_idx, cfg.bit_depth)
+    src = common.pad_to_multiple(y_plane, 64).astype(
+        common.pixel_dtype(cfg.bit_depth))
+    w_eff, h_eff = mi_cols * 4, mi_rows * 4
+    pad = 32
+    ref_core = ref_padded  # already padded by caller (REF_PAD border)
+    sizes = [s for s in (64, 32, 16, 8)
+             if cfg.min_partition_size <= s <= cfg.max_partition_size]
+    if 64 not in sizes:
+        sizes = [64] + sizes
+    cost = {}
+    srcf = src.astype(np.int64)
+    for size in sizes:
+        xs, ys = _block_grid(w_eff, h_eff, size)
+        mvs, _ = me.fullpel_search(ref_core, src, xs, ys, size)
+        sse = np.empty(len(xs), dtype=np.float64)
+        for i, (x, y0) in enumerate(zip(xs, ys)):
+            ry = int(y0 + mvs[i, 0]) + pad
+            rx = int(x + mvs[i, 1]) + pad
+            blk = ref_core[ry:ry + size, rx:rx + size].astype(np.int64)
+            cur = srcf[y0:y0 + size, x:x + size]
+            sse[i] = float(((cur - blk) ** 2).sum())
+        # per-leaf floor: mode/mv/skip/chroma syntax (same calibration as
+        # the intra DP) + a nonzero-mv surcharge
+        mv_bits = 4.0 + 0.5 * (np.abs(mvs).sum(axis=1) > 0)
+        cost[size] = (sse + lam * (12.0 + mv_bits)).reshape(
+            (h_eff + size - 1) // size, (w_eff + size - 1) // size)
+
+    min_size = sizes[-1]
+    best = cost[min_size].copy()
+    choice = {}
+    for size in reversed(sizes[:-1]):
+        rows, cols = cost[size].shape
+        ch_rows, ch_cols = best.shape
+        cpad = np.pad(best, ((0, (-ch_rows) % 2), (0, (-ch_cols) % 2)))
+        sum4 = (cpad[0::2, 0::2] + cpad[0::2, 1::2]
+                + cpad[1::2, 0::2] + cpad[1::2, 1::2])
+        sum4 = sum4[:rows, :cols] + lam * 1.0
+        ys_b = np.arange(rows)[:, None] * size
+        xs_b = np.arange(cols)[None, :] * size
+        crosses = ((ys_b + size // 2 >= h_eff)
+                   | (xs_b + size // 2 >= w_eff))
+        take_leaf = (cost[size] <= sum4) & ~crosses
+        choice[size] = take_leaf
+        best = np.where(take_leaf, cost[size], sum4)
+
+    leaves = {}
+
+    def walk(r, c, size):
+        if r >= mi_rows or c >= mi_cols:
+            return
+        hbs = size >> 3
+        crosses = (r + hbs) >= mi_rows or (c + hbs) >= mi_cols
+        is_leaf = False
+        if not (crosses and size > 8):
+            if size <= min_size:
+                is_leaf = True
+            elif size in choice:
+                is_leaf = bool(choice[size][(r * 4) // size,
+                                            (c * 4) // size])
+        if is_leaf:
+            leaves[(r, c)] = size
+            return
+        half = size // 2
+        walk(r, c, half)
+        walk(r, c + hbs, half)
+        walk(r + hbs, c, half)
+        walk(r + hbs, c + hbs, half)
+
+    for sb_r in range(0, mi_rows, 16):
+        for sb_c in range(0, mi_cols, 16):
+            walk(sb_r, sb_c, 64)
+    return leaves

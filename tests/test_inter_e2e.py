@@ -192,3 +192,37 @@ def test_global_motion_pan():
                 if any(g != (0, 0) for g in fh.gm_trans):
                     found_gm = True
     assert found_gm, "pan did not produce a global motion signal"
+
+
+def test_inter_partition_rd_adapts_to_motion():
+    """Static background + moving region: the inter partition DP should
+    give large leaves to the static area and small ones to the motion,
+    and the mixed-size stream must decode exactly."""
+    import numpy as np
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.inter import InterFrameEncoder
+    from svt_av1_tpu.pipeline.wavefront import WavefrontIntraEncoder
+    rng = np.random.RandomState(3)
+    h, w = 128, 192
+    big = rng.randint(30, 220, (200, 280)).astype(np.uint8)
+    f0 = np.ascontiguousarray(big[8:8 + h, 8:8 + w])
+    f1 = f0.copy()
+    f1[40:80, 60:120] = big[60:100, 90:150]
+    u = np.full((64, 96), 100, np.uint8)
+    v = np.full((64, 96), 140, np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=40, intra_period=16,
+                        scene_change_detection=False,
+                        fixed_partition_size=None)
+    kf = WavefrontIntraEncoder(cfg)
+    ktu, _, _ = kf.encode(f0, u, v)
+    ie = InterFrameEncoder(cfg, kf.seq)
+    tu, rec = ie.encode(f1, u, v, kf.recon)
+    sizes = set(ie.leaf_sizes.values())
+    assert 64 in sizes and (8 in sizes or 16 in sizes), sizes
+    dec = StreamDecoder()
+    dec.decode_tu(ktu)
+    out = dec.decode_tu(tu)
+    for p in range(3):
+        hh, ww = out[p].shape
+        assert (out[p] == rec[p][:hh, :ww]).all()
