@@ -17,7 +17,9 @@ from svt_av1_tpu.ops import mc
 
 
 def _gather_blocks(plane, xs, ys, size):
-    return np.stack([plane[y:y + size, x:x + size]
+    from svt_av1_tpu.pipeline.common import leaf_wh
+    bw, bh = leaf_wh(size)
+    return np.stack([plane[y:y + bh, x:x + bw]
                      for x, y in zip(xs, ys)]).astype(np.int32)
 
 
@@ -43,6 +45,8 @@ def decimate2(plane: np.ndarray) -> np.ndarray:
 
 
 def _exhaustive(ref_padded, cur_plane, xs, ys, size, centers, radius):
+    from svt_av1_tpu.pipeline.common import leaf_wh
+    bw, bh = leaf_wh(size)
     """Batched exhaustive SAD over a window per block using full-frame
     diffs + integral images (one pass per offset, O(1) per block)."""
     b = len(xs)
@@ -72,8 +76,8 @@ def _exhaustive(ref_padded, cur_plane, xs, ys, size, centers, radius):
                 ii = np.zeros((H + 1, W + 1), dtype=np.int64)
                 ii[1:, 1:] = d.cumsum(0).cumsum(1)
                 y0, x0 = ya[sel], xa[sel]
-                sad = (ii[y0 + size, x0 + size] - ii[y0, x0 + size]
-                       - ii[y0 + size, x0] + ii[y0, x0])
+                sad = (ii[y0 + bh, x0 + bw] - ii[y0, x0 + bw]
+                       - ii[y0 + bh, x0] + ii[y0, x0])
                 better = sad < best_cost[sel]
                 idx = sel[better]
                 best_cost[idx] = sad[better]
@@ -82,7 +86,7 @@ def _exhaustive(ref_padded, cur_plane, xs, ys, size, centers, radius):
     return np.stack([best_dy, best_dx], axis=1), best_cost
 
 
-def fullpel_search(ref_padded, src_plane, xs, ys, size: int,
+def fullpel_search(ref_padded, src_plane, xs, ys, size,
                    max_range: int = 24):
     """Hierarchical full-pel search (HME-style, SURVEY.md §3.3): exhaustive
     on the 1/4-decimated plane, then refined exhaustively at 1/2 and full
@@ -97,22 +101,25 @@ def fullpel_search(ref_padded, src_plane, xs, ys, size: int,
     b = len(xs)
     xa = np.asarray(xs, dtype=np.int64)
     ya = np.asarray(ys, dtype=np.int64)
-
-    if size >= 16:
+    from svt_av1_tpu.pipeline.common import leaf_wh
+    bw, bh = leaf_wh(size)
+    if min(bw, bh) >= 16:
         # L2: quarter resolution, exhaustive around 0
         zeros = np.zeros((b, 2), dtype=np.int64)
-        mv_q, _ = _exhaustive(ref_q, cur_q, xa >> 2, ya >> 2, size >> 2,
-                              zeros, max(2, max_range // 4))
+        mv_q, _ = _exhaustive(ref_q, cur_q, xa >> 2, ya >> 2,
+                              (bw >> 2, bh >> 2), zeros,
+                              max(2, max_range // 4))
         # L1: half resolution around 2x seed
-        mv_h, _ = _exhaustive(ref_h, cur_h, xa >> 1, ya >> 1, size >> 1,
-                              mv_q * 2, 2)
+        mv_h, _ = _exhaustive(ref_h, cur_h, xa >> 1, ya >> 1,
+                              (bw >> 1, bh >> 1), mv_q * 2, 2)
         seed = mv_h * 2
     else:
         seed = np.zeros((b, 2), dtype=np.int64)
     # L0: full resolution around the HME seed, with a zero-centered
     # fallback window (hme_mv_center_check analogue)
-    mv_a, cost_a = _exhaustive(ref_padded, src_plane, xa, ya, size, seed,
-                               3 if size >= 16 else max(4, max_range // 2))
+    mv_a, cost_a = _exhaustive(ref_padded, src_plane, xa, ya, size,
+                               seed, 3 if min(bw, bh) >= 16
+                               else max(4, max_range // 2))
     mv_b, cost_b = _exhaustive(ref_padded, src_plane, xa, ya, size,
                                np.zeros((b, 2), dtype=np.int64), 3)
     better = cost_b < cost_a
@@ -123,14 +130,14 @@ def fullpel_search(ref_padded, src_plane, xs, ys, size: int,
     H, W = src_plane.shape
     for i in range(b):
         r, c = mc.clamp_mv_for_padding((mvs[i, 0] * 8, mvs[i, 1] * 8),
-                                       int(xa[i]), int(ya[i]), size, size,
+                                       int(xa[i]), int(ya[i]), bw, bh,
                                        W, H)
         mvs[i, 0], mvs[i, 1] = (r // 8) if r >= 0 else -((-r) // 8), \
             (c // 8) if c >= 0 else -((-c) // 8)
     return mvs, cost
 
 
-def subpel_refine(ref_padded, src_plane, xs, ys, size: int, int_mvs,
+def subpel_refine(ref_padded, src_plane, xs, ys, size, int_mvs,
                   steps=(4, 2), bd: int = 8):
     """Refine full-pel MVs to quarter-pel (1/8-units, even values).
     int_mvs: [B, 2] whole-pel. Returns [B, 2] in 1/8-pel units."""
@@ -138,9 +145,12 @@ def subpel_refine(ref_padded, src_plane, xs, ys, size: int, int_mvs,
     srcs = _gather_blocks(src_plane, xs, ys, size).astype(np.int64)
     mvs = np.asarray(int_mvs, dtype=np.int64) * 8
 
+    from svt_av1_tpu.pipeline.common import leaf_wh
+    bw, bh = leaf_wh(size)
+
     def cost_of(cand):
         pred = mc.mc_block_batch(ref_padded, np.asarray(xs),
-                                 np.asarray(ys), cand, size, size, bd=bd)
+                                 np.asarray(ys), cand, bw, bh, bd=bd)
         return np.sum((srcs - pred.astype(np.int64)) ** 2, axis=(1, 2))
 
     best_cost = cost_of(mvs)

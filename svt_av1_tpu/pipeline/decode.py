@@ -214,27 +214,26 @@ class FrameDecoder:
             self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, bsize)
             self.leaf_sizes[(mi_row, mi_col)] = size
         elif partition in (PARTITION_HORZ, PARTITION_VERT):
-            assert not self.is_inter, "rect partitions are intra-only"
             hbs = size >> 3
             half = size >> 1
             wh = (size, half) if partition == PARTITION_HORZ \
                 else (half, size)
             subsize = common.rect_bsize(*wh)
-            skip0 = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
-                                          mi_row, mi_col)
-            self._read_cdef(mi_row, mi_col, skip0)
-            self._read_delta_q(mi_row, mi_col, 0, skip0)
-            self._decode_intra_tail(mi_row, mi_col, wh, skip0, kf=True)
-            self.leaf_sizes[(mi_row, mi_col)] = wh
+            halves = [(mi_row, mi_col)]
             r2 = mi_row + (hbs if partition == PARTITION_HORZ else 0)
             c2 = mi_col + (0 if partition == PARTITION_HORZ else hbs)
             if r2 < self.mi_rows and c2 < self.mi_cols:
-                skip1 = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
-                                              r2, c2)
-                self._read_cdef(r2, c2, skip1)
-                self._read_delta_q(r2, c2, 0, skip1)
-                self._decode_intra_tail(r2, c2, wh, skip1, kf=True)
-                self.leaf_sizes[(r2, c2)] = wh
+                halves.append((r2, c2))
+            for (rr, cc) in halves:
+                skip0 = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
+                                              rr, cc)
+                self._read_cdef(rr, cc, skip0)
+                self._read_delta_q(rr, cc, 0, skip0)
+                if self.is_inter:
+                    self._decode_inter_tail(rr, cc, wh, skip0)
+                else:
+                    self._decode_intra_tail(rr, cc, wh, skip0, kf=True)
+                self.leaf_sizes[(rr, cc)] = wh
             self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, subsize)
         else:
             raise NotImplementedError(f"partition type {partition}")
@@ -258,24 +257,30 @@ class FrameDecoder:
 
     def _decode_inter_block(self, mi_row: int, mi_col: int,
                             size: int) -> None:
+        skip = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
+                                     mi_row, mi_col)
+        self._read_cdef(mi_row, mi_col, skip)
+        self._read_delta_q(mi_row, mi_col, size, skip)
+        self._decode_inter_tail(mi_row, mi_col, size, skip)
+
+    def _decode_inter_tail(self, mi_row: int, mi_col: int, size,
+                           skip: int) -> None:
         from svt_av1_tpu.entropy import inter_modes
         from svt_av1_tpu.ops import mc
         from svt_av1_tpu.pipeline.mvp import (GLOBALMV, LAST_FRAME,
                                               NEARESTMV, NEARMV, NEWMV)
         x, y = mi_col * 4, mi_row * 4
-        bsize = common.square_bsize(size)
-        s4 = size >> 2
-        skip = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
-                                     mi_row, mi_col)
-        self._read_cdef(mi_row, mi_col, skip)
-        self._read_delta_q(mi_row, mi_col, size, skip)
+        bw, bh = common.leaf_wh(size)
+        bsize = common.rect_bsize(bw, bh)
+        s4 = bw >> 2
+        h4 = bh >> 2
         is_inter = inter_modes.read_is_inter(self.r, self.fc,
                                              self.mvp_state, mi_row, mi_col)
         if not is_inter:
             # intra block inside an inter frame (spec 5.11.19)
             self._decode_intra_tail(mi_row, mi_col, size, skip, kf=False)
             self.mvp_state.set_block(mi_row, mi_col, s4, mvp.INTRA_FRAME,
-                                     (0, 0), 0)
+                                     (0, 0), 0, h4=h4)
             return
         if self.fh.reference_select and inter_modes.read_comp_inter(
                 self.r, self.fc, self.mvp_state, mi_row, mi_col):
@@ -285,7 +290,7 @@ class FrameDecoder:
                                           mi_row, mi_col)
         gm_mv = self.fh.gm_trans[ref - 1]
         res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4, ref,
-                                gm_mv=gm_mv)
+                                gm_mv=gm_mv, h4=h4)
         mode = inter_modes.read_inter_mode(self.r, self.fc, res)
         drl = inter_modes.read_drl_idx(self.r, self.fc, mode, res)
         if mode == NEARESTMV:
@@ -299,25 +304,27 @@ class FrameDecoder:
             dr, dc = mv_syntax.read_mv(self.r, self.nmv)
             mv = (pred[0] + dr, pred[1] + dc)
         self.ctxs.set_mi(mi_row, mi_col, bsize, 0, skip)
-        self.mvp_state.set_block(mi_row, mi_col, s4, ref, mv, mode)
+        self.mvp_state.set_block(mi_row, mi_col, s4, ref, mv, mode,
+                                 h4=h4)
 
-        csize = size >> 1
-        tx_y = common.tx_size_for_block(size, 0)
-        tx_uv = common.tx_size_for_block(csize, 1)
-        plane_info = [(0, x, y, size, tx_y, bsize, 0),
-                      (1, x >> 1, y >> 1, csize, tx_uv,
-                       common.square_bsize(csize), 1),
-                      (2, x >> 1, y >> 1, csize, tx_uv,
-                       common.square_bsize(csize), 1)]
+        cw, ch = bw >> 1, bh >> 1
+        tx_y = common.tx_size_for_rect(bw, bh, 0)
+        tx_uv = common.tx_size_for_rect(cw, ch, 1)
+        plane_info = [(0, x, y, (bw, bh), tx_y, bsize, 0),
+                      (1, x >> 1, y >> 1, (cw, ch), tx_uv,
+                       common.rect_bsize(cw, ch), 1),
+                      (2, x >> 1, y >> 1, (cw, ch), tx_uv,
+                       common.rect_bsize(cw, ch), 1)]
         mvarr = np.array([mv])
         ref_planes = self.refs[ref]
         for p, px, py, psz, ts, pb, ss in plane_info:
+            pw, ph = psz
             pred = mc.mc_block_batch(ref_planes[p], np.array([px]),
-                                     np.array([py]), mvarr, psz, psz,
+                                     np.array([py]), mvarr, pw, ph,
                                      ss=ss, bd=self.bd)[0]
             x4, y4 = px >> 2, py >> 2
             if skip:
-                self.recon[p][py:py + psz, px:px + psz] = pred
+                self.recon[p][py:py + ph, px:px + pw] = pred
                 self.ctxs.update_txb_ctx(p, x4, y4, ts, 0)
                 continue
             skip_ctx, sign_ctx = self.ctxs.txb_ctx(p, pb, ts, x4, y4)
@@ -327,17 +334,17 @@ class FrameDecoder:
                 base_qindex=self.fh.base_q_idx, uv_tx_type=0)
             self.ctxs.update_txb_ctx(p, x4, y4, ts, cul)
             if not np.any(qcoeff):
-                self.recon[p][py:py + psz, px:px + psz] = pred
+                self.recon[p][py:py + ph, px:px + pw] = pred
                 continue
-            cw, ch = common.coded_dims(ts)
+            tcw, tch = common.coded_dims(ts)
             log_scale = quant_ops.tx_scale(ts)
             dq = quant_ops.dequantize(qcoeff.reshape(1, -1), self.qp,
                                       log_scale)
-            full = np.zeros((1, psz, psz), dtype=np.int64)
-            full[0, :ch, :cw] = dq.reshape(ch, cw)
-            resid = tx_ops.inverse_tx2d(full, tx_type, psz, psz,
+            full = np.zeros((1, ph, pw), dtype=np.int64)
+            full[0, :tch, :tcw] = dq.reshape(tch, tcw)
+            resid = tx_ops.inverse_tx2d(full, tx_type, pw, ph,
                                         bd=self.bd)[0]
-            self.recon[p][py:py + psz, px:px + psz] = tx_ops.recon_add(
+            self.recon[p][py:py + ph, px:px + pw] = tx_ops.recon_add(
                 pred[None].astype(np.int64), resid[None], bd=self.bd)[0]
 
     def _decode_compound_tail(self, mi_row: int, mi_col: int, size: int,
@@ -353,14 +360,16 @@ class FrameDecoder:
                                               NEAREST_NEWMV,
                                               NEW_NEARESTMV, NEW_NEWMV)
         x, y = mi_col * 4, mi_row * 4
-        bsize = common.square_bsize(size)
-        s4 = size >> 2
+        bw, bh = common.leaf_wh(size)
+        bsize = common.rect_bsize(bw, bh)
+        s4 = bw >> 2
+        h4 = bh >> 2
         fwd, bwd = inter_modes.read_comp_refs(self.r, self.fc,
                                               self.mvp_state, mi_row,
                                               mi_col)
         gm_pair = (self.fh.gm_trans[fwd - 1], self.fh.gm_trans[bwd - 1])
         res = mvp.find_mv_stack_comp(self.mvp_state, mi_row, mi_col, s4,
-                                     fwd, bwd, gm=gm_pair)
+                                     fwd, bwd, gm=gm_pair, h4=h4)
         mode = inter_modes.read_inter_compound_mode(self.r, self.fc, res)
         drl = inter_modes.read_drl_idx(self.r, self.fc, mode, res)
         if mode == NEAREST_NEARESTMV:
@@ -386,30 +395,31 @@ class FrameDecoder:
             raise NotImplementedError(f"compound mode {mode}")
         self.ctxs.set_mi(mi_row, mi_col, bsize, 0, skip)
         self.mvp_state.set_block(mi_row, mi_col, s4, fwd, mv0, mode,
-                                 ref1=bwd, mv1=mv1)
-        csize = size >> 1
-        tx_y = common.tx_size_for_block(size, 0)
-        tx_uv = common.tx_size_for_block(csize, 1)
-        plane_info = [(0, x, y, size, tx_y, common.square_bsize(size), 0),
-                      (1, x >> 1, y >> 1, csize, tx_uv,
-                       common.square_bsize(csize), 1),
-                      (2, x >> 1, y >> 1, csize, tx_uv,
-                       common.square_bsize(csize), 1)]
+                                 ref1=bwd, mv1=mv1, h4=h4)
+        cw, ch = bw >> 1, bh >> 1
+        tx_y = common.tx_size_for_rect(bw, bh, 0)
+        tx_uv = common.tx_size_for_rect(cw, ch, 1)
+        plane_info = [(0, x, y, (bw, bh), tx_y, bsize, 0),
+                      (1, x >> 1, y >> 1, (cw, ch), tx_uv,
+                       common.rect_bsize(cw, ch), 1),
+                      (2, x >> 1, y >> 1, (cw, ch), tx_uv,
+                       common.rect_bsize(cw, ch), 1)]
         rp0 = self.refs[fwd]
         rp1 = self.refs[bwd]
         arr0 = np.array([mv0])
         arr1 = np.array([mv1])
         for p, px, py, psz, ts, pb, ss in plane_info:
+            pw, ph = psz
             c0 = mc.mc_block_batch_conv(rp0[p], np.array([px]),
-                                        np.array([py]), arr0, psz, psz,
+                                        np.array([py]), arr0, pw, ph,
                                         ss=ss, bd=self.bd)
             c1 = mc.mc_block_batch_conv(rp1[p], np.array([px]),
-                                        np.array([py]), arr1, psz, psz,
+                                        np.array([py]), arr1, pw, ph,
                                         ss=ss, bd=self.bd)
             pred = mc.compound_average(c0, c1, self.bd)[0]
             x4, y4 = px >> 2, py >> 2
             if skip:
-                self.recon[p][py:py + psz, px:px + psz] = pred
+                self.recon[p][py:py + ph, px:px + pw] = pred
                 self.ctxs.update_txb_ctx(p, x4, y4, ts, 0)
                 continue
             skip_ctx, sign_ctx = self.ctxs.txb_ctx(p, pb, ts, x4, y4)
@@ -419,17 +429,17 @@ class FrameDecoder:
                 base_qindex=self.fh.base_q_idx, uv_tx_type=0)
             self.ctxs.update_txb_ctx(p, x4, y4, ts, cul)
             if not np.any(qcoeff):
-                self.recon[p][py:py + psz, px:px + psz] = pred
+                self.recon[p][py:py + ph, px:px + pw] = pred
                 continue
-            cw, ch = common.coded_dims(ts)
+            tcw, tch = common.coded_dims(ts)
             log_scale = quant_ops.tx_scale(ts)
             dq = quant_ops.dequantize(qcoeff.reshape(1, -1), self.qp,
                                       log_scale)
-            full = np.zeros((1, psz, psz), dtype=np.int64)
-            full[0, :ch, :cw] = dq.reshape(ch, cw)
-            resid = tx_ops.inverse_tx2d(full, tx_type, psz, psz,
+            full = np.zeros((1, ph, pw), dtype=np.int64)
+            full[0, :tch, :tcw] = dq.reshape(tch, tcw)
+            resid = tx_ops.inverse_tx2d(full, tx_type, pw, ph,
                                         bd=self.bd)[0]
-            self.recon[p][py:py + psz, px:px + psz] = tx_ops.recon_add(
+            self.recon[p][py:py + ph, px:px + pw] = tx_ops.recon_add(
                 pred[None].astype(np.int64), resid[None], bd=self.bd)[0]
 
     def _decode_intra_block(self, mi_row: int, mi_col: int,

@@ -96,9 +96,13 @@ class InterFrameEncoder:
             self.qmap = analysis.variance_qmap(
                 self.src[0], self.seq.sb_rows, self.seq.sb_cols,
                 cfg.base_q_idx, self.DELTA_Q_RES)
-        larr = np.array([(r, c, s) for r, c, s in leaves], dtype=np.int64)
-        for size in np.unique(larr[:, 2]):
-            sids = np.nonzero(larr[:, 2] == size)[0]
+        leaves = [(r, c, common.leaf_wh(v)) for r, c, v in leaves]
+        larr = np.array([(r, c, wh[0], wh[1]) for r, c, wh in leaves],
+                        dtype=np.int64)
+        shape_key = larr[:, 2] * 1000 + larr[:, 3]
+        for sk in np.unique(shape_key):
+            sids = np.nonzero(shape_key == sk)[0]
+            wh = (int(sk) // 1000, int(sk) % 1000)
             if self.qmap is None:
                 qgroups = [(None, sids)]
             else:
@@ -107,8 +111,7 @@ class InterFrameEncoder:
                            for q in np.unique(qv)]
             for qidx, ids in qgroups:
                 if len(ids):
-                    self._encode_blocks(larr[ids], ids, int(size),
-                                        qidx=qidx)
+                    self._encode_blocks(larr[ids], ids, wh, qidx=qidx)
         if cfg.intra_in_inter:
             self._intra_flip_pass(leaves)
         self._estimate_gm()
@@ -142,8 +145,8 @@ class InterFrameEncoder:
             for (r, c), s in self.leaf_sizes.items():
                 li = self.leaf_index[(r, c)]
                 if self.eobs[:, li].sum() == 0:
-                    m = s >> 2
-                    frame_skip[r:r + m, c:c + m] = True
+                    lw, lh = common.leaf_wh(s)
+                    frame_skip[r:r + (lh >> 2), c:c + (lw >> 2)] = True
             skip8 = frame_skip[0::2, 0::2] & frame_skip[0::2, 1::2] \
                 & frame_skip[1::2, 0::2] & frame_skip[1::2, 1::2]
             idx_map, y_str, uv_str, damping = cdef_ops.cdef_search(
@@ -202,6 +205,7 @@ class InterFrameEncoder:
         qp = self.qp if qp is None else qp
         lam = self.lam if lam is None else lam
         refp = self.refs[ref]
+        bw, bh = common.leaf_wh(size)
         int_mvs, _ = me.fullpel_search(refp[0], self.src[0], xs, ys, size)
         mvs, _ = me.subpel_refine(refp[0], self.src[0], xs, ys, size,
                                   int_mvs, bd=cfg.bit_depth)
@@ -212,11 +216,11 @@ class InterFrameEncoder:
         for k, cand in enumerate(cands):
             for i in range(b):
                 cands[k][i] = mc.clamp_mv_for_padding(
-                    cand[i], int(xs[i]), int(ys[i]), size, size,
+                    cand[i], int(xs[i]), int(ys[i]), bw, bh,
                     plane_w, plane_h)
         best = None
         for cand in cands:
-            pred = mc.mc_block_batch(refp[0], xs, ys, cand, size, size,
+            pred = mc.mc_block_batch(refp[0], xs, ys, cand, bw, bh,
                                      bd=cfg.bit_depth).astype(np.int64)
             qc, eo, rec, dist, rate = md._full_loop(
                 srcs, pred, np.zeros(b, dtype=np.int32), tx_size, size,
@@ -249,16 +253,17 @@ class InterFrameEncoder:
                 rd.rd_lambda(qidx, self.cfg.bit_depth))
         return self._qp_cache[qidx]
 
-    def _encode_blocks(self, blocks, ids, size: int, qidx=None) -> None:
+    def _encode_blocks(self, blocks, ids, size, qidx=None) -> None:
         cfg = self.cfg
         qp, lam = self._qp_for(qidx)
+        bw, bh = common.leaf_wh(size)
         xs = blocks[:, 1] * 4
         ys = blocks[:, 0] * 4
         b = len(ids)
-        csize = size >> 1
-        srcs = np.stack([self.src[0][yy:yy + size, xx:xx + size]
+        cw, ch = bw >> 1, bh >> 1
+        srcs = np.stack([self.src[0][yy:yy + bh, xx:xx + bw]
                          for xx, yy in zip(xs, ys)]).astype(np.int64)
-        tx_size = common.tx_size_for_block(size, 0)
+        tx_size = common.tx_size_for_rect(bw, bh, 0)
 
         per_ref = {ref: self._ref_candidates(ref, xs, ys, size, srcs,
                                              tx_size, qp, lam)
@@ -283,14 +288,14 @@ class InterFrameEncoder:
             mv0 = per_ref[LAST_FRAME][1]
             mv1 = per_ref[_ALT][1]
             c0 = mc.mc_block_batch_conv(self.refs[LAST_FRAME][0], xs, ys,
-                                        mv0, size, size, bd=cfg.bit_depth)
+                                        mv0, bw, bh, bd=cfg.bit_depth)
             c1 = mc.mc_block_batch_conv(self.refs[_ALT][0], xs, ys,
-                                        mv1, size, size, bd=cfg.bit_depth)
+                                        mv1, bw, bh, bd=cfg.bit_depth)
             pred_c = mc.compound_average(c0, c1, cfg.bit_depth) \
                 .astype(np.int64)
             qc, eo, rec, dist, rate = md._full_loop(
-                srcs, pred_c, np.zeros(b, dtype=np.int32), tx_size, size,
-                qp, cfg.bit_depth)
+                srcs, pred_c, np.zeros(b, dtype=np.int32), tx_size,
+                (bw, bh), qp, cfg.bit_depth)
             mv_bits = 3.0 + 0.5 * ((np.abs(mv0).sum(axis=1) > 0)
                                    + (np.abs(mv1).sum(axis=1) > 0))
             cost = dist + lam * (rate + mv_bits)
@@ -310,23 +315,23 @@ class InterFrameEncoder:
         for k, i in enumerate(ids):
             self.qcoeff[0][i] = chosen[2][k]
             yy, xx = int(ys[k]), int(xs[k])
-            self.recon[0][yy:yy + size, xx:xx + size] = chosen[4][k]
+            self.recon[0][yy:yy + bh, xx:xx + bw] = chosen[4][k]
 
         # chroma: MC with the chosen MV/ref, DCT residual
-        tx_uv = common.tx_size_for_block(csize, 1)
+        tx_uv = common.tx_size_for_rect(cw, ch, 1)
         for plane in (1, 2):
             cxs, cys = xs >> 1, ys >> 1
             srcs_c = np.stack([
-                self.src[plane][yy:yy + csize, xx:xx + csize]
+                self.src[plane][yy:yy + ch, xx:xx + cw]
                 for xx, yy in zip(cxs, cys)]).astype(np.int64)
-            pred = np.empty((b, csize, csize), dtype=np.int64)
+            pred = np.empty((b, ch, cw), dtype=np.int64)
             for ref in refs_order:
                 sel = np.nonzero((chosen_ref == ref) & ~comp_sel)[0]
                 if len(sel) == 0:
                     continue
                 pred[sel] = mc.mc_block_batch(
                     self.refs[ref][plane], cxs[sel], cys[sel],
-                    chosen[1][sel], csize, csize, ss=1,
+                    chosen[1][sel], cw, ch, ss=1,
                     bd=cfg.bit_depth).astype(np.int64)
             csel = np.nonzero(comp_sel)[0]
             if len(csel):
@@ -334,20 +339,20 @@ class InterFrameEncoder:
                     ALTREF_FRAME as _ALT2
                 cc0 = mc.mc_block_batch_conv(
                     self.refs[LAST_FRAME][plane], cxs[csel], cys[csel],
-                    chosen[1][csel], csize, csize, ss=1, bd=cfg.bit_depth)
+                    chosen[1][csel], cw, ch, ss=1, bd=cfg.bit_depth)
                 cc1 = mc.mc_block_batch_conv(
                     self.refs[_ALT2][plane], cxs[csel], cys[csel],
-                    self.mvs1[ids][csel], csize, csize, ss=1,
+                    self.mvs1[ids][csel], cw, ch, ss=1,
                     bd=cfg.bit_depth)
                 pred[csel] = mc.compound_average(cc0, cc1, cfg.bit_depth)
             qc, eo, rec, _, _ = md._full_loop(
-                srcs_c, pred, np.zeros(b, dtype=np.int32), tx_uv, csize,
-                qp, cfg.bit_depth)
+                srcs_c, pred, np.zeros(b, dtype=np.int32), tx_uv,
+                (cw, ch), qp, cfg.bit_depth)
             self.eobs[plane, ids] = eo
             for k, i in enumerate(ids):
                 self.qcoeff[plane][i] = qc[k]
                 yy, xx = int(cys[k]), int(cxs[k])
-                self.recon[plane][yy:yy + csize, xx:xx + csize] = rec[k]
+                self.recon[plane][yy:yy + ch, xx:xx + cw] = rec[k]
 
     # --- global motion estimation ---------------------------------------------
     def _estimate_gm(self) -> None:
@@ -396,28 +401,31 @@ class InterFrameEncoder:
             if costs[li] <= thr:
                 continue
             x, y = c * 4, r * 4
-            s4 = size >> 2
+            bw, bh = common.leaf_wh(size)
             qidx = None if self.qmap is None \
                 else int(self.qmap[r // 16, c // 16])
             qp, lam = self._qp_for(qidx)
-            tx_y = common.tx_size_for_block(size, 0)
+            tx_y = common.tx_size_for_rect(bw, bh, 0)
             ha = np.array([y > 0])
             hl = np.array([x > 0])
-            htr = np.array([avail.has_top_right(r, c, s4, self.mi_cols)])
-            hbl = np.array([avail.has_bottom_left(r, c, s4, self.mi_rows)])
+            htr = np.array([avail.has_top_right_wh(r, c, bw >> 2, bh >> 2,
+                                                   self.mi_cols)])
+            hbl = np.array([avail.has_bottom_left_wh(r, c, bw >> 2,
+                                                     bh >> 2,
+                                                     self.mi_rows)])
             above1, left1 = intra_ops.prepare_edges_av1(
-                self.recon[0], np.array([x]), np.array([y]), size, size,
+                self.recon[0], np.array([x]), np.array([y]), bw, bh,
                 ha, hl, htr, hbl, bd=cfg.bit_depth,
                 max_w=self.mi_cols * 4, max_h=self.mi_rows * 4)
-            src = self.src[0][y:y + size, x:x + size][None].astype(np.int64)
+            src = self.src[0][y:y + bh, x:x + bw][None].astype(np.int64)
             best = None
             for m in self._INTRA_CAND_MODES:
                 pred = intra_ops.predict_any(
-                    m, 0, above1, left1, size, size, ha, hl,
+                    m, 0, above1, left1, bw, bh, ha, hl,
                     bd=cfg.bit_depth).astype(np.int64)
                 qc, eo, rec, dist, rate = md._full_loop(
-                    src, pred, np.zeros(1, dtype=np.int32), tx_y, size,
-                    qp, cfg.bit_depth)
+                    src, pred, np.zeros(1, dtype=np.int32), tx_y,
+                    (bw, bh), qp, cfg.bit_depth)
                 cost = float(dist[0] + lam * (rate[0] + mode_bits))
                 if best is None or cost < best[0]:
                     best = (cost, m, qc[0], int(eo[0]), rec[0])
@@ -428,28 +436,28 @@ class InterFrameEncoder:
             self.intra_mode[li] = m
             self.qcoeff[0][li] = qc_y
             self.eobs[0, li] = eo_y
-            self.recon[0][y:y + size, x:x + size] = rec_y
+            self.recon[0][y:y + bh, x:x + bw] = rec_y
             # chroma follows luma mode (no CfL in inter frames yet)
-            csize = size >> 1
-            tx_uv = common.tx_size_for_block(csize, 1)
+            cw2, ch2 = bw >> 1, bh >> 1
+            tx_uv = common.tx_size_for_rect(cw2, ch2, 1)
             cx, cy = x >> 1, y >> 1
             for p in (1, 2):
                 a1, l1 = intra_ops.prepare_edges_av1(
-                    self.recon[p], np.array([cx]), np.array([cy]), csize,
-                    csize, ha, hl, htr, hbl, bd=cfg.bit_depth,
+                    self.recon[p], np.array([cx]), np.array([cy]), cw2,
+                    ch2, ha, hl, htr, hbl, bd=cfg.bit_depth,
                     max_w=self.mi_cols * 2, max_h=self.mi_rows * 2)
                 pred = intra_ops.predict_any(
-                    m, 0, a1, l1, csize, csize, ha, hl,
+                    m, 0, a1, l1, cw2, ch2, ha, hl,
                     bd=cfg.bit_depth).astype(np.int64)
-                srcs_c = self.src[p][cy:cy + csize,
-                                     cx:cx + csize][None].astype(np.int64)
+                srcs_c = self.src[p][cy:cy + ch2,
+                                     cx:cx + cw2][None].astype(np.int64)
                 tt_u = common.chroma_tx_type(m, tx_uv, False)
                 qc, eo, rec, _, _ = md._full_loop(
                     srcs_c, pred, np.full(1, tt_u, dtype=np.int32), tx_uv,
-                    csize, qp, cfg.bit_depth)
+                    (cw2, ch2), qp, cfg.bit_depth)
                 self.qcoeff[p][li] = qc[0]
                 self.eobs[p, li] = int(eo[0])
-                self.recon[p][cy:cy + csize, cx:cx + csize] = rec[0]
+                self.recon[p][cy:cy + ch2, cx:cx + cw2] = rec[0]
 
     # --- sequential syntax pass ----------------------------------------------
     def _syntax_pass(self) -> bytes:
@@ -491,32 +499,49 @@ class InterFrameEncoder:
     def _emit_partition(self, mi_row, mi_col, psize) -> None:
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
             return
+        from svt_av1_tpu.utils.blocks import (PARTITION_HORZ,
+                                              PARTITION_VERT)
         bsize = common.square_bsize(psize)
         hbs = psize >> 3
-        if self.leaf_sizes.get((mi_row, mi_col)) == psize:
+        half = psize >> 1
+        v = self.leaf_sizes.get((mi_row, mi_col))
+        if v == psize:
             partition = PARTITION_NONE
+        elif v == (psize, half):
+            partition = PARTITION_HORZ
+        elif v == (half, psize):
+            partition = PARTITION_VERT
         else:
             partition = PARTITION_SPLIT
         mode_syntax.write_partition(self.w, self.fc, self.ctxs, partition,
                                     bsize, mi_row, mi_col,
                                     self.mi_cols, self.mi_rows)
         if partition == PARTITION_SPLIT:
-            half = psize >> 1
             self._emit_partition(mi_row, mi_col, half)
             self._emit_partition(mi_row, mi_col + hbs, half)
             self._emit_partition(mi_row + hbs, mi_col, half)
             self._emit_partition(mi_row + hbs, mi_col + hbs, half)
-        else:
+        elif partition == PARTITION_NONE:
             self._emit_block(mi_row, mi_col, psize)
             self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, bsize)
+        else:
+            self._emit_block(mi_row, mi_col, v)
+            r2 = mi_row + (hbs if partition == PARTITION_HORZ else 0)
+            c2 = mi_col + (0 if partition == PARTITION_HORZ else hbs)
+            if r2 < self.mi_rows and c2 < self.mi_cols:
+                self._emit_block(r2, c2, v)
+            self.ctxs.update_partition_ctx(mi_row, mi_col, bsize,
+                                           common.rect_bsize(*v))
 
     def _emit_block(self, mi_row, mi_col, size) -> None:
         cfg = self.cfg
         li = self.leaf_index[(mi_row, mi_col)]
         mv = (int(self.mvs[li, 0]), int(self.mvs[li, 1]))
         skip = int(self.eobs[:, li].sum() == 0)
-        bsize = common.square_bsize(size)
-        s4 = size >> 2
+        bw, bh = common.leaf_wh(size)
+        bsize = common.rect_bsize(bw, bh)
+        s4 = bw >> 2
+        h4 = bh >> 2
 
         # inter_frame_mode_info order (spec 5.11.15): skip, is_inter, refs,
         # mode, drl, mv
@@ -528,7 +553,8 @@ class InterFrameEncoder:
             if (sbr, sbc) not in self._cdef_written:
                 self._cdef_written.add((sbr, sbc))
                 self.w.write_literal(int(self.cdef_idx_map[sbr, sbc]), 2)
-        self._write_delta_q(mi_row, mi_col, size, skip)
+        self._write_delta_q(mi_row, mi_col,
+                            size if bw == bh else 0, skip)
         if not self.block_is_inter[li]:
             self._emit_intra_block(mi_row, mi_col, size, li, skip)
             return
@@ -544,7 +570,7 @@ class InterFrameEncoder:
                                      mi_row, mi_col, ref)
         gm_mv = self.gm_mv.get(ref, (0, 0))
         res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4, ref,
-                                gm_mv=gm_mv)
+                                gm_mv=gm_mv, h4=h4)
         if res.count >= 1 and mv == res.ref_list[0]:
             mode = NEARESTMV
         elif res.count >= 2 and mv == res.ref_list[1]:
@@ -561,17 +587,18 @@ class InterFrameEncoder:
                                mv[1] - pred[1])
 
         self.ctxs.set_mi(mi_row, mi_col, bsize, DC_PRED, skip)
-        self.mvp_state.set_block(mi_row, mi_col, s4, ref, mv, mode)
+        self.mvp_state.set_block(mi_row, mi_col, s4, ref, mv, mode,
+                                 h4=h4)
 
-        csize = size >> 1
+        cw, ch = bw >> 1, bh >> 1
         x, y = mi_col * 4, mi_row * 4
-        tx_y = common.tx_size_for_block(size, 0)
-        tx_uv = common.tx_size_for_block(csize, 1)
+        tx_y = common.tx_size_for_rect(bw, bh, 0)
+        tx_uv = common.tx_size_for_rect(cw, ch, 1)
         plane_info = [(0, x, y, tx_y, bsize),
                       (1, x >> 1, y >> 1, tx_uv,
-                       common.square_bsize(csize)),
+                       common.rect_bsize(cw, ch)),
                       (2, x >> 1, y >> 1, tx_uv,
-                       common.square_bsize(csize))]
+                       common.rect_bsize(cw, ch))]
         for p, px, py, ts, pb in plane_info:
             x4, y4 = px >> 2, py >> 2
             if skip:
@@ -596,8 +623,10 @@ class InterFrameEncoder:
                                               NEAREST_NEWMV,
                                               NEW_NEARESTMV, NEW_NEWMV)
         cfg = self.cfg
-        bsize = common.square_bsize(size)
-        s4 = size >> 2
+        bw, bh = common.leaf_wh(size)
+        bsize = common.rect_bsize(bw, bh)
+        s4 = bw >> 2
+        h4 = bh >> 2
         mv0 = (int(self.mvs[li, 0]), int(self.mvs[li, 1]))
         mv1 = (int(self.mvs1[li, 0]), int(self.mvs1[li, 1]))
         inter_modes.write_comp_inter(self.w, self.fc, self.mvp_state,
@@ -609,7 +638,7 @@ class InterFrameEncoder:
                    self.gm_mv.get(ALTREF_FRAME, (0, 0)))
         res = mvp.find_mv_stack_comp(self.mvp_state, mi_row, mi_col, s4,
                                      LAST_FRAME, ALTREF_FRAME,
-                                     gm=gm_pair)
+                                     gm=gm_pair, h4=h4)
         pair = (mv0, mv1)
         if res.count >= 1 and pair == res.ref_list[0]:
             mode = NEAREST_NEARESTMV
@@ -634,16 +663,16 @@ class InterFrameEncoder:
                                mv1[1] - pred[1][1])
         self.ctxs.set_mi(mi_row, mi_col, bsize, DC_PRED, skip)
         self.mvp_state.set_block(mi_row, mi_col, s4, LAST_FRAME, mv0,
-                                 mode, ref1=ALTREF_FRAME, mv1=mv1)
-        csize = size >> 1
+                                 mode, ref1=ALTREF_FRAME, mv1=mv1, h4=h4)
+        cw, ch = bw >> 1, bh >> 1
         x, y = mi_col * 4, mi_row * 4
-        tx_y = common.tx_size_for_block(size, 0)
-        tx_uv = common.tx_size_for_block(csize, 1)
+        tx_y = common.tx_size_for_rect(bw, bh, 0)
+        tx_uv = common.tx_size_for_rect(cw, ch, 1)
         plane_info = [(0, x, y, tx_y, bsize),
                       (1, x >> 1, y >> 1, tx_uv,
-                       common.square_bsize(csize)),
+                       common.rect_bsize(cw, ch)),
                       (2, x >> 1, y >> 1, tx_uv,
-                       common.square_bsize(csize))]
+                       common.rect_bsize(cw, ch))]
         for p, px, py, ts, pb in plane_info:
             x4, y4 = px >> 2, py >> 2
             if skip:
@@ -664,29 +693,31 @@ class InterFrameEncoder:
         from svt_av1_tpu.ops import intra_dir
         cfg = self.cfg
         m = int(self.intra_mode[li])
-        bsize = common.square_bsize(size)
+        bw, bh = common.leaf_wh(size)
+        bsize = common.rect_bsize(bw, bh)
         inter_modes.write_is_inter(self.w, self.fc, self.mvp_state,
                                    mi_row, mi_col, 0)
-        mode_syntax.write_intra_luma_mode_if(self.w, self.fc, size, m)
+        mode_syntax.write_intra_luma_mode_if(self.w, self.fc,
+                                             max(bw, bh), m)
         if intra_dir.is_directional(m):
             mode_syntax.write_angle_delta(self.w, self.fc, m, 0)
         mode_syntax.write_intra_chroma_mode(self.w, self.fc, m, m,
-                                            size <= 32)
+                                            bw <= 32 and bh <= 32)
         if intra_dir.is_directional(m):
             mode_syntax.write_angle_delta(self.w, self.fc, m, 0)
         self.ctxs.set_mi(mi_row, mi_col, bsize, m, skip)
-        self.mvp_state.set_block(mi_row, mi_col, size >> 2,
-                                 mvp.INTRA_FRAME, (0, 0), 0)
-        csize = size >> 1
+        self.mvp_state.set_block(mi_row, mi_col, bw >> 2,
+                                 mvp.INTRA_FRAME, (0, 0), 0, h4=bh >> 2)
+        cw, ch = bw >> 1, bh >> 1
         x, y = mi_col * 4, mi_row * 4
-        tx_y = common.tx_size_for_block(size, 0)
-        tx_uv = common.tx_size_for_block(csize, 1)
+        tx_y = common.tx_size_for_rect(bw, bh, 0)
+        tx_uv = common.tx_size_for_rect(cw, ch, 1)
         tt_u = common.chroma_tx_type(m, tx_uv, False)
         plane_info = [(0, x, y, tx_y, DCT_DCT, bsize),
                       (1, x >> 1, y >> 1, tx_uv, tt_u,
-                       common.square_bsize(csize)),
+                       common.rect_bsize(cw, ch)),
                       (2, x >> 1, y >> 1, tx_uv, tt_u,
-                       common.square_bsize(csize))]
+                       common.rect_bsize(cw, ch))]
         for p, px, py, ts, tt, pb in plane_info:
             x4, y4 = px >> 2, py >> 2
             if skip:

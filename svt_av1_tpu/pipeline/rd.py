@@ -217,23 +217,47 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
              if cfg.min_partition_size <= s <= cfg.max_partition_size]
     if 64 not in sizes:
         sizes = [64] + sizes
-    cost = {}
-    srcf = src.astype(np.int64)
-    for size in sizes:
-        xs, ys = _block_grid(w_eff, h_eff, size)
-        mvs, _ = me.fullpel_search(ref_core, src, xs, ys, size)
+    def depth_cost(xs, ys, wh):
+        bw, bh = common.leaf_wh(wh)
+        mvs, _ = me.fullpel_search(ref_core, src, xs, ys, wh)
         sse = np.empty(len(xs), dtype=np.float64)
         for i, (x, y0) in enumerate(zip(xs, ys)):
             ry = int(y0 + mvs[i, 0]) + pad
             rx = int(x + mvs[i, 1]) + pad
-            blk = ref_core[ry:ry + size, rx:rx + size].astype(np.int64)
-            cur = srcf[y0:y0 + size, x:x + size]
+            blk = ref_core[ry:ry + bh, rx:rx + bw].astype(np.int64)
+            cur = srcf[y0:y0 + bh, x:x + bw]
             sse[i] = float(((cur - blk) ** 2).sum())
         # per-leaf floor: mode/mv/skip/chroma syntax (same calibration as
         # the intra DP) + a nonzero-mv surcharge
         mv_bits = 4.0 + 0.5 * (np.abs(mvs).sum(axis=1) > 0)
-        cost[size] = (sse + lam * (12.0 + mv_bits)).reshape(
+        return sse + lam * (12.0 + mv_bits)
+
+    cost = {}
+    rect_cost = {}
+    srcf = src.astype(np.int64)
+    for size in sizes:
+        xs, ys = _block_grid(w_eff, h_eff, size)
+        cost[size] = depth_cost(xs, ys, size).reshape(
             (h_eff + size - 1) // size, (w_eff + size - 1) // size)
+        if cfg.enable_rect_partitions and size >= 16:
+            half = size // 2
+            rows = (h_eff + size - 1) // size
+            cols = (w_eff + size - 1) // size
+            gx, gy = _block_grid(w_eff, h_eff, size)
+            for key, wh, dx, dy in (("h", (size, half), 0, half),
+                                    ("v", (half, size), half, 0)):
+                xs2 = np.concatenate([gx, gx + dx])
+                ys2 = np.concatenate([gy, gy + dy])
+                pw = src.shape[1]
+                ph = src.shape[0]
+                ok = (xs2 + wh[0] <= pw) & (ys2 + wh[1] <= ph)
+                c = np.full(len(xs2), np.inf)
+                sel = np.nonzero(ok)[0]
+                if len(sel):
+                    c[sel] = depth_cost(xs2[sel], ys2[sel], wh)
+                n = len(gx)
+                rect_cost[(size, key)] = (c[:n] + c[n:]).reshape(rows,
+                                                                 cols)
 
     min_size = sizes[-1]
     best = cost[min_size].copy()
@@ -249,9 +273,18 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
         xs_b = np.arange(cols)[None, :] * size
         crosses = ((ys_b + size // 2 >= h_eff)
                    | (xs_b + size // 2 >= w_eff))
-        take_leaf = (cost[size] <= sum4) & ~crosses
-        choice[size] = take_leaf
-        best = np.where(take_leaf, cost[size], sum4)
+        options = [(0, np.where(crosses, np.inf, cost[size])),
+                   (1, sum4)]
+        if (size, "h") in rect_cost:
+            rb = lam * 2.0
+            options.append((2, np.where(crosses, np.inf,
+                                        rect_cost[(size, "h")] + rb)))
+            options.append((3, np.where(crosses, np.inf,
+                                        rect_cost[(size, "v")] + rb)))
+        stackc = np.stack([o[1] for o in options])
+        pick = np.argmin(stackc, axis=0)
+        choice[size] = np.array([o[0] for o in options])[pick]
+        best = np.take_along_axis(stackc, pick[None], axis=0)[0]
 
     leaves = {}
 
@@ -260,17 +293,27 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
             return
         hbs = size >> 3
         crosses = (r + hbs) >= mi_rows or (c + hbs) >= mi_cols
-        is_leaf = False
+        kind = 1
         if not (crosses and size > 8):
             if size <= min_size:
-                is_leaf = True
+                kind = 0
             elif size in choice:
-                is_leaf = bool(choice[size][(r * 4) // size,
-                                            (c * 4) // size])
-        if is_leaf:
+                kind = int(choice[size][(r * 4) // size,
+                                        (c * 4) // size])
+        if kind == 0:
             leaves[(r, c)] = size
             return
         half = size // 2
+        if kind == 2:
+            leaves[(r, c)] = (size, half)
+            if r + hbs < mi_rows:
+                leaves[(r + hbs, c)] = (size, half)
+            return
+        if kind == 3:
+            leaves[(r, c)] = (half, size)
+            if c + hbs < mi_cols:
+                leaves[(r, c + hbs)] = (half, size)
+            return
         walk(r, c, half)
         walk(r, c + hbs, half)
         walk(r + hbs, c, half)

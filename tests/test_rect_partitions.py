@@ -96,3 +96,34 @@ def test_rect_with_odd_frame_size():
     _, dec = decode_temporal_unit(tu)
     for p in range(3):
         assert (dec[p] == recon[p]).all()
+
+
+def test_inter_rect_partitions_roundtrip():
+    """A moving horizontal band: the inter partition DP should choose
+    HORZ rect leaves and the stream must decode exactly (single-ref,
+    intra-flip, and compound tails all handle rect)."""
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.inter import InterFrameEncoder
+    rng = np.random.RandomState(3)
+    h, w = 128, 192
+    big = rng.randint(30, 220, (220, 300)).astype(np.uint8)
+    f0 = np.ascontiguousarray(big[8:8 + h, 8:8 + w])
+    f1 = f0.copy()
+    f1[48:80, :] = big[52:84, 8:8 + w]
+    u = np.full((64, 96), 100, np.uint8)
+    v = np.full((64, 96), 140, np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=40, intra_period=16,
+                        scene_change_detection=False,
+                        fixed_partition_size=None)
+    kf = WavefrontIntraEncoder(cfg)
+    ktu, _, _ = kf.encode(f0, u, v)
+    ie = InterFrameEncoder(cfg, kf.seq)
+    tu, rec = ie.encode(f1, u, v, kf.recon)
+    assert any(isinstance(s, tuple) for s in ie.leaf_sizes.values()), \
+        "inter DP never chose a rect leaf"
+    dec = StreamDecoder()
+    dec.decode_tu(ktu)
+    out = dec.decode_tu(tu)
+    for p in range(3):
+        hh, ww = out[p].shape
+        assert (out[p] == rec[p][:hh, :ww]).all(), f"plane {p}"
