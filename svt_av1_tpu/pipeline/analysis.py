@@ -130,11 +130,15 @@ def estimate_grain_params(y: np.ndarray, bd: int = 8,
 
 
 def variance_qmap(y_padded: np.ndarray, sb_rows: int, sb_cols: int,
-                  base_q_idx: int, delta_q_res: int) -> np.ndarray:
+                  base_q_idx: int, delta_q_res: int,
+                  prev_y: np.ndarray = None) -> np.ndarray:
     """Per-SB qindex from local variance (QPM; Av1QpModulationLcu
     EbCodingLoop.c:2222): flat SBs get finer quantization, busy SBs
-    coarser. Offsets are multiples of 1 << delta_q_res so every
-    SB-to-SB delta is codable."""
+    coarser. With ``prev_y``, temporally stable SBs get an extra quality
+    boost (TPL-lite: quality invested in long-lived content propagates
+    through prediction, the role of the reference's BEA/TPL machinery,
+    EbInitialRateControlProcess UpdateBeaInfoOverTime). Offsets are
+    multiples of 1 << delta_q_res so every SB-to-SB delta is codable."""
     step = 1 << delta_q_res
     sbs = 64
     v = y_padded[:sb_rows * sbs, :sb_cols * sbs].astype(np.float64)
@@ -142,6 +146,16 @@ def variance_qmap(y_padded: np.ndarray, sb_rows: int, sb_cols: int,
     var = v.transpose(0, 2, 1, 3).reshape(sb_rows, sb_cols, -1).var(axis=2)
     med = max(float(np.median(var)), 1.0)
     off = np.round(4.0 * np.log2(np.maximum(var, 1.0) / med))
-    off = np.clip(off, -16, 16)
+    if prev_y is not None and prev_y.shape[:2] == y_padded.shape[:2]:
+        d = np.abs(y_padded[:sb_rows * sbs, :sb_cols * sbs]
+                   .astype(np.float64)
+                   - prev_y[:sb_rows * sbs, :sb_cols * sbs]
+                   .astype(np.float64))
+        d = d.reshape(sb_rows, sbs, sb_cols, sbs)
+        mad = d.transpose(0, 2, 1, 3).reshape(sb_rows, sb_cols,
+                                              -1).mean(axis=2)
+        thr = max(1.5, float(np.median(mad)) * 0.5)
+        off = off - step * (mad < thr)
+    off = np.clip(off, -20, 16)
     off = (np.round(off / step) * step).astype(np.int64)
     return np.clip(base_q_idx + off, 1, 255).astype(np.int32)

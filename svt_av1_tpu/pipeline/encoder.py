@@ -92,10 +92,20 @@ class Encoder:
             out = grain_ops.apply_grain(out, self._grain, cfg.bit_depth)
         return out
 
+    def _aq_prev(self, y):
+        """Previous source luma padded like this frame (TPL-lite AQ
+        hint); updates the tracker."""
+        from svt_av1_tpu.pipeline.common import pad_to_multiple
+        cur = pad_to_multiple(y, 64)
+        prev = getattr(self, "_prev_luma", None)
+        self._prev_luma = cur
+        return prev
+
     def _encode_key(self, y, u, v) -> None:
         from svt_av1_tpu.utils.trace import span
         cfg = self._cfg_for(True)
         enc = WavefrontIntraEncoder(cfg)
+        enc.aq_prev_luma = self._aq_prev(y)
         with span("keyframe"):
             tu, recon, _ = enc.encode(y, u, v)
         if self._rc is not None:
@@ -118,6 +128,7 @@ class Encoder:
                 cfg, qindex_override=int(np.clip(
                     cfg.base_q_idx + q_offset, 1, 255)))
         enc = InterFrameEncoder(cfg, self.seq)
+        enc.aq_prev_luma = self._aq_prev(y)
         idx = [last_slot] * 7
         alt = None
         if alt_slot is not None:

@@ -95,7 +95,8 @@ class InterFrameEncoder:
             from svt_av1_tpu.pipeline import analysis
             self.qmap = analysis.variance_qmap(
                 self.src[0], self.seq.sb_rows, self.seq.sb_cols,
-                cfg.base_q_idx, self.DELTA_Q_RES)
+                cfg.base_q_idx, self.DELTA_Q_RES,
+                prev_y=getattr(self, "aq_prev_luma", None))
         leaves = [(r, c, common.leaf_wh(v)) for r, c, v in leaves]
         larr = np.array([(r, c, wh[0], wh[1]) for r, c, wh in leaves],
                         dtype=np.int64)

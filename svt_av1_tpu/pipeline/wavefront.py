@@ -118,10 +118,11 @@ class WavefrontIntraEncoder:
         Offsets are multiples of 1 << DELTA_Q_RES so every SB-to-SB
         delta is codable."""
         from svt_av1_tpu.pipeline import analysis
+        prev = getattr(self, "aq_prev_luma", None)
         return analysis.variance_qmap(y_padded, self.seq.sb_rows,
                                       self.seq.sb_cols,
                                       self.cfg.base_q_idx,
-                                      self.DELTA_Q_RES)
+                                      self.DELTA_Q_RES, prev_y=prev)
 
     def _write_delta_q(self, mi_row, mi_col, size, skip) -> None:
         """Per-SB qindex delta at the first block of the SB (spec

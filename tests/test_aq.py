@@ -112,3 +112,38 @@ def test_aq_inter_roundtrip():
         for p in range(3):
             assert (out[p] == disp[p]).all(), f"frame {shown} plane {p}"
     assert shown == len(frames)
+
+
+def test_temporal_aq_boosts_stable_regions():
+    """TPL-lite: with a static left half and churning right half, the
+    stable SBs should get lower qindex than spatial-only AQ gives, and
+    streams must stay exact."""
+    from svt_av1_tpu.pipeline import analysis
+    rng = np.random.RandomState(12)
+    h, w = 128, 256
+    y0 = rng.randint(40, 210, (h, w)).astype(np.uint8)
+    y1 = y0.copy()
+    y1[:, w // 2:] = rng.randint(40, 210, (h, w - w // 2))
+    qm_spatial = analysis.variance_qmap(y1, 2, 4, 160, 2)
+    qm_temporal = analysis.variance_qmap(y1, 2, 4, 160, 2, prev_y=y0)
+    assert (qm_temporal[:, :2] <= qm_spatial[:, :2]).all()
+    assert (qm_temporal[:, :2] < qm_spatial[:, :2]).any()
+    # e2e: low-delay with temporal AQ decodes exactly
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    u = np.full((64, 128), 100, np.uint8)
+    v = np.full((64, 128), 140, np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=40, intra_period=16,
+                        adaptive_quantization=1,
+                        scene_change_detection=False)
+    enc = Encoder(cfg)
+    outs = []
+    for f in ((y0, u, v), (y1, u, v)):
+        enc.send_picture(*f)
+        while (p := enc.get_packet()) is not None:
+            outs.append(p)
+    dec = StreamDecoder()
+    for tu, disp in outs:
+        out = dec.decode_tu(tu)
+        for p in range(3):
+            assert (out[p] == disp[p]).all()
