@@ -405,3 +405,120 @@ def intra_analysis_step(src, above, left, top_left, have_above, have_left,
     recon = jnp.clip(bsel + r, 0, (1 << bd) - 1)
     sse = jnp.sum((src - recon) ** 2, axis=(1, 2))
     return best, qcoeff, eob, sse
+
+
+# --- CDEF device twins ---------------------------------------------------------
+# (direction search + 8x8 filter batched over every block of a frame; the
+# host oracles are ops/cdef.find_dir / filter_block. Partial-sum
+# projections are expressed as dense [8, 15, 64] one-hot matmuls — the
+# MXU-friendly form of the reference's scatter loops, cdef_find_dir_c
+# EbCdef.c:132.)
+
+@functools.lru_cache(maxsize=1)
+def _cdef_dir_consts():
+    from svt_av1_tpu.ops.cdef import _DIV_TABLE
+    i = np.arange(8)[:, None] * np.ones(8, dtype=int)[None, :]
+    j = np.ones(8, dtype=int)[:, None] * np.arange(8)[None, :]
+    idx = [i + j, i + j // 2, i, 3 + i - j // 2, 7 + i - j,
+           3 - i // 2 + j, j, i // 2 + j]
+    proj = np.zeros((8, 15, 64), dtype=np.int32)
+    for d in range(8):
+        flat = idx[d].reshape(-1)
+        for k, t in enumerate(flat):
+            proj[d, t, k] = 1
+    return proj, np.array(_DIV_TABLE, dtype=np.int64)
+
+
+def cdef_find_dir_batch(blocks, coeff_shift: int):
+    """Directions + variances for [B, 8, 8] blocks (device twin of
+    ops.cdef.find_dir)."""
+    proj, div = _cdef_dir_consts()
+    x = (blocks.astype(jnp.int64) >> coeff_shift) - 128
+    xf = x.reshape(-1, 64)                             # [B, 64]
+    # partial[d] = proj[d] @ x : [B, 8, 15]
+    part = jnp.einsum("dtk,bk->bdt", jnp.asarray(proj, jnp.int64), xf)
+    cost = []
+    for d in range(8):
+        p = part[:, d]
+        if d in (2, 6):
+            c = jnp.sum(p[:, :8] ** 2, axis=1) * div[8]
+        elif d in (0, 4):
+            c = jnp.sum((p[:, :7] ** 2 + p[:, 14:7:-1] ** 2)
+                        * jnp.asarray(div[1:8]), axis=1)
+            c = c + p[:, 7] ** 2 * div[8]
+        else:
+            c = jnp.sum(p[:, 3:8] ** 2, axis=1) * div[8]
+            c = c + jnp.sum((p[:, :3] ** 2 + p[:, 10:7:-1] ** 2)
+                            * jnp.asarray(div[2:8:2]), axis=1)
+        cost.append(c)
+    cost = jnp.stack(cost, axis=1)                     # [B, 8]
+    best = jnp.argmax(cost, axis=1)
+    bc = jnp.take_along_axis(cost, best[:, None], axis=1)[:, 0]
+    oc = jnp.take_along_axis(cost, ((best + 4) & 7)[:, None], axis=1)[:, 0]
+    return best.astype(jnp.int32), ((bc - oc) >> 10).astype(jnp.int64)
+
+
+def _cdef_constrain(diff, threshold, damping):
+    from svt_av1_tpu.ops.cdef import _DIV_TABLE  # noqa: F401 (parity)
+    adiff = jnp.abs(diff)
+    sign = jnp.sign(diff)
+    shift = jnp.maximum(0, damping - _msb_arr(threshold))
+    v = jnp.minimum(adiff, jnp.maximum(
+        0, threshold - (adiff >> shift)))
+    return jnp.where(threshold == 0, 0, sign * v)
+
+
+def _msb_arr(v):
+    """floor(log2(v)) for v >= 1 (0 -> 0), elementwise."""
+    v = jnp.maximum(v, 1)
+    return (jnp.log2(v.astype(jnp.float32)) + 1e-6).astype(jnp.int32)
+
+
+def cdef_filter_blocks(windows, pri, sec, dirs, pri_damping: int,
+                       sec_damping: int, coeff_shift: int):
+    """Filter [B, 8+6, 8+6] padded windows (3px CDEF_VERY_LARGE borders)
+    with per-block strengths/directions (device twin of
+    ops.cdef.filter_block for 8x8 blocks)."""
+    from svt_av1_tpu.ops.cdef import (CDEF_VERY_LARGE, DIR_OFFSETS,
+                                      PRI_TAPS, SEC_TAPS)
+    b = windows.shape[0]
+    w = windows.astype(jnp.int64)
+    x = w[:, 3:11, 3:11]
+    offs = np.array(DIR_OFFSETS, dtype=np.int32)       # [8, 2, 2]
+    pri_t = np.array(PRI_TAPS, dtype=np.int64)         # [2, 2]
+    sec_t = np.array(SEC_TAPS, dtype=np.int64)
+    tap_idx = (pri >> coeff_shift) & 1
+    s = jnp.zeros((b, 8, 8), dtype=jnp.int64)
+    mx = x
+    mn = x
+
+    def gather(dy, dx):
+        """Per-block shifted 8x8 window: dy/dx [B] ints."""
+        iy = 3 + dy[:, None, None] + jnp.arange(8)[None, :, None]
+        ix = 3 + dx[:, None, None] + jnp.arange(8)[None, None, :]
+        flat = w.reshape(b, -1)
+        lin = iy * windows.shape[2] + ix
+        return jnp.take_along_axis(flat, lin.reshape(b, -1),
+                                   axis=1).reshape(b, 8, 8)
+
+    offs_j = jnp.asarray(offs)
+    d_off = offs_j[dirs]                               # [B, 2, 2]
+    pri_b = pri.astype(jnp.int64)[:, None, None]
+    sec_b = sec.astype(jnp.int64)[:, None, None]
+    for k in range(2):
+        ptap = jnp.asarray(pri_t)[tap_idx, k][:, None, None]
+        stap = jnp.asarray(sec_t)[tap_idx, k][:, None, None]
+        for sgn in (1, -1):
+            p = gather(sgn * d_off[:, k, 0], sgn * d_off[:, k, 1])
+            s = s + ptap * _cdef_constrain(p - x, pri_b, pri_damping)
+            mx = jnp.maximum(mx, jnp.where(p == CDEF_VERY_LARGE, mx, p))
+            mn = jnp.minimum(mn, p)
+            for od in (2, 6):
+                d2 = offs_j[(dirs + od) & 7]
+                q = gather(sgn * d2[:, k, 0], sgn * d2[:, k, 1])
+                s = s + stap * _cdef_constrain(q - x, sec_b, sec_damping)
+                mx = jnp.maximum(mx, jnp.where(q == CDEF_VERY_LARGE,
+                                               mx, q))
+                mn = jnp.minimum(mn, q)
+    out = x + ((8 + s - (s < 0)) >> 4)
+    return jnp.clip(out, mn, mx)

@@ -130,3 +130,36 @@ def test_inter_core_step_finds_pan_and_zeroes_residual():
                 & (idx % bw >= 1) & (idx % bw < bw - 1))
     assert (np.asarray(eob)[interior] == 0).all()
     assert (np.asarray(sse)[interior] == 0).all()
+
+
+def test_device_cdef_twins_bit_exact():
+    """Device CDEF direction search + filter vs host oracles, including
+    extreme flat blocks (partial-sum magnitude stress)."""
+    import jax.numpy as jnp
+    from svt_av1_tpu.ops import cdef as host
+    from svt_av1_tpu.ops import device as dev
+    rng = np.random.RandomState(0)
+    B = 41
+    blocks = rng.randint(0, 256, (B, 8, 8)).astype(np.int32)
+    blocks[0] = 255          # flat extremes
+    blocks[1] = 0
+    blocks[2, :, :4] = 255   # hard edge
+    gd, gv = dev.cdef_find_dir_batch(jnp.asarray(blocks), 0)
+    gd, gv = np.array(gd), np.array(gv)
+    for i in range(B):
+        hd, hv = host.find_dir(blocks[i], 0)
+        assert hd == gd[i] and hv == gv[i], (i, hd, gd[i], hv, gv[i])
+    wins = np.full((B, 14, 14), host.CDEF_VERY_LARGE, dtype=np.int32)
+    wins[:, 3:11, 3:11] = blocks
+    wins[:, :3, :] = rng.randint(0, 256, (B, 3, 14))
+    pri = rng.choice([0, 4, 8, 15], B).astype(np.int32)
+    sec = rng.choice([0, 1, 2, 4], B).astype(np.int32)
+    dirs = rng.randint(0, 8, B).astype(np.int32)
+    got = np.array(dev.cdef_filter_blocks(
+        jnp.asarray(wins), jnp.asarray(pri), jnp.asarray(sec),
+        jnp.asarray(dirs), 3, 3, 0))
+    for i in range(B):
+        want = host.filter_block(wins[i].astype(np.int64), 3, 3, 8, 8,
+                                 int(pri[i]), int(sec[i]), int(dirs[i]),
+                                 3, 3, 0)
+        assert (got[i] == want).all(), i
