@@ -522,3 +522,123 @@ def cdef_filter_blocks(windows, pri, sec, dirs, pri_damping: int,
                 mn = jnp.minimum(mn, q)
     out = x + ((8 + s - (s < 0)) >> 4)
     return jnp.clip(out, mn, mx)
+
+
+# --- Loop restoration device twins ---------------------------------------------
+# (Wiener separable 7-tap and self-guided box filters over batched
+# stripe windows; host oracles in ops/restoration.py. The SGR box sums
+# are cumulative-sum window reductions — the natural TPU formulation of
+# the reference's integral-image SIMD, selfguided_avx2.)
+
+def _round2j(x, n: int):
+    if n == 0:
+        return x
+    return (x + (1 << (n - 1))) >> n
+
+
+def wiener_filter_batch(src_ext, taps_v, taps_h, bd: int = 8):
+    """[B, h+6, w+6] windows -> [B, h, w] (twin of
+    restoration.wiener_filter; taps are static python triples)."""
+    from svt_av1_tpu.ops import restoration as rst
+    fv = np.asarray(rst.wiener_taps7(taps_v))
+    fh = np.asarray(rst.wiener_taps7(taps_h))
+    r0 = 3 if bd < 12 else 5
+    r1 = 2 * rst.WIENER_FILT_PREC_BITS - r0
+    h = src_ext.shape[1] - 6
+    w = src_ext.shape[2] - 6
+    s = src_ext.astype(jnp.int64)
+    hsum = jnp.full((src_ext.shape[0], h + 6, w),
+                    1 << (bd + rst.WIENER_FILT_PREC_BITS - 1),
+                    dtype=jnp.int64)
+    for k in range(7):
+        hsum = hsum + int(fh[k]) * s[:, :, k:k + w]
+    mid = jnp.clip(_round2j(hsum, r0), 0,
+                   (1 << (bd + 1 + rst.WIENER_FILT_PREC_BITS - r0)) - 1)
+    vsum = jnp.zeros((src_ext.shape[0], h, w), dtype=jnp.int64)
+    for k in range(7):
+        vsum = vsum + int(fv[k]) * mid[:, k:k + h]
+    vsum = vsum - (1 << (bd + r1 - 1))
+    return jnp.clip(_round2j(vsum, r1), 0, (1 << bd) - 1)
+
+
+def _winsum_j(x, r: int):
+    """Batched full-window sums [B, H, W] -> [B, H-2r, W-2r]."""
+    n = 2 * r + 1
+    v = jnp.cumsum(x, axis=1)
+    v = jnp.concatenate([v[:, n - 1:n], v[:, n:] - v[:, :-n]], axis=1)
+    hs = jnp.cumsum(v, axis=2)
+    return jnp.concatenate([hs[:, :, n - 1:n],
+                            hs[:, :, n:] - hs[:, :, :-n]], axis=2)
+
+
+def _sgr_ab_j(dgd_ext, r: int, s: int, h: int, w: int, bd: int):
+    from svt_av1_tpu.ops import restoration as rst
+    d = dgd_ext.astype(jnp.int64)
+    a_full = _winsum_j(d * d, r)
+    b_full = _winsum_j(d, r)
+    i0 = 2 - r
+    A = a_full[:, i0:i0 + h + 2, i0:i0 + w + 2]
+    B = b_full[:, i0:i0 + h + 2, i0:i0 + w + 2]
+    n = (2 * r + 1) * (2 * r + 1)
+    a = _round2j(A, 2 * (bd - 8))
+    b = _round2j(B, bd - 8)
+    p = jnp.maximum(a * n - b * b, 0)
+    z = _round2j(p * s, rst.SGRPROJ_MTABLE_BITS)
+    A2 = jnp.asarray(rst._X_BY_XPLUS1)[jnp.minimum(z, 255)]
+    B2 = _round2j((256 - A2) * B * int(rst._ONE_BY_X[n - 1]),
+                  rst.SGRPROJ_RECIP_BITS)
+    return A2, B2
+
+
+def sgr_filter_batch(dgd_ext, ep: int, xqd, bd: int = 8):
+    """[B, h+6, w+6] -> [B, h, w] (twin of restoration.sgr_filter;
+    ep/xqd static)."""
+    from svt_av1_tpu.ops import restoration as rst
+    (r0, r1), (s0, s1) = rst.SGR_PARAMS[ep]
+    h = dgd_ext.shape[1] - 6
+    w = dgd_ext.shape[2] - 6
+    d = dgd_ext[:, 3:3 + h, 3:3 + w].astype(jnp.int64)
+    u = d << rst.SGRPROJ_RST_BITS
+    v = u << rst.SGRPROJ_PRJ_BITS
+    xq = rst.decode_xq(xqd, ep)
+    m = slice(1, w + 1)
+    lf, rt = slice(0, w), slice(2, w + 2)
+    if r0 > 0:
+        A, B = _sgr_ab_j(dgd_ext, r0, s0, h, w, bd)
+        out = jnp.zeros((dgd_ext.shape[0], h, w), dtype=jnp.int64)
+        ev = np.arange(0, h, 2)
+        a = (A[:, ev][:, :, m] + A[:, ev + 2][:, :, m]) * 6 + \
+            (A[:, ev][:, :, lf] + A[:, ev][:, :, rt]
+             + A[:, ev + 2][:, :, lf] + A[:, ev + 2][:, :, rt]) * 5
+        bb = (B[:, ev][:, :, m] + B[:, ev + 2][:, :, m]) * 6 + \
+            (B[:, ev][:, :, lf] + B[:, ev][:, :, rt]
+             + B[:, ev + 2][:, :, lf] + B[:, ev + 2][:, :, rt]) * 5
+        out = out.at[:, 0::2].set(_round2j(
+            a * d[:, 0::2] + bb,
+            rst.SGRPROJ_SGR_BITS + 5 - rst.SGRPROJ_RST_BITS))
+        od = np.arange(1, h, 2) + 1
+        a = A[:, od][:, :, m] * 6 + (A[:, od][:, :, lf]
+                                     + A[:, od][:, :, rt]) * 5
+        bb = B[:, od][:, :, m] * 6 + (B[:, od][:, :, lf]
+                                      + B[:, od][:, :, rt]) * 5
+        out = out.at[:, 1::2].set(_round2j(
+            a * d[:, 1::2] + bb,
+            rst.SGRPROJ_SGR_BITS + 4 - rst.SGRPROJ_RST_BITS))
+        v = v + xq[0] * (out - u)
+    if r1 > 0:
+        A, B = _sgr_ab_j(dgd_ext, r1, s1, h, w, bd)
+        c = slice(1, h + 1)
+        up, dn = slice(0, h), slice(2, h + 2)
+        a = (A[:, c, m] + A[:, c, lf] + A[:, c, rt] + A[:, up, m]
+             + A[:, dn, m]) * 4 + \
+            (A[:, up, lf] + A[:, up, rt] + A[:, dn, lf]
+             + A[:, dn, rt]) * 3
+        bb = (B[:, c, m] + B[:, c, lf] + B[:, c, rt] + B[:, up, m]
+              + B[:, dn, m]) * 4 + \
+            (B[:, up, lf] + B[:, up, rt] + B[:, dn, lf]
+             + B[:, dn, rt]) * 3
+        flt = _round2j(a * d + bb,
+                       rst.SGRPROJ_SGR_BITS + 5 - rst.SGRPROJ_RST_BITS)
+        v = v + xq[1] * (flt - u)
+    out = _round2j(v, rst.SGRPROJ_PRJ_BITS + rst.SGRPROJ_RST_BITS)
+    return jnp.clip(out, 0, (1 << bd) - 1)

@@ -163,3 +163,25 @@ def test_device_cdef_twins_bit_exact():
                                  int(pri[i]), int(sec[i]), int(dirs[i]),
                                  3, 3, 0)
         assert (got[i] == want).all(), i
+
+
+def test_device_lr_twins_bit_exact():
+    """Device Wiener + self-guided restoration vs host oracles over
+    batched stripe windows."""
+    import jax.numpy as jnp
+    from svt_av1_tpu.ops import device as dev
+    from svt_av1_tpu.ops import restoration as host
+    rng = np.random.RandomState(1)
+    B, h, w = 7, 24, 40
+    x = rng.randint(0, 256, (B, h + 6, w + 6)).astype(np.int64)
+    x[0] = 255
+    tv, th = (2, -5, 18), (-3, 6, 11)
+    want = np.stack([host.wiener_filter(x[i], tv, th, 8)
+                     for i in range(B)])
+    got = np.array(dev.wiener_filter_batch(jnp.asarray(x), tv, th, 8))
+    assert (got == want).all()
+    for ep, xqd in ((4, (-20, 40)), (11, (0, 33)), (14, (-50, 0))):
+        want = np.stack([host.sgr_filter(x[i], ep, xqd, 8)
+                         for i in range(B)])
+        got = np.array(dev.sgr_filter_batch(jnp.asarray(x), ep, xqd, 8))
+        assert (got == want).all(), ep
