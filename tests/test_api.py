@@ -1,0 +1,54 @@
+"""Reference-shaped API lifecycle (EbApi.h port: svt_av1_tpu.api)."""
+
+import numpy as np
+
+from svt_av1_tpu import api
+from svt_av1_tpu.pipeline.decode import StreamDecoder
+
+
+def test_eb_api_lifecycle():
+    handle, params = api.eb_init_handle()
+    params.width, params.height, params.qp = 128, 96, 40
+    params.intra_period = 4
+    assert api.eb_svt_enc_set_parameter(handle, params) == api.EB_ErrorNone
+    assert api.eb_init_encoder(handle) == api.EB_ErrorNone
+    hdr = api.eb_svt_enc_stream_header(handle)
+    assert len(hdr.p_buffer) > 0
+    rng = np.random.RandomState(5)
+    base = rng.randint(40, 200, (96, 128)).astype(np.int32)
+    frames = []
+    for t in range(4):
+        y = np.clip(base + 2 * t, 0, 255).astype(np.uint8)
+        u = np.full((48, 64), 100, np.uint8)
+        v = np.full((48, 64), 140, np.uint8)
+        frames.append((y, u, v))
+        assert api.eb_svt_enc_send_picture(
+            handle, api.EbBufferHeaderType(pic=(y, u, v))) \
+            == api.EB_ErrorNone
+    api.eb_svt_enc_send_picture(handle, None)   # EOS
+    dec = StreamDecoder()
+    shown = 0
+    saw_eos = False
+    while True:
+        buf = api.eb_svt_get_packet(handle, done=True)
+        if buf is None:
+            break
+        out = dec.decode_tu(buf.p_buffer)
+        if buf.recon is not None:
+            shown += 1
+            for p in range(3):
+                assert (out[p] == buf.recon[p]).all()
+        if buf.flags & api.EB_BUFFERFLAG_EOS:
+            saw_eos = True
+        api.eb_svt_release_out_buffer(buf)
+    assert shown == len(frames)
+    assert saw_eos
+    assert api.eb_deinit_encoder(handle) == api.EB_ErrorNone
+    assert api.eb_deinit_handle(handle) == api.EB_ErrorNone
+
+
+def test_eb_api_bad_params():
+    handle, params = api.eb_init_handle()
+    params.width = 3   # invalid
+    assert api.eb_svt_enc_set_parameter(handle, params) \
+        == api.EB_ErrorBadParameter
