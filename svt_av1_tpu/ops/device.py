@@ -642,3 +642,57 @@ def sgr_filter_batch(dgd_ext, ep: int, xqd, bd: int = 8):
         v = v + xq[1] * (flt - u)
     out = _round2j(v, rst.SGRPROJ_PRJ_BITS + rst.SGRPROJ_RST_BITS)
     return jnp.clip(out, 0, (1 << bd) - 1)
+
+
+# --- Pallas: fused quantize+dequantize kernel ----------------------------------
+# The hot elementwise chain of the full loop as a hand kernel (the role
+# of the reference's highbd_quantize_intrin_avx2): one VMEM pass computes
+# qcoeff and dqcoeff for a [B, n] tile of transform blocks. Falls back to
+# the XLA `quantize` above when Pallas is unavailable on the platform.
+
+def _quant_kernel(coeff_ref, zbin_ref, rnd_ref, quant_ref, qshift_ref,
+                  deq_ref, q_ref, dq_ref, *, log_scale: int):
+    c = coeff_ref[...]
+    sign = jnp.where(c < 0, -1, 1)
+    ac = jnp.abs(c)
+    over = ac >= zbin_ref[...]
+    tmp = jnp.clip(ac + rnd_ref[...], -32768, 32767)
+    t32 = ((((tmp * quant_ref[...]) >> 16) + tmp)
+           * qshift_ref[...]) >> (16 - log_scale)
+    t32 = jnp.where(over, t32, 0)
+    q_ref[...] = sign * t32
+    dq_ref[...] = sign * ((t32 * deq_ref[...]) >> log_scale)
+
+
+def quantize_pallas(coeff, scan: np.ndarray, qp: quant_host.QuantParams,
+                    log_scale: int):
+    """Pallas-backed twin of ``quantize`` (same contract)."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    b, n = coeff.shape
+    is_dc = np.zeros(n, dtype=bool)
+    is_dc[0] = True
+
+    def rpot(v):
+        return ((v + ((1 << log_scale) >> 1)) >> log_scale) if log_scale \
+            else v
+    rows = {
+        "zbin": np.where(is_dc, rpot(qp.zbin[0]), rpot(qp.zbin[1])),
+        "rnd": np.where(is_dc, rpot(qp.round[0]), rpot(qp.round[1])),
+        "quant": np.where(is_dc, qp.quant[0], qp.quant[1]),
+        "qshift": np.where(is_dc, qp.quant_shift[0], qp.quant_shift[1]),
+        "deq": np.where(is_dc, qp.dequant[0], qp.dequant[1]),
+    }
+    ops = [jnp.broadcast_to(jnp.asarray(v, jnp.int32)[None, :], (b, n))
+           for v in rows.values()]
+    kern = _ft.partial(_quant_kernel, log_scale=log_scale)
+    q, dq = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((b, n), jnp.int32),
+                   jax.ShapeDtypeStruct((b, n), jnp.int32)),
+    )(coeff.astype(jnp.int32), *ops)
+    nz_scan = q[:, scan] != 0
+    idx = jnp.arange(1, n + 1, dtype=jnp.int32)
+    eob = jnp.max(jnp.where(nz_scan, idx[None, :], 0), axis=1)
+    return q, dq, eob

@@ -185,3 +185,21 @@ def test_device_lr_twins_bit_exact():
                          for i in range(B)])
         got = np.array(dev.sgr_filter_batch(jnp.asarray(x), ep, xqd, 8))
         assert (got == want).all(), ep
+
+
+def test_pallas_quantize_bit_exact():
+    """The Pallas fused quantize/dequantize kernel vs the host oracle."""
+    import jax.numpy as jnp
+    from svt_av1_tpu.ops import device as dev
+    from svt_av1_tpu.ops import quant as qh
+    from svt_av1_tpu.utils.blocks import get_scan
+    rng = np.random.RandomState(0)
+    for qidx in (20, 120, 220):
+        qp = qh.make_quant_params(qidx)
+        for txs, n, ls in ((2, 256, 0), (1, 64, 0), (3, 1024, 1)):
+            scan = get_scan(txs, 0)
+            coeff = rng.randint(-9000, 9000, (17, n)).astype(np.int32)
+            want = qh.quantize(coeff, scan, qp, ls)
+            got = dev.quantize_pallas(jnp.asarray(coeff), scan, qp, ls)
+            for g, w in zip(got, want):
+                assert (np.array(g) == w).all(), (qidx, n, ls)
