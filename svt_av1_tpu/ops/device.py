@@ -696,3 +696,51 @@ def quantize_pallas(coeff, scan: np.ndarray, qp: quant_host.QuantParams,
     idx = jnp.arange(1, n + 1, dtype=jnp.int32)
     eob = jnp.max(jnp.where(nz_scan, idx[None, :], 0), axis=1)
     return q, dq, eob
+
+
+# --- Motion compensation device twin -------------------------------------------
+# (8/4-tap sub-pel convolve batched over blocks with data-dependent MVs;
+# host oracle ops/mc.mc_block_batch. Windows are gathered per block from
+# the padded reference; filter rows are gathered by sub-pel phase.)
+
+def mc_block_batch_j(ref_padded, xs, ys, mvs, w: int, h: int,
+                     ss: int = 0, bd: int = 8):
+    """Device twin of mc.mc_block_batch: [B] blocks, [B, 2] MVs in
+    1/8-pel luma units. Returns [B, h, w] pixels (int32)."""
+    from svt_av1_tpu.ops import mc as mch
+    b = xs.shape[0]
+    mvs = mvs.astype(jnp.int32)
+    scaled_r = mvs[:, 0] << (1 - ss)
+    scaled_c = mvs[:, 1] << (1 - ss)
+    int_r = ys.astype(jnp.int32) + (scaled_r >> 4)
+    int_c = xs.astype(jnp.int32) + (scaled_c >> 4)
+    frac_r = scaled_r & 15
+    frac_c = scaled_c & 15
+    fx_tab = jnp.asarray(mch._filters(w), jnp.int32)
+    fy_tab = jnp.asarray(mch._filters(h), jnp.int32)
+    fx = fx_tab[frac_c]                                  # [B, 8]
+    fy = fy_tab[frac_r]
+    Wp = ref_padded.shape[1]
+    flat = ref_padded.reshape(-1).astype(jnp.int32)
+    y0 = int_r + mch.REF_PAD - 3
+    x0 = int_c + mch.REF_PAD - 3
+    iy = y0[:, None, None] + jnp.arange(h + 7)[None, :, None]
+    ix = x0[:, None, None] + jnp.arange(w + 7)[None, None, :]
+    win = flat[(iy * Wp + ix).reshape(b, -1)].reshape(b, h + 7, w + 7)
+
+    offset_bits = bd + 2 * mch.FILTER_BITS - mch.ROUND0
+    final_bits = 2 * mch.FILTER_BITS - mch.ROUND0 - mch.ROUND1
+    sub = (1 << (offset_bits - mch.ROUND1)) \
+        + (1 << (offset_bits - mch.ROUND1 - 1))
+    horiz = jnp.full((b, h + 7, w), 1 << (bd + mch.FILTER_BITS - 1),
+                     dtype=jnp.int32)
+    for k in range(8):
+        horiz = horiz + fx[:, k, None, None] * win[:, :, k:k + w]
+    horiz = (horiz + (1 << (mch.ROUND0 - 1))) >> mch.ROUND0
+    vert = jnp.full((b, h, w), 1 << offset_bits, dtype=jnp.int32)
+    for k in range(8):
+        vert = vert + fy[:, k, None, None] * horiz[:, k:k + h]
+    res = ((vert + (1 << (mch.ROUND1 - 1))) >> mch.ROUND1) - sub
+    if final_bits > 0:
+        res = (res + (1 << (final_bits - 1))) >> final_bits
+    return jnp.clip(res, 0, (1 << bd) - 1)

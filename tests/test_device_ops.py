@@ -203,3 +203,26 @@ def test_pallas_quantize_bit_exact():
             got = dev.quantize_pallas(jnp.asarray(coeff), scan, qp, ls)
             for g, w in zip(got, want):
                 assert (np.array(g) == w).all(), (qidx, n, ls)
+
+
+def test_device_mc_twin_bit_exact():
+    """Device sub-pel MC (8/4-tap, data-dependent MVs) vs host oracle,
+    luma and chroma scales, square and rect blocks."""
+    import jax.numpy as jnp
+    from svt_av1_tpu.ops import device as dev
+    from svt_av1_tpu.ops import mc
+    rng = np.random.RandomState(0)
+    ref = rng.randint(0, 256, (128, 192)).astype(np.uint8)
+    pad = mc.pad_reference(ref)
+    B = 29
+    xs = rng.randint(0, 160, B) & ~3
+    ys = rng.randint(0, 96, B) & ~3
+    mvs = rng.randint(-64, 65, (B, 2))
+    for (w, h, ss) in ((16, 16, 0), (16, 8, 0), (8, 8, 1), (8, 16, 1),
+                       (4, 4, 1)):
+        want = mc.mc_block_batch(pad, xs, ys, mvs, w, h, ss=ss,
+                                 bd=8).astype(np.int32)
+        got = np.array(dev.mc_block_batch_j(
+            jnp.asarray(pad), jnp.asarray(xs), jnp.asarray(ys),
+            jnp.asarray(mvs), w, h, ss=ss, bd=8))
+        assert (got == want).all(), (w, h, ss)
