@@ -744,3 +744,142 @@ def mc_block_batch_j(ref_padded, xs, ys, mvs, w: int, h: int,
     if final_bits > 0:
         res = (res + (1 << (final_bits - 1))) >> final_bits
     return jnp.clip(res, 0, (1 << bd) - 1)
+
+
+# --- DLF device twin -----------------------------------------------------------
+# (the 4/6/8/14-tap edge filters over batched sample lines [N, 14];
+# host oracle ops/dlf._apply_len. Adjacent same-direction edges never
+# overlap — filter span is bounded by the minimum tx dim — so whole-frame
+# application is one batched gather/filter/scatter.)
+
+def _dlf_filter4_j(p1, p0, q0, q1, mask, thresh, bd):
+    shift = bd - 8
+    lo, hi, piv = -128 << shift, (128 << shift) - 1, 128 << shift
+
+    def sc(x):
+        return jnp.clip(x, lo, hi)
+
+    ps1, ps0 = p1 - piv, p0 - piv
+    qs0, qs1 = q0 - piv, q1 - piv
+    hev = (jnp.abs(p1 - p0) > thresh) | (jnp.abs(q1 - q0) > thresh)
+    f = sc(ps1 - qs1) * hev
+    f = sc(f + 3 * (qs0 - ps0)) * mask
+    f1 = sc(f + 4) >> 3
+    f2 = sc(f + 3) >> 3
+    oq0 = sc(qs0 - f1) + piv
+    op0 = sc(ps0 + f2) + piv
+    f3 = ((f1 + 1) >> 1) * ~hev
+    oq1 = sc(qs1 - f3) + piv
+    op1 = sc(ps1 + f3) + piv
+    return op1, op0, oq0, oq1
+
+
+def dlf_apply_len_batch(s, length: int, blimit: int, limit: int,
+                        thresh: int, bd: int = 8):
+    """Device twin of dlf._apply_len: s [N, 14] int32 sample lines
+    (p6..p0, q0..q6); returns the filtered lines."""
+    p = {i: s[:, 6 - i] for i in range(7)}
+    q = {i: s[:, 7 + i] for i in range(7)}
+    am = lambda a, b: jnp.abs(a - b)  # noqa: E731
+
+    def r3(x):
+        return (x + 4) >> 3
+
+    def r4(x):
+        return (x + 8) >> 4
+
+    if length == 4:
+        fmask = ~((am(p[1], p[0]) > limit) | (am(q[1], q[0]) > limit)
+                  | (am(p[0], q[0]) * 2 + am(p[1], q[1]) // 2 > blimit))
+        np1, np0, nq0, nq1 = _dlf_filter4_j(p[1], p[0], q[0], q[1],
+                                            fmask, thresh, bd)
+        for idx, v in ((5, np1), (6, np0), (7, nq0), (8, nq1)):
+            s = s.at[:, idx].set(jnp.where(fmask, v, s[:, idx]))
+        return s
+
+    if length == 6:
+        fmask = ~((am(p[2], p[1]) > limit) | (am(p[1], p[0]) > limit)
+                  | (am(q[1], q[0]) > limit) | (am(q[2], q[1]) > limit)
+                  | (am(p[0], q[0]) * 2 + am(p[1], q[1]) // 2 > blimit))
+        ft = 1 << (bd - 8)
+        flat = ~((am(p[1], p[0]) > ft) | (am(q[1], q[0]) > ft)
+                 | (am(p[2], p[0]) > ft) | (am(q[2], q[0]) > ft))
+        wide = fmask & flat
+        o = {5: r3(p[2] * 3 + p[1] * 2 + p[0] * 2 + q[0]),
+             6: r3(p[2] + p[1] * 2 + p[0] * 2 + q[0] * 2 + q[1]),
+             7: r3(p[1] + p[0] * 2 + q[0] * 2 + q[1] * 2 + q[2]),
+             8: r3(p[0] + q[0] * 2 + q[1] * 2 + q[2] * 3)}
+        np1, np0, nq0, nq1 = _dlf_filter4_j(p[1], p[0], q[0], q[1],
+                                            fmask & ~flat, thresh, bd)
+        nar = {5: np1, 6: np0, 7: nq0, 8: nq1}
+        for idx in (5, 6, 7, 8):
+            s = s.at[:, idx].set(
+                jnp.where(wide, o[idx],
+                          jnp.where(fmask & ~flat, nar[idx],
+                                    s[:, idx])))
+        return s
+
+    fmask = ~((am(p[3], p[2]) > limit) | (am(p[2], p[1]) > limit)
+              | (am(p[1], p[0]) > limit) | (am(q[1], q[0]) > limit)
+              | (am(q[2], q[1]) > limit) | (am(q[3], q[2]) > limit)
+              | (am(p[0], q[0]) * 2 + am(p[1], q[1]) // 2 > blimit))
+    ft = 1 << (bd - 8)
+    flat = ~((am(p[1], p[0]) > ft) | (am(q[1], q[0]) > ft)
+             | (am(p[2], p[0]) > ft) | (am(q[2], q[0]) > ft)
+             | (am(p[3], p[0]) > ft) | (am(q[3], q[0]) > ft))
+    o8 = {4: r3(p[3] * 3 + p[2] * 2 + p[1] + p[0] + q[0]),
+          5: r3(p[3] * 2 + p[2] + p[1] * 2 + p[0] + q[0] + q[1]),
+          6: r3(p[3] + p[2] + p[1] + p[0] * 2 + q[0] + q[1] + q[2]),
+          7: r3(p[2] + p[1] + p[0] + q[0] * 2 + q[1] + q[2] + q[3]),
+          8: r3(p[1] + p[0] + q[0] + q[1] * 2 + q[2] + q[3] * 2),
+          9: r3(p[0] + q[0] + q[1] + q[2] * 2 + q[3] * 3)}
+    np1, np0, nq0, nq1 = _dlf_filter4_j(p[1], p[0], q[0], q[1],
+                                        fmask & ~flat, thresh, bd)
+    nar = {5: np1, 6: np0, 7: nq0, 8: nq1}
+    if length == 8:
+        for idx in (4, 5, 6, 7, 8, 9):
+            s = s.at[:, idx].set(jnp.where(fmask & flat, o8[idx],
+                                           s[:, idx]))
+        for idx in (5, 6, 7, 8):
+            s = s.at[:, idx].set(jnp.where(fmask & ~flat, nar[idx],
+                                           s[:, idx]))
+        return s
+
+    flat2 = ~((am(p[4], p[0]) > ft) | (am(q[4], q[0]) > ft)
+              | (am(p[5], p[0]) > ft) | (am(q[5], q[0]) > ft)
+              | (am(p[6], p[0]) > ft) | (am(q[6], q[0]) > ft))
+    o14 = {
+        1: r4(p[6] * 7 + p[5] * 2 + p[4] * 2 + p[3] + p[2] + p[1]
+              + p[0] + q[0]),
+        2: r4(p[6] * 5 + p[5] * 2 + p[4] * 2 + p[3] * 2 + p[2] + p[1]
+              + p[0] + q[0] + q[1]),
+        3: r4(p[6] * 4 + p[5] + p[4] * 2 + p[3] * 2 + p[2] * 2 + p[1]
+              + p[0] + q[0] + q[1] + q[2]),
+        4: r4(p[6] * 3 + p[5] + p[4] + p[3] * 2 + p[2] * 2 + p[1] * 2
+              + p[0] + q[0] + q[1] + q[2] + q[3]),
+        5: r4(p[6] * 2 + p[5] + p[4] + p[3] + p[2] * 2 + p[1] * 2
+              + p[0] * 2 + q[0] + q[1] + q[2] + q[3] + q[4]),
+        6: r4(p[6] + p[5] + p[4] + p[3] + p[2] + p[1] * 2 + p[0] * 2
+              + q[0] * 2 + q[1] + q[2] + q[3] + q[4] + q[5]),
+        7: r4(p[5] + p[4] + p[3] + p[2] + p[1] + p[0] * 2 + q[0] * 2
+              + q[1] * 2 + q[2] + q[3] + q[4] + q[5] + q[6]),
+        8: r4(p[4] + p[3] + p[2] + p[1] + p[0] + q[0] * 2 + q[1] * 2
+              + q[2] * 2 + q[3] + q[4] + q[5] + q[6] * 2),
+        9: r4(p[3] + p[2] + p[1] + p[0] + q[0] + q[1] * 2 + q[2] * 2
+              + q[3] * 2 + q[4] + q[5] + q[6] * 3),
+        10: r4(p[2] + p[1] + p[0] + q[0] + q[1] + q[2] * 2 + q[3] * 2
+               + q[4] * 2 + q[5] + q[6] * 4),
+        11: r4(p[1] + p[0] + q[0] + q[1] + q[2] + q[3] * 2 + q[4] * 2
+               + q[5] * 2 + q[6] * 5),
+        12: r4(p[0] + q[0] + q[1] + q[2] + q[3] + q[4] * 2 + q[5] * 2
+               + q[6] * 7)}
+    wide14 = fmask & flat & flat2
+    wide8 = fmask & flat & ~flat2
+    for idx in range(1, 13):
+        s = s.at[:, idx].set(jnp.where(wide14, o14[idx], s[:, idx]))
+    for idx in (4, 5, 6, 7, 8, 9):
+        s = s.at[:, idx].set(jnp.where(wide8, o8[idx], s[:, idx]))
+    for idx in (5, 6, 7, 8):
+        s = s.at[:, idx].set(jnp.where(fmask & ~flat, nar[idx],
+                                       s[:, idx]))
+    return s

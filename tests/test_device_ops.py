@@ -226,3 +226,26 @@ def test_device_mc_twin_bit_exact():
             jnp.asarray(pad), jnp.asarray(xs), jnp.asarray(ys),
             jnp.asarray(mvs), w, h, ss=ss, bd=8))
         assert (got == want).all(), (w, h, ss)
+
+
+def test_device_dlf_twin_bit_exact():
+    """Device DLF edge filters (4/6/8/14-tap) vs host, 8 and 10-bit,
+    including near-flat lines that trigger the wide-filter branches."""
+    import jax.numpy as jnp
+    from svt_av1_tpu.ops import device as dev
+    from svt_av1_tpu.ops import dlf as host
+    rng = np.random.RandomState(0)
+    for bd in (8, 10):
+        peak = (1 << bd) - 1
+        sh = bd - 8
+        for L in (4, 6, 8, 14):
+            N = 193
+            s = rng.randint(0, peak + 1, (N, 14)).astype(np.int32)
+            s[:48] = np.clip(s[:48, :1]
+                             + rng.randint(-1, 2, (48, 14)), 0, peak)
+            bl, lim, th = host.thresholds(24)
+            want = host._apply_len(s.copy(), np.ones(N, dtype=bool), L,
+                                   bl << sh, lim << sh, th << sh, bd)
+            got = np.array(dev.dlf_apply_len_batch(
+                jnp.asarray(s), L, bl << sh, lim << sh, th << sh, bd))
+            assert (got == want).all(), (bd, L)
