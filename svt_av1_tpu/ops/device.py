@@ -883,3 +883,75 @@ def dlf_apply_len_batch(s, length: int, blimit: int, limit: int,
         s = s.at[:, idx].set(jnp.where(fmask & ~flat, nar[idx],
                                        s[:, idx]))
     return s
+
+
+def inter_core_subpel_step(cur, ref_mc_padded, size: int = 16,
+                           search_range: int = 16, search_step: int = 2,
+                           qindex: int = 160, bd: int = 8):
+    """Full device inter core with sub-pel refinement: full-pel grid SAD
+    (as in ``inter_core_step``) then a 9-candidate quarter-pel sweep
+    through the exact 8-tap MC twin, then T/Q/IQ/recon. The complete
+    inter hot path (ME + sub-pel + MC + full loop) as one XLA program —
+    the foundation of the device-resident encode loop (ROADMAP §2).
+
+    cur: [H, W] int32; ref_mc_padded: REF_PAD(32)-padded reference.
+    Returns (best_mv_8th [B, 2] in 1/8-pel units, qcoeff, eob, sse).
+    """
+    from svt_av1_tpu.ops import mc as mch
+    H, W = cur.shape
+    bh, bw = H // size, W // size
+    b = bh * bw
+    pad = mch.REF_PAD
+    offsets = [(dy, dx)
+               for dy in range(-search_range, search_range + 1, search_step)
+               for dx in range(-search_range, search_range + 1,
+                               search_step)]
+    sads = []
+    for dy, dx in offsets:
+        shifted = jax.lax.dynamic_slice(ref_mc_padded, (pad + dy, pad + dx),
+                                        (H, W))
+        d = jnp.abs(cur - shifted)
+        sads.append(d.reshape(bh, size, bw, size).sum(axis=(1, 3)))
+    sads = jnp.stack(sads)
+    best = jnp.argmin(sads, axis=0).reshape(-1)
+    offs = jnp.asarray(np.array(offsets, dtype=np.int32))
+    mv8 = offs[best] * 8                                      # 1/8 units
+
+    ys = (jnp.arange(b, dtype=jnp.int32) // bw) * size
+    xs = (jnp.arange(b, dtype=jnp.int32) % bw) * size
+    srcs = cur.reshape(bh, size, bw, size).transpose(0, 2, 1, 3) \
+        .reshape(-1, size, size)
+
+    def sse_of(cand):
+        pred = mc_block_batch_j(ref_mc_padded, xs, ys, cand, size, size,
+                                ss=0, bd=bd)
+        return jnp.sum((srcs - pred) ** 2, axis=(1, 2))
+
+    best_cost = sse_of(mv8)
+    for step in (4, 2):                  # half then quarter pel
+        for oy, ox in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            cand = mv8 + jnp.asarray([oy * step, ox * step],
+                                     dtype=jnp.int32)
+            cost = sse_of(cand)
+            better = cost < best_cost
+            mv8 = jnp.where(better[:, None], cand, mv8)
+            best_cost = jnp.where(better, cost, best_cost)
+
+    pred = mc_block_batch_j(ref_mc_padded, xs, ys, mv8, size, size,
+                            ss=0, bd=bd)
+    resid = srcs - pred
+    coeffs = fwd_tx2d(resid, 0, size, size)
+    cw = min(32, size)
+    coded = coeffs[:, :cw, :cw].reshape(b, -1)
+    from svt_av1_tpu.utils.blocks import MAX_TX_SIZE_OF_BLOCK
+    tx_size = MAX_TX_SIZE_OF_BLOCK[size]
+    scan = get_scan(tx_size, 0)
+    qp = quant_host.make_quant_params(qindex, bit_depth=bd)
+    log_scale = quant_host.tx_scale(tx_size)
+    qcoeff, dqcoeff, eob = quantize(coded, scan, qp, log_scale)
+    full = jnp.zeros_like(coeffs)
+    full = full.at[:, :cw, :cw].set(dqcoeff.reshape(-1, cw, cw))
+    r = inv_tx2d(full, 0, size, size, bd)
+    recon = jnp.clip(pred + r, 0, (1 << bd) - 1)
+    sse = jnp.sum((srcs - recon) ** 2, axis=(1, 2))
+    return mv8, qcoeff, eob, sse

@@ -249,3 +249,31 @@ def test_device_dlf_twin_bit_exact():
             got = np.array(dev.dlf_apply_len_batch(
                 jnp.asarray(s), L, bl << sh, lim << sh, th << sh, bd))
             assert (got == want).all(), (bd, L)
+
+
+def test_device_inter_subpel_core_recovers_subpel_shift():
+    """Full device inter core (grid ME + quarter-pel refine through the
+    8-tap MC twin + T/Q/recon): a synthetic 2.5-px pan must be recovered
+    exactly with zero residual."""
+    import jax
+    import jax.numpy as jnp
+    from svt_av1_tpu.ops import device as dev
+    from svt_av1_tpu.ops import mc
+    rng = np.random.RandomState(0)
+    H, W = 128, 192
+    ref = rng.randint(0, 256, (H, W)).astype(np.uint8)
+    padded = mc.pad_reference(ref).astype(np.int32)
+    cur = np.zeros((H, W), np.int32)
+    shift_mv = np.array([[0, 20]])  # 2.5 px right, 1/8-pel units
+    for y in range(0, H, 16):
+        for x in range(0, W, 16):
+            cur[y:y + 16, x:x + 16] = mc.mc_block_batch(
+                padded, np.array([x]), np.array([y]), shift_mv, 16, 16)[0]
+    fn = jax.jit(dev.inter_core_subpel_step,
+                 static_argnames=("size", "search_range", "search_step",
+                                  "qindex", "bd"))
+    mv8, qc, eob, sse = fn(jnp.asarray(cur), jnp.asarray(padded))
+    inner_mv = np.array(mv8).reshape(8, 12, 2)[1:-1, 1:-1]
+    assert (np.median(inner_mv.reshape(-1, 2), axis=0) == [0, 20]).all()
+    inner_sse = np.array(sse).reshape(8, 12)[1:-1, 1:-1]
+    assert float(inner_sse.mean()) == 0.0
