@@ -68,11 +68,15 @@ class FrameDecoder:
                            for _ in lims], hunits=hn, vunits=vn))
 
     def _read_lr(self, mi_row: int, mi_col: int) -> None:
-        """read_lr mirror (spec 5.11.57) at each superblock."""
+        """read_lr mirror (spec 5.11.57) at each superblock
+        (frame-absolute coords: LR units span the frame, spec
+        whole_frame_rect, while syntax rides each tile's coder)."""
         if self.lr_rinfos is None:
             return
         from svt_av1_tpu.entropy import lr as lr_syntax
         from svt_av1_tpu.ops import restoration as rst_ops
+        mi_row = mi_row + self.tile_mi_off[0]
+        mi_col = mi_col + self.tile_mi_off[1]
         for p in range(3):
             ri = self.lr_rinfos[p]
             if ri.frame_restoration_type == rst_ops.RESTORE_NONE:
@@ -184,8 +188,6 @@ class FrameDecoder:
         self.leaf_sizes = {}
         from svt_av1_tpu.entropy import lr as lr_syntax
         self.lr_ref = [lr_syntax.LrRefState() for _ in range(3)]
-        if self.lr_rinfos is not None:
-            assert self.tile_mi_off == (0, 0), "LR decode is single-tile"
         self.cur_qindex = self.fh.base_q_idx
         self._dq_cache = {self.cur_qindex: self.qp}
         self.qp = self._dq_cache[self.cur_qindex]

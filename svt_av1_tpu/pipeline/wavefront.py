@@ -49,9 +49,6 @@ class WavefrontIntraEncoder:
                                       enable_restoration=cfg.enable_restoration,
                                       film_grain_params_present=(
                                           cfg.film_grain_strength > 0))
-        if cfg.enable_restoration:
-            assert cfg.tile_cols_log2 == 0 and cfg.tile_rows_log2 == 0, \
-                "LR syntax is single-tile for now"
         self.lr_rinfos = None
         self.mi_cols = self.seq.mi_cols
         self.mi_rows = self.seq.mi_rows
@@ -474,9 +471,11 @@ class WavefrontIntraEncoder:
 
     def _write_lr(self, mi_row, mi_col) -> None:
         from svt_av1_tpu.entropy import lr as lr_syntax
+        off = getattr(self, "tile_mi_off", (0, 0))
         lr_syntax.write_sb_units(self.w, self.fc, self.lr_rinfos,
-                                 self.lr_ref, mi_row, mi_col,
-                                 self.cfg.width, self.cfg.height)
+                                 self.lr_ref, mi_row + off[0],
+                                 mi_col + off[1], self.cfg.width,
+                                 self.cfg.height)
 
     def _emit_partition(self, mi_row, mi_col, psize) -> None:
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:

@@ -37,7 +37,7 @@ def test_random_tool_combination_roundtrip(seed):
     h = int(rng.choice([64, 96, 120, 128]))
     bd = int(rng.choice([8, 8, 10]))
     tiles = int(rng.choice([0, 1])) if w >= 128 else 0
-    enable_restoration = bool(rng.randint(2)) and tiles == 0
+    enable_restoration = bool(rng.randint(2))
     cfg = EncoderConfig(
         width=w, height=h, bit_depth=bd,
         qp=int(rng.randint(15, 60)),

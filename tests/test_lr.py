@@ -374,3 +374,21 @@ def test_inter_lr_roundtrip():
         for p in range(3):
             assert (out[p] == disp[p]).all(), f"frame {shown} plane {p}"
     assert shown == len(frames)
+
+
+def test_lr_with_tiles_roundtrip():
+    """LR units span the whole frame while syntax rides per-tile coders:
+    the unit->SB mapping must use frame-absolute coordinates."""
+    rng = np.random.RandomState(13)
+    h, w = 128, 256
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(128 + 60 * np.sin(yy / 9.0) * np.cos(xx / 11.0)
+                + rng.normal(0, 10, (h, w)), 0, 255).astype(np.uint8)
+    u = np.full((64, 128), 110, np.uint8)
+    v = np.full((64, 128), 150, np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=50,
+                        enable_restoration=True, tile_cols_log2=1)
+    tu, rec, _ = encode_keyframe_wavefront(y, u, v, cfg)
+    _, dec = decode_temporal_unit(tu)
+    for p in range(3):
+        assert (dec[p] == rec[p]).all(), f"plane {p}"
