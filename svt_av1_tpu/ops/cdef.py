@@ -134,6 +134,105 @@ def strength_presets(qindex: int):
     return y, uv
 
 
+def find_dir_batch(blocks: np.ndarray, coeff_shift: int):
+    """Batched find_dir: [B, 8, 8] -> (dirs [B], vars [B]) — identical
+    math to find_dir via one-hot projection sums."""
+    B = blocks.shape[0]
+    x = (blocks.astype(np.int64) >> coeff_shift) - 128
+    i = np.arange(8)[:, None] * np.ones(8, dtype=int)[None, :]
+    j = np.ones(8, dtype=int)[:, None] * np.arange(8)[None, :]
+    idx = [i + j, i + j // 2, i, 3 + i - j // 2, 7 + i - j,
+           3 - i // 2 + j, j, i // 2 + j]
+    global _DIR_PROJ
+    try:
+        proj = _DIR_PROJ
+    except NameError:
+        proj = np.zeros((8, 15, 64), dtype=np.int64)
+        for d in range(8):
+            flat = idx[d].reshape(-1)
+            for k, t in enumerate(flat):
+                proj[d, t, k] = 1
+        _DIR_PROJ = proj
+    part = np.einsum("dtk,bk->bdt", proj, x.reshape(B, 64))
+    cost = np.zeros((B, 8), dtype=np.int64)
+    for d in (2, 6):
+        cost[:, d] = np.sum(part[:, d, :8] ** 2, axis=1) * _DIV_TABLE[8]
+    for d in (0, 4):
+        c = np.sum((part[:, d, :7] ** 2 + part[:, d, 14:7:-1] ** 2)
+                   * _DIV_TABLE[1:8], axis=1)
+        cost[:, d] = c + part[:, d, 7] ** 2 * _DIV_TABLE[8]
+    for d in (1, 3, 5, 7):
+        c = np.sum(part[:, d, 3:8] ** 2, axis=1) * _DIV_TABLE[8]
+        cost[:, d] = c + np.sum(
+            (part[:, d, :3] ** 2 + part[:, d, 10:7:-1] ** 2)
+            * _DIV_TABLE[2:8:2], axis=1)
+    best = np.argmax(cost, axis=1)
+    bc = np.take_along_axis(cost, best[:, None], axis=1)[:, 0]
+    oc = np.take_along_axis(cost, ((best + 4) & 7)[:, None], axis=1)[:, 0]
+    return best.astype(np.int32), ((bc - oc) >> 10).astype(np.int64)
+
+
+def filter_blocks_batch(src: np.ndarray, ys, xs, h: int, w: int, pri,
+                        sec, dirs, pri_damping: int, sec_damping: int,
+                        coeff_shift: int) -> np.ndarray:
+    """Batched filter_block: per-block strengths/directions, all blocks
+    in one pass (identical math; src is the padded pre-CDEF copy so
+    blocks are independent)."""
+    B = len(ys)
+    ys = np.asarray(ys)
+    xs = np.asarray(xs)
+    pri = np.asarray(pri, dtype=np.int64)
+    sec = np.asarray(sec, dtype=np.int64)
+    dirs = np.asarray(dirs, dtype=np.int64)
+    Wp = src.shape[1]
+    flat = src.reshape(-1).astype(np.int64)
+    iy = ys[:, None, None] + np.arange(-3, h + 3)[None, :, None] + 3
+    ix = xs[:, None, None] + np.arange(-3, w + 3)[None, None, :] + 3
+    win = flat[(iy * Wp + ix).reshape(B, -1)].reshape(B, h + 6, w + 6)
+    x = win[:, 3:3 + h, 3:3 + w]
+    tap_idx = (pri >> coeff_shift) & 1
+    offs = np.array(DIR_OFFSETS, dtype=np.int64)       # [8, 2, 2]
+    d_off = offs[dirs]                                  # [B, 2, 2]
+    pri_t = np.array(PRI_TAPS, dtype=np.int64)[tap_idx]  # [B, 2]
+    sec_t = np.array(SEC_TAPS, dtype=np.int64)[tap_idx]
+    s_acc = np.zeros((B, h, w), dtype=np.int64)
+    mx = x.copy()
+    mn = x.copy()
+
+    def gather(dy, dx):
+        gy = iy[:, 3:3 + h, :1] + dy[:, None, None]
+        gx = ix[:, :1, 3:3 + w] + dx[:, None, None]
+        return flat[(gy * Wp + gx).reshape(B, -1)].reshape(B, h, w)
+
+    def constrain_arr(diff, thr, damping):
+        thr = np.asarray(thr)
+        shift = np.maximum(0, damping - np.where(
+            thr > 0, np.floor(np.log2(np.maximum(thr, 1))), 0)
+            .astype(np.int64))
+        v = np.minimum(np.abs(diff),
+                       np.maximum(0, thr - (np.abs(diff) >> shift)))
+        return np.where(thr == 0, 0, np.sign(diff) * v)
+
+    pb = pri[:, None, None]
+    sb = sec[:, None, None]
+    for k in range(2):
+        pt = pri_t[:, k, None, None]
+        st = sec_t[:, k, None, None]
+        for sgn in (1, -1):
+            p = gather(sgn * d_off[:, k, 0], sgn * d_off[:, k, 1])
+            s_acc += pt * constrain_arr(p - x, pb, pri_damping)
+            mx = np.maximum(mx, np.where(p == CDEF_VERY_LARGE, mx, p))
+            mn = np.minimum(mn, p)
+            for od in (2, 6):
+                d2 = offs[(dirs + od) & 7]
+                q = gather(sgn * d2[:, k, 0], sgn * d2[:, k, 1])
+                s_acc += st * constrain_arr(q - x, sb, sec_damping)
+                mx = np.maximum(mx, np.where(q == CDEF_VERY_LARGE, mx, q))
+                mn = np.minimum(mn, q)
+    out = x + ((8 + s_acc - (s_acc < 0)) >> 4)
+    return np.clip(out, mn, mx)
+
+
 def cdef_frame(recon_planes, skip8: np.ndarray, cdef_idx: np.ndarray,
                y_strengths, uv_strengths, damping: int, mi_rows: int,
                mi_cols: int, bd: int = 8) -> None:
@@ -146,6 +245,8 @@ def cdef_frame(recon_planes, skip8: np.ndarray, cdef_idx: np.ndarray,
             _padded_copy(recon_planes[2], w_eff // 2, h_eff // 2)]
     h8, w8 = (h_eff + 7) // 8, (w_eff + 7) // 8
     sb_rows, sb_cols = cdef_idx.shape
+    # collect every non-skip 8x8 of every coded SB with its strengths
+    bys, bxs, lvls, secs, ulvls, usecs = [], [], [], [], [], []
     for sbr in range(sb_rows):
         for sbc in range(sb_cols):
             idx = int(cdef_idx[sbr, sbc])
@@ -163,33 +264,51 @@ def cdef_frame(recon_planes, skip8: np.ndarray, cdef_idx: np.ndarray,
                 for bx in range(sbc * 8, min(sbc * 8 + 8, w8)):
                     if skip8[by, bx]:
                         continue
-                    d, var = find_dir(
-                        srcs[0][3 + by * 8:11 + by * 8,
-                                3 + bx * 8:11 + bx * 8], cs)
-                    pri = adjust_strength(lvl << cs, var)
-                    if (lvl << cs) == 0:
-                        d = 0
-                    out = filter_block(srcs[0], 3 + by * 8, 3 + bx * 8,
-                                       8, 8, pri, sec << cs, d,
-                                       damping + cs, damping + cs, cs)
-                    yl = min(8, h_eff - by * 8)
-                    xl = min(8, w_eff - bx * 8)
-                    recon_planes[0][by * 8:by * 8 + yl,
-                                    bx * 8:bx * 8 + xl] = \
-                        np.clip(out[:yl, :xl], 0, (1 << bd) - 1)
-                    if uv_lvl == 0 and uv_sec == 0:
-                        continue
-                    duv = d if (uv_lvl << cs) else 0
-                    for p in (1, 2):
-                        outc = filter_block(
-                            srcs[p], 3 + by * 4, 3 + bx * 4, 4, 4,
-                            uv_lvl << cs, uv_sec << cs, duv,
-                            damping + cs - 1, damping + cs - 1, cs)
-                        cyl = min(4, h_eff // 2 - by * 4)
-                        cxl = min(4, w_eff // 2 - bx * 4)
-                        recon_planes[p][by * 4:by * 4 + cyl,
-                                        bx * 4:bx * 4 + cxl] = \
-                            np.clip(outc[:cyl, :cxl], 0, (1 << bd) - 1)
+                    bys.append(by)
+                    bxs.append(bx)
+                    lvls.append(lvl)
+                    secs.append(sec)
+                    ulvls.append(uv_lvl)
+                    usecs.append(uv_sec)
+    if not bys:
+        return
+    bys = np.array(bys)
+    bxs = np.array(bxs)
+    lvls = np.array(lvls, dtype=np.int64)
+    secs = np.array(secs, dtype=np.int64)
+    ulvls = np.array(ulvls, dtype=np.int64)
+    usecs = np.array(usecs, dtype=np.int64)
+    B = len(bys)
+    blk = np.stack([srcs[0][3 + y * 8:11 + y * 8, 3 + x * 8:11 + x * 8]
+                    for y, x in zip(bys, bxs)])
+    dirs, var = find_dir_batch(blk, cs)
+    pris = np.array([adjust_strength(int(lvls[i]) << cs, int(var[i]))
+                     for i in range(B)], dtype=np.int64)
+    dirs = np.where((lvls << cs) == 0, 0, dirs)
+    out = filter_blocks_batch(srcs[0], bys * 8, bxs * 8, 8, 8, pris,
+                              secs << cs, dirs, damping + cs,
+                              damping + cs, cs)
+    peak = (1 << bd) - 1
+    for i in range(B):
+        yl = min(8, h_eff - int(bys[i]) * 8)
+        xl = min(8, w_eff - int(bxs[i]) * 8)
+        recon_planes[0][bys[i] * 8:bys[i] * 8 + yl,
+                        bxs[i] * 8:bxs[i] * 8 + xl] = \
+            np.clip(out[i, :yl, :xl], 0, peak)
+    csel = np.nonzero((ulvls > 0) | (usecs > 0))[0]
+    if len(csel):
+        duv = np.where((ulvls[csel] << cs) != 0, dirs[csel], 0)
+        for p in (1, 2):
+            outc = filter_blocks_batch(
+                srcs[p], bys[csel] * 4, bxs[csel] * 4, 4, 4,
+                ulvls[csel] << cs, usecs[csel] << cs, duv,
+                damping + cs - 1, damping + cs - 1, cs)
+            for j, i in enumerate(csel):
+                cyl = min(4, h_eff // 2 - int(bys[i]) * 4)
+                cxl = min(4, w_eff // 2 - int(bxs[i]) * 4)
+                recon_planes[p][bys[i] * 4:bys[i] * 4 + cyl,
+                                bxs[i] * 4:bxs[i] * 4 + cxl] = \
+                    np.clip(outc[j, :cyl, :cxl], 0, peak)
 
 
 def cdef_search(recon_planes, src_planes, skip8, mi_rows: int, mi_cols: int,
@@ -203,37 +322,79 @@ def cdef_search(recon_planes, src_planes, skip8, mi_rows: int, mi_cols: int,
     cdef_idx = np.full((sb_rows, sb_cols), -1, dtype=np.int32)
     w_eff, h_eff = mi_cols * 4, mi_rows * 4
     h8, w8 = (h_eff + 7) // 8, (w_eff + 7) // 8
+    cs = bd - 8
+    srcs = [_padded_copy(recon_planes[0], w_eff, h_eff),
+            _padded_copy(recon_planes[1], w_eff // 2, h_eff // 2),
+            _padded_copy(recon_planes[2], w_eff // 2, h_eff // 2)]
+    # all non-skip blocks of the frame + their SBs
+    bys, bxs, sbids = [], [], []
     for sbr in range(sb_rows):
         for sbc in range(sb_cols):
-            blocks = [(by, bx)
-                      for by in range(sbr * 8, min(sbr * 8 + 8, h8))
-                      for bx in range(sbc * 8, min(sbc * 8 + 8, w8))
-                      if not skip8[by, bx]]
-            if not blocks:
-                continue  # all-skip SB: no cdef_idx coded
-            best_i, best_sse = 0, None
-            for i in range(len(y_str)):
-                planes = [recon_planes[0].copy(), recon_planes[1].copy(),
-                          recon_planes[2].copy()]
-                one = np.full((sb_rows, sb_cols), -1, dtype=np.int32)
-                one[sbr, sbc] = i
-                cdef_frame(planes, skip8, one, y_str, uv_str, damping,
-                           mi_rows, mi_cols, bd)
-                sse = 0
-                y0, x0 = sbr * 64, sbc * 64
-                yl = min(64, h_eff - y0)
-                xl = min(64, w_eff - x0)
-                d = planes[0][y0:y0 + yl, x0:x0 + xl].astype(np.int64) \
-                    - src_planes[0][y0:y0 + yl, x0:x0 + xl]
-                sse += int(np.sum(d * d))
-                for p in (1, 2):
-                    dc = planes[p][y0 // 2:y0 // 2 + yl // 2,
-                                   x0 // 2:x0 // 2 + xl // 2] \
-                        .astype(np.int64) \
-                        - src_planes[p][y0 // 2:y0 // 2 + yl // 2,
-                                        x0 // 2:x0 // 2 + xl // 2]
-                    sse += int(np.sum(dc * dc))
-                if best_sse is None or sse < best_sse:
-                    best_i, best_sse = i, sse
-            cdef_idx[sbr, sbc] = best_i
+            for by in range(sbr * 8, min(sbr * 8 + 8, h8)):
+                for bx in range(sbc * 8, min(sbc * 8 + 8, w8)):
+                    if not skip8[by, bx]:
+                        bys.append(by)
+                        bxs.append(bx)
+                        sbids.append(sbr * sb_cols + sbc)
+    if not bys:
+        return cdef_idx, y_str, uv_str, damping
+    bys = np.array(bys)
+    bxs = np.array(bxs)
+    sbids = np.array(sbids)
+    B = len(bys)
+    blk = np.stack([srcs[0][3 + y * 8:11 + y * 8, 3 + x * 8:11 + x * 8]
+                    for y, x in zip(bys, bxs)])
+    dirs0, var = find_dir_batch(blk, cs)
+
+    def block_sse(plane_out, src_plane, yy, xx, blkdim, hmax, wmax):
+        sse = np.zeros(len(yy), dtype=np.int64)
+        for i in range(len(yy)):
+            yl = min(blkdim, hmax - int(yy[i]) * blkdim)
+            xl = min(blkdim, wmax - int(xx[i]) * blkdim)
+            d = plane_out[i, :yl, :xl].astype(np.int64) \
+                - src_plane[yy[i] * blkdim:yy[i] * blkdim + yl,
+                            xx[i] * blkdim:xx[i] * blkdim + xl]
+            sse[i] = np.sum(d * d)
+        return sse
+
+    n_sb = sb_rows * sb_cols
+    totals = np.zeros((len(y_str), n_sb), dtype=np.int64)
+    for i in range(len(y_str)):
+        lvl = y_str[i] // 4
+        sec = y_str[i] % 4
+        sec += int(sec == 3)
+        uv_lvl = uv_str[i] // 4
+        uv_sec = uv_str[i] % 4
+        uv_sec += int(uv_sec == 3)
+        pris = np.array([adjust_strength(lvl << cs, int(v))
+                         for v in var], dtype=np.int64)
+        dd = dirs0 if (lvl << cs) else np.zeros(B, dtype=np.int64)
+        out = filter_blocks_batch(srcs[0], bys * 8, bxs * 8, 8, 8, pris,
+                                  np.full(B, sec << cs), dd,
+                                  damping + cs, damping + cs, cs)
+        out = np.clip(out, 0, (1 << bd) - 1)
+        sse = block_sse(out, src_planes[0].astype(np.int64), bys, bxs, 8,
+                        h_eff, w_eff)
+        if uv_lvl or uv_sec:
+            duv = dirs0 if (uv_lvl << cs) else np.zeros(B, dtype=np.int64)
+            for p in (1, 2):
+                outc = filter_blocks_batch(
+                    srcs[p], bys * 4, bxs * 4, 4, 4,
+                    np.full(B, uv_lvl << cs), np.full(B, uv_sec << cs),
+                    duv, damping + cs - 1, damping + cs - 1, cs)
+                outc = np.clip(outc, 0, (1 << bd) - 1)
+                sse += block_sse(outc, src_planes[p].astype(np.int64),
+                                 bys, bxs, 4, h_eff // 2, w_eff // 2)
+        else:
+            for p in (1, 2):
+                unf = np.stack([
+                    srcs[p][3 + y * 4:7 + y * 4, 3 + x * 4:7 + x * 4]
+                    for y, x in zip(bys, bxs)])
+                unf = np.clip(unf, 0, (1 << bd) - 1)
+                sse += block_sse(unf, src_planes[p].astype(np.int64),
+                                 bys, bxs, 4, h_eff // 2, w_eff // 2)
+        np.add.at(totals[i], sbids, sse)
+    coded = np.unique(sbids)
+    best = np.argmin(totals[:, coded], axis=0)
+    cdef_idx.reshape(-1)[coded] = best.astype(np.int32)
     return cdef_idx, y_str, uv_str, damping
