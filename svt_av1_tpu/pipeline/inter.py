@@ -88,6 +88,9 @@ class InterFrameEncoder:
         self.inter_cost = np.zeros(n)
         self.block_comp = np.zeros(n, dtype=bool)
         self.mvs1 = np.zeros((n, 2), dtype=np.int64)
+        self.intra_uv_cfl = np.zeros(n, dtype=bool)
+        self.intra_alpha_u = np.zeros(n, dtype=np.int64)
+        self.intra_alpha_v = np.zeros(n, dtype=np.int64)
         self.reference_select = alt_planes is not None
 
         self.qmap = None
@@ -399,7 +402,13 @@ class InterFrameEncoder:
         mode_bits = 6.0  # is_inter + y/uv mode signaling estimate
         for (r, c, size) in leaves:
             li = self.leaf_index[(r, c)]
-            if costs[li] <= thr:
+            _bw, _bh = common.leaf_wh(size)
+            # evaluate when clearly worse than the frame's typical block
+            # OR in absolute terms (~1 bit/px of estimated cost — a full
+            # scene change makes every block bad, so a relative rule
+            # alone never fires)
+            abs_thr = self._qp_for(None)[1] * (_bw * _bh) / 256.0 * 16.0
+            if costs[li] <= thr and costs[li] <= abs_thr:
                 continue
             x, y = c * 4, r * 4
             bw, bh = common.leaf_wh(size)
@@ -438,27 +447,68 @@ class InterFrameEncoder:
             self.qcoeff[0][li] = qc_y
             self.eobs[0, li] = eo_y
             self.recon[0][y:y + bh, x:x + bw] = rec_y
-            # chroma follows luma mode (no CfL in inter frames yet)
+            # chroma: luma mode vs CfL candidate (cfl_allowed <= 32x32)
+            from svt_av1_tpu.ops import cfl as cfl_ops
             cw2, ch2 = bw >> 1, bh >> 1
             tx_uv = common.tx_size_for_rect(cw2, ch2, 1)
             cx, cy = x >> 1, y >> 1
+            cfl_ok = bw <= 32 and bh <= 32
+            ac = dc_map = None
+            if cfl_ok:
+                luma = self.recon[0][y:y + bh, x:x + bw][None] \
+                    .astype(np.int64)
+                ac = cfl_ops.luma_ac_420(luma)
+            alphas = [0, 0]
+            use_cfl = False
+            results = {}
             for p in (1, 2):
                 a1, l1 = intra_ops.prepare_edges_av1(
                     self.recon[p], np.array([cx]), np.array([cy]), cw2,
                     ch2, ha, hl, htr, hbl, bd=cfg.bit_depth,
                     max_w=self.mi_cols * 2, max_h=self.mi_rows * 2)
+                srcs_c = self.src[p][cy:cy + ch2,
+                                     cx:cx + cw2][None].astype(np.int64)
                 pred = intra_ops.predict_any(
                     m, 0, a1, l1, cw2, ch2, ha, hl,
                     bd=cfg.bit_depth).astype(np.int64)
-                srcs_c = self.src[p][cy:cy + ch2,
-                                     cx:cx + cw2][None].astype(np.int64)
                 tt_u = common.chroma_tx_type(m, tx_uv, False)
-                qc, eo, rec, _, _ = md._full_loop(
+                qc, eo, rec, dist, rate = md._full_loop(
                     srcs_c, pred, np.full(1, tt_u, dtype=np.int32), tx_uv,
                     (cw2, ch2), qp, cfg.bit_depth)
-                self.qcoeff[p][li] = qc[0]
-                self.eobs[p, li] = int(eo[0])
-                self.recon[p][cy:cy + ch2, cx:cx + cw2] = rec[0]
+                cand = {"mode": (qc[0], int(eo[0]), rec[0],
+                                 float(dist[0] + lam * rate[0]))}
+                if cfl_ok:
+                    dc = intra_ops.predict(
+                        0, a1[:, 1:], l1[:, 1:], a1[:, 0], cw2, ch2,
+                        have_above=ha, have_left=hl, bd=cfg.bit_depth)
+                    alpha = cfl_ops.fit_alpha(ac, srcs_c, dc)
+                    cpred = cfl_ops.predict(dc, ac, alpha,
+                                            bd=cfg.bit_depth)
+                    qc2, eo2, rec2, dist2, rate2 = md._full_loop(
+                        srcs_c, cpred.astype(np.int64),
+                        np.zeros(1, dtype=np.int32), tx_uv, (cw2, ch2),
+                        qp, cfg.bit_depth)
+                    cand["cfl"] = (qc2[0], int(eo2[0]), rec2[0],
+                                   float(dist2[0] + lam * (rate2[0] + 4)),
+                                   int(alpha[0]))
+                results[p] = cand
+            if cfl_ok and "cfl" in results[1]:
+                cost_mode = results[1]["mode"][3] + results[2]["mode"][3]
+                cost_cfl = results[1]["cfl"][3] + results[2]["cfl"][3]
+                use_cfl = cost_cfl < cost_mode and not (
+                    results[1]["cfl"][4] == 0
+                    and results[2]["cfl"][4] == 0)
+            self.intra_uv_cfl[li] = use_cfl
+            for p in (1, 2):
+                sel = results[p]["cfl"] if use_cfl else results[p]["mode"]
+                self.qcoeff[p][li] = sel[0]
+                self.eobs[p, li] = sel[1]
+                self.recon[p][cy:cy + ch2, cx:cx + cw2] = sel[2]
+                if use_cfl:
+                    alphas[p - 1] = sel[4]
+            if use_cfl:
+                self.intra_alpha_u[li] = alphas[0]
+                self.intra_alpha_v[li] = alphas[1]
 
     # --- sequential syntax pass ----------------------------------------------
     def _syntax_pass(self) -> bytes:
@@ -702,10 +752,17 @@ class InterFrameEncoder:
                                              max(bw, bh), m)
         if intra_dir.is_directional(m):
             mode_syntax.write_angle_delta(self.w, self.fc, m, 0)
-        mode_syntax.write_intra_chroma_mode(self.w, self.fc, m, m,
-                                            bw <= 32 and bh <= 32)
-        if intra_dir.is_directional(m):
-            mode_syntax.write_angle_delta(self.w, self.fc, m, 0)
+        cfl_allowed = bw <= 32 and bh <= 32
+        uv_mode = 13 if self.intra_uv_cfl[li] else m
+        mode_syntax.write_intra_chroma_mode(self.w, self.fc, uv_mode, m,
+                                            cfl_allowed)
+        if uv_mode == 13:
+            from svt_av1_tpu.ops import cfl as cfl_ops
+            cfl_ops.write_cfl_alphas(self.w, self.fc,
+                                     int(self.intra_alpha_u[li]),
+                                     int(self.intra_alpha_v[li]))
+        elif intra_dir.is_directional(uv_mode):
+            mode_syntax.write_angle_delta(self.w, self.fc, uv_mode, 0)
         self.ctxs.set_mi(mi_row, mi_col, bsize, m, skip)
         self.mvp_state.set_block(mi_row, mi_col, bw >> 2,
                                  mvp.INTRA_FRAME, (0, 0), 0, h4=bh >> 2)
@@ -713,7 +770,7 @@ class InterFrameEncoder:
         x, y = mi_col * 4, mi_row * 4
         tx_y = common.tx_size_for_rect(bw, bh, 0)
         tx_uv = common.tx_size_for_rect(cw, ch, 1)
-        tt_u = common.chroma_tx_type(m, tx_uv, False)
+        tt_u = common.chroma_tx_type(uv_mode, tx_uv, False)
         plane_info = [(0, x, y, tx_y, DCT_DCT, bsize),
                       (1, x >> 1, y >> 1, tx_uv, tt_u,
                        common.rect_bsize(cw, ch)),
@@ -728,6 +785,6 @@ class InterFrameEncoder:
             cul = coeff_syntax.write_coeffs_txb(
                 self.w, self.fc, self.qcoeff[p][li], ts, tt,
                 plane_type=int(p > 0), txb_skip_ctx=skip_ctx,
-                dc_sign_ctx=sign_ctx, intra_dir=m,
+                dc_sign_ctx=sign_ctx, intra_dir=m if p == 0 else uv_mode,
                 base_qindex=cfg.base_q_idx)
             self.ctxs.update_txb_ctx(p, x4, y4, ts, cul)

@@ -226,3 +226,39 @@ def test_inter_partition_rd_adapts_to_motion():
     for p in range(3):
         hh, ww = out[p].shape
         assert (out[p] == rec[p][:hh, :ww]).all()
+
+
+def test_intra_in_inter_cfl_on_scene_change():
+    """Full scene change without a keyframe: every block should flip to
+    intra (absolute cost trigger) and luma-derived chroma should elect
+    CfL; the stream must decode byte-exactly."""
+    import numpy as np
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.inter import InterFrameEncoder
+    from svt_av1_tpu.pipeline.wavefront import WavefrontIntraEncoder
+    rng = np.random.RandomState(77)
+    h, w = 128, 192
+    f0y = rng.randint(30, 220, (h, w)).astype(np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    f1y = np.clip(128 + 90 * np.sin(yy / 6.0) * np.cos(xx / 5.0),
+                  0, 255).astype(np.uint8)
+    u0 = np.full((64, 96), 100, np.uint8)
+    v0 = np.full((64, 96), 140, np.uint8)
+    lu = f1y.reshape(64, 2, 96, 2).mean(axis=(1, 3))
+    u1 = np.clip(60 + 0.6 * lu, 0, 255).astype(np.uint8)
+    v1 = np.clip(200 - 0.5 * lu, 0, 255).astype(np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=40, intra_period=16,
+                        scene_change_detection=False)
+    kf = WavefrontIntraEncoder(cfg)
+    ktu, _, _ = kf.encode(f0y, u0, v0)
+    ie = InterFrameEncoder(cfg, kf.seq)
+    tu, rec = ie.encode(f1y, u1, v1, kf.recon)
+    assert (~ie.block_is_inter).sum() > 50
+    assert ie.intra_uv_cfl.sum() > 20
+    dec = StreamDecoder()
+    dec.decode_tu(ktu)
+    out = dec.decode_tu(tu)
+    for p in range(3):
+        hh, ww = out[p].shape
+        assert (out[p] == rec[p][:hh, :ww]).all(), f"plane {p}"
