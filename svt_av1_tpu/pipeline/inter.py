@@ -385,7 +385,6 @@ class InterFrameEncoder:
             self.gm_mv[ref] = mv
 
     # --- intra-in-inter (sequential, coding order) ---------------------------
-    _INTRA_CAND_MODES = (0, 1, 2, 9, 12)  # DC, V, H, SMOOTH, PAETH
 
     def _intra_flip_pass(self, leaves) -> None:
         """Re-decide poorly-predicted blocks as intra (the reference's MD
@@ -429,7 +428,8 @@ class InterFrameEncoder:
                 max_w=self.mi_cols * 4, max_h=self.mi_rows * 4)
             src = self.src[0][y:y + bh, x:x + bw][None].astype(np.int64)
             best = None
-            for m in self._INTRA_CAND_MODES:
+            cand_modes = tuple(cfg.intra_modes) or (0,)
+            for m in cand_modes:
                 pred = intra_ops.predict_any(
                     m, 0, above1, left1, bw, bh, ha, hl,
                     bd=cfg.bit_depth).astype(np.int64)
