@@ -64,20 +64,35 @@ def _exhaustive(ref_padded, cur_plane, xs, ys, size, centers, radius):
     ya = np.asarray(ys)
     for (cy, cx) in uniq:
         sel = np.nonzero((centers[:, 0] == cy) & (centers[:, 1] == cx))[0]
+        # direct window sums beat a full-frame integral image when the
+        # blocks under this center cover a small fraction of the plane
+        direct = len(sel) * bw * bh * 4 < H * W
+        ys_s, xs_s = ya[sel], xa[sel]
+        if direct:
+            curs = np.stack([cur[y:y + bh, x:x + bw]
+                             for y, x in zip(ys_s, xs_s)])
         for dy in range(cy - radius, cy + radius + 1):
             if not (-pad < dy < pad):
                 continue
             for dx in range(cx - radius, cx + radius + 1):
                 if not (-pad < dx < pad):
                     continue
-                shifted = ref_padded[pad + dy:pad + dy + H,
-                                     pad + dx:pad + dx + W].astype(np.int32)
-                d = np.abs(cur - shifted)
-                ii = np.zeros((H + 1, W + 1), dtype=np.int64)
-                ii[1:, 1:] = d.cumsum(0).cumsum(1)
-                y0, x0 = ya[sel], xa[sel]
-                sad = (ii[y0 + bh, x0 + bw] - ii[y0, x0 + bw]
-                       - ii[y0 + bh, x0] + ii[y0, x0])
+                if direct:
+                    refs = np.stack([
+                        ref_padded[pad + dy + y:pad + dy + y + bh,
+                                   pad + dx + x:pad + dx + x + bw]
+                        for y, x in zip(ys_s, xs_s)]).astype(np.int32)
+                    sad = np.abs(curs - refs).sum(axis=(1, 2)) \
+                        .astype(np.int64)
+                else:
+                    shifted = ref_padded[pad + dy:pad + dy + H,
+                                         pad + dx:pad + dx + W] \
+                        .astype(np.int32)
+                    d = np.abs(cur - shifted)
+                    ii = np.zeros((H + 1, W + 1), dtype=np.int64)
+                    ii[1:, 1:] = d.cumsum(0).cumsum(1)
+                    sad = (ii[ys_s + bh, xs_s + bw] - ii[ys_s, xs_s + bw]
+                           - ii[ys_s + bh, xs_s] + ii[ys_s, xs_s])
                 better = sad < best_cost[sel]
                 idx = sel[better]
                 best_cost[idx] = sad[better]

@@ -217,9 +217,25 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
              if cfg.min_partition_size <= s <= cfg.max_partition_size]
     if 64 not in sizes:
         sizes = [64] + sizes
-    def depth_cost(xs, ys, wh):
+    seed_map = {}
+
+    def depth_cost(xs, ys, wh, seeds=None):
+        """Per-block ME cost. ``seeds``: [B, 2] full-pel centers from a
+        coarser depth — a +-3 refinement around the parent MV replaces a
+        fresh HME (one full HME at the root is enough; children refine,
+        the reference's HME seeding pattern)."""
         bw, bh = common.leaf_wh(wh)
-        mvs, _ = me.fullpel_search(ref_core, src, xs, ys, wh)
+        if seeds is None:
+            mvs, _ = me.fullpel_search(ref_core, src, xs, ys, wh)
+        else:
+            cands = np.concatenate([seeds, np.zeros_like(seeds)])
+            xs2 = np.concatenate([xs, xs])
+            ys2 = np.concatenate([ys, ys])
+            mv2, cost2 = me._exhaustive(ref_core, src, xs2, ys2, wh,
+                                        cands, 3)
+            n = len(xs)
+            better = cost2[n:] < cost2[:n]
+            mvs = np.where(better[:, None], mv2[n:], mv2[:n])
         sse = np.empty(len(xs), dtype=np.float64)
         for i, (x, y0) in enumerate(zip(xs, ys)):
             ry = int(y0 + mvs[i, 0]) + pad
@@ -230,20 +246,26 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
         # per-leaf floor: mode/mv/skip/chroma syntax (same calibration as
         # the intra DP) + a nonzero-mv surcharge
         mv_bits = 4.0 + 0.5 * (np.abs(mvs).sum(axis=1) > 0)
-        return sse + lam * (12.0 + mv_bits)
+        return sse + lam * (12.0 + mv_bits), mvs
 
     cost = {}
     rect_cost = {}
     srcf = src.astype(np.int64)
+    parent_mvs = None   # [rows, cols, 2] of the previous (coarser) depth
     for size in sizes:
         xs, ys = _block_grid(w_eff, h_eff, size)
-        cost[size] = depth_cost(xs, ys, size).reshape(
-            (h_eff + size - 1) // size, (w_eff + size - 1) // size)
+        rows = (h_eff + size - 1) // size
+        cols = (w_eff + size - 1) // size
+        seeds = None
+        if parent_mvs is not None:
+            seeds = parent_mvs[(ys // (size * 2)).astype(int),
+                               (xs // (size * 2)).astype(int)]
+        c, mvs = depth_cost(xs, ys, size, seeds)
+        cost[size] = c.reshape(rows, cols)
+        parent_mvs = mvs.reshape(rows, cols, 2)
         if cfg.enable_rect_partitions and size >= 16:
             half = size // 2
-            rows = (h_eff + size - 1) // size
-            cols = (w_eff + size - 1) // size
-            gx, gy = _block_grid(w_eff, h_eff, size)
+            gx, gy = xs, ys
             for key, wh, dx, dy in (("h", (size, half), 0, half),
                                     ("v", (half, size), half, 0)):
                 xs2 = np.concatenate([gx, gx + dx])
@@ -251,13 +273,15 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
                 pw = src.shape[1]
                 ph = src.shape[0]
                 ok = (xs2 + wh[0] <= pw) & (ys2 + wh[1] <= ph)
-                c = np.full(len(xs2), np.inf)
+                c2 = np.full(len(xs2), np.inf)
                 sel = np.nonzero(ok)[0]
                 if len(sel):
-                    c[sel] = depth_cost(xs2[sel], ys2[sel], wh)
+                    rseeds = np.concatenate([mvs, mvs])[sel]
+                    c2[sel], _ = depth_cost(xs2[sel], ys2[sel], wh,
+                                            rseeds)
                 n = len(gx)
-                rect_cost[(size, key)] = (c[:n] + c[n:]).reshape(rows,
-                                                                 cols)
+                rect_cost[(size, key)] = (c2[:n] + c2[n:]).reshape(rows,
+                                                                  cols)
 
     min_size = sizes[-1]
     best = cost[min_size].copy()
