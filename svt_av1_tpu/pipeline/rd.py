@@ -82,7 +82,14 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
     w_eff, h_eff = mi_cols * 4, mi_rows * 4
     qp = quant_ops.make_quant_params(cfg.base_q_idx,
                                      bit_depth=cfg.bit_depth)
-    cands = common.intra_candidates(cfg)
+    # the DP's open-loop scores only shape the tree; a trimmed candidate
+    # set (no angle sweep, core modes) keeps the estimates faithful at a
+    # fraction of the cost — the final encode re-decides closed-loop with
+    # the full configured set
+    cands = [c for c in common.intra_candidates(cfg)
+             if c[1] == 0 and c[0] in (0, 1, 2, 3, 7, 9, 12)]
+    if not cands:
+        cands = common.intra_candidates(cfg)
     sizes = [s for s in (64, 32, 16, 8)
              if cfg.min_partition_size <= s <= cfg.max_partition_size]
     if 64 not in sizes:
