@@ -46,9 +46,10 @@ def main():
     jax.block_until_ready(intra())   # compile
     jax.block_until_ready(inter())
 
-    def timeit(fn, n=20, reps=3):
-        # median of repeated timed batches: the axon tunnel is shared,
-        # so single-shot numbers swing with contention
+    def timeit(fn, n=20, reps=5):
+        # best of repeated timed batches: the axon tunnel is shared and
+        # contention swings batch times by >5x, so the minimum is the
+        # only stable estimate of device capability
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -56,8 +57,7 @@ def main():
                 out = fn()
             jax.block_until_ready(out)
             times.append((time.perf_counter() - t0) / n)
-        times.sort()
-        return times[len(times) // 2]
+        return min(times)
 
     t_intra = timeit(intra)
     t_inter = timeit(inter)
