@@ -16,7 +16,8 @@ import argparse
 import sys
 import time
 
-from svt_av1_tpu.bitstream.ivf import write_ivf_frame, write_ivf_header
+from svt_av1_tpu.bitstream.ivf import (patch_ivf_frame_count,
+                                       write_ivf_frame, write_ivf_header)
 from svt_av1_tpu.config import EncoderConfig
 from svt_av1_tpu.pipeline.encoder import Encoder
 from svt_av1_tpu.utils import yuv
@@ -216,6 +217,7 @@ def main_single(args) -> int:
                 drain(out)
             enc.flush()
             drain(out)
+        patch_ivf_frame_count(out, n)
     dt = time.perf_counter() - t0
     if recon_fh is not None:
         recon_fh.close()

@@ -18,6 +18,15 @@ def write_ivf_header(fh: BinaryIO, width: int, height: int,
     fh.write(b"\x00\x00\x00\x00")  # unused
 
 
+def patch_ivf_frame_count(fh: BinaryIO, frame_count: int) -> None:
+    """Back-patch the header frame count at EOS (reference app behavior:
+    EbAppProcessCmd.c update of the stream header once totals are known)."""
+    pos = fh.tell()
+    fh.seek(24)
+    fh.write(struct.pack("<I", frame_count))
+    fh.seek(pos)
+
+
 def write_ivf_frame(fh: BinaryIO, payload: bytes, pts: int) -> None:
     fh.write(struct.pack("<IQ", len(payload), pts))
     fh.write(payload)

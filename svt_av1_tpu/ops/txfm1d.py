@@ -75,9 +75,10 @@ def _flat_stages(key: str, cos_bit: int):
         w0[i] = np.where(is_btf, np.sign(sw0) * cospi[np.abs(sw0) - 1], sw0)
         w1[i] = np.where(is_btf, np.sign(sw1) * cospi[np.abs(sw1) - 1], sw1)
         kd[i] = sk
-    return (np.ascontiguousarray(a), np.ascontiguousarray(b),
-            np.ascontiguousarray(w0), np.ascontiguousarray(w1),
-            np.ascontiguousarray(kd), ns, n)
+    arrs = tuple(np.ascontiguousarray(v) for v in (a, b, w0, w1, kd))
+    # raw data pointers cached with the (referenced, hence live) arrays
+    # so the hot path skips per-call ctypes pointer construction
+    return arrs, tuple(v.ctypes.data for v in arrs), ns, n
 
 
 _NATIVE = None
@@ -87,8 +88,17 @@ def _native_lib():
     global _NATIVE
     if _NATIVE is None:
         try:
+            import ctypes
             from svt_av1_tpu import native
-            _NATIVE = native.lib()
+            lib = native.lib()
+            lib.svt_txfm_exec.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                          ctypes.c_int, ctypes.c_int,
+                                          ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_void_p, ctypes.c_int,
+                                          ctypes.c_int]
+            lib.svt_txfm_exec.restype = None
+            _NATIVE = lib
         except Exception:
             _NATIVE = False
     return _NATIVE
@@ -96,19 +106,11 @@ def _native_lib():
 
 def exec_network_native(x: np.ndarray, key: str, cos_bit: int,
                         clamp_bit: int) -> np.ndarray:
-    import ctypes
     lib = _native_lib()
-    a, b, w0, w1, kd, ns, n = _flat_stages(key, cos_bit)
+    _arrs, (pa, pb, pw0, pw1, pkd), ns, n = _flat_stages(key, cos_bit)
     out = np.ascontiguousarray(x, dtype=np.int64)
-    lib.svt_txfm_exec(
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        out.shape[0], n, ns,
-        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        w0.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        w1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        kd.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-        cos_bit, max(clamp_bit, 2))
+    lib.svt_txfm_exec(out.ctypes.data, out.shape[0], n, ns,
+                      pa, pb, pw0, pw1, pkd, cos_bit, max(clamp_bit, 2))
     return out
 
 

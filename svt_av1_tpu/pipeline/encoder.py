@@ -19,7 +19,8 @@ from typing import Iterable, List, Optional, Tuple
 import numpy as np
 
 from svt_av1_tpu.bitstream import obu
-from svt_av1_tpu.bitstream.ivf import write_ivf_frame, write_ivf_header
+from svt_av1_tpu.bitstream.ivf import (patch_ivf_frame_count,
+                                       write_ivf_frame, write_ivf_header)
 from svt_av1_tpu.config import EncoderConfig
 from svt_av1_tpu.pipeline.inter import InterFrameEncoder
 from svt_av1_tpu.pipeline.wavefront import WavefrontIntraEncoder
@@ -350,4 +351,5 @@ def encode_ivf(frames: Iterable[tuple], cfg: EncoderConfig) -> bytes:
             break
         write_ivf_frame(buf, pkt[0], n)
         n += 1
+    patch_ivf_frame_count(buf, n)
     return buf.getvalue()
