@@ -52,3 +52,29 @@ def test_eb_api_bad_params():
     params.width = 3   # invalid
     assert api.eb_svt_enc_set_parameter(handle, params) \
         == api.EB_ErrorBadParameter
+
+
+def test_encode_ivf_frame_count_backpatched():
+    """The IVF header's frame-count field must equal the number of frame
+    packets actually written (back-patched at EOS like the reference app)."""
+    import io
+    import struct
+
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.decode import decode_ivf
+    from svt_av1_tpu.pipeline.encoder import encode_ivf
+
+    rng = np.random.RandomState(11)
+    frames = []
+    for t in range(3):
+        y = rng.randint(0, 256, (64, 96)).astype(np.uint8)
+        u = rng.randint(0, 256, (32, 48)).astype(np.uint8)
+        v = rng.randint(0, 256, (32, 48)).astype(np.uint8)
+        frames.append((y, u, v))
+    cfg = EncoderConfig(width=96, height=64, qp=45, intra_period=16,
+                        scene_change_detection=False)
+    data = encode_ivf(frames, cfg)
+    count = struct.unpack("<I", data[24:28])[0]
+    outs = decode_ivf(io.BytesIO(data))
+    assert count == 3
+    assert len(outs) == 3
