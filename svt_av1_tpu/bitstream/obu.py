@@ -391,6 +391,25 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
             grain_ops.write_params(w, fh.film_grain, not is_key)
 
 
+def clamp_tile_log2(seq: SequenceHeader, cols_log2: int,
+                    rows_log2: int) -> tuple:
+    """Clamp a requested tile split into the legal [min, max] range for
+    this frame geometry (reference behavior: svt_aom_set_tile_info clamps
+    the user's tile_columns/tile_rows before writing tile_info)."""
+    sb_cols, sb_rows = seq.sb_cols, seq.sb_rows
+    sb_size_log2 = 7 if seq.use_128x128_superblock else 6
+    max_tile_width_sb = 4096 >> sb_size_log2
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_size_log2)
+    min_log2_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(min_log2_cols,
+                         _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+    cols = min(max(cols_log2, min_log2_cols), max_log2_cols)
+    rows = min(max(rows_log2, max(min_log2_tiles - cols, 0)), max_log2_rows)
+    return cols, rows
+
+
 def _write_tile_info(w: BitWriter, seq: SequenceHeader,
                      fh: FrameHeader) -> None:
     """spec 5.9.15 (uniform spacing only)."""

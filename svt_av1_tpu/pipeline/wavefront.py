@@ -211,9 +211,11 @@ class WavefrontIntraEncoder:
                        for p in frame_src]
         frame_mi_rows, frame_mi_cols = self.mi_rows, self.mi_cols
 
+        self.tile_log2 = obu.clamp_tile_log2(self.seq, cfg.tile_cols_log2,
+                                             cfg.tile_rows_log2)
         rects = common.tile_rects(self.seq.sb_cols, self.seq.sb_rows,
                                   frame_mi_cols, frame_mi_rows,
-                                  cfg.tile_cols_log2, cfg.tile_rows_log2)
+                                  *self.tile_log2)
         self.qmap = None
         if cfg.adaptive_quantization:
             self.qmap = self._variance_qmap(frame_src[0])
@@ -432,8 +434,8 @@ class WavefrontIntraEncoder:
         fh = obu.FrameHeader(base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
                              loop_filter_levels=lf_levels,
-                             tile_cols_log2=cfg.tile_cols_log2,
-                             tile_rows_log2=cfg.tile_rows_log2,
+                             tile_cols_log2=self.tile_log2[0],
+                             tile_rows_log2=self.tile_log2[1],
                              delta_q_present=(self.qmap is not None),
                              delta_q_res=self.DELTA_Q_RES,
                              film_grain=fg, **cdef_kw, **lr_kw)

@@ -42,3 +42,16 @@ def test_tiles_quality_close_to_single():
     _, r4, s4 = encode_keyframe_wavefront(y, u, v, c4)
     assert abs(psnr(y, r1[0]) - psnr(y, r4[0])) < 0.5
     assert s4["tu_bytes"] < s1["tu_bytes"] * 1.3  # bounded tile overhead
+
+
+def test_tile_request_clamped_to_frame_geometry():
+    """A tile-column request exceeding the frame's SB columns must be
+    clamped to the legal range (reference: svt_aom_set_tile_info), not
+    produce an illegal tile_info."""
+    y, u, v = synth_frame(64, 192, seed=3)
+    cfg = EncoderConfig(width=64, height=192, qp=40,
+                        tile_cols_log2=1, tile_rows_log2=0)
+    tu, rec, st = encode_keyframe_wavefront(y, u, v, cfg)
+    _, dec = decode_temporal_unit(tu)
+    for a, b in zip(rec, dec):
+        assert np.array_equal(a, b)
