@@ -346,16 +346,38 @@ def cdef_search(recon_planes, src_planes, skip8, mi_rows: int, mi_cols: int,
                     for y, x in zip(bys, bxs)])
     dirs0, var = find_dir_batch(blk, cs)
 
-    def block_sse(plane_out, src_plane, yy, xx, blkdim, hmax, wmax):
-        sse = np.zeros(len(yy), dtype=np.int64)
-        for i in range(len(yy)):
+    def stack_src(src_plane, yy, xx, blkdim, hmax, wmax):
+        """Loop-invariant per-block source tiles + validity masks so the
+        per-strength SSE is a single vectorized expression."""
+        nb = len(yy)
+        sb = np.zeros((nb, blkdim, blkdim), dtype=np.int64)
+        mask = np.zeros((nb, blkdim, blkdim), dtype=np.int64)
+        for i in range(nb):
             yl = min(blkdim, hmax - int(yy[i]) * blkdim)
             xl = min(blkdim, wmax - int(xx[i]) * blkdim)
-            d = plane_out[i, :yl, :xl].astype(np.int64) \
-                - src_plane[yy[i] * blkdim:yy[i] * blkdim + yl,
-                            xx[i] * blkdim:xx[i] * blkdim + xl]
-            sse[i] = np.sum(d * d)
-        return sse
+            sb[i, :yl, :xl] = src_plane[yy[i] * blkdim:yy[i] * blkdim + yl,
+                                        xx[i] * blkdim:xx[i] * blkdim + xl]
+            mask[i, :yl, :xl] = 1
+        return sb, mask
+
+    src_y, mask_y = stack_src(src_planes[0], bys, bxs, 8, h_eff, w_eff)
+    src_c = [stack_src(src_planes[p], bys, bxs, 4, h_eff // 2, w_eff // 2)
+             for p in (1, 2)]
+
+    def block_sse(plane_out, stacked):
+        sb, mask = stacked
+        d = (plane_out - sb) * mask
+        return np.einsum("ijk,ijk->i", d, d)
+
+    # unfiltered chroma SSE is strength-independent: compute once
+    sse_unf_c = np.zeros(B, dtype=np.int64)
+    unf_c = []
+    for pi, p in enumerate((1, 2)):
+        unf = np.stack([srcs[p][3 + y * 4:7 + y * 4, 3 + x * 4:7 + x * 4]
+                        for y, x in zip(bys, bxs)]).astype(np.int64)
+        unf = np.clip(unf, 0, (1 << bd) - 1)
+        unf_c.append(unf)
+        sse_unf_c += block_sse(unf, src_c[pi])
 
     n_sb = sb_rows * sb_cols
     totals = np.zeros((len(y_str), n_sb), dtype=np.int64)
@@ -373,26 +395,18 @@ def cdef_search(recon_planes, src_planes, skip8, mi_rows: int, mi_cols: int,
                                   np.full(B, sec << cs), dd,
                                   damping + cs, damping + cs, cs)
         out = np.clip(out, 0, (1 << bd) - 1)
-        sse = block_sse(out, src_planes[0].astype(np.int64), bys, bxs, 8,
-                        h_eff, w_eff)
+        sse = block_sse(out.astype(np.int64), (src_y, mask_y))
         if uv_lvl or uv_sec:
             duv = dirs0 if (uv_lvl << cs) else np.zeros(B, dtype=np.int64)
-            for p in (1, 2):
+            for pi, p in enumerate((1, 2)):
                 outc = filter_blocks_batch(
                     srcs[p], bys * 4, bxs * 4, 4, 4,
                     np.full(B, uv_lvl << cs), np.full(B, uv_sec << cs),
                     duv, damping + cs - 1, damping + cs - 1, cs)
                 outc = np.clip(outc, 0, (1 << bd) - 1)
-                sse += block_sse(outc, src_planes[p].astype(np.int64),
-                                 bys, bxs, 4, h_eff // 2, w_eff // 2)
+                sse += block_sse(outc.astype(np.int64), src_c[pi])
         else:
-            for p in (1, 2):
-                unf = np.stack([
-                    srcs[p][3 + y * 4:7 + y * 4, 3 + x * 4:7 + x * 4]
-                    for y, x in zip(bys, bxs)])
-                unf = np.clip(unf, 0, (1 << bd) - 1)
-                sse += block_sse(unf, src_planes[p].astype(np.int64),
-                                 bys, bxs, 4, h_eff // 2, w_eff // 2)
+            sse += sse_unf_c
         np.add.at(totals[i], sbids, sse)
     coded = np.unique(sbids)
     best = np.argmin(totals[:, coded], axis=0)
