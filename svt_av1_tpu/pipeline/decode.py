@@ -188,8 +188,14 @@ class FrameDecoder:
         self.leaf_sizes = {}
         from svt_av1_tpu.entropy import lr as lr_syntax
         self.lr_ref = [lr_syntax.LrRefState() for _ in range(3)]
+        # per-tile delta-q state reset (spec 6.10.2: CurrentQIndex is
+        # re-initialised to base_q_idx at every tile start). The qp cache
+        # must be rebuilt from base_q_idx — reusing the running self.qp
+        # here would carry the PREVIOUS tile's last delta'd qindex into
+        # this tile's dequant.
         self.cur_qindex = self.fh.base_q_idx
-        self._dq_cache = {self.cur_qindex: self.qp}
+        self._dq_cache = {self.cur_qindex: quant_ops.make_quant_params(
+            self.cur_qindex, bit_depth=self.bd)}
         self.qp = self._dq_cache[self.cur_qindex]
         for sb_y in range(0, sb_rs * 16, 16):
             for sb_x in range(0, sb_cs * 16, 16):

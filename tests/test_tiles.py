@@ -55,3 +55,29 @@ def test_tile_request_clamped_to_frame_geometry():
     _, dec = decode_temporal_unit(tu)
     for a, b in zip(rec, dec):
         assert np.array_equal(a, b)
+
+
+def test_tiles_with_adaptive_quantization_delta_q_reset():
+    """Delta-q state must reset to base_q_idx at every tile start (spec
+    6.10.2). Regression: the decoder carried tile 1's last delta'd qp
+    into tile 2's dequant. Content is half-busy/half-flat so the AQ map
+    really produces nonzero deltas."""
+    rng = np.random.RandomState(12)
+    h, w = 128, 192
+    # three SB columns; tiles split them 2+1. Column noise levels are
+    # chosen so tile 0 ENDS on a delta'd qindex (flat middle column)
+    # while tile 1's SBs sit exactly at base_q_idx — the configuration
+    # where a stale cross-tile qp cache is actually consumed.
+    y = np.empty((h, w), np.float64)
+    y[:, :64] = 128 + rng.normal(0, 60, (h, 64))     # busy: q above base
+    y[:, 64:128] = 128 + rng.normal(0, 2, (h, 64))   # flat: q below base
+    y[:, 128:] = 128 + rng.normal(0, 10, (h, 64))    # medium: q == base
+    y = np.clip(y, 0, 255).astype(np.uint8)
+    u = np.full((64, 96), 120, np.uint8)
+    v = np.full((64, 96), 140, np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=40, tile_cols_log2=1,
+                        adaptive_quantization=1)
+    tu, rec, st = encode_keyframe_wavefront(y, u, v, cfg)
+    _, dec = decode_temporal_unit(tu)
+    for a, b in zip(rec, dec):
+        assert np.array_equal(a, b)
