@@ -61,15 +61,19 @@ def square_bsize(size_px: int) -> int:
     return SQUARE_BLOCK_OF_SIZE[size_px]
 
 
-# (w_px, h_px) -> BLOCK_* enum (squares + the 2:1 rects partitions make)
+# (w_px, h_px) -> BLOCK_* enum (squares + the 2:1/4:1 rects partitions make)
 _RECT_BSIZE = {(4, 4): 0, (4, 8): 1, (8, 4): 2, (8, 8): 3, (8, 16): 4,
                (16, 8): 5, (16, 16): 6, (16, 32): 7, (32, 16): 8,
-               (32, 32): 9, (32, 64): 10, (64, 32): 11, (64, 64): 12}
+               (32, 32): 9, (32, 64): 10, (64, 32): 11, (64, 64): 12,
+               (4, 16): 16, (16, 4): 17, (8, 32): 18, (32, 8): 19,
+               (16, 64): 20, (64, 16): 21}
 
 # (w_px, h_px) -> TX_* (max_txsize_rect_lookup for TX_MODE_LARGEST)
 _RECT_TX = {(4, 4): 0, (8, 8): 1, (16, 16): 2, (32, 32): 3, (64, 64): 4,
             (4, 8): 5, (8, 4): 6, (8, 16): 7, (16, 8): 8, (16, 32): 9,
-            (32, 16): 10, (32, 64): 11, (64, 32): 12}
+            (32, 16): 10, (32, 64): 11, (64, 32): 12,
+            (4, 16): 13, (16, 4): 14, (8, 32): 15, (32, 8): 16,
+            (16, 64): 17, (64, 16): 18}
 
 
 def leaf_wh(v):
@@ -143,6 +147,17 @@ def leaves_in_coding_order(leaf_sizes: dict, mi_rows: int, mi_cols: int,
                 out.append((mi_row, mi_col, (w, h)))
                 if mi_col + hbs < mi_cols:
                     out.append((mi_row, mi_col + hbs, (w, h)))
+                return
+            qbs = psize >> 4
+            if w == psize and h == psize >> 2:      # HORZ_4: top to bottom
+                for i in range(4):
+                    if mi_row + i * qbs < mi_rows:
+                        out.append((mi_row + i * qbs, mi_col, (w, h)))
+                return
+            if w == psize >> 2 and h == psize:      # VERT_4: left to right
+                for i in range(4):
+                    if mi_col + i * qbs < mi_cols:
+                        out.append((mi_row, mi_col + i * qbs, (w, h)))
                 return
         half = psize >> 1
         rec(mi_row, mi_col, half)

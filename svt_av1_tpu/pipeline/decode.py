@@ -26,8 +26,9 @@ from svt_av1_tpu.ops import quant as quant_ops
 from svt_av1_tpu.ops import transforms as tx_ops
 from svt_av1_tpu.pipeline import avail, common
 from svt_av1_tpu.utils.blocks import (DC_PRED, PARTITION_HORZ,
-                                      PARTITION_NONE, PARTITION_SPLIT,
-                                      PARTITION_VERT, TX_HEIGHT, TX_WIDTH,
+                                      PARTITION_HORZ_4, PARTITION_NONE,
+                                      PARTITION_SPLIT, PARTITION_VERT,
+                                      PARTITION_VERT_4, TX_HEIGHT, TX_WIDTH,
                                       get_scan)
 
 
@@ -243,6 +244,29 @@ class FrameDecoder:
                     self._decode_intra_tail(rr, cc, wh, skip0, kf=True)
                 self.leaf_sizes[(rr, cc)] = wh
             self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, subsize)
+        elif partition in (PARTITION_HORZ_4, PARTITION_VERT_4):
+            quarter = size >> 2
+            qbs = size >> 4                 # quarter step, mi units
+            wh = (size, quarter) if partition == PARTITION_HORZ_4 \
+                else (quarter, size)
+            for i in range(4):
+                rr = mi_row + (i * qbs if partition == PARTITION_HORZ_4
+                               else 0)
+                cc = mi_col + (0 if partition == PARTITION_HORZ_4
+                               else i * qbs)
+                if rr >= self.mi_rows or cc >= self.mi_cols:
+                    continue
+                skip0 = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
+                                              rr, cc)
+                self._read_cdef(rr, cc, skip0)
+                self._read_delta_q(rr, cc, 0, skip0)
+                if self.is_inter:
+                    self._decode_inter_tail(rr, cc, wh, skip0)
+                else:
+                    self._decode_intra_tail(rr, cc, wh, skip0, kf=True)
+                self.leaf_sizes[(rr, cc)] = wh
+            self.ctxs.update_partition_ctx(mi_row, mi_col, bsize,
+                                           common.rect_bsize(*wh))
         else:
             raise NotImplementedError(f"partition type {partition}")
 

@@ -115,11 +115,20 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
             cols = (w_eff + size - 1) // size
             rows = (h_eff + size - 1) // size
             gx, gy = _block_grid(w_eff, h_eff, size)
-            for key, wh, dx, dy in (("h", (size, half), 0, half),
-                                    ("v", (half, size), half, 0)):
-                xs = np.concatenate([gx, gx + dx])
-                ys = np.concatenate([gy, gy + dy])
-                # skip out-of-area second halves cleanly (cost -> inf)
+            quarter = size // 4
+            arms = [("h", (size, half), [(0, 0), (0, half)]),
+                    ("v", (half, size), [(0, 0), (half, 0)])]
+            if size >= 32:
+                # 4-way strips (PARTITION_HORZ_4 / VERT_4); parent >= 32
+                # keeps the 4:1 children's chroma at >= 4 px per side
+                arms += [("h4", (size, quarter),
+                          [(0, i * quarter) for i in range(4)]),
+                         ("v4", (quarter, size),
+                          [(i * quarter, 0) for i in range(4)])]
+            for key, wh, offs in arms:
+                xs = np.concatenate([gx + dx for dx, _ in offs])
+                ys = np.concatenate([gy + dy for _, dy in offs])
+                # skip out-of-area sub-blocks cleanly (cost -> inf)
                 ok = (xs + wh[0] <= ((w_eff + 63) // 64) * 64) \
                     & (ys + wh[1] <= ((h_eff + 63) // 64) * 64)
                 c = np.full(len(xs), np.inf)
@@ -131,8 +140,9 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
                                            cfg.bit_depth)
                     c[sel] = cc
                 n = len(gx)
-                rect_cost[(size, key)] = (c[:n] + c[n:]).reshape(rows,
-                                                                 cols)
+                rect_cost[(size, key)] = sum(
+                    c[i * n:(i + 1) * n] for i in range(len(offs))
+                ).reshape(rows, cols)
 
     # bottom-up DP. "crosses" must mirror the emit/_leaves rule exactly:
     # a block is forced to split when its HALF-point falls outside the mi
@@ -161,6 +171,12 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
                                         rect_cost[(size, "h")] + rb)))
             options.append((3, np.where(crosses, np.inf,
                                         rect_cost[(size, "v")] + rb)))
+        if (size, "h4") in rect_cost:
+            rb4 = lam * (split_bits + 2.0)  # rarer symbol + 3 extra leaves
+            options.append((4, np.where(crosses, np.inf,
+                                        rect_cost[(size, "h4")] + rb4)))
+            options.append((5, np.where(crosses, np.inf,
+                                        rect_cost[(size, "v4")] + rb4)))
         stackc = np.stack([o[1] for o in options])
         pick = np.argmin(stackc, axis=0)
         choice[size] = np.array([o[0] for o in options])[pick]
@@ -193,6 +209,15 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
             leaves[(r, c)] = (half, size)
             if c + hbs < mi_cols:
                 leaves[(r, c + hbs)] = (half, size)
+            return
+        if kind in (4, 5):  # HORZ_4 / VERT_4
+            qbs = size >> 4
+            wh = (size, size // 4) if kind == 4 else (size // 4, size)
+            for i in range(4):
+                rr = r + (i * qbs if kind == 4 else 0)
+                cc = c + (0 if kind == 4 else i * qbs)
+                if rr < mi_rows and cc < mi_cols:
+                    leaves[(rr, cc)] = wh
             return
         walk(r, c, half)
         walk(r, c + hbs, half)

@@ -127,3 +127,70 @@ def test_inter_rect_partitions_roundtrip():
     for p in range(3):
         hh, ww = out[p].shape
         assert (out[p] == rec[p][:hh, :ww]).all(), f"plane {p}"
+
+
+_MAP_4WAY = {
+    # SB0: 64x64 HORZ_4
+    (0, 0): (64, 16), (4, 0): (64, 16), (8, 0): (64, 16), (12, 0): (64, 16),
+    # SB0 right half via VERT_4 (cols 16..31)
+    (0, 16): (16, 64), (0, 20): (16, 64), (0, 24): (16, 64), (0, 28): (16, 64),
+    # SB1 bottom-left: 32 HORZ_4 strips + 8x32 VERT_4 strips
+    (16, 0): (32, 8), (18, 0): (32, 8), (20, 0): (32, 8), (22, 0): (32, 8),
+    (16, 8): (8, 32), (16, 10): (8, 32), (16, 12): (8, 32), (16, 14): (8, 32),
+    (24, 0): 32, (24, 8): 32,
+    (16, 16): 64,
+}
+
+
+@pytest.mark.parametrize("tools", [
+    {}, {"enable_dlf": True, "enable_tx_type_search": True},
+    {"adaptive_quantization": 1}, {"enable_cdef": True},
+    {"enable_restoration": True}, {"bit_depth": 10},
+])
+def test_handcrafted_4way_map_roundtrip(tools):
+    """PARTITION_HORZ_4 / VERT_4 (4:1 leaves 64x16/16x64/32x8/8x32,
+    spec 5.11.4) across tool combinations; decoder byte-exactness."""
+    bd = tools.get("bit_depth", 8)
+    y, u, v = _content(128, 128)
+    if bd == 10:
+        y = (y.astype(np.uint16) << 2)
+        u = (u.astype(np.uint16) << 2)
+        v = (v.astype(np.uint16) << 2)
+    cfg = EncoderConfig(width=128, height=128, qp=35,
+                        fixed_partition_size=None, **tools)
+    with mock.patch.object(rd, "choose_partition",
+                           return_value=dict(_MAP_4WAY)):
+        enc = WavefrontIntraEncoder(cfg)
+        tu, recon, _ = enc.encode(y, u, v)
+    _, dec = decode_temporal_unit(tu)
+    for p in range(3):
+        assert (dec[p] == recon[p]).all(), f"{tools} plane {p}"
+
+
+def test_rd_picks_4way_and_it_pays():
+    """Thin horizontal stripes (8 px period): the DP should choose
+    HORZ_4 strips, cutting bits and SSE vs the square-only tree."""
+    rng = np.random.RandomState(7)
+    h, w = 192, 256
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.where((yy // 8) % 2 == 0, 70 + xx * 0.3, 190 - xx * 0.2)
+    y = np.clip(y + rng.normal(0, 3, (h, w)), 0, 255).astype(np.uint8)
+    u = np.full((96, 128), 110, np.uint8)
+    v = np.full((96, 128), 150, np.uint8)
+    out = {}
+    for rect in (False, True):
+        cfg = EncoderConfig(width=w, height=h, qp=35,
+                            fixed_partition_size=None,
+                            enable_rect_partitions=rect)
+        enc = WavefrontIntraEncoder(cfg)
+        tu, rec, st = enc.encode(y, u, v)
+        n4 = sum(1 for s in enc.leaf_sizes.values()
+                 if isinstance(s, tuple) and max(s) == 4 * min(s))
+        sse = float(((rec[0].astype(int) - y) ** 2).sum())
+        out[rect] = (st["tu_bytes"], sse, n4, tu, rec)
+    assert out[True][2] > 0, "RD never chose a 4-way partition"
+    assert out[True][0] < out[False][0], "4-way did not reduce bits"
+    assert out[True][1] <= out[False][1] * 1.05
+    _, dec = decode_temporal_unit(out[True][3])
+    for p in range(3):
+        assert (dec[p] == out[True][4][p]).all()
