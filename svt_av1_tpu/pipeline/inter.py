@@ -551,10 +551,13 @@ class InterFrameEncoder:
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
             return
         from svt_av1_tpu.utils.blocks import (PARTITION_HORZ,
-                                              PARTITION_VERT)
+                                              PARTITION_HORZ_4,
+                                              PARTITION_VERT,
+                                              PARTITION_VERT_4)
         bsize = common.square_bsize(psize)
         hbs = psize >> 3
         half = psize >> 1
+        quarter = psize >> 2
         v = self.leaf_sizes.get((mi_row, mi_col))
         if v == psize:
             partition = PARTITION_NONE
@@ -562,6 +565,10 @@ class InterFrameEncoder:
             partition = PARTITION_HORZ
         elif v == (half, psize):
             partition = PARTITION_VERT
+        elif v == (psize, quarter):
+            partition = PARTITION_HORZ_4
+        elif v == (quarter, psize):
+            partition = PARTITION_VERT_4
         else:
             partition = PARTITION_SPLIT
         mode_syntax.write_partition(self.w, self.fc, self.ctxs, partition,
@@ -575,6 +582,17 @@ class InterFrameEncoder:
         elif partition == PARTITION_NONE:
             self._emit_block(mi_row, mi_col, psize)
             self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, bsize)
+        elif partition in (PARTITION_HORZ_4, PARTITION_VERT_4):
+            qbs = psize >> 4
+            for i in range(4):
+                rr = mi_row + (i * qbs if partition == PARTITION_HORZ_4
+                               else 0)
+                cc = mi_col + (0 if partition == PARTITION_HORZ_4
+                               else i * qbs)
+                if rr < self.mi_rows and cc < self.mi_cols:
+                    self._emit_block(rr, cc, v)
+            self.ctxs.update_partition_ctx(mi_row, mi_col, bsize,
+                                           common.rect_bsize(*v))
         else:
             self._emit_block(mi_row, mi_col, v)
             r2 = mi_row + (hbs if partition == PARTITION_HORZ else 0)

@@ -297,23 +297,31 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
         parent_mvs = mvs.reshape(rows, cols, 2)
         if cfg.enable_rect_partitions and size >= 16:
             half = size // 2
+            quarter = size // 4
             gx, gy = xs, ys
-            for key, wh, dx, dy in (("h", (size, half), 0, half),
-                                    ("v", (half, size), half, 0)):
-                xs2 = np.concatenate([gx, gx + dx])
-                ys2 = np.concatenate([gy, gy + dy])
+            arms = [("h", (size, half), [(0, 0), (0, half)]),
+                    ("v", (half, size), [(0, 0), (half, 0)])]
+            if size >= 32:
+                arms += [("h4", (size, quarter),
+                          [(0, i * quarter) for i in range(4)]),
+                         ("v4", (quarter, size),
+                          [(i * quarter, 0) for i in range(4)])]
+            for key, wh, offs in arms:
+                xs2 = np.concatenate([gx + dx for dx, _ in offs])
+                ys2 = np.concatenate([gy + dy for _, dy in offs])
                 pw = src.shape[1]
                 ph = src.shape[0]
                 ok = (xs2 + wh[0] <= pw) & (ys2 + wh[1] <= ph)
                 c2 = np.full(len(xs2), np.inf)
                 sel = np.nonzero(ok)[0]
                 if len(sel):
-                    rseeds = np.concatenate([mvs, mvs])[sel]
+                    rseeds = np.concatenate([mvs] * len(offs))[sel]
                     c2[sel], _ = depth_cost(xs2[sel], ys2[sel], wh,
                                             rseeds)
                 n = len(gx)
-                rect_cost[(size, key)] = (c2[:n] + c2[n:]).reshape(rows,
-                                                                  cols)
+                rect_cost[(size, key)] = sum(
+                    c2[i * n:(i + 1) * n] for i in range(len(offs))
+                ).reshape(rows, cols)
 
     min_size = sizes[-1]
     best = cost[min_size].copy()
@@ -337,6 +345,12 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
                                         rect_cost[(size, "h")] + rb)))
             options.append((3, np.where(crosses, np.inf,
                                         rect_cost[(size, "v")] + rb)))
+        if (size, "h4") in rect_cost:
+            rb4 = lam * 3.0  # rarer symbol + 3 extra leaves of overhead
+            options.append((4, np.where(crosses, np.inf,
+                                        rect_cost[(size, "h4")] + rb4)))
+            options.append((5, np.where(crosses, np.inf,
+                                        rect_cost[(size, "v4")] + rb4)))
         stackc = np.stack([o[1] for o in options])
         pick = np.argmin(stackc, axis=0)
         choice[size] = np.array([o[0] for o in options])[pick]
@@ -369,6 +383,15 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
             leaves[(r, c)] = (half, size)
             if c + hbs < mi_cols:
                 leaves[(r, c + hbs)] = (half, size)
+            return
+        if kind in (4, 5):
+            qbs = size >> 4
+            wh = (size, size // 4) if kind == 4 else (size // 4, size)
+            for i in range(4):
+                rr = r + (i * qbs if kind == 4 else 0)
+                cc = c + (0 if kind == 4 else i * qbs)
+                if rr < mi_rows and cc < mi_cols:
+                    leaves[(rr, cc)] = wh
             return
         walk(r, c, half)
         walk(r, c + hbs, half)

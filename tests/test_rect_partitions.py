@@ -194,3 +194,35 @@ def test_rd_picks_4way_and_it_pays():
     _, dec = decode_temporal_unit(out[True][3])
     for p in range(3):
         assert (dec[p] == out[True][4][p]).all()
+
+
+def test_inter_4way_partitions_roundtrip():
+    """Thin (16 px) moving bands: the inter partition DP should choose
+    4:1 strip leaves and the stream must decode exactly."""
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.inter import InterFrameEncoder
+    rng = np.random.RandomState(3)
+    h, w = 128, 192
+    big = rng.randint(30, 220, (220, 300)).astype(np.uint8)
+    f0 = np.ascontiguousarray(big[8:8 + h, 8:8 + w])
+    f1 = f0.copy()
+    f1[48:64, :] = big[53:69, 8:8 + w]
+    f1[96:112, :] = big[100:116, 12:12 + w]
+    u = np.full((64, 96), 100, np.uint8)
+    v = np.full((64, 96), 140, np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=40, intra_period=16,
+                        scene_change_detection=False,
+                        fixed_partition_size=None)
+    kf = WavefrontIntraEncoder(cfg)
+    ktu, _, _ = kf.encode(f0, u, v)
+    ie = InterFrameEncoder(cfg, kf.seq)
+    tu, rec = ie.encode(f1, u, v, kf.recon)
+    n4 = sum(1 for s in ie.leaf_sizes.values()
+             if isinstance(s, tuple) and max(s) == 4 * min(s))
+    assert n4 > 0, "inter DP never chose a 4:1 leaf"
+    dec = StreamDecoder()
+    dec.decode_tu(ktu)
+    out = dec.decode_tu(tu)
+    for p in range(3):
+        hh, ww = out[p].shape
+        assert (out[p] == rec[p][:hh, :ww]).all(), f"plane {p}"
