@@ -280,6 +280,10 @@ int32_t svt_write_coeffs_txb(
   uint8_t lv[32 * 32];
   int c, i;
 
+  /* coded dims are clamped to 32x32 by every caller (adjusted_tx_size);
+   * reject anything larger to protect the fixed level buffer. */
+  if (tw > 32 || th > 32 || n > 32 * 32) return -1;
+
   for (c = n - 1; c >= 0; c--) {
     if (qcoeff[scan[c]]) {
       eob = c + 1;

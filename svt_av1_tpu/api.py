@@ -123,8 +123,13 @@ def eb_init_encoder(handle: _Handle) -> int:
     return EB_ErrorNone
 
 
-def eb_svt_enc_stream_header(handle: _Handle) -> EbBufferHeaderType:
-    """Standalone sequence header TU (eb_svt_enc_stream_header)."""
+def eb_svt_enc_stream_header(handle: _Handle):
+    """Standalone sequence header TU (eb_svt_enc_stream_header).
+
+    Returns EB_ErrorBadParameter before eb_init_encoder (the reference
+    EbApi lifecycle contract: handle checks precede any work)."""
+    if getattr(handle, "enc", None) is None:
+        return EB_ErrorBadParameter
     data = obu.temporal_delimiter_obu() \
         + obu.write_sequence_header_obu(handle.enc.seq)
     return EbBufferHeaderType(p_buffer=data, n_filled_len=len(data))
@@ -133,6 +138,8 @@ def eb_svt_enc_stream_header(handle: _Handle) -> EbBufferHeaderType:
 def eb_svt_enc_send_picture(handle: _Handle,
                             buf: Optional[EbBufferHeaderType]) -> int:
     """None (or a buffer with pic=None) signals end of stream."""
+    if getattr(handle, "enc", None) is None:
+        return EB_ErrorBadParameter
     if buf is None or buf.pic is None:
         if not handle._eos_sent:
             handle.enc.flush()

@@ -287,8 +287,8 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
                                fh: FrameHeader) -> None:
     """spec 5.9.2; KEY/show + INTER paths of WriteFrameHeaderAv1
     (EbEntropyCoding.c:4392). Inter frames use error-resilient mode
-    (PRIMARY_REF_NONE — contexts reset per frame) and a found_ref frame
-    size; order hints and ref-frame-mvs stay disabled."""
+    (PRIMARY_REF_NONE — contexts reset per frame) with frame size from
+    the sequence header; order hints and ref-frame-mvs stay disabled."""
     is_key = fh.frame_type == KEY_FRAME
     assert is_key <= fh.show_frame, "non-shown key frames unsupported"
     w.write_bit(0)                       # show_existing_frame
@@ -317,9 +317,12 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
         # (enable_order_hint): frame_refs_short_signaling -> none
         for idx in fh.ref_frame_idx:
             w.write(idx, 3)
-        # frame_size_with_refs(): take size from LAST
-        w.write_bit(1)                   # found_ref for ref 0
-        # superres disabled -> no bits; render size from ref
+        # frame_size_override_flag==0 or error_resilient: spec 5.9.2
+        # takes frame_size() + render_size(), NOT frame_size_with_refs()
+        # (reference write_frame_size, EbEntropyCoding.c:4005).
+        # frame_size(): override=0 -> dims from sequence header, no bits;
+        # superres disabled -> no bits. render_size():
+        w.write_bit(0)                   # render_and_frame_size_different
         w.write_bit(0)                   # allow_high_precision_mv
         w.write_bit(0)                   # is_filter_switchable
         w.write(0, 2)                    # interpolation_filter (REGULAR)
@@ -575,7 +578,8 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
     else:
         refresh_frame_flags = r.read(8)
         ref_frame_idx = tuple(r.read(3) for _ in range(7))
-        assert r.read_bit() == 1, "found_ref expected for LAST"
+        # !override || error_resilient -> frame_size() + render_size()
+        assert r.read_bit() == 0  # render_and_frame_size_different
         assert r.read_bit() == 0  # allow_high_precision_mv
         assert r.read_bit() == 0  # is_filter_switchable
         assert r.read(2) == 0     # interpolation_filter REGULAR

@@ -2,13 +2,15 @@
 
 The serial entropy stage runs as C (the TPU framework's equivalent of the
 reference's hand-optimized bitstream path); everything batched runs as
-JAX/XLA. Build is cached next to the sources and invalidated by mtime.
+JAX/XLA. Build is cached next to the sources and invalidated by source
+content hash (mtime is unreliable across checkouts).
 """
 
 from __future__ import annotations
 
 import ctypes
 import functools
+import hashlib
 import subprocess
 from pathlib import Path
 
@@ -25,11 +27,18 @@ c_u8p = ctypes.POINTER(ctypes.c_uint8)
 def _build() -> Path:
     _BUILD.mkdir(parents=True, exist_ok=True)
     so = _BUILD / "libsvt_native.so"
-    newest = max(s.stat().st_mtime for s in _SOURCES)
-    if not so.exists() or so.stat().st_mtime < newest:
+    stamp = _BUILD / "sources.sha256"
+    h = hashlib.sha256()
+    for s in _SOURCES:
+        h.update(s.read_bytes())
+    digest = h.hexdigest()
+    stale = (not so.exists() or not stamp.exists()
+             or stamp.read_text().strip() != digest)
+    if stale:
         cmd = ["gcc", "-O3", "-fPIC", "-shared", "-Wall", "-o", str(so)]
         cmd += [str(s) for s in _SOURCES]
         subprocess.check_call(cmd)
+        stamp.write_text(digest)
     return so
 
 
