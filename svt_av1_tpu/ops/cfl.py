@@ -51,9 +51,11 @@ def fit_alpha(ac: np.ndarray, src: np.ndarray, dc_pred: np.ndarray):
         ac.shape[0], -1)
     a2 = (ac.astype(np.int64) ** 2).reshape(ac.shape[0], -1).sum(axis=1)
     ar = (ac.reshape(ac.shape[0], -1).astype(np.int64) * r).sum(axis=1)
-    alpha = np.zeros(ac.shape[0], dtype=np.int64)
-    nz = a2 > 0
-    alpha[nz] = np.round(64.0 * ar[nz] / a2[nz]).astype(np.int64)
+    # pure-integer round(64*ar/a2): round-half-away-from-zero on the
+    # magnitude (device twin reproduces this exactly)
+    den = np.maximum(a2, 1)
+    mag = (128 * np.abs(ar) + den) // (2 * den)
+    alpha = np.where(a2 > 0, np.sign(ar) * mag, 0)
     return np.clip(alpha, -16, 16)
 
 

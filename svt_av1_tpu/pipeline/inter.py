@@ -85,7 +85,7 @@ class InterFrameEncoder:
         self.eobs = np.zeros((3, n), dtype=np.int32)
         self.block_is_inter = np.ones(n, dtype=bool)
         self.intra_mode = np.zeros(n, dtype=np.int32)
-        self.inter_cost = np.zeros(n)
+        self.inter_cost = np.zeros(n, dtype=np.int64)
         self.block_comp = np.zeros(n, dtype=bool)
         self.mvs1 = np.zeros((n, 2), dtype=np.int64)
         self.intra_uv_cfl = np.zeros(n, dtype=bool)
@@ -222,6 +222,7 @@ class InterFrameEncoder:
                 cands[k][i] = mc.clamp_mv_for_padding(
                     cand[i], int(xs[i]), int(ys[i]), bw, bh,
                     plane_w, plane_h)
+        lamq = md.lam_to_q(lam)
         best = None
         for cand in cands:
             pred = mc.mc_block_batch(refp[0], xs, ys, cand, bw, bh,
@@ -229,8 +230,10 @@ class InterFrameEncoder:
             qc, eo, rec, dist, rate = md._full_loop(
                 srcs, pred, np.zeros(b, dtype=np.int32), tx_size, size,
                 qp, cfg.bit_depth)
-            mv_bits = 2.0 + 0.5 * (np.abs(cand).sum(axis=1) > 0)
-            cost = dist + lam * (rate + mv_bits)
+            # q9 MV-rate floor: 2 bits + 0.5 for a nonzero MV
+            mv_bits = (2 << md.RATE_Q) \
+                + 256 * (np.abs(cand).sum(axis=1) > 0)
+            cost = md.rdcost(dist, lamq, rate + mv_bits)
             if best is None:
                 best = [cost, cand.copy(), qc, eo, rec]
             else:
@@ -300,9 +303,10 @@ class InterFrameEncoder:
             qc, eo, rec, dist, rate = md._full_loop(
                 srcs, pred_c, np.zeros(b, dtype=np.int32), tx_size,
                 (bw, bh), qp, cfg.bit_depth)
-            mv_bits = 3.0 + 0.5 * ((np.abs(mv0).sum(axis=1) > 0)
-                                   + (np.abs(mv1).sum(axis=1) > 0))
-            cost = dist + lam * (rate + mv_bits)
+            mv_bits = (3 << md.RATE_Q) \
+                + 256 * ((np.abs(mv0).sum(axis=1) > 0).astype(np.int64)
+                         + (np.abs(mv1).sum(axis=1) > 0))
+            cost = md.rdcost(dist, md.lam_to_q(lam), rate + mv_bits)
             comp_sel = cost < chosen[0]
             chosen[0] = np.where(comp_sel, cost, chosen[0])
             chosen[1] = np.where(comp_sel[:, None], mv0, chosen[1])
@@ -398,15 +402,15 @@ class InterFrameEncoder:
         cfg = self.cfg
         costs = self.inter_cost
         thr = np.median(costs) * 1.2 + 1.0
-        mode_bits = 6.0  # is_inter + y/uv mode signaling estimate
+        mode_bits = 6 << md.RATE_Q  # is_inter + y/uv mode signaling
         for (r, c, size) in leaves:
             li = self.leaf_index[(r, c)]
             _bw, _bh = common.leaf_wh(size)
             # evaluate when clearly worse than the frame's typical block
             # OR in absolute terms (~1 bit/px of estimated cost — a full
             # scene change makes every block bad, so a relative rule
-            # alone never fires)
-            abs_thr = self._qp_for(None)[1] * (_bw * _bh) / 256.0 * 16.0
+            # alone never fires); 512 matches the q9 cost scale
+            abs_thr = self._qp_for(None)[1] * (_bw * _bh) * 32.0
             if costs[li] <= thr and costs[li] <= abs_thr:
                 continue
             x, y = c * 4, r * 4
@@ -428,6 +432,7 @@ class InterFrameEncoder:
                 max_w=self.mi_cols * 4, max_h=self.mi_rows * 4)
             src = self.src[0][y:y + bh, x:x + bw][None].astype(np.int64)
             best = None
+            lamq = md.lam_to_q(lam)
             cand_modes = tuple(cfg.intra_modes) or (0,)
             for m in cand_modes:
                 pred = intra_ops.predict_any(
@@ -436,7 +441,7 @@ class InterFrameEncoder:
                 qc, eo, rec, dist, rate = md._full_loop(
                     src, pred, np.zeros(1, dtype=np.int32), tx_y,
                     (bw, bh), qp, cfg.bit_depth)
-                cost = float(dist[0] + lam * (rate[0] + mode_bits))
+                cost = int(md.rdcost(dist, lamq, rate + mode_bits)[0])
                 if best is None or cost < best[0]:
                     best = (cost, m, qc[0], int(eo[0]), rec[0])
             if best[0] >= costs[li]:
@@ -476,7 +481,7 @@ class InterFrameEncoder:
                     srcs_c, pred, np.full(1, tt_u, dtype=np.int32), tx_uv,
                     (cw2, ch2), qp, cfg.bit_depth)
                 cand = {"mode": (qc[0], int(eo[0]), rec[0],
-                                 float(dist[0] + lam * rate[0]))}
+                                 int(md.rdcost(dist, lamq, rate)[0]))}
                 if cfl_ok:
                     dc = intra_ops.predict(
                         0, a1[:, 1:], l1[:, 1:], a1[:, 0], cw2, ch2,
@@ -489,7 +494,9 @@ class InterFrameEncoder:
                         np.zeros(1, dtype=np.int32), tx_uv, (cw2, ch2),
                         qp, cfg.bit_depth)
                     cand["cfl"] = (qc2[0], int(eo2[0]), rec2[0],
-                                   float(dist2[0] + lam * (rate2[0] + 4)),
+                                   int(md.rdcost(dist2, lamq,
+                                                 rate2
+                                                 + (4 << md.RATE_Q))[0]),
                                    int(alpha[0]))
                 results[p] = cand
             if cfl_ok and "cfl" in results[1]:

@@ -21,6 +21,44 @@ from svt_av1_tpu.utils.blocks import DCT_DCT, get_scan
 
 import functools
 
+# --- integer RD cost arithmetic -------------------------------------------------
+# All mode-decision costs are integers so the host NumPy path and the JAX
+# device twin produce bit-identical decisions (the reference likewise uses
+# integer RDCOST, EbRateDistortionCost.c). Rates are fixed-point 1/512-bit
+# units (q9); lambda is fixed-point 1/256 (q8);
+# cost = (dist << 9) + ((lam_q * rate_q9) >> 8)  ~  512 * (dist + lam*rate).
+RATE_Q = 9
+LAM_Q = 8
+
+
+def lam_to_q(lam: float) -> int:
+    """Quantize a float lambda to the integer RD multiplier."""
+    return max(1, int(round(lam * (1 << LAM_Q))))
+
+
+def rdcost(dist, lam_q, rate_q9):
+    """Integer RD cost (int64-safe for 64x64 10-bit blocks)."""
+    d = np.asarray(dist, dtype=np.int64)
+    r = np.asarray(rate_q9, dtype=np.int64)
+    return (d << RATE_Q) + ((int(lam_q) * r) >> LAM_Q)
+
+
+@functools.lru_cache(maxsize=1)
+def _prob_bits_lut() -> np.ndarray:
+    """bits_q9[p] = round(-log2(p/32768) * 512) for p in 0..32768
+    (p=0 treated as 1). The single source of probability->bits
+    conversion, shared by every rate estimate."""
+    p = np.maximum(np.arange(32769, dtype=np.float64), 1.0)
+    return np.round((15.0 - np.log2(p)) * 512.0).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=8)
+def _eob_bits_lut(n_max: int = 4097) -> np.ndarray:
+    """round(log2(e + 1) * 512) for e in 0..n_max-1 (eob position
+    rate model term)."""
+    e = np.arange(n_max, dtype=np.float64)
+    return np.round(np.log2(e + 1.0) * 512.0).astype(np.int32)
+
 
 def coeff_rate_proxy(qcoeff: np.ndarray) -> np.ndarray:
     """~bits to code quantized levels, [B] from [B, n] (fallback when
@@ -32,25 +70,28 @@ def coeff_rate_proxy(qcoeff: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=32)
 def _level_cost_lut(qctx: int, plane_type: int, txs_ctx: int) -> np.ndarray:
-    """Expected bits per |level| 0..255 from the default coefficient
+    """Expected q9 bits per |level| 0..255 from the default coefficient
     CDFs, context-averaged (the role of the reference's CDF->cost
-    tables, av1_estimate_coefficients_rate EbMdRateEstimation.c:392)."""
+    tables, av1_estimate_coefficients_rate EbMdRateEstimation.c:392).
+    Integer so host and device rate computations agree exactly."""
     from svt_av1_tpu.entropy.cdf import default_tables
     tabs = default_tables()
     base = tabs["coeff_base"][qctx, txs_ctx, plane_type]    # [42, 5]
     br = tabs["coeff_br"][min(qctx, 3), min(txs_ctx, 3),
                           plane_type]                        # [21, 5]
+    bits = _prob_bits_lut()
 
     def avg_bits(rows, sym):
-        hi = np.where(sym == 0, 32768.0, rows[:, sym - 1].astype(float))
-        p = np.maximum(hi - rows[:, sym], 1.0) / 32768.0
-        return float(np.mean(-np.log2(p)))
+        hi = np.full(len(rows), 32768, dtype=np.int64) if sym == 0 \
+            else rows[:, sym - 1].astype(np.int64)
+        p = np.maximum(hi - rows[:, sym].astype(np.int64), 1)
+        return int(bits[p].astype(np.int64).sum() // len(rows))
 
     b = [avg_bits(base, s) for s in range(4)]
     brb = [avg_bits(br, s) for s in range(4)]
-    lut = np.zeros(256)
+    lut = np.zeros(256, dtype=np.int64)
     for lvl in range(1, 256):
-        cost = 1.0  # sign
+        cost = 1 << RATE_Q  # sign
         if lvl < 3:
             cost += b[lvl]
         else:
@@ -64,7 +105,7 @@ def _level_cost_lut(qctx: int, plane_type: int, txs_ctx: int) -> np.ndarray:
                     break
             if rem > 0:                  # golomb tail
                 length = int(rem + 1).bit_length()
-                cost += 2 * length - 1
+                cost += (2 * length - 1) << RATE_Q
         lut[lvl] = cost
     lut[0] = b[0]
     return lut
@@ -72,35 +113,35 @@ def _level_cost_lut(qctx: int, plane_type: int, txs_ctx: int) -> np.ndarray:
 
 def coeff_rate_cdf(qcoeff: np.ndarray, eob: np.ndarray, qindex: int,
                    plane_type: int, tx_size: int) -> np.ndarray:
-    """CDF-LUT coefficient rate [B]: txb-skip / eob-position bits plus
-    per-level costs for the eob-prefix of each block."""
+    """CDF-LUT coefficient rate [B] in q9 bits: txb-skip / eob-position
+    bits plus per-level costs for the eob-prefix of each block."""
     from svt_av1_tpu.entropy import coeff_ctx as cc
     from svt_av1_tpu.entropy.cdf import coef_qctx
     qctx = coef_qctx(qindex)
     lut = _level_cost_lut(qctx, plane_type, int(cc.txs_ctx(tx_size)))
     aq = np.minimum(np.abs(qcoeff.reshape(qcoeff.shape[0], -1)), 255)
     n = aq.shape[1]
-    eobf = eob.astype(np.float64)
+    eobi = eob.astype(np.int64)
     # only the eob-prefix is coded: drop the per-zero cost of the tail
-    rate = lut[aq].sum(axis=1) - (n - eobf) * lut[0]
-    rate = np.maximum(rate, 0.0)
-    rate += np.where(eobf > 0, 3.0 + np.log2(eobf + 1.0), 0.6)
+    rate = lut[aq].sum(axis=1) - (n - eobi) * lut[0]
+    rate = np.maximum(rate, 0)
+    ebl = _eob_bits_lut()
+    rate += np.where(eobi > 0, (3 << RATE_Q) + ebl[eobi], 307)
     return rate
 
 
-def _icdf_bits(icdf_row, sym: int) -> float:
-    """-log2 p(sym) from an inverse-CDF row (estimation only)."""
+def _icdf_bits(icdf_row, sym: int) -> int:
+    """q9 bits of -log2 p(sym) from an inverse-CDF row (estimation)."""
     hi = 32768 if sym == 0 else int(icdf_row[sym - 1])
-    p = max(hi - int(icdf_row[sym]), 1) / 32768.0
-    return -np.log2(p)
-
+    p = max(hi - int(icdf_row[sym]), 1)
+    return int(_prob_bits_lut()[p])
 
 
 @functools.lru_cache(maxsize=64)
 def candidate_mode_bits(cands: tuple, plane: int,
                         cfl_allowed: bool = False) -> np.ndarray:
-    """Static per-candidate syntax-rate estimate [M] from the default CDFs
-    (the reference's MD rate tables are likewise CDF-derived,
+    """Static per-candidate q9 syntax-rate estimate [M] from the default
+    CDFs (the reference's MD rate tables are likewise CDF-derived,
     EbMdRateEstimation.c). Context-averaged; used only to bias the RD
     search, never for actual coding."""
     from svt_av1_tpu.entropy.cdf import default_tables
@@ -112,20 +153,21 @@ def candidate_mode_bits(cands: tuple, plane: int,
         rows = tabs["uv_mode"][int(cfl_allowed)]
     out = []
     for mode, delta in cands:
-        bits = float(np.mean([_icdf_bits(r, mode) for r in rows]))
+        bits = sum(_icdf_bits(r, mode) for r in rows) // len(rows)
         if intra_dir.is_directional(mode):
             bits += _icdf_bits(tabs["angle_delta"][mode - 1], delta + 3)
         if mode == 13:  # UV_CFL_PRED: joint sign + alpha index
-            bits += 7.0
+            bits += 7 << RATE_Q
         out.append(bits)
-    return np.array(out)
+    return np.array(out, dtype=np.int64)
 
 
 def _full_loop(srcs, preds, tts, tx_size, size, qp, bd, plane_type=0):
     """T/Q/IQ/recon for one candidate per block.
     srcs/preds [B,h,w]; tts [B]; size: int (square) or (w, h). Returns
-    (qcoeff [B,ch,cw], eob [B], recon [B,h,w], dist [B], rate [B]).
-    Rate uses the CDF-derived level-cost LUT bucketed by qindex."""
+    (qcoeff [B,ch,cw], eob [B], recon [B,h,w], dist [B] int64,
+    rate [B] int64 q9). Rate uses the CDF-derived level-cost LUT
+    bucketed by qindex."""
     b = srcs.shape[0]
     w, h = common.leaf_wh(size)
     cw, ch = common.coded_dims(tx_size)
@@ -133,7 +175,7 @@ def _full_loop(srcs, preds, tts, tx_size, size, qp, bd, plane_type=0):
     qcoeff = np.zeros((b, ch, cw), dtype=np.int32)
     eob = np.zeros(b, dtype=np.int32)
     recon = np.empty((b, h, w), dtype=np.int64)
-    rate = np.zeros(b, dtype=np.float64)
+    rate = np.zeros(b, dtype=np.int64)
     resid = srcs - preds
     for tt in np.unique(tts):
         sel = np.nonzero(tts == tt)[0]
@@ -149,7 +191,7 @@ def _full_loop(srcs, preds, tts, tx_size, size, qp, bd, plane_type=0):
         full[:, :ch, :cw] = dq.reshape(-1, ch, cw)
         r = tx_ops.inverse_tx2d(full, int(tt), w, h, bd=bd)
         recon[sel] = tx_ops.recon_add(preds[sel], r, bd=bd)
-    dist = np.sum((srcs - recon) ** 2, axis=(1, 2)).astype(np.float64)
+    dist = np.sum((srcs - recon) ** 2, axis=(1, 2)).astype(np.int64)
     return qcoeff, eob, recon, dist, rate
 
 
@@ -194,6 +236,7 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
         alpha = cfl_ops.fit_alpha(ac, srcs[idxs], dc)
         return cfl_ops.predict(dc, ac, alpha, bd=bd), alpha
 
+    lamq = lam_to_q(lam)
     if forced is not None:
         fmodes, fdeltas = np.asarray(forced[0]), np.asarray(forced[1])
         alphas = np.zeros(b, dtype=np.int64)
@@ -210,7 +253,7 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
         qc, eo, rec, dist, rate = _full_loop(srcs, preds, ftts,
                                              tx_size, size, qp, bd)
         return (fmodes, fdeltas, qc, eo, rec.astype(pix),
-                dist + lam * rate, alphas, ftts)
+                rdcost(dist, lamq, rate), alphas, ftts)
 
     preds = np.stack([
         intra_ops.predict_any(m, d, above1, left1, bw, bh, ha, hl,
@@ -230,7 +273,8 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
     # fast-loop cost = SSE + lambda * mode rate (the reference's fast
     # loop likewise rates candidates, ProductPerformFastLoop); stable
     # sort so every backend breaks ties identically
-    fast_cost = sse + lam * mode_bits[:, None]
+    fast_cost = rdcost(sse, lamq, np.broadcast_to(mode_bits[:, None],
+                                                  sse.shape))
     order = np.argsort(fast_cost, axis=0, kind="stable")[:k]  # [K,B]
     best_cost = None
     out = None
@@ -242,7 +286,7 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
         qc, eo, rec, dist, rate = _full_loop(srcs, preds_k,
                                              tts_for(modes_k), tx_size,
                                              size, qp, bd)
-        cost = dist + lam * (rate + mode_bits[idx])
+        cost = rdcost(dist, lamq, rate + mode_bits[idx])
         if best_cost is None:
             best_cost = cost
             out = [modes_k, deltas_k, qc, eo, rec, cost]
@@ -277,6 +321,7 @@ def _luma_tx_search(srcs, preds, out, tx_size, size, qp, bd, lam):
     from svt_av1_tpu.entropy.cdf import default_tables
     from svt_av1_tpu.utils.blocks import TX_SIZE_SQR
     b = srcs.shape[0]
+    lamq = lam_to_q(lam)
     tts = np.zeros(b, dtype=np.int32)
     set_type = tx_sets.ext_tx_set_type(tx_size, False, False)
     nsyms = tx_sets.NUM_EXT_TX_SET[set_type]
@@ -287,13 +332,14 @@ def _luma_tx_search(srcs, preds, out, tx_size, size, qp, bd, lam):
     table = default_tables()["intra_ext_tx"][eset][sqr]  # [13, nsyms+1]
     modes = np.clip(out[0], 0, 12).astype(np.int64)
     rows = table[modes].astype(np.int64)                 # [B, nsyms+1]
+    pbl = _prob_bits_lut()
 
     def sig_bits(tt):
         sym = int(tx_sets.EXT_TX_IND[set_type][tt])
         hi = np.full(b, 32768, dtype=np.int64) if sym == 0 \
             else rows[:, sym - 1]
         p = np.maximum(hi - rows[:, sym], 1)
-        return -np.log2(p / 32768.0)
+        return pbl[p].astype(np.int64)
 
     allowed = [int(t) for t in np.nonzero(
         tx_sets.EXT_TX_USED[set_type])[0]]
@@ -302,7 +348,7 @@ def _luma_tx_search(srcs, preds, out, tx_size, size, qp, bd, lam):
         qc, eo, rec, dist, rate = _full_loop(
             srcs, preds, np.full(b, tt, dtype=np.int32), tx_size, size,
             qp, bd)
-        part = dist + lam * (rate + sig_bits(tt))
+        part = rdcost(dist, lamq, rate + sig_bits(tt))
         if best_part is None:                 # DCT_DCT baseline (tt==0)
             best_part = part
             continue

@@ -66,8 +66,12 @@ def _analyze_depth(src: np.ndarray, xs, ys, size, cands, qp,
     # per-leaf syntax floor: skip + partition share + chroma mode and
     # coefficient overhead invisible to this luma-only open-loop score
     # (empirically ~16 bits; keeps the DP from over-splitting now that
-    # the CDF-derived coefficient rates are well-calibrated)
-    return rd_cost + lam * 16.0, best_mode
+    # the CDF-derived coefficient rates are well-calibrated). rd_cost is
+    # integer q9-scaled (md.rdcost); the DP continues in float64, which
+    # is exact for these magnitudes (< 2^53).
+    from svt_av1_tpu.pipeline import md as md_mod
+    return rd_cost.astype(np.float64) \
+        + lam * float(16 << md_mod.RATE_Q), best_mode
 
 
 def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
@@ -150,7 +154,7 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
     min_size = sizes[-1]
     best = cost[min_size].copy()
     choice = {}
-    split_bits = 1.0  # partition symbol proxy
+    split_bits = 512.0  # partition symbol proxy (1 bit, q9 scale)
     for size in reversed(sizes[:-1]):
         rows, cols = cost[size].shape
         ch_rows, ch_cols = best.shape
@@ -166,13 +170,13 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
         options = [(0, np.where(crosses, np.inf, leaf_c)),
                    (1, sum4)]
         if (size, "h") in rect_cost:
-            rb = lam * (split_bits + 1.0)
+            rb = lam * (split_bits + 512.0)
             options.append((2, np.where(crosses, np.inf,
                                         rect_cost[(size, "h")] + rb)))
             options.append((3, np.where(crosses, np.inf,
                                         rect_cost[(size, "v")] + rb)))
         if (size, "h4") in rect_cost:
-            rb4 = lam * (split_bits + 2.0)  # rarer symbol + 3 extra leaves
+            rb4 = lam * (split_bits + 1024.0)  # rarer symbol + 3 leaves
             options.append((4, np.where(crosses, np.inf,
                                         rect_cost[(size, "h4")] + rb4)))
             options.append((5, np.where(crosses, np.inf,
