@@ -78,6 +78,12 @@ class EncoderConfig:
     # Uniform partition size when partition RD is off (None = RD search).
     fixed_partition_size: Optional[int] = 16
 
+    # --- compute backend --------------------------------------------------------
+    # "host": batched NumPy wave compute; "device": the JAX/XLA twin
+    # (ops.device_md) — byte-identical streams by construction (integer
+    # RD costs), with the pixel path running as jitted device programs.
+    backend: str = "host"
+
     # --- tiles / parallelism ----------------------------------------------------
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
@@ -105,6 +111,8 @@ class EncoderConfig:
             raise ValueError("qp must be in 0..63")
         if self.sb_size != 64:
             raise ValueError("only 64x64 superblocks supported")
+        if self.backend not in ("host", "device"):
+            raise ValueError("backend must be 'host' or 'device'")
 
     # geometry helpers ---------------------------------------------------------
     @property

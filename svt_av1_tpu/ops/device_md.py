@@ -1,0 +1,441 @@
+"""Device (JAX/XLA) twin of the production mode-decision kernel.
+
+``decide_block_batch_dev`` reproduces ``pipeline.md.decide_block_batch``
+bit-for-bit as one jitted XLA program per static shape key: all candidate
+intra predictions (incl. directional zones Z1/Z2/Z3 and CfL), the integer
+fast-loop ranking, the NFL full loop (forward transform + quantize +
+dequantize + inverse transform + recon + CDF-LUT rate), and the luma
+TX-type sweep. Because every cost is integer (md.RATE_Q fixed point) the
+argmin/argsort decisions agree exactly with the host NumPy path on any
+backend (CPU or TPU), so the wavefront encoder produces byte-identical
+bitstreams with either compute engine.
+
+Reference equivalents: fast/full loops ``EbProductCodingLoop.c:1185,2004``,
+encode-pass tx search ``EbCodingLoop.c:516``, CfL ``:1720``.
+
+int64 note: RD costs and distortions exceed int32, so importing this
+module enables jax x64. Pixel-path compute stays int32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from svt_av1_tpu.ops import device as dev  # noqa: E402
+from svt_av1_tpu.ops import intra_dir  # noqa: E402
+from svt_av1_tpu.ops import quant as quant_host  # noqa: E402
+from svt_av1_tpu.pipeline import common  # noqa: E402
+from svt_av1_tpu.pipeline import md  # noqa: E402
+from svt_av1_tpu.utils.blocks import get_scan  # noqa: E402
+
+UV_CFL = 13
+
+
+# --- directional intra (device twins of intra_dir._z1/_z2/_z3) -----------------
+def _z1_j(above1, bw, bh, dx, bd):
+    max_base_x = bw + bh - 1
+    r = np.arange(bh)[:, None]
+    c = np.arange(bw)[None, :]
+    x = (r + 1) * dx
+    base = (x >> 6) + c
+    shift = jnp.asarray((x >> 1) & 0x1F)
+    b0 = np.minimum(base, max_base_x)
+    b1 = np.minimum(base + 1, max_base_x)
+    v0 = above1[:, 1 + b0]
+    v1 = above1[:, 1 + b1]
+    val = (v0 * (32 - shift) + v1 * shift + 16) >> 5
+    out = jnp.where(jnp.asarray(base[None] < max_base_x), val,
+                    above1[:, 1 + max_base_x, None, None])
+    return jnp.clip(out, 0, (1 << bd) - 1)
+
+
+def _z3_j(left1, bw, bh, dy, bd):
+    max_base_y = bw + bh - 1
+    r = np.arange(bh)[:, None]
+    c = np.arange(bw)[None, :]
+    y = (c + 1) * dy
+    base = (y >> 6) + r
+    shift = jnp.asarray((y >> 1) & 0x1F)
+    b0 = np.minimum(base, max_base_y)
+    b1 = np.minimum(base + 1, max_base_y)
+    v0 = left1[:, 1 + b0]
+    v1 = left1[:, 1 + b1]
+    val = (v0 * (32 - shift) + v1 * shift + 16) >> 5
+    out = jnp.where(jnp.asarray(base[None] < max_base_y), val,
+                    left1[:, 1 + max_base_y, None, None])
+    return jnp.clip(out, 0, (1 << bd) - 1)
+
+
+def _z2_j(above1, left1, bw, bh, dx, dy, bd):
+    r = np.arange(bh)[:, None]
+    c = np.arange(bw)[None, :]
+    x = c * 64 - (r + 1) * dx
+    base_x = x >> 6
+    shift_x = jnp.asarray((x >> 1) & 0x1F)
+    y = r * 64 - (c + 1) * dy
+    base_y = y >> 6
+    shift_y = jnp.asarray((y >> 1) & 0x1F)
+    use_x = base_x >= -1
+    bx0 = np.clip(base_x, -1, bw + bh - 1)
+    bx1 = np.clip(base_x + 1, -1, bw + bh)
+    by0 = np.clip(base_y, -1, bh + bw - 1)
+    by1 = np.clip(base_y + 1, -1, bh + bw)
+    na = above1.shape[1] - 1
+    nl = left1.shape[1] - 1
+    vx = (above1[:, 1 + bx0] * (32 - shift_x)
+          + above1[:, np.minimum(1 + bx1, na)] * shift_x + 16) >> 5
+    vy = (left1[:, 1 + by0] * (32 - shift_y)
+          + left1[:, np.minimum(1 + by1, nl)] * shift_y + 16) >> 5
+    out = jnp.where(jnp.asarray(use_x[None]), vx, vy)
+    return jnp.clip(out, 0, (1 << bd) - 1)
+
+
+def predict_any_j(mode: int, delta: int, above1, left1, bw, bh, ha, hl,
+                  bd: int = 8):
+    """Device twin of intra_ops.predict_any for one static (mode, delta).
+    above1/left1 offset-1 edge arrays (int32/int64)."""
+    if intra_dir.is_directional(mode):
+        angle = intra_dir.mode_angle(mode, delta)
+        if angle not in (90, 180):
+            if 0 < angle < 90:
+                return _z1_j(above1, bw, bh, intra_dir.get_dx(angle), bd)
+            if 90 < angle < 180:
+                return _z2_j(above1, left1, bw, bh,
+                             intra_dir.get_dx(angle),
+                             intra_dir.get_dy(angle), bd)
+            return _z3_j(left1, bw, bh, intra_dir.get_dy(angle), bd)
+    preds = dev.predict_modes((mode,), above1[:, 1:], left1[:, 1:],
+                              above1[:, 0], ha, hl, bw, bh, bd)
+    return preds[0]
+
+
+# --- CfL device twins -----------------------------------------------------------
+def luma_ac_420_j(luma):
+    l32 = luma.astype(jnp.int32)
+    sub = (l32[:, 0::2, 0::2] + l32[:, 0::2, 1::2]
+           + l32[:, 1::2, 0::2] + l32[:, 1::2, 1::2]) << 1
+    b, h, w = sub.shape
+    n_log2 = int(np.log2(h * w))
+    avg = (sub.reshape(b, -1).sum(axis=1) + (1 << (n_log2 - 1))) >> n_log2
+    return sub - avg[:, None, None]
+
+
+def cfl_predict_j(dc_pred, ac, alpha_q3, bd=8):
+    a = alpha_q3.astype(jnp.int64)[:, None, None]
+    scaled = a * ac.astype(jnp.int64)
+    scaled = jnp.where(scaled >= 0, (scaled + 32) >> 6,
+                       -((-scaled + 32) >> 6))
+    return jnp.clip(dc_pred.astype(jnp.int64) + scaled, 0, (1 << bd) - 1)
+
+
+def cfl_fit_alpha_j(ac, src, dc_pred):
+    b = ac.shape[0]
+    r = (src.astype(jnp.int64) - dc_pred.astype(jnp.int64)).reshape(b, -1)
+    acf = ac.reshape(b, -1).astype(jnp.int64)
+    a2 = jnp.sum(acf * acf, axis=1)
+    ar = jnp.sum(acf * r, axis=1)
+    den = jnp.maximum(a2, 1)
+    mag = (128 * jnp.abs(ar) + den) // (2 * den)
+    alpha = jnp.where(a2 > 0, jnp.sign(ar) * mag, 0)
+    return jnp.clip(alpha, -16, 16)
+
+
+# --- full loop (T/Q/IQ/recon + integer rate) ------------------------------------
+def _rate_cdf_j(qcoeff_flat, eob, qindex: int, plane_type: int,
+                tx_size: int):
+    """Device twin of md.coeff_rate_cdf: [B, n] raster levels -> q9
+    rate [B] int64."""
+    from svt_av1_tpu.entropy import coeff_ctx as cc
+    from svt_av1_tpu.entropy.cdf import coef_qctx
+    lut = md._level_cost_lut(coef_qctx(qindex), plane_type,
+                             int(cc.txs_ctx(tx_size)))
+    ebl = md._eob_bits_lut()
+    n = qcoeff_flat.shape[1]
+    aq = jnp.minimum(jnp.abs(qcoeff_flat), 255)
+    eobi = eob.astype(jnp.int64)
+    rate = jnp.asarray(lut)[aq].sum(axis=1) - (n - eobi) * int(lut[0])
+    rate = jnp.maximum(rate, 0)
+    rate = rate + jnp.where(eobi > 0,
+                            (3 << md.RATE_Q) + jnp.asarray(ebl)[eobi], 307)
+    return rate
+
+
+def _full_loop_j(srcs, preds, tts, tt_set, tx_size, size, qindex, bd,
+                 plane_type):
+    """Device twin of md._full_loop. tts [B] dynamic; tt_set: static
+    tuple of the tx types tts can take (computed from the candidate
+    set). Returns (qcoeff [B,ch,cw], eob, recon, dist, rate)."""
+    b = srcs.shape[0]
+    w, h = common.leaf_wh(size)
+    cw, ch = common.coded_dims(tx_size)
+    log_scale = quant_host.tx_scale(tx_size)
+    qp = quant_host.make_quant_params(qindex, bit_depth=bd)
+    resid = (srcs - preds).astype(jnp.int32)
+
+    qcoeff = jnp.zeros((b, ch, cw), dtype=jnp.int32)
+    eob = jnp.zeros(b, dtype=jnp.int64)
+    recon = jnp.zeros((b, h, w), dtype=jnp.int64)
+    rate = jnp.zeros(b, dtype=jnp.int64)
+    for tt in tt_set:
+        sel = tts == tt
+        coeffs = dev.fwd_tx2d(resid, int(tt), w, h)
+        coded = coeffs[:, :ch, :cw].reshape(b, -1)
+        scan = get_scan(tx_size, int(tt))
+        qc, dq, eo = dev.quantize(coded, scan, qp, log_scale)
+        rt = _rate_cdf_j(qc, eo, qindex, plane_type, tx_size)
+        full = jnp.zeros((b, h, w), dtype=jnp.int32)
+        full = full.at[:, :ch, :cw].set(
+            dq.reshape(-1, ch, cw).astype(jnp.int32))
+        r = dev.inv_tx2d(full, int(tt), w, h, bd=bd)
+        rec = jnp.clip(preds + r, 0, (1 << bd) - 1).astype(jnp.int64)
+        qcoeff = jnp.where(sel[:, None, None], qc.reshape(-1, ch, cw),
+                           qcoeff)
+        eob = jnp.where(sel, eo.astype(jnp.int64), eob)
+        recon = jnp.where(sel[:, None, None], rec, recon)
+        rate = jnp.where(sel, rt, rate)
+    dist = jnp.sum((srcs.astype(jnp.int64) - recon) ** 2, axis=(1, 2))
+    return qcoeff, eob, recon, dist, rate
+
+
+def _rdcost_j(dist, lamq: int, rate):
+    return (dist.astype(jnp.int64) << md.RATE_Q) \
+        + ((int(lamq) * rate.astype(jnp.int64)) >> md.LAM_Q)
+
+
+# --- the decide twin ------------------------------------------------------------
+def _tt_for_lut(all_cands, plane, tx_size, reduced_tx_set):
+    """mode -> chroma tx type mapping restricted to the candidate set."""
+    lut = np.zeros(16, dtype=np.int32)
+    if plane != 0:
+        for m, _ in all_cands:
+            lut[m] = common.chroma_tx_type(int(m), tx_size,
+                                           reduced_tx_set)
+        lut[UV_CFL] = common.chroma_tx_type(UV_CFL, tx_size,
+                                            reduced_tx_set)
+    return lut
+
+
+@functools.lru_cache(maxsize=256)
+def _build_decide(plane: int, cands: tuple, qindex: int, size,
+                  lamq: int, bd: int, nfl: int, reduced_tx_set: bool,
+                  has_forced: bool, has_cfl: bool, tx_search: bool):
+    """Compile one decide program for a static configuration."""
+    bw, bh = common.leaf_wh(size)
+    tx_size = common.tx_size_for_rect(bw, bh, plane)
+    all_cands = list(cands)
+    if plane == 1 and has_cfl and not has_forced:
+        all_cands = all_cands + [(UV_CFL, 0)]
+    tt_lut = _tt_for_lut(all_cands + [(UV_CFL, 0)], plane, tx_size,
+                         reduced_tx_set)
+    tt_set = tuple(sorted({int(tt_lut[m]) for m, _ in all_cands}
+                          | ({int(tt_lut[UV_CFL])} if has_forced
+                             and plane == 2 else set()))) \
+        if plane != 0 else (0,)
+    mode_bits = md.candidate_mode_bits(tuple(map(tuple, all_cands)),
+                                       plane, has_cfl)
+    carr = np.asarray(all_cands, dtype=np.int64)
+    plane_type = int(plane > 0)
+
+    def tts_of(modes):
+        if plane == 0:
+            return jnp.zeros_like(modes, dtype=jnp.int32)
+        return jnp.asarray(tt_lut)[modes]
+
+    def cfl_parts(srcs, above1, left1, ha, hl, cfl_luma):
+        ac = luma_ac_420_j(cfl_luma)
+        dc = dev.predict_modes((0,), above1[:, 1:], left1[:, 1:],
+                               above1[:, 0], ha, hl, bw, bh, bd)[0]
+        alpha = cfl_fit_alpha_j(ac, srcs, dc)
+        return cfl_predict_j(dc, ac, alpha, bd), alpha
+
+    def forced_fn(srcs, above1, left1, ha, hl, fmodes, fdeltas,
+                  cfl_luma):
+        b = srcs.shape[0]
+        pair_set = list(dict.fromkeys(
+            [(int(m), int(d)) for m, d in all_cands] + [(UV_CFL, 0)]))
+        preds = jnp.zeros((b, bh, bw), dtype=jnp.int64)
+        alphas = jnp.zeros(b, dtype=jnp.int64)
+        for m, d in pair_set:
+            sel = (fmodes == m) & (fdeltas == d)
+            if m == UV_CFL:
+                if cfl_luma is None:
+                    continue
+                p, al = cfl_parts(srcs, above1, left1, ha, hl, cfl_luma)
+                alphas = jnp.where(sel, al, alphas)
+            else:
+                p = predict_any_j(m, d, above1, left1, bw, bh, ha, hl,
+                                  bd)
+            preds = jnp.where(sel[:, None, None],
+                              p.astype(jnp.int64), preds)
+        ftts = tts_of(fmodes)
+        qc, eo, rec, dist, rate = _full_loop_j(
+            srcs, preds, ftts, tt_set, tx_size, size, qindex, bd,
+            plane_type)
+        cost = _rdcost_j(dist, lamq, rate)
+        return (fmodes, fdeltas, qc, eo, rec, cost, alphas, ftts)
+
+    def decide_fn(srcs, above1, left1, ha, hl, cfl_luma):
+        b = srcs.shape[0]
+        pred_list = []
+        cand_alphas = None
+        for i, (m, d) in enumerate(all_cands):
+            if m == UV_CFL:
+                p, cand_alphas = cfl_parts(srcs, above1, left1, ha, hl,
+                                           cfl_luma)
+            else:
+                p = predict_any_j(int(m), int(d), above1, left1, bw, bh,
+                                  ha, hl, bd)
+            pred_list.append(p.astype(jnp.int64))
+        preds = jnp.stack(pred_list, axis=0)                  # [M,B,h,w]
+        diff = srcs[None].astype(jnp.int64) - preds
+        sse = jnp.sum(diff * diff, axis=(2, 3))               # [M,B]
+        k = min(nfl, len(all_cands))
+        mb = jnp.asarray(mode_bits)[:, None]
+        fast_cost = (sse << md.RATE_Q) \
+            + ((int(lamq) * jnp.broadcast_to(mb, sse.shape)) >> md.LAM_Q)
+        order = jnp.argsort(fast_cost, axis=0, stable=True)[:k]
+        best_cost = None
+        out = None
+        out_pred = None
+        for kk in range(k):
+            idx = order[kk]                                    # [B]
+            modes_k = jnp.asarray(carr)[idx, 0]
+            deltas_k = jnp.asarray(carr)[idx, 1]
+            preds_k = jnp.take_along_axis(
+                preds, idx[None, :, None, None], axis=0)[0]
+            qc, eo, rec, dist, rate = _full_loop_j(
+                srcs, preds_k, tts_of(modes_k), tt_set, tx_size, size,
+                qindex, bd, plane_type)
+            cost = _rdcost_j(dist, lamq,
+                             rate + jnp.asarray(mode_bits)[idx])
+            if best_cost is None:
+                best_cost = cost
+                out = [modes_k, deltas_k, qc, eo, rec, cost]
+                out_pred = preds_k
+            else:
+                better = cost < best_cost
+                best_cost = jnp.where(better, cost, best_cost)
+                out[0] = jnp.where(better, modes_k, out[0])
+                out[1] = jnp.where(better, deltas_k, out[1])
+                out[2] = jnp.where(better[:, None, None], qc, out[2])
+                out[3] = jnp.where(better, eo, out[3])
+                out[4] = jnp.where(better[:, None, None], rec, out[4])
+                out[5] = best_cost
+                out_pred = jnp.where(better[:, None, None], preds_k,
+                                     out_pred)
+        tts = tts_of(out[0])
+        if tx_search and plane == 0:
+            tts = _tx_search_j(srcs, out_pred, out, tx_size, size,
+                               qindex, bd, lamq)
+        alphas = jnp.zeros(b, dtype=jnp.int64)
+        if cand_alphas is not None:
+            alphas = jnp.where(out[0] == UV_CFL, cand_alphas, 0)
+        return (out[0], out[1], out[2], out[3], out[4], out[5], alphas,
+                tts)
+
+    if has_forced:
+        return jax.jit(forced_fn)
+    return jax.jit(lambda s, a, l, ha, hl, cl: decide_fn(s, a, l, ha,
+                                                         hl, cl))
+
+
+def _tx_search_j(srcs, preds, out, tx_size, size, qindex, bd, lamq):
+    """Device twin of md._luma_tx_search (in-place update of out)."""
+    from svt_av1_tpu.entropy import tx_sets
+    from svt_av1_tpu.entropy.cdf import default_tables
+    from svt_av1_tpu.utils.blocks import TX_SIZE_SQR
+    b = srcs.shape[0]
+    tts = jnp.zeros(b, dtype=jnp.int32)
+    set_type = tx_sets.ext_tx_set_type(tx_size, False, False)
+    if tx_sets.NUM_EXT_TX_SET[set_type] <= 1:
+        return tts
+    eset = tx_sets.ext_tx_set(tx_size, False, False)
+    sqr = int(TX_SIZE_SQR[tx_size])
+    table = default_tables()["intra_ext_tx"][eset][sqr]
+    pbl = md._prob_bits_lut()
+    modes = jnp.clip(out[0], 0, 12).astype(jnp.int64)
+    rows = jnp.asarray(table.astype(np.int64))[modes]     # [B, nsyms+1]
+
+    def sig_bits(tt):
+        sym = int(tx_sets.EXT_TX_IND[set_type][tt])
+        hi = jnp.full(b, 32768, dtype=jnp.int64) if sym == 0 \
+            else rows[:, sym - 1]
+        p = jnp.maximum(hi - rows[:, sym], 1)
+        return jnp.asarray(pbl.astype(np.int64))[p]
+
+    allowed = [int(t) for t in np.nonzero(
+        tx_sets.EXT_TX_USED[set_type])[0]]
+    best_part = None
+    for tt in allowed:
+        qc, eo, rec, dist, rate = _full_loop_j(
+            srcs, preds, jnp.full(b, tt, dtype=jnp.int32), (tt,),
+            tx_size, size, qindex, bd, 0)
+        part = _rdcost_j(dist, lamq, rate + sig_bits(tt))
+        if best_part is None:
+            best_part = part
+            continue
+        better = part < best_part
+        out[5] = jnp.where(better, out[5] - best_part + part, out[5])
+        best_part = jnp.where(better, part, best_part)
+        out[2] = jnp.where(better[:, None, None], qc, out[2])
+        out[3] = jnp.where(better, eo, out[3])
+        out[4] = jnp.where(better[:, None, None], rec, out[4])
+        tts = jnp.where(better, tt, tts)
+    return tts
+
+
+def _bucket(b: int) -> int:
+    """Pad batch sizes to powers of two (bounds the compile-key count)."""
+    n = 8
+    while n < b:
+        n <<= 1
+    return n
+
+
+def decide_block_batch_dev(plane, srcs, above1, left1, ha, hl, cands, qp,
+                           size, lam, bd=8, nfl=3, reduced_tx_set=False,
+                           forced=None, cfl_luma=None, tx_search=False):
+    """Drop-in twin of md.decide_block_batch running the compute as one
+    jitted device program (same integer decisions, same return types)."""
+    b = srcs.shape[0]
+    nb = _bucket(b)
+    lamq = md.lam_to_q(lam)
+    bw, bh = common.leaf_wh(size)
+    pix = np.uint16 if bd > 8 else np.uint8
+
+    def pad(a, fill_from=0):
+        if a is None or nb == b:
+            return a
+        return np.concatenate([a, np.repeat(a[fill_from:fill_from + 1],
+                                            nb - b, axis=0)], axis=0)
+
+    srcs_p = pad(np.ascontiguousarray(srcs))
+    above_p = pad(np.ascontiguousarray(above1))
+    left_p = pad(np.ascontiguousarray(left1))
+    ha_p, hl_p = pad(np.asarray(ha)), pad(np.asarray(hl))
+    cfl_p = pad(None if cfl_luma is None
+                else np.ascontiguousarray(cfl_luma))
+    fn = _build_decide(plane, tuple(map(tuple, cands)), int(qp.qindex),
+                       size if isinstance(size, int) else tuple(size),
+                       lamq, bd, nfl, reduced_tx_set, forced is not None,
+                       cfl_luma is not None, tx_search)
+    if forced is not None:
+        fm = pad(np.asarray(forced[0], dtype=np.int64))
+        fd = pad(np.asarray(forced[1], dtype=np.int64))
+        outs = fn(srcs_p, above_p, left_p, ha_p, hl_p, fm, fd, cfl_p)
+    else:
+        outs = fn(srcs_p, above_p, left_p, ha_p, hl_p, cfl_p)
+    modes, deltas, qc, eo, rec, cost, alphas, tts = \
+        [np.asarray(o)[:b] for o in outs]
+    return (modes.astype(np.int64), deltas.astype(np.int64),
+            qc.astype(np.int32), eo.astype(np.int32), rec.astype(pix),
+            cost.astype(np.int64), alphas.astype(np.int64),
+            tts.astype(np.int32))

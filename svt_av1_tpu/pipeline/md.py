@@ -251,7 +251,8 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
                     ha[sel], hl[sel], bd=bd)
         ftts = tts_for(fmodes)
         qc, eo, rec, dist, rate = _full_loop(srcs, preds, ftts,
-                                             tx_size, size, qp, bd)
+                                             tx_size, size, qp, bd,
+                                             plane_type=int(plane > 0))
         return (fmodes, fdeltas, qc, eo, rec.astype(pix),
                 rdcost(dist, lamq, rate), alphas, ftts)
 
@@ -285,7 +286,8 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
         preds_k = preds[idx, np.arange(b)]
         qc, eo, rec, dist, rate = _full_loop(srcs, preds_k,
                                              tts_for(modes_k), tx_size,
-                                             size, qp, bd)
+                                             size, qp, bd,
+                                             plane_type=int(plane > 0))
         cost = rdcost(dist, lamq, rate + mode_bits[idx])
         if best_cost is None:
             best_cost = cost

@@ -80,8 +80,13 @@ class WavefrontIntraEncoder:
             bd=cfg.bit_depth, max_w=max_w, max_h=max_h)
         srcs = np.stack([src[y:y + bh, x:x + bw]
                          for x, y in zip(xs, ys)]).astype(np.int64)
+        if cfg.backend == "device":
+            from svt_av1_tpu.ops.device_md import decide_block_batch_dev
+            decide = decide_block_batch_dev
+        else:
+            decide = md.decide_block_batch
         best, deltas, qcoeff, eob, recon_blocks, _, alphas, tts = \
-            md.decide_block_batch(
+            decide(
                 plane, srcs, above1, left1, ha, hl, cands,
                 self.qp if qp is None else qp, size,
                 self.lam if lam is None else lam,

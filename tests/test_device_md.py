@@ -1,0 +1,90 @@
+"""Device mode-decision twin vs host: bit-exact decisions and streams.
+
+``ops.device_md.decide_block_batch_dev`` must reproduce
+``pipeline.md.decide_block_batch`` exactly (integer RD costs make this
+well-defined on any backend), and the wavefront encoder configured with
+``backend="device"`` must emit byte-identical bitstreams to the host
+backend.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from svt_av1_tpu.config import EncoderConfig  # noqa: E402
+from svt_av1_tpu.ops import quant as quant_ops  # noqa: E402
+from svt_av1_tpu.ops.device_md import decide_block_batch_dev  # noqa: E402
+from svt_av1_tpu.pipeline import common, md, rd  # noqa: E402
+
+CANDS = [(0, 0), (1, 0), (2, 0), (9, 0), (12, 0), (1, -2), (4, 1)]
+NAMES = ["modes", "deltas", "qcoeff", "eob", "recon", "cost", "alphas",
+         "tts"]
+
+
+def _batch(rng, b, bw, bh):
+    srcs = rng.integers(0, 256, (b, bh, bw)).astype(np.int64)
+    above1 = rng.integers(0, 256, (b, 1 + bw + bh)).astype(np.int32)
+    left1 = rng.integers(0, 256, (b, 1 + bh + bw)).astype(np.int32)
+    ha = rng.random(b) > 0.2
+    hl = rng.random(b) > 0.2
+    return srcs, above1, left1, ha, hl
+
+
+@pytest.mark.parametrize("plane,size,qidx,txs", [
+    (0, 8, 160, True),
+    (0, (16, 8), 120, False),
+    (1, 8, 160, False),
+])
+def test_decide_twin_exact(plane, size, qidx, txs):
+    rng = np.random.default_rng(0)
+    bw, bh = common.leaf_wh(size)
+    srcs, above1, left1, ha, hl = _batch(rng, 11, bw, bh)
+    qp = quant_ops.make_quant_params(qidx)
+    lam = rd.rd_lambda(qidx, 8)
+    cfl = None
+    if plane == 1:
+        cfl = rng.integers(0, 256, (11, 2 * bh, 2 * bw)).astype(np.int64)
+    kw = dict(bd=8, nfl=3, cfl_luma=cfl, tx_search=txs)
+    host = md.decide_block_batch(plane, srcs, above1, left1, ha, hl,
+                                 CANDS, qp, size, lam, **kw)
+    devr = decide_block_batch_dev(plane, srcs, above1, left1, ha, hl,
+                                  CANDS, qp, size, lam, **kw)
+    for n, hv, dv in zip(NAMES, host, devr):
+        assert np.array_equal(np.asarray(hv), np.asarray(dv)), n
+
+
+def test_decide_twin_forced_exact():
+    rng = np.random.default_rng(1)
+    srcs, above1, left1, ha, hl = _batch(rng, 6, 8, 8)
+    fmodes = np.array([0, 13, 1, 13, 9, 2])
+    fdeltas = np.zeros(6, np.int64)
+    cfl = rng.integers(0, 256, (6, 16, 16)).astype(np.int64)
+    qp = quant_ops.make_quant_params(160)
+    lam = rd.rd_lambda(160, 8)
+    host = md.decide_block_batch(2, srcs, above1, left1, ha, hl,
+                                 CANDS[:4], qp, 8, lam,
+                                 forced=(fmodes, fdeltas), cfl_luma=cfl)
+    devr = decide_block_batch_dev(2, srcs, above1, left1, ha, hl,
+                                  CANDS[:4], qp, 8, lam,
+                                  forced=(fmodes, fdeltas), cfl_luma=cfl)
+    for n, hv, dv in zip(NAMES, host, devr):
+        assert np.array_equal(np.asarray(hv), np.asarray(dv)), n
+
+
+def test_backend_streams_byte_identical():
+    from svt_av1_tpu.pipeline.wavefront import encode_keyframe_wavefront
+    rng = np.random.default_rng(2)
+    h, w = 64, 128
+    y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    u = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    v = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    cfg_h = EncoderConfig(width=w, height=h, qp=35)
+    cfg_d = dataclasses.replace(cfg_h, backend="device")
+    tu_h, rec_h, _ = encode_keyframe_wavefront(y, u, v, cfg_h)
+    tu_d, rec_d, _ = encode_keyframe_wavefront(y, u, v, cfg_d)
+    assert tu_h == tu_d
+    for a, b in zip(rec_h, rec_d):
+        assert np.array_equal(a, b)
