@@ -65,40 +65,39 @@ def mc_block_batch(ref_padded: np.ndarray, xs, ys, mvs, w: int, h: int,
     """
     b = len(xs)
     mvs = np.asarray(mvs, dtype=np.int64)
-    # 1/16-pel plane units
-    scaled_r = mvs[:, 0] << (1 - ss)
-    scaled_c = mvs[:, 1] << (1 - ss)
-    int_r = ys + (scaled_r >> 4)
-    int_c = xs + (scaled_c >> 4)
-    frac_r = scaled_r & 15
-    frac_c = scaled_c & 15
-    fx = _filters(w)
-    fy = _filters(h)
-    out = np.empty((b, h, w), dtype=np.uint16 if bd > 8 else np.uint8)
+    win, fxv, fyv = _gather_windows(ref_padded, xs, ys, mvs, w, h, ss)
     offset_bits = bd + 2 * FILTER_BITS - ROUND0
     final_bits = 2 * FILTER_BITS - ROUND0 - ROUND1
     sub = (1 << (offset_bits - ROUND1)) + (1 << (offset_bits - ROUND1 - 1))
-    for i in range(b):
-        y0 = int(int_r[i]) + REF_PAD
-        x0 = int(int_c[i]) + REF_PAD
-        win = ref_padded[y0 - 3:y0 + h + 4, x0 - 3:x0 + w + 4] \
-            .astype(np.int64)
-        xf = fx[frac_c[i]]
-        # horizontal pass: [h+7, w]
-        horiz = np.zeros((h + 7, w), dtype=np.int64)
-        horiz += 1 << (bd + FILTER_BITS - 1)
-        for k in range(8):
-            horiz += xf[k] * win[:, k:k + w]
-        horiz = (horiz + (1 << (ROUND0 - 1))) >> ROUND0
-        yf = fy[frac_r[i]]
-        vert = np.full((h, w), 1 << offset_bits, dtype=np.int64)
-        for k in range(8):
-            vert += yf[k] * horiz[k:k + h]
-        res = ((vert + (1 << (ROUND1 - 1))) >> ROUND1) - sub
-        if final_bits > 0:
-            res = (res + (1 << (final_bits - 1))) >> final_bits
-        out[i] = np.clip(res, 0, (1 << bd) - 1)
-    return out
+    horiz = np.full((b, h + 7, w), 1 << (bd + FILTER_BITS - 1),
+                    dtype=np.int64)
+    for k in range(8):
+        horiz += fxv[:, k, None, None] * win[:, :, k:k + w]
+    horiz = (horiz + (1 << (ROUND0 - 1))) >> ROUND0
+    vert = np.full((b, h, w), 1 << offset_bits, dtype=np.int64)
+    for k in range(8):
+        vert += fyv[:, k, None, None] * horiz[:, k:k + h]
+    res = ((vert + (1 << (ROUND1 - 1))) >> ROUND1) - sub
+    if final_bits > 0:
+        res = (res + (1 << (final_bits - 1))) >> final_bits
+    return np.clip(res, 0, (1 << bd) - 1) \
+        .astype(np.uint16 if bd > 8 else np.uint8)
+
+
+def _gather_windows(ref_padded, xs, ys, mvs, w, h, ss):
+    """Batched (h+7, w+7) filter windows + per-block x/y filter rows."""
+    scaled_r = mvs[:, 0] << (1 - ss)
+    scaled_c = mvs[:, 1] << (1 - ss)
+    int_r = np.asarray(ys, dtype=np.int64) + (scaled_r >> 4)
+    int_c = np.asarray(xs, dtype=np.int64) + (scaled_c >> 4)
+    frac_r = scaled_r & 15
+    frac_c = scaled_c & 15
+    y0 = int_r + REF_PAD - 3
+    x0 = int_c + REF_PAD - 3
+    iy = y0[:, None, None] + np.arange(h + 7)[None, :, None]
+    ix = x0[:, None, None] + np.arange(w + 7)[None, None, :]
+    win = ref_padded[iy, ix].astype(np.int64)
+    return win, _filters(w)[frac_c], _filters(h)[frac_r]
 
 
 def clamp_mv_for_padding(mv, x: int, y: int, w: int, h: int,
@@ -125,33 +124,18 @@ def mc_block_batch_conv(ref_padded: np.ndarray, xs, ys, mvs, w: int,
     Returns [B, h, w] int32."""
     b = len(xs)
     mvs = np.asarray(mvs, dtype=np.int64)
-    scaled_r = mvs[:, 0] << (1 - ss)
-    scaled_c = mvs[:, 1] << (1 - ss)
-    int_r = ys + (scaled_r >> 4)
-    int_c = xs + (scaled_c >> 4)
-    frac_r = scaled_r & 15
-    frac_c = scaled_c & 15
-    fx = _filters(w)
-    fy = _filters(h)
-    out = np.empty((b, h, w), dtype=np.int32)
+    win, fxv, fyv = _gather_windows(ref_padded, xs, ys, mvs, w, h, ss)
     offset_bits = bd + 2 * FILTER_BITS - ROUND0
-    for i in range(b):
-        y0 = int(int_r[i]) + REF_PAD
-        x0 = int(int_c[i]) + REF_PAD
-        win = ref_padded[y0 - 3:y0 + h + 4, x0 - 3:x0 + w + 4] \
-            .astype(np.int64)
-        xf = fx[frac_c[i]]
-        horiz = np.full((h + 7, w), 1 << (bd + FILTER_BITS - 1),
-                        dtype=np.int64)
-        for k in range(8):
-            horiz += xf[k] * win[:, k:k + w]
-        horiz = (horiz + (1 << (ROUND0 - 1))) >> ROUND0
-        yf = fy[frac_r[i]]
-        vert = np.full((h, w), 1 << offset_bits, dtype=np.int64)
-        for k in range(8):
-            vert += yf[k] * horiz[k:k + h]
-        out[i] = (vert + (1 << (ROUND1_COMP - 1))) >> ROUND1_COMP
-    return out
+    horiz = np.full((b, h + 7, w), 1 << (bd + FILTER_BITS - 1),
+                    dtype=np.int64)
+    for k in range(8):
+        horiz += fxv[:, k, None, None] * win[:, :, k:k + w]
+    horiz = (horiz + (1 << (ROUND0 - 1))) >> ROUND0
+    vert = np.full((b, h, w), 1 << offset_bits, dtype=np.int64)
+    for k in range(8):
+        vert += fyv[:, k, None, None] * horiz[:, k:k + h]
+    return (((vert + (1 << (ROUND1_COMP - 1))) >> ROUND1_COMP)
+            .astype(np.int32))
 
 
 def compound_average(res0: np.ndarray, res1: np.ndarray,

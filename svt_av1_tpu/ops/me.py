@@ -44,61 +44,52 @@ def decimate2(plane: np.ndarray) -> np.ndarray:
              + p[1::2, 1::2] + 2) >> 2).astype(plane.dtype)
 
 
+def search_offsets(radius: int) -> np.ndarray:
+    """Row-major (dy, dx) grid offsets [-radius..radius]^2, [K, 2].
+
+    The deterministic candidate order shared by the host search and its
+    device twin — equal-SAD ties resolve to the first offset in this
+    order on both backends."""
+    r = np.arange(-radius, radius + 1)
+    return np.stack(np.meshgrid(r, r, indexing="ij"),
+                    axis=-1).reshape(-1, 2).astype(np.int64)
+
+
 def _exhaustive(ref_padded, cur_plane, xs, ys, size, centers, radius):
+    """Fully-batched exhaustive SAD around per-block centers: one
+    vectorized gather+reduce per offset (no per-block Python loops).
+    Tie-break: first strictly-better offset in row-major order wins
+    (identical on the device twin)."""
     from svt_av1_tpu.pipeline.common import leaf_wh
     bw, bh = leaf_wh(size)
-    """Batched exhaustive SAD over a window per block using full-frame
-    diffs + integral images (one pass per offset, O(1) per block)."""
     b = len(xs)
     cur = cur_plane.astype(np.int32)
-    H, W = cur.shape
     pad = mc.REF_PAD
-    best_cost = np.full(b, np.iinfo(np.int64).max, dtype=np.int64)
-    best_dy = np.zeros(b, dtype=np.int64)
-    best_dx = np.zeros(b, dtype=np.int64)
     centers = np.asarray(centers, dtype=np.int64)
-    uniq = {}
-    for cy, cx in centers:
-        uniq.setdefault((int(cy), int(cx)), True)
-    xa = np.asarray(xs)
-    ya = np.asarray(ys)
-    for (cy, cx) in uniq:
-        sel = np.nonzero((centers[:, 0] == cy) & (centers[:, 1] == cx))[0]
-        # direct window sums beat a full-frame integral image when the
-        # blocks under this center cover a small fraction of the plane
-        direct = len(sel) * bw * bh * 4 < H * W
-        ys_s, xs_s = ya[sel], xa[sel]
-        if direct:
-            curs = np.stack([cur[y:y + bh, x:x + bw]
-                             for y, x in zip(ys_s, xs_s)])
-        for dy in range(cy - radius, cy + radius + 1):
-            if not (-pad < dy < pad):
-                continue
-            for dx in range(cx - radius, cx + radius + 1):
-                if not (-pad < dx < pad):
-                    continue
-                if direct:
-                    refs = np.stack([
-                        ref_padded[pad + dy + y:pad + dy + y + bh,
-                                   pad + dx + x:pad + dx + x + bw]
-                        for y, x in zip(ys_s, xs_s)]).astype(np.int32)
-                    sad = np.abs(curs - refs).sum(axis=(1, 2)) \
-                        .astype(np.int64)
-                else:
-                    shifted = ref_padded[pad + dy:pad + dy + H,
-                                         pad + dx:pad + dx + W] \
-                        .astype(np.int32)
-                    d = np.abs(cur - shifted)
-                    ii = np.zeros((H + 1, W + 1), dtype=np.int64)
-                    ii[1:, 1:] = d.cumsum(0).cumsum(1)
-                    sad = (ii[ys_s + bh, xs_s + bw] - ii[ys_s, xs_s + bw]
-                           - ii[ys_s + bh, xs_s] + ii[ys_s, xs_s])
-                better = sad < best_cost[sel]
-                idx = sel[better]
-                best_cost[idx] = sad[better]
-                best_dy[idx] = dy
-                best_dx[idx] = dx
-    return np.stack([best_dy, best_dx], axis=1), best_cost
+    xa = np.asarray(xs, dtype=np.int64)
+    ya = np.asarray(ys, dtype=np.int64)
+    iy = ya[:, None, None] + np.arange(bh)[None, :, None]
+    ix = xa[:, None, None] + np.arange(bw)[None, None, :]
+    curs = cur[iy, ix].astype(np.int32)                     # [B, bh, bw]
+    refp = ref_padded.astype(np.int32)
+    best_cost = np.full(b, np.iinfo(np.int64).max, dtype=np.int64)
+    best_mv = np.zeros((b, 2), dtype=np.int64)
+    for dy, dx in search_offsets(radius):
+        cy = centers[:, 0] + dy
+        cx = centers[:, 1] + dx
+        valid = (np.abs(cy) < pad) & (np.abs(cx) < pad)
+        cyc = np.clip(cy, -pad + 1, pad - 1)
+        cxc = np.clip(cx, -pad + 1, pad - 1)
+        ry = iy + (cyc + pad)[:, None, None]
+        rx = ix + (cxc + pad)[:, None, None]
+        sad = np.abs(curs - refp[ry, rx]).sum(axis=(1, 2),
+                                              dtype=np.int64)
+        sad = np.where(valid, sad, np.iinfo(np.int64).max)
+        better = sad < best_cost
+        best_cost = np.where(better, sad, best_cost)
+        best_mv[better, 0] = cy[better]
+        best_mv[better, 1] = cx[better]
+    return best_mv, best_cost
 
 
 def fullpel_search(ref_padded, src_plane, xs, ys, size,
@@ -141,14 +132,16 @@ def fullpel_search(ref_padded, src_plane, xs, ys, size,
     mvs = np.where(better[:, None], mv_b, mv_a)
     cost = np.where(better, cost_b, cost_a)
     # clamp so the 8-tap MC window of any refined sub-pel candidate stays
-    # inside the padded reference
+    # inside the padded reference (vectorized clamp_mv_for_padding, then
+    # truncate the 1/8-pel result back to whole pels toward zero)
     H, W = src_plane.shape
-    for i in range(b):
-        r, c = mc.clamp_mv_for_padding((mvs[i, 0] * 8, mvs[i, 1] * 8),
-                                       int(xa[i]), int(ya[i]), bw, bh,
-                                       W, H)
-        mvs[i, 0], mvs[i, 1] = (r // 8) if r >= 0 else -((-r) // 8), \
-            (c // 8) if c >= 0 else -((-c) // 8)
+    margin = (mc.REF_PAD - 5) << 2
+    r8 = np.clip(mvs[:, 0] * 8, -(ya << 2) - margin,
+                 ((H - ya - bh) << 2) + margin)
+    c8 = np.clip(mvs[:, 1] * 8, -(xa << 2) - margin,
+                 ((W - xa - bw) << 2) + margin)
+    mvs = np.stack([np.sign(r8) * (np.abs(r8) // 8),
+                    np.sign(c8) * (np.abs(c8) // 8)], axis=1)
     return mvs, cost
 
 

@@ -431,19 +431,24 @@ class InterFrameEncoder:
                 ha, hl, htr, hbl, bd=cfg.bit_depth,
                 max_w=self.mi_cols * 4, max_h=self.mi_rows * 4)
             src = self.src[0][y:y + bh, x:x + bw][None].astype(np.int64)
-            best = None
             lamq = md.lam_to_q(lam)
             cand_modes = tuple(cfg.intra_modes) or (0,)
-            for m in cand_modes:
-                pred = intra_ops.predict_any(
-                    m, 0, above1, left1, bw, bh, ha, hl,
-                    bd=cfg.bit_depth).astype(np.int64)
-                qc, eo, rec, dist, rate = md._full_loop(
-                    src, pred, np.zeros(1, dtype=np.int32), tx_y,
-                    (bw, bh), qp, cfg.bit_depth)
-                cost = int(md.rdcost(dist, lamq, rate + mode_bits)[0])
-                if best is None or cost < best[0]:
-                    best = (cost, m, qc[0], int(eo[0]), rec[0])
+            # one batched full loop over all candidate modes (mode is the
+            # batch axis; edges broadcast) instead of M single-block calls
+            m_arr = np.asarray(cand_modes)
+            mcount = len(cand_modes)
+            preds = np.stack([
+                intra_ops.predict_any(m, 0, above1, left1, bw, bh, ha,
+                                      hl, bd=cfg.bit_depth)[0]
+                for m in cand_modes]).astype(np.int64)
+            qc, eo, rec, dist, rate = md._full_loop(
+                np.broadcast_to(src[0], preds.shape), preds,
+                np.zeros(mcount, dtype=np.int32), tx_y, (bw, bh), qp,
+                cfg.bit_depth)
+            costs_m = md.rdcost(dist, lamq, rate + mode_bits)
+            bi = int(np.argmin(costs_m))
+            best = (int(costs_m[bi]), int(m_arr[bi]), qc[bi],
+                    int(eo[bi]), rec[bi])
             if best[0] >= costs[li]:
                 continue
             cost, m, qc_y, eo_y, rec_y = best
