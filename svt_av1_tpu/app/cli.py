@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nch", type=int, default=1,
                    help="independent encoder channels; -i/-b take "
                         "comma-separated lists (reference EbAppMain -nch)")
+    p.add_argument("--backend", default="host",
+                   choices=("host", "device"),
+                   help="compute backend: 'device' runs the pixel path "
+                        "as jitted XLA programs (byte-identical output)")
     return p
 
 
@@ -109,6 +113,8 @@ def preset_config(args) -> EncoderConfig:
         kw.update(rate_control_mode=RateControlMode.VBR,
                   target_bit_rate=args.tbr,
                   look_ahead_distance=args.lad)
+    if getattr(args, "backend", "host") != "host":
+        kw.update(backend=args.backend)
     return EncoderConfig(**kw)
 
 

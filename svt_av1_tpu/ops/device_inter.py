@@ -1,0 +1,335 @@
+"""Device (JAX/XLA) twin of the inter-frame compute core.
+
+One jitted program per (block shape, qindex, lambda) evaluates, for every
+block of a shape group at once: hierarchical full-pel ME over the
+decimated pyramid (exact twin of ``ops.me.fullpel_search`` — same
+row-major offset order, same first-min tie-breaks), quarter-pel
+refinement, 8-tap MC, the transform/quant full loop with integer CDF
+rates, and the {best-MV, zero-MV} candidate fold. A second program codes
+chroma with the chosen MVs, and a third evaluates the compound
+(LAST+ALT) average candidate. Because every op is integer, streams are
+byte-identical to the host backend.
+
+Reference equivalents: MotionEstimateLcu ``EbMotionEstimation.c:6152``,
+inter full loop ``EbCodingLoop.c:552``, jnt convolve compound
+``EbInterPrediction.c:290``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from svt_av1_tpu.ops import device as dev  # noqa: E402
+from svt_av1_tpu.ops import mc  # noqa: E402
+from svt_av1_tpu.ops import me  # noqa: E402
+from svt_av1_tpu.ops.device_md import _full_loop_j, _rdcost_j  # noqa: E402
+from svt_av1_tpu.pipeline import common, md  # noqa: E402
+
+I64MAX = np.iinfo(np.int64).max
+
+
+def _exhaustive_j(ref_padded, curs, iy, ix, centers, radius: int):
+    """Twin of me._exhaustive: curs [B,bh,bw] int32, iy/ix gather bases,
+    centers [B,2]. Returns (mv [B,2], cost [B])."""
+    pad = mc.REF_PAD
+    refp = ref_padded.astype(jnp.int32)
+    b = curs.shape[0]
+    best_cost = jnp.full(b, I64MAX, dtype=jnp.int64)
+    best_mv = jnp.zeros((b, 2), dtype=jnp.int64)
+    for dy, dx in me.search_offsets(radius):
+        cy = centers[:, 0] + int(dy)
+        cx = centers[:, 1] + int(dx)
+        valid = (jnp.abs(cy) < pad) & (jnp.abs(cx) < pad)
+        cyc = jnp.clip(cy, -pad + 1, pad - 1)
+        cxc = jnp.clip(cx, -pad + 1, pad - 1)
+        ry = iy + (cyc + pad)[:, None, None]
+        rx = ix + (cxc + pad)[:, None, None]
+        sad = jnp.sum(jnp.abs(curs - refp[ry, rx]).astype(jnp.int64),
+                      axis=(1, 2))
+        sad = jnp.where(valid, sad, I64MAX)
+        better = sad < best_cost
+        best_cost = jnp.where(better, sad, best_cost)
+        best_mv = jnp.where(better[:, None],
+                            jnp.stack([cy, cx], axis=1), best_mv)
+    return best_mv, best_cost
+
+
+def _gather_curs(plane, xs, ys, bw: int, bh: int):
+    iy = ys[:, None, None] + jnp.arange(bh)[None, :, None]
+    ix = xs[:, None, None] + jnp.arange(bw)[None, None, :]
+    return plane[iy, ix].astype(jnp.int32), iy, ix
+
+
+def fullpel_search_j(ref_pyr, src_pyr, xs, ys, size, max_range: int = 24):
+    """Twin of me.fullpel_search (pyramids passed in)."""
+    ref_full, ref_h, ref_q = ref_pyr
+    src_full, src_h, src_q = src_pyr
+    bw, bh = common.leaf_wh(size)
+    b = xs.shape[0]
+    xs = xs.astype(jnp.int64)
+    ys = ys.astype(jnp.int64)
+    zero = jnp.zeros((b, 2), dtype=jnp.int64)
+    if min(bw, bh) >= 16:
+        cq, iyq, ixq = _gather_curs(src_q.astype(jnp.int32), xs >> 2,
+                                    ys >> 2, bw >> 2, bh >> 2)
+        mv_q, _ = _exhaustive_j(ref_q, cq, iyq, ixq, zero,
+                                max(2, max_range // 4))
+        ch, iyh, ixh = _gather_curs(src_h.astype(jnp.int32), xs >> 1,
+                                    ys >> 1, bw >> 1, bh >> 1)
+        mv_h, _ = _exhaustive_j(ref_h, ch, iyh, ixh, mv_q * 2, 2)
+        seed = mv_h * 2
+        radius0 = 3
+    else:
+        seed = zero
+        radius0 = max(4, max_range // 2)
+    c0, iy0, ix0 = _gather_curs(src_full.astype(jnp.int32), xs, ys,
+                                bw, bh)
+    mv_a, cost_a = _exhaustive_j(ref_full, c0, iy0, ix0, seed, radius0)
+    mv_b, cost_b = _exhaustive_j(ref_full, c0, iy0, ix0, zero, 3)
+    better = cost_b < cost_a
+    mvs = jnp.where(better[:, None], mv_b, mv_a)
+    # trailing clamp (twin of the vectorized tail of fullpel_search)
+    H, W = src_full.shape
+    margin = (mc.REF_PAD - 5) << 2
+    r8 = jnp.clip(mvs[:, 0] * 8, -(ys << 2) - margin,
+                  ((H - ys - bh) << 2) + margin)
+    c8 = jnp.clip(mvs[:, 1] * 8, -(xs << 2) - margin,
+                  ((W - xs - bw) << 2) + margin)
+    return jnp.stack([jnp.sign(r8) * (jnp.abs(r8) // 8),
+                      jnp.sign(c8) * (jnp.abs(c8) // 8)], axis=1)
+
+
+def subpel_refine_j(ref_padded, src_full, xs, ys, size, int_mvs,
+                    bd: int = 8, steps=(4, 2)):
+    """Twin of me.subpel_refine."""
+    bw, bh = common.leaf_wh(size)
+    srcs, _, _ = _gather_curs(src_full.astype(jnp.int32), xs, ys, bw, bh)
+    srcs = srcs.astype(jnp.int64)
+    mvs = int_mvs.astype(jnp.int64) * 8
+
+    def cost_of(cand):
+        pred = dev.mc_block_batch_j(ref_padded, xs, ys, cand, bw, bh,
+                                    ss=0, bd=bd)
+        return jnp.sum((srcs - pred.astype(jnp.int64)) ** 2, axis=(1, 2))
+
+    best_cost = cost_of(mvs)
+    for step in steps:
+        for oy, ox in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            cand = mvs + jnp.asarray([oy * step, ox * step],
+                                     dtype=jnp.int64)
+            cost = cost_of(cand)
+            better = cost < best_cost
+            mvs = jnp.where(better[:, None], cand, mvs)
+            best_cost = jnp.where(better, cost, best_cost)
+    return mvs
+
+
+def _clamp_mvs_j(mvs, xs, ys, bw, bh, plane_w, plane_h, ss=0):
+    margin = (mc.REF_PAD - 5) << (2 + ss)
+    r = jnp.clip(mvs[:, 0], -(ys << (2 + ss)) - margin,
+                 ((plane_h - ys - bh) << (2 + ss)) + margin)
+    c = jnp.clip(mvs[:, 1], -(xs << (2 + ss)) - margin,
+                 ((plane_w - xs - bw) << (2 + ss)) + margin)
+    return jnp.stack([r, c], axis=1)
+
+
+def mc_block_batch_conv_j(ref_padded, xs, ys, mvs, w, h, ss=0, bd=8):
+    """Device twin of mc.mc_block_batch_conv (CONV-domain compound
+    side)."""
+    from svt_av1_tpu.ops import mc as mch
+    b = xs.shape[0]
+    mvs = mvs.astype(jnp.int64)
+    scaled_r = mvs[:, 0] << (1 - ss)
+    scaled_c = mvs[:, 1] << (1 - ss)
+    int_r = ys.astype(jnp.int64) + (scaled_r >> 4)
+    int_c = xs.astype(jnp.int64) + (scaled_c >> 4)
+    frac_r = scaled_r & 15
+    frac_c = scaled_c & 15
+    fx = jnp.asarray(mch._filters(w), jnp.int64)[frac_c]
+    fy = jnp.asarray(mch._filters(h), jnp.int64)[frac_r]
+    y0 = int_r + mch.REF_PAD - 3
+    x0 = int_c + mch.REF_PAD - 3
+    iy = y0[:, None, None] + jnp.arange(h + 7)[None, :, None]
+    ix = x0[:, None, None] + jnp.arange(w + 7)[None, None, :]
+    win = ref_padded[iy, ix].astype(jnp.int64)
+    offset_bits = bd + 2 * mch.FILTER_BITS - mch.ROUND0
+    horiz = jnp.full((b, h + 7, w), 1 << (bd + mch.FILTER_BITS - 1),
+                     dtype=jnp.int64)
+    for k in range(8):
+        horiz = horiz + fx[:, k, None, None] * win[:, :, k:k + w]
+    horiz = (horiz + (1 << (mch.ROUND0 - 1))) >> mch.ROUND0
+    vert = jnp.full((b, h, w), 1 << offset_bits, dtype=jnp.int64)
+    for k in range(8):
+        vert = vert + fy[:, k, None, None] * horiz[:, k:k + h]
+    return (vert + (1 << (mch.ROUND1_COMP - 1))) >> mch.ROUND1_COMP
+
+
+def compound_average_j(res0, res1, bd=8):
+    offset_bits = bd + 2 * mc.FILTER_BITS - mc.ROUND0
+    round_bits = 2 * mc.FILTER_BITS - mc.ROUND0 - mc.ROUND1_COMP
+    tmp = (res0.astype(jnp.int64) + res1.astype(jnp.int64)) >> 1
+    tmp = tmp - ((1 << (offset_bits - mc.ROUND1_COMP))
+                 + (1 << (offset_bits - mc.ROUND1_COMP - 1)))
+    tmp = (tmp + (1 << (round_bits - 1))) >> round_bits
+    return jnp.clip(tmp, 0, (1 << bd) - 1)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_ref_candidates(size, qindex: int, lamq: int, bd: int):
+    bw, bh = common.leaf_wh(size)
+    tx_size = common.tx_size_for_rect(bw, bh, 0)
+
+    def fn(ref_full, ref_h, ref_q, src_full, src_h, src_q, xs, ys):
+        xs = xs.astype(jnp.int64)
+        ys = ys.astype(jnp.int64)
+        H, W = src_full.shape
+        int_mvs = fullpel_search_j((ref_full, ref_h, ref_q),
+                                   (src_full, src_h, src_q), xs, ys,
+                                   size)
+        mvs = subpel_refine_j(ref_full, src_full, xs, ys, size, int_mvs,
+                              bd=bd)
+        zero = jnp.zeros_like(mvs)
+        srcs, _, _ = _gather_curs(src_full.astype(jnp.int32), xs, ys,
+                                  bw, bh)
+        srcs = srcs.astype(jnp.int64)
+        best = None
+        for cand0 in (mvs, zero):
+            cand = _clamp_mvs_j(cand0, xs, ys, bw, bh, W, H)
+            pred = dev.mc_block_batch_j(ref_full, xs, ys, cand, bw, bh,
+                                        ss=0, bd=bd).astype(jnp.int64)
+            qc, eo, rec, dist, rate = _full_loop_j(
+                srcs, pred, jnp.zeros(xs.shape[0], dtype=jnp.int32),
+                (0,), tx_size, size, qindex, bd, 0)
+            mv_bits = (2 << md.RATE_Q) \
+                + 256 * (jnp.abs(cand).sum(axis=1) > 0)
+            cost = _rdcost_j(dist, lamq, rate + mv_bits)
+            if best is None:
+                best = [cost, cand, qc, eo, rec]
+            else:
+                bt = cost < best[0]
+                best[0] = jnp.where(bt, cost, best[0])
+                best[1] = jnp.where(bt[:, None], cand, best[1])
+                best[2] = jnp.where(bt[:, None, None], qc, best[2])
+                best[3] = jnp.where(bt, eo, best[3])
+                best[4] = jnp.where(bt[:, None, None], rec, best[4])
+        return tuple(best)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_chroma_code(size, qindex: int, bd: int, ss: int):
+    cw, ch = common.leaf_wh(size)
+    tx_uv = common.tx_size_for_rect(cw, ch, 1)
+
+    def fn(refp, xs, ys, mvs, src_plane):
+        srcs, _, _ = _gather_curs(src_plane.astype(jnp.int32),
+                                  xs.astype(jnp.int64),
+                                  ys.astype(jnp.int64), cw, ch)
+        pred = dev.mc_block_batch_j(refp, xs, ys, mvs, cw, ch, ss=ss,
+                                    bd=bd).astype(jnp.int64)
+        qc, eo, rec, _, _ = _full_loop_j(
+            srcs.astype(jnp.int64), pred,
+            jnp.zeros(xs.shape[0], dtype=jnp.int32), (0,), tx_uv,
+            (cw, ch), qindex, bd, 1)
+        return qc, eo, rec
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_compound(size, qindex: int, lamq: int, bd: int, ss: int,
+                    plane_type: int):
+    bw, bh = common.leaf_wh(size)
+    tx = common.tx_size_for_rect(bw, bh, plane_type)
+
+    def fn(ref0, ref1, xs, ys, mv0, mv1, src_plane):
+        srcs, _, _ = _gather_curs(src_plane.astype(jnp.int32),
+                                  xs.astype(jnp.int64),
+                                  ys.astype(jnp.int64), bw, bh)
+        c0 = mc_block_batch_conv_j(ref0, xs, ys, mv0, bw, bh, ss=ss,
+                                   bd=bd)
+        c1 = mc_block_batch_conv_j(ref1, xs, ys, mv1, bw, bh, ss=ss,
+                                   bd=bd)
+        pred = compound_average_j(c0, c1, bd).astype(jnp.int64)
+        qc, eo, rec, dist, rate = _full_loop_j(
+            srcs.astype(jnp.int64), pred,
+            jnp.zeros(xs.shape[0], dtype=jnp.int32), (0,), tx,
+            (bw, bh), qindex, bd, plane_type)
+        mv_bits = (3 << md.RATE_Q) \
+            + 256 * ((jnp.abs(mv0).sum(axis=1) > 0).astype(jnp.int64)
+                     + (jnp.abs(mv1).sum(axis=1) > 0))
+        cost = _rdcost_j(dist, lamq, rate + mv_bits)
+        return cost, qc, eo, rec
+
+    return jax.jit(fn)
+
+
+def _bucket(b: int) -> int:
+    n = 8
+    while n < b:
+        n <<= 1
+    return n
+
+
+def _pad(a, nb, b):
+    if a is None or nb == b:
+        return a
+    return np.concatenate([a, np.repeat(a[:1], nb - b, axis=0)], axis=0)
+
+
+def ref_candidates_dev(ref_pyr, src_pyr, xs, ys, size, qp, lam, bd=8):
+    """Twin of inter.InterFrameEncoder._ref_candidates for one reference
+    (numpy in/out; jitted device compute)."""
+    b = len(xs)
+    nb = _bucket(b)
+    fn = _build_ref_candidates(
+        size if isinstance(size, int) else tuple(size), int(qp.qindex),
+        md.lam_to_q(lam), bd)
+    xs_p = _pad(np.asarray(xs, dtype=np.int64), nb, b)
+    ys_p = _pad(np.asarray(ys, dtype=np.int64), nb, b)
+    outs = fn(*ref_pyr, *src_pyr, xs_p, ys_p)
+    cost, mv, qc, eo, rec = [np.asarray(o)[:b] for o in outs]
+    pix = np.uint16 if bd > 8 else np.uint8
+    return [cost.astype(np.int64), mv.astype(np.int64),
+            qc.astype(np.int32), eo.astype(np.int32), rec.astype(pix)]
+
+
+def chroma_code_dev(refp, src_plane, xs, ys, mvs, size, qp, bd=8, ss=1):
+    """Twin of the chroma MC + full loop in inter._encode_blocks."""
+    b = len(xs)
+    nb = _bucket(b)
+    fn = _build_chroma_code(
+        size if isinstance(size, int) else tuple(size), int(qp.qindex),
+        bd, ss)
+    outs = fn(refp, _pad(np.asarray(xs, np.int64), nb, b),
+              _pad(np.asarray(ys, np.int64), nb, b),
+              _pad(np.asarray(mvs, np.int64), nb, b), src_plane)
+    qc, eo, rec = [np.asarray(o)[:b] for o in outs]
+    return qc.astype(np.int32), eo.astype(np.int32), rec.astype(np.int64)
+
+
+def compound_code_dev(ref0, ref1, src_plane, xs, ys, mv0, mv1, size, qp,
+                      lam, bd=8, ss=0, plane_type=0):
+    """Twin of the compound (LAST+ALT) candidate in
+    inter._encode_blocks."""
+    b = len(xs)
+    nb = _bucket(b)
+    fn = _build_compound(
+        size if isinstance(size, int) else tuple(size), int(qp.qindex),
+        md.lam_to_q(lam), bd, ss, plane_type)
+    outs = fn(ref0, ref1, _pad(np.asarray(xs, np.int64), nb, b),
+              _pad(np.asarray(ys, np.int64), nb, b),
+              _pad(np.asarray(mv0, np.int64), nb, b),
+              _pad(np.asarray(mv1, np.int64), nb, b), src_plane)
+    cost, qc, eo, rec = [np.asarray(o)[:b] for o in outs]
+    return (cost.astype(np.int64), qc.astype(np.int32),
+            eo.astype(np.int32), rec.astype(np.int64))

@@ -92,18 +92,29 @@ def _exhaustive(ref_padded, cur_plane, xs, ys, size, centers, radius):
     return best_mv, best_cost
 
 
+def build_pyramid(ref_padded):
+    """(full, 1/2, 1/4) padded reference pyramid for HME (host; computed
+    once per reference per frame)."""
+    pad = mc.REF_PAD
+    ref = ref_padded[pad:-pad, pad:-pad]
+    return (ref_padded, mc.pad_reference(decimate2(ref)),
+            mc.pad_reference(decimate2(decimate2(ref))))
+
+
+def src_pyramid(src_plane):
+    """(full, 1/2, 1/4) source pyramid (no padding needed)."""
+    cur_h = decimate2(src_plane)
+    return (src_plane, cur_h, decimate2(cur_h))
+
+
 def fullpel_search(ref_padded, src_plane, xs, ys, size,
-                   max_range: int = 24):
+                   max_range: int = 24, ref_pyr=None, src_pyr=None):
     """Hierarchical full-pel search (HME-style, SURVEY.md §3.3): exhaustive
     on the 1/4-decimated plane, then refined exhaustively at 1/2 and full
     resolution around the upscaled seed. Returns ([B, 2] (dy, dx) whole
     pels, SAD)."""
-    pad = mc.REF_PAD
-    ref = ref_padded[pad:-pad, pad:-pad]
-    ref_h = mc.pad_reference(decimate2(ref))
-    ref_q = mc.pad_reference(decimate2(decimate2(ref)))
-    cur_h = decimate2(src_plane)
-    cur_q = decimate2(cur_h)
+    ref_padded, ref_h, ref_q = ref_pyr or build_pyramid(ref_padded)
+    _, cur_h, cur_q = src_pyr or src_pyramid(src_plane)
     b = len(xs)
     xa = np.asarray(xs, dtype=np.int64)
     ya = np.asarray(ys, dtype=np.int64)

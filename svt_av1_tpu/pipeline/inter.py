@@ -36,6 +36,18 @@ from svt_av1_tpu.utils.blocks import (DC_PRED, DCT_DCT, PARTITION_NONE,
                                       PARTITION_SPLIT, get_scan)
 
 
+def clamp_mvs_batch(mvs, xs, ys, bw, bh, plane_w, plane_h, ss: int = 0):
+    """Vectorized mc.clamp_mv_for_padding over a batch (1/8-pel units)."""
+    margin = (mc.REF_PAD - 5) << (2 + ss)
+    xa = np.asarray(xs, dtype=np.int64)
+    ya = np.asarray(ys, dtype=np.int64)
+    r = np.clip(mvs[:, 0], -(ya << (2 + ss)) - margin,
+                ((plane_h - ya - bh) << (2 + ss)) + margin)
+    c = np.clip(mvs[:, 1], -(xa << (2 + ss)) - margin,
+                ((plane_w - xa - bw) << (2 + ss)) + margin)
+    return np.stack([r, c], axis=1)
+
+
 class InterFrameEncoder:
     def __init__(self, cfg: EncoderConfig, seq: obu.SequenceHeader):
         self.cfg = cfg
@@ -64,6 +76,10 @@ class InterFrameEncoder:
         if alt_planes is not None:
             self.refs[ALTREF_FRAME] = [mc.pad_reference(p)
                                        for p in alt_planes]
+        # HME pyramids once per frame (shared by every shape group)
+        self.ref_pyrs = {r: me.build_pyramid(p[0])
+                         for r, p in self.refs.items()}
+        self.src_pyr = me.src_pyramid(self.src[0])
 
         if cfg.fixed_partition_size is None:
             from svt_av1_tpu.pipeline import rd as rd_mod
@@ -210,18 +226,21 @@ class InterFrameEncoder:
         lam = self.lam if lam is None else lam
         refp = self.refs[ref]
         bw, bh = common.leaf_wh(size)
-        int_mvs, _ = me.fullpel_search(refp[0], self.src[0], xs, ys, size)
+        if cfg.backend == "device":
+            from svt_av1_tpu.ops import device_inter as di
+            return di.ref_candidates_dev(self.ref_pyrs[ref],
+                                         self.src_pyr, xs, ys, size, qp,
+                                         lam, bd=cfg.bit_depth)
+        int_mvs, _ = me.fullpel_search(refp[0], self.src[0], xs, ys, size,
+                                       ref_pyr=self.ref_pyrs[ref],
+                                       src_pyr=self.src_pyr)
         mvs, _ = me.subpel_refine(refp[0], self.src[0], xs, ys, size,
                                   int_mvs, bd=cfg.bit_depth)
         zero = np.zeros_like(mvs)
-        cands = [mvs, zero]
         plane_w, plane_h = self.src[0].shape[1], self.src[0].shape[0]
         b = len(xs)
-        for k, cand in enumerate(cands):
-            for i in range(b):
-                cands[k][i] = mc.clamp_mv_for_padding(
-                    cand[i], int(xs[i]), int(ys[i]), bw, bh,
-                    plane_w, plane_h)
+        cands = [clamp_mvs_batch(c, xs, ys, bw, bh, plane_w, plane_h)
+                 for c in (mvs, zero)]
         lamq = md.lam_to_q(lam)
         best = None
         for cand in cands:
@@ -294,19 +313,29 @@ class InterFrameEncoder:
         if self.reference_select and _ALT in per_ref:
             mv0 = per_ref[LAST_FRAME][1]
             mv1 = per_ref[_ALT][1]
-            c0 = mc.mc_block_batch_conv(self.refs[LAST_FRAME][0], xs, ys,
-                                        mv0, bw, bh, bd=cfg.bit_depth)
-            c1 = mc.mc_block_batch_conv(self.refs[_ALT][0], xs, ys,
-                                        mv1, bw, bh, bd=cfg.bit_depth)
-            pred_c = mc.compound_average(c0, c1, cfg.bit_depth) \
-                .astype(np.int64)
-            qc, eo, rec, dist, rate = md._full_loop(
-                srcs, pred_c, np.zeros(b, dtype=np.int32), tx_size,
-                (bw, bh), qp, cfg.bit_depth)
-            mv_bits = (3 << md.RATE_Q) \
-                + 256 * ((np.abs(mv0).sum(axis=1) > 0).astype(np.int64)
-                         + (np.abs(mv1).sum(axis=1) > 0))
-            cost = md.rdcost(dist, md.lam_to_q(lam), rate + mv_bits)
+            if cfg.backend == "device":
+                from svt_av1_tpu.ops import device_inter as di
+                cost, qc, eo, rec = di.compound_code_dev(
+                    self.refs[LAST_FRAME][0], self.refs[_ALT][0],
+                    self.src[0], xs, ys, mv0, mv1, (bw, bh), qp, lam,
+                    bd=cfg.bit_depth, ss=0, plane_type=0)
+            else:
+                c0 = mc.mc_block_batch_conv(self.refs[LAST_FRAME][0], xs,
+                                            ys, mv0, bw, bh,
+                                            bd=cfg.bit_depth)
+                c1 = mc.mc_block_batch_conv(self.refs[_ALT][0], xs, ys,
+                                            mv1, bw, bh,
+                                            bd=cfg.bit_depth)
+                pred_c = mc.compound_average(c0, c1, cfg.bit_depth) \
+                    .astype(np.int64)
+                qc, eo, rec, dist, rate = md._full_loop(
+                    srcs, pred_c, np.zeros(b, dtype=np.int32), tx_size,
+                    (bw, bh), qp, cfg.bit_depth)
+                mv_bits = (3 << md.RATE_Q) \
+                    + 256 * ((np.abs(mv0).sum(axis=1) > 0)
+                             .astype(np.int64)
+                             + (np.abs(mv1).sum(axis=1) > 0))
+                cost = md.rdcost(dist, md.lam_to_q(lam), rate + mv_bits)
             comp_sel = cost < chosen[0]
             chosen[0] = np.where(comp_sel, cost, chosen[0])
             chosen[1] = np.where(comp_sel[:, None], mv0, chosen[1])
@@ -327,35 +356,61 @@ class InterFrameEncoder:
 
         # chroma: MC with the chosen MV/ref, DCT residual
         tx_uv = common.tx_size_for_rect(cw, ch, 1)
+        from svt_av1_tpu.entropy.inter_modes import ALTREF_FRAME as _ALT2
         for plane in (1, 2):
             cxs, cys = xs >> 1, ys >> 1
-            srcs_c = np.stack([
-                self.src[plane][yy:yy + ch, xx:xx + cw]
-                for xx, yy in zip(cxs, cys)]).astype(np.int64)
-            pred = np.empty((b, ch, cw), dtype=np.int64)
-            for ref in refs_order:
-                sel = np.nonzero((chosen_ref == ref) & ~comp_sel)[0]
-                if len(sel) == 0:
-                    continue
-                pred[sel] = mc.mc_block_batch(
-                    self.refs[ref][plane], cxs[sel], cys[sel],
-                    chosen[1][sel], cw, ch, ss=1,
-                    bd=cfg.bit_depth).astype(np.int64)
-            csel = np.nonzero(comp_sel)[0]
-            if len(csel):
-                from svt_av1_tpu.entropy.inter_modes import \
-                    ALTREF_FRAME as _ALT2
-                cc0 = mc.mc_block_batch_conv(
-                    self.refs[LAST_FRAME][plane], cxs[csel], cys[csel],
-                    chosen[1][csel], cw, ch, ss=1, bd=cfg.bit_depth)
-                cc1 = mc.mc_block_batch_conv(
-                    self.refs[_ALT2][plane], cxs[csel], cys[csel],
-                    self.mvs1[ids][csel], cw, ch, ss=1,
-                    bd=cfg.bit_depth)
-                pred[csel] = mc.compound_average(cc0, cc1, cfg.bit_depth)
-            qc, eo, rec, _, _ = md._full_loop(
-                srcs_c, pred, np.zeros(b, dtype=np.int32), tx_uv,
-                (cw, ch), qp, cfg.bit_depth)
+            if cfg.backend == "device":
+                from svt_av1_tpu.ops import device_inter as di
+                cdw, cdh = common.coded_dims(tx_uv)
+                qc = np.zeros((b, cdh, cdw), dtype=np.int32)
+                eo = np.zeros(b, dtype=np.int32)
+                rec = np.zeros((b, ch, cw), dtype=np.int64)
+                for ref in refs_order:
+                    sel = np.nonzero((chosen_ref == ref) & ~comp_sel)[0]
+                    if len(sel) == 0:
+                        continue
+                    qs, es, rs = di.chroma_code_dev(
+                        self.refs[ref][plane], self.src[plane],
+                        cxs[sel], cys[sel], chosen[1][sel], (cw, ch),
+                        qp, bd=cfg.bit_depth, ss=1)
+                    qc[sel], eo[sel], rec[sel] = qs, es, rs
+                csel = np.nonzero(comp_sel)[0]
+                if len(csel):
+                    _, qs, es, rs = di.compound_code_dev(
+                        self.refs[LAST_FRAME][plane],
+                        self.refs[_ALT2][plane], self.src[plane],
+                        cxs[csel], cys[csel], chosen[1][csel],
+                        self.mvs1[ids][csel], (cw, ch), qp, lam,
+                        bd=cfg.bit_depth, ss=1, plane_type=1)
+                    qc[csel], eo[csel], rec[csel] = qs, es, rs
+            else:
+                srcs_c = np.stack([
+                    self.src[plane][yy:yy + ch, xx:xx + cw]
+                    for xx, yy in zip(cxs, cys)]).astype(np.int64)
+                pred = np.empty((b, ch, cw), dtype=np.int64)
+                for ref in refs_order:
+                    sel = np.nonzero((chosen_ref == ref) & ~comp_sel)[0]
+                    if len(sel) == 0:
+                        continue
+                    pred[sel] = mc.mc_block_batch(
+                        self.refs[ref][plane], cxs[sel], cys[sel],
+                        chosen[1][sel], cw, ch, ss=1,
+                        bd=cfg.bit_depth).astype(np.int64)
+                csel = np.nonzero(comp_sel)[0]
+                if len(csel):
+                    cc0 = mc.mc_block_batch_conv(
+                        self.refs[LAST_FRAME][plane], cxs[csel],
+                        cys[csel], chosen[1][csel], cw, ch, ss=1,
+                        bd=cfg.bit_depth)
+                    cc1 = mc.mc_block_batch_conv(
+                        self.refs[_ALT2][plane], cxs[csel], cys[csel],
+                        self.mvs1[ids][csel], cw, ch, ss=1,
+                        bd=cfg.bit_depth)
+                    pred[csel] = mc.compound_average(cc0, cc1,
+                                                     cfg.bit_depth)
+                qc, eo, rec, _, _ = md._full_loop(
+                    srcs_c, pred, np.zeros(b, dtype=np.int32), tx_uv,
+                    (cw, ch), qp, cfg.bit_depth)
             self.eobs[plane, ids] = eo
             for k, i in enumerate(ids):
                 self.qcoeff[plane][i] = qc[k]

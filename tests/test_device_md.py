@@ -88,3 +88,40 @@ def test_backend_streams_byte_identical():
     assert tu_h == tu_d
     for a, b in zip(rec_h, rec_d):
         assert np.array_equal(a, b)
+
+
+def test_backend_inter_streams_byte_identical():
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    rng = np.random.default_rng(4)
+    h, w = 64, 128
+    base = (rng.integers(0, 256, (h + 8, w + 8)) * 0.5 + 60) \
+        .astype(np.uint8)
+    frames = []
+    for i in range(4):
+        y = base[i:i + h, i:i + w].copy()
+        u = rng.integers(100, 160, (h // 2, w // 2)).astype(np.uint8)
+        v = rng.integers(100, 160, (h // 2, w // 2)).astype(np.uint8)
+        frames.append((y, u, v))
+
+    def run(cfg):
+        enc = Encoder(cfg)
+        tus = []
+        for f in frames:
+            enc.send_picture(*f)
+            while True:
+                p = enc.get_packet()
+                if p is None:
+                    break
+                tus.append(p[0])
+        enc.flush()
+        while True:
+            p = enc.get_packet()
+            if p is None:
+                break
+            tus.append(p[0])
+        return b"".join(tus)
+
+    cfg_h = EncoderConfig(width=w, height=h, qp=40,
+                          hierarchical_levels=2)
+    cfg_d = dataclasses.replace(cfg_h, backend="device")
+    assert run(cfg_h) == run(cfg_d)
