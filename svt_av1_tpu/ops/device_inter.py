@@ -274,10 +274,8 @@ def _build_compound(size, qindex: int, lamq: int, bd: int, ss: int,
 
 
 def _bucket(b: int) -> int:
-    n = 8
-    while n < b:
-        n <<= 1
-    return n
+    from svt_av1_tpu.ops.device_md import _bucket as _b
+    return _b(b)
 
 
 def _pad(a, nb, b):

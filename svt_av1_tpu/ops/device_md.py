@@ -27,6 +27,19 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: the program set is keyed by static shapes
+# only, so a warm cache makes every later process start fast (first
+# compile through the axon tunnel can take minutes per program).
+import os as _os  # noqa: E402
+
+_cache = _os.path.join(_os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the knobs
+    pass
+
 import jax.numpy as jnp  # noqa: E402
 
 from svt_av1_tpu.ops import device as dev  # noqa: E402
@@ -392,12 +405,17 @@ def _tx_search_j(srcs, preds, out, tx_size, size, qindex, bd, lamq):
     return tts
 
 
+BUCKETS = (64, 256, 1024, 4096, 16384, 65536)
+
+
 def _bucket(b: int) -> int:
-    """Pad batch sizes to powers of two (bounds the compile-key count)."""
-    n = 8
-    while n < b:
-        n <<= 1
-    return n
+    """Pad batch sizes to a coarse ladder: compile count matters far more
+    than padding waste (tunnel compiles cost minutes; padded lanes cost
+    microseconds)."""
+    for n in BUCKETS:
+        if b <= n:
+            return n
+    return b
 
 
 def decide_block_batch_dev(plane, srcs, above1, left1, ha, hl, cands, qp,
