@@ -38,15 +38,19 @@ I64MAX = np.iinfo(np.int64).max
 
 def _exhaustive_j(ref_padded, curs, iy, ix, centers, radius: int):
     """Twin of me._exhaustive: curs [B,bh,bw] int32, iy/ix gather bases,
-    centers [B,2]. Returns (mv [B,2], cost [B])."""
+    centers [B,2]. Returns (mv [B,2], cost [B]). The offset sweep is a
+    fori_loop (compiles in O(1) graph size) preserving the host's
+    row-major first-min tie-break."""
+    from jax import lax
     pad = mc.REF_PAD
     refp = ref_padded.astype(jnp.int32)
     b = curs.shape[0]
-    best_cost = jnp.full(b, I64MAX, dtype=jnp.int64)
-    best_mv = jnp.zeros((b, 2), dtype=jnp.int64)
-    for dy, dx in me.search_offsets(radius):
-        cy = centers[:, 0] + int(dy)
-        cx = centers[:, 1] + int(dx)
+    offs = jnp.asarray(me.search_offsets(radius))        # [K, 2]
+
+    def body(k, carry):
+        best_cost, best_mv = carry
+        cy = centers[:, 0] + offs[k, 0]
+        cx = centers[:, 1] + offs[k, 1]
         valid = (jnp.abs(cy) < pad) & (jnp.abs(cx) < pad)
         cyc = jnp.clip(cy, -pad + 1, pad - 1)
         cxc = jnp.clip(cx, -pad + 1, pad - 1)
@@ -56,10 +60,14 @@ def _exhaustive_j(ref_padded, curs, iy, ix, centers, radius: int):
                       axis=(1, 2))
         sad = jnp.where(valid, sad, I64MAX)
         better = sad < best_cost
-        best_cost = jnp.where(better, sad, best_cost)
-        best_mv = jnp.where(better[:, None],
-                            jnp.stack([cy, cx], axis=1), best_mv)
-    return best_mv, best_cost
+        return (jnp.where(better, sad, best_cost),
+                jnp.where(better[:, None],
+                          jnp.stack([cy, cx], axis=1), best_mv))
+
+    best_cost = jnp.full(b, I64MAX, dtype=jnp.int64)
+    best_mv = jnp.zeros((b, 2), dtype=jnp.int64)
+    return lax.fori_loop(0, offs.shape[0], body,
+                         (best_cost, best_mv))[::-1]
 
 
 def _gather_curs(plane, xs, ys, bw: int, bh: int):

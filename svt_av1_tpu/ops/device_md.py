@@ -237,10 +237,11 @@ def _tt_for_lut(all_cands, plane, tx_size, reduced_tx_set):
 
 
 @functools.lru_cache(maxsize=256)
-def _build_decide(plane: int, cands: tuple, qindex: int, size,
-                  lamq: int, bd: int, nfl: int, reduced_tx_set: bool,
-                  has_forced: bool, has_cfl: bool, tx_search: bool):
-    """Compile one decide program for a static configuration."""
+def make_decide_core(plane: int, cands: tuple, qindex: int, size,
+                     lamq: int, bd: int, nfl: int, reduced_tx_set: bool,
+                     has_forced: bool, has_cfl: bool, tx_search: bool):
+    """Build the traceable decide function for a static configuration
+    (jitted by _build_decide; also inlined into fused tile programs)."""
     bw, bh = common.leaf_wh(size)
     tx_size = common.tx_size_for_rect(bw, bh, plane)
     all_cands = list(cands)
@@ -354,10 +355,12 @@ def _build_decide(plane: int, cands: tuple, qindex: int, size,
         return (out[0], out[1], out[2], out[3], out[4], out[5], alphas,
                 tts)
 
-    if has_forced:
-        return jax.jit(forced_fn)
-    return jax.jit(lambda s, a, l, ha, hl, cl: decide_fn(s, a, l, ha,
-                                                         hl, cl))
+    return forced_fn if has_forced else decide_fn
+
+
+@functools.lru_cache(maxsize=256)
+def _build_decide(*key):
+    return jax.jit(make_decide_core(*key))
 
 
 def _tx_search_j(srcs, preds, out, tx_size, size, qindex, bd, lamq):

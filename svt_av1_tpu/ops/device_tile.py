@@ -1,0 +1,262 @@
+"""Fused whole-tile intra analysis: one XLA program per tile.
+
+The per-wave device path dispatches hundreds of small programs per
+keyframe (edge-prep -> decide -> scatter for every anti-diagonal x plane);
+this module fuses the entire tile into a single ``lax.fori_loop`` over
+dependency waves with the reconstruction planes carried on device — the
+TPU-shaped form of the reference's EncDec wavefront (EbEncDecProcess.c:489
+AssignEncDecSegments), with zero host round-trips inside a tile.
+
+Restrictions (host wavefront falls back to the per-wave path otherwise):
+uniform square leaf maps (fixed_partition_size presets; frame dims such
+that no edge leaf splits) and no per-SB delta-q. Decisions are
+bit-identical to the host path: the loop body inlines the same integer
+decide core (ops.device_md.make_decide_core).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+
+from svt_av1_tpu.ops import device_md as dmd
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+from svt_av1_tpu.pipeline import common  # noqa: E402
+
+
+def _edges_j(recon, xs, ys, bw: int, bh: int, ha, hl, htr, hbl,
+             bd: int, max_w: int, max_h: int):
+    """Traced twin of intra_ops.prepare_edges_av1 (dynamic coords)."""
+    base = 1 << (bd - 1)
+    Hp, Wp = recon.shape
+    W = min(Wp, max_w)
+    H = min(Hp, max_h)
+    b = xs.shape[0]
+    # above row (offset-1 layout, index 0 = corner)
+    lim = jnp.minimum(W - 1, xs + jnp.where(htr, 2 * bw, bw) - 1)
+    cols = jnp.minimum(xs[:, None] + jnp.arange(bw + bh)[None, :],
+                       lim[:, None])
+    rowy = jnp.clip(ys - 1, 0, Hp - 1)
+    above_row = recon[rowy[:, None], cols]
+    left_px = recon[jnp.clip(ys, 0, Hp - 1), jnp.clip(xs - 1, 0, Wp - 1)]
+    above_tail = jnp.where(ha[:, None], above_row,
+                           jnp.where(hl[:, None], left_px[:, None],
+                                     base - 1))
+    # left column
+    lim2 = jnp.minimum(H - 1, ys + jnp.where(hbl, 2 * bh, bh) - 1)
+    rows = jnp.minimum(ys[:, None] + jnp.arange(bh + bw)[None, :],
+                       lim2[:, None])
+    colx = jnp.clip(xs - 1, 0, Wp - 1)
+    left_col = recon[rows, colx[:, None]]
+    above_px = recon[rowy, jnp.clip(xs, 0, Wp - 1)]
+    left_tail = jnp.where(hl[:, None], left_col,
+                          jnp.where(ha[:, None], above_px[:, None],
+                                    base + 1))
+    corner = jnp.where(ha & hl, recon[rowy, colx],
+                       jnp.where(ha, above_px,
+                                 jnp.where(hl, left_px, base)))
+    above1 = jnp.concatenate([corner[:, None], above_tail], axis=1) \
+        .astype(jnp.int32)
+    left1 = jnp.concatenate([corner[:, None], left_tail], axis=1) \
+        .astype(jnp.int32)
+    return above1, left1
+
+
+def _gather(plane, xs, ys, bw: int, bh: int):
+    iy = ys[:, None, None] + jnp.arange(bh)[None, :, None]
+    ix = xs[:, None, None] + jnp.arange(bw)[None, None, :]
+    return plane[iy, ix]
+
+
+def _scatter(plane, xs, ys, blocks, valid, bw: int, bh: int):
+    """Write [B, bh, bw] blocks; invalid lanes dropped (OOB indices)."""
+    big = plane.shape[0] + plane.shape[1]
+    iy = jnp.where(valid, ys, big)[:, None, None] \
+        + jnp.arange(bh)[None, :, None]
+    ix = xs[:, None, None] + jnp.arange(bw)[None, None, :]
+    return plane.at[iy, ix].set(blocks.astype(plane.dtype), mode="drop")
+
+
+@functools.lru_cache(maxsize=64)
+def _build_tile_program(size: int, cands: tuple, qindex: int, lamq: int,
+                        bd: int, nfl: int, tx_search: bool,
+                        n_waves: int, wmax: int, n_leaves: int,
+                        shapes: tuple, max_wh: tuple):
+    """One jitted program: full-tile intra analysis.
+
+    shapes: ((Hy, Wy), (Hc, Wc)) padded plane dims; max_wh: mi-area
+    [(wy, hy), (wc, hc)] clamp bounds."""
+    S = size
+    Sc = S >> 1
+    cfl_ok = S <= 32
+    (Hy, Wy), (Hc, Wc) = shapes
+    (mwy, mhy), (mwc, mhc) = max_wh
+    tx_y = common.tx_size_for_rect(S, S, 0)
+    tx_uv = common.tx_size_for_rect(Sc, Sc, 1)
+    cwy, chy = common.coded_dims(tx_y)
+    cwc, chc = common.coded_dims(tx_uv)
+
+    decide_y = dmd.make_decide_core(0, cands, qindex, S, lamq, bd, nfl,
+                                    False, False, False, tx_search)
+    decide_u = dmd.make_decide_core(1, cands, qindex, Sc, lamq, bd, nfl,
+                                    False, False, cfl_ok, False)
+    decide_v = dmd.make_decide_core(2, cands, qindex, Sc, lamq, bd, nfl,
+                                    False, True, cfl_ok, False)
+
+    def program(src_y, src_u, src_v, xsw, ysw, validw, htrw, hblw, idxw):
+        recon_y = jnp.zeros((Hy + S, Wy), dtype=jnp.int32)
+        recon_u = jnp.zeros((Hc + Sc, Wc), dtype=jnp.int32)
+        recon_v = jnp.zeros((Hc + Sc, Wc), dtype=jnp.int32)
+        n1 = n_leaves + 1
+        out = dict(
+            y_mode=jnp.zeros(n1, jnp.int64),
+            y_delta=jnp.zeros(n1, jnp.int64),
+            uv_mode=jnp.zeros(n1, jnp.int64),
+            uv_delta=jnp.zeros(n1, jnp.int64),
+            alpha_u=jnp.zeros(n1, jnp.int64),
+            alpha_v=jnp.zeros(n1, jnp.int64),
+            y_tt=jnp.zeros(n1, jnp.int32),
+            eob_y=jnp.zeros(n1, jnp.int64),
+            eob_u=jnp.zeros(n1, jnp.int64),
+            eob_v=jnp.zeros(n1, jnp.int64),
+            qc_y=jnp.zeros((n1, chy, cwy), jnp.int32),
+            qc_u=jnp.zeros((n1, chc, cwc), jnp.int32),
+            qc_v=jnp.zeros((n1, chc, cwc), jnp.int32),
+        )
+
+        def body(w, carry):
+            recon_y, recon_u, recon_v, out = carry
+            xs = xsw[w]
+            ys = ysw[w]
+            valid = validw[w]
+            htr = htrw[w]
+            hbl = hblw[w]
+            idx = jnp.where(valid, idxw[w], n_leaves)
+            ha, hl = ys > 0, xs > 0
+            # --- luma ---
+            a1, l1 = _edges_j(recon_y, xs, ys, S, S, ha, hl, htr, hbl,
+                              bd, mwy, mhy)
+            srcs = _gather(src_y, xs, ys, S, S).astype(jnp.int64)
+            ym, yd, qcy, eoy, recy, _, _, ytt = decide_y(
+                srcs, a1, l1, ha, hl, None)
+            recon_y = _scatter(recon_y, xs, ys, recy, valid, S, S)
+            # --- chroma U (CfL reads this wave's luma recon) ---
+            cxs, cys = xs >> 1, ys >> 1
+            cfl = None
+            if cfl_ok:
+                cfl = _gather(recon_y, xs, ys, S, S).astype(jnp.int64)
+            a1u, l1u = _edges_j(recon_u, cxs, cys, Sc, Sc, ha, hl, htr,
+                                hbl, bd, mwc, mhc)
+            srcs_u = _gather(src_u, cxs, cys, Sc, Sc).astype(jnp.int64)
+            um, ud, qcu, eou, recu, _, au, _ = decide_u(
+                srcs_u, a1u, l1u, ha, hl, cfl)
+            recon_u = _scatter(recon_u, cxs, cys, recu, valid, Sc, Sc)
+            # --- chroma V (forced to U's choice) ---
+            a1v, l1v = _edges_j(recon_v, cxs, cys, Sc, Sc, ha, hl, htr,
+                                hbl, bd, mwc, mhc)
+            srcs_v = _gather(src_v, cxs, cys, Sc, Sc).astype(jnp.int64)
+            vm, vd, qcv, eov, recv, _, av, _ = decide_v(
+                srcs_v, a1v, l1v, ha, hl, um, ud, cfl)
+            recon_v = _scatter(recon_v, cxs, cys, recv, valid, Sc, Sc)
+
+            out = dict(out)
+            out["y_mode"] = out["y_mode"].at[idx].set(ym, mode="drop")
+            out["y_delta"] = out["y_delta"].at[idx].set(yd, mode="drop")
+            out["uv_mode"] = out["uv_mode"].at[idx].set(um, mode="drop")
+            out["uv_delta"] = out["uv_delta"].at[idx].set(ud,
+                                                          mode="drop")
+            out["alpha_u"] = out["alpha_u"].at[idx].set(au, mode="drop")
+            out["alpha_v"] = out["alpha_v"].at[idx].set(av, mode="drop")
+            out["y_tt"] = out["y_tt"].at[idx].set(ytt, mode="drop")
+            out["eob_y"] = out["eob_y"].at[idx].set(eoy, mode="drop")
+            out["eob_u"] = out["eob_u"].at[idx].set(eou, mode="drop")
+            out["eob_v"] = out["eob_v"].at[idx].set(eov, mode="drop")
+            out["qc_y"] = out["qc_y"].at[idx].set(qcy, mode="drop")
+            out["qc_u"] = out["qc_u"].at[idx].set(qcu, mode="drop")
+            out["qc_v"] = out["qc_v"].at[idx].set(qcv, mode="drop")
+            return recon_y, recon_u, recon_v, out
+
+        recon_y, recon_u, recon_v, out = lax.fori_loop(
+            0, n_waves, body, (recon_y, recon_u, recon_v, out))
+        return (recon_y[:Hy], recon_u[:Hc], recon_v[:Hc], out)
+
+    return jax.jit(program)
+
+
+def analyze_tile_fused(enc, cands) -> bool:
+    """Run the fused tile program for WavefrontIntraEncoder ``enc``
+    (uniform square leaves only). Fills enc.y_mode/... and enc.recon;
+    returns False when the tile shape is unsupported (caller falls back
+    to the per-wave path)."""
+    cfg = enc.cfg
+    sizes = set(enc.leaf_sizes.values())
+    if len(sizes) != 1 or enc.qmap_t is not None:
+        return False
+    S = sizes.pop()
+    if not isinstance(S, int) or S < 8:
+        return False
+    leaves = enc._leaves()
+    from svt_av1_tpu.pipeline import avail
+    waves = enc._dependency_waves(leaves, enc.mi_cols, enc.mi_rows)
+    n = len(leaves)
+    n_waves = int(waves.max()) + 1 if n else 0
+    wmax = int(np.bincount(waves).max())
+    xsw = np.zeros((n_waves, wmax), dtype=np.int64)
+    ysw = np.zeros((n_waves, wmax), dtype=np.int64)
+    validw = np.zeros((n_waves, wmax), dtype=bool)
+    htrw = np.zeros((n_waves, wmax), dtype=bool)
+    hblw = np.zeros((n_waves, wmax), dtype=bool)
+    idxw = np.zeros((n_waves, wmax), dtype=np.int64)
+    fill = np.zeros(n_waves, dtype=np.int64)
+    for i, (r, c, wh) in enumerate(leaves):
+        w = int(waves[i])
+        j = fill[w]
+        fill[w] = j + 1
+        xsw[w, j] = c * 4
+        ysw[w, j] = r * 4
+        validw[w, j] = True
+        htrw[w, j] = avail.has_top_right_wh(r, c, wh[0] >> 2,
+                                            wh[1] >> 2, enc.mi_cols)
+        hblw[w, j] = avail.has_bottom_left_wh(r, c, wh[0] >> 2,
+                                              wh[1] >> 2, enc.mi_rows)
+        idxw[w, j] = enc.leaf_index[(r, c)]
+    shapes = (tuple(enc.recon[0].shape), tuple(enc.recon[1].shape))
+    max_wh = (tuple(enc.max_wh[0]), tuple(enc.max_wh[1]))
+    from svt_av1_tpu.pipeline import md as md_mod
+    prog = _build_tile_program(
+        S, tuple(map(tuple, cands)), int(enc.qp.qindex),
+        md_mod.lam_to_q(enc.lam), cfg.bit_depth, cfg.nfl,
+        bool(cfg.enable_tx_type_search and cfg.base_q_idx > 0),
+        n_waves, wmax, n, shapes, max_wh)
+    ry, ru, rv, out = prog(enc.src[0], enc.src[1], enc.src[2], xsw, ysw,
+                           validw, htrw, hblw, idxw)
+    pix = np.uint16 if cfg.bit_depth > 8 else np.uint8
+    enc.recon[0][...] = np.asarray(ry).astype(pix)
+    enc.recon[1][...] = np.asarray(ru).astype(pix)
+    enc.recon[2][...] = np.asarray(rv).astype(pix)
+    enc.y_mode[:] = np.asarray(out["y_mode"])[:n]
+    enc.y_delta[:] = np.asarray(out["y_delta"])[:n]
+    enc.uv_mode[:] = np.asarray(out["uv_mode"])[:n]
+    enc.uv_delta[:] = np.asarray(out["uv_delta"])[:n]
+    enc.alpha_u[:] = np.asarray(out["alpha_u"])[:n]
+    enc.alpha_v[:] = np.asarray(out["alpha_v"])[:n]
+    enc.y_tx_type[:] = np.asarray(out["y_tt"])[:n]
+    enc.eobs[0, :] = np.asarray(out["eob_y"])[:n]
+    enc.eobs[1, :] = np.asarray(out["eob_u"])[:n]
+    enc.eobs[2, :] = np.asarray(out["eob_v"])[:n]
+    qc_y = np.asarray(out["qc_y"])
+    qc_u = np.asarray(out["qc_u"])
+    qc_v = np.asarray(out["qc_v"])
+    for i in range(n):
+        enc.qcoeff[0][i] = qc_y[i]
+        enc.qcoeff[1][i] = qc_u[i]
+        enc.qcoeff[2][i] = qc_v[i]
+    return True

@@ -307,6 +307,11 @@ class WavefrontIntraEncoder:
         self.eobs = np.zeros((3, n), dtype=np.int32)
         self.y_tx_type = np.zeros(n, dtype=np.int32)
 
+        if cfg.backend == "device":
+            from svt_av1_tpu.ops import device_tile
+            if device_tile.analyze_tile_fused(self, cands):
+                return None  # whole tile ran as one fused device program
+
         larr = np.array([(r, c, wh[0], wh[1]) for r, c, wh in leaves],
                         dtype=np.int64)
         htr_all = np.array([avail.has_top_right_wh(

@@ -90,6 +90,36 @@ def test_backend_streams_byte_identical():
         assert np.array_equal(a, b)
 
 
+def test_fused_tile_program_byte_identical():
+    """Aligned dims -> uniform leaves -> the fused whole-tile program
+    runs (asserted via spy) and matches the host stream byte-exactly."""
+    from svt_av1_tpu.ops import device_tile
+    from svt_av1_tpu.pipeline.wavefront import encode_keyframe_wavefront
+    rng = np.random.default_rng(3)
+    h, w = 128, 192
+    y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    u = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    v = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    cfg_h = EncoderConfig(width=w, height=h, qp=35)
+    cfg_d = dataclasses.replace(cfg_h, backend="device")
+    used = []
+    orig = device_tile.analyze_tile_fused
+
+    def spy(enc, cands):
+        r = orig(enc, cands)
+        used.append(r)
+        return r
+
+    device_tile.analyze_tile_fused = spy
+    try:
+        tu_h, _, _ = encode_keyframe_wavefront(y, u, v, cfg_h)
+        tu_d, _, _ = encode_keyframe_wavefront(y, u, v, cfg_d)
+    finally:
+        device_tile.analyze_tile_fused = orig
+    assert used and all(used), "fused tile path did not run"
+    assert tu_h == tu_d
+
+
 def test_backend_inter_streams_byte_identical():
     from svt_av1_tpu.pipeline.encoder import Encoder
     rng = np.random.default_rng(4)
