@@ -86,11 +86,13 @@ def _scatter(plane, xs, ys, blocks, valid, bw: int, bh: int):
 
 
 @functools.lru_cache(maxsize=64)
-def _build_tile_program(size: int, cands: tuple, qindex: int, lamq: int,
-                        bd: int, nfl: int, tx_search: bool,
-                        n_waves: int, wmax: int, n_leaves: int,
-                        shapes: tuple, max_wh: tuple):
-    """One jitted program: full-tile intra analysis.
+def make_tile_body(size: int, cands: tuple, qindex: int, lamq: int,
+                   bd: int, nfl: int, tx_search: bool,
+                   n_waves: int, wmax: int, n_leaves: int,
+                   shapes: tuple, max_wh: tuple):
+    """The traceable full-tile intra analysis function (jitted by
+    _build_tile_program; also the per-device body of the tile-sharded
+    multi-chip program in parallel/tiles.py).
 
     shapes: ((Hy, Wy), (Hc, Wc)) padded plane dims; max_wh: mi-area
     [(wy, hy), (wc, hc)] clamp bounds."""
@@ -188,21 +190,24 @@ def _build_tile_program(size: int, cands: tuple, qindex: int, lamq: int,
             0, n_waves, body, (recon_y, recon_u, recon_v, out))
         return (recon_y[:Hy], recon_u[:Hc], recon_v[:Hc], out)
 
-    return jax.jit(program)
+    return program
 
 
-def analyze_tile_fused(enc, cands) -> bool:
-    """Run the fused tile program for WavefrontIntraEncoder ``enc``
-    (uniform square leaves only). Fills enc.y_mode/... and enc.recon;
-    returns False when the tile shape is unsupported (caller falls back
-    to the per-wave path)."""
+@functools.lru_cache(maxsize=64)
+def _build_tile_program(*key):
+    return jax.jit(make_tile_body(*key))
+
+
+def tile_metadata(enc, cands):
+    """(program_key, input_arrays) for the fused tile program, or None
+    when the tile is unsupported (mixed leaf sizes / per-SB delta-q)."""
     cfg = enc.cfg
     sizes = set(enc.leaf_sizes.values())
     if len(sizes) != 1 or enc.qmap_t is not None:
-        return False
+        return None
     S = sizes.pop()
     if not isinstance(S, int) or S < 8:
-        return False
+        return None
     leaves = enc._leaves()
     from svt_av1_tpu.pipeline import avail
     waves = enc._dependency_waves(leaves, enc.mi_cols, enc.mi_rows)
@@ -231,13 +236,35 @@ def analyze_tile_fused(enc, cands) -> bool:
     shapes = (tuple(enc.recon[0].shape), tuple(enc.recon[1].shape))
     max_wh = (tuple(enc.max_wh[0]), tuple(enc.max_wh[1]))
     from svt_av1_tpu.pipeline import md as md_mod
-    prog = _build_tile_program(
-        S, tuple(map(tuple, cands)), int(enc.qp.qindex),
-        md_mod.lam_to_q(enc.lam), cfg.bit_depth, cfg.nfl,
-        bool(cfg.enable_tx_type_search and cfg.base_q_idx > 0),
-        n_waves, wmax, n, shapes, max_wh)
-    ry, ru, rv, out = prog(enc.src[0], enc.src[1], enc.src[2], xsw, ysw,
-                           validw, htrw, hblw, idxw)
+    key = (S, tuple(map(tuple, cands)), int(enc.qp.qindex),
+           md_mod.lam_to_q(enc.lam), cfg.bit_depth, cfg.nfl,
+           bool(cfg.enable_tx_type_search and cfg.base_q_idx > 0),
+           n_waves, wmax, n, shapes, max_wh)
+    args = (np.ascontiguousarray(enc.src[0]),
+            np.ascontiguousarray(enc.src[1]),
+            np.ascontiguousarray(enc.src[2]),
+            xsw, ysw, validw, htrw, hblw, idxw)
+    return key, args
+
+
+def analyze_tile_fused(enc, cands) -> bool:
+    """Run the fused tile program for WavefrontIntraEncoder ``enc``
+    (uniform square leaves only). Fills enc.y_mode/... and enc.recon;
+    returns False when the tile shape is unsupported (caller falls back
+    to the per-wave path)."""
+    meta = tile_metadata(enc, cands)
+    if meta is None:
+        return False
+    key, args = meta
+    prog = _build_tile_program(*key)
+    ry, ru, rv, out = prog(*args)
+    inject_results(enc, key[9], ry, ru, rv, out)
+    return True
+
+
+def inject_results(enc, n, ry, ru, rv, out) -> None:
+    """Write fused-program outputs back into the encoder state."""
+    cfg = enc.cfg
     pix = np.uint16 if cfg.bit_depth > 8 else np.uint8
     enc.recon[0][...] = np.asarray(ry).astype(pix)
     enc.recon[1][...] = np.asarray(ru).astype(pix)
@@ -259,4 +286,3 @@ def analyze_tile_fused(enc, cands) -> bool:
         enc.qcoeff[0][i] = qc_y[i]
         enc.qcoeff[1][i] = qc_u[i]
         enc.qcoeff[2][i] = qc_v[i]
-    return True
