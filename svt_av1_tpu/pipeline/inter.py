@@ -448,16 +448,21 @@ class InterFrameEncoder:
     def _intra_flip_pass(self, leaves) -> None:
         """Re-decide poorly-predicted blocks as intra (the reference's MD
         evaluates intra candidates inside inter frames,
-        EbModeDecisionProcess intra candidate injection). Runs in coding
-        order after the batched inter pass so intra prediction sees final
-        neighbor reconstruction: earlier blocks are already final and
-        later blocks cannot feed an intra predictor."""
-        from svt_av1_tpu.ops import intra as intra_ops
+        EbModeDecisionProcess intra candidate injection).
+
+        Two phases (TPU-shaped: one big batched decision, sparse exact
+        tail): the *decision* pass evaluates every candidate block x mode
+        in one batched full loop against the inter reconstruction (an
+        open-loop approximation — a flipped neighbor may later change the
+        edge pixels); the *exact* pass then re-codes only the accepted
+        flips sequentially in coding order with true final edges, so the
+        reconstruction matches what the decoder reproduces bit-for-bit."""
         from svt_av1_tpu.pipeline import avail, md
         cfg = self.cfg
         costs = self.inter_cost
         thr = np.median(costs) * 1.2 + 1.0
         mode_bits = 6 << md.RATE_Q  # is_inter + y/uv mode signaling
+        cand = []
         for (r, c, size) in leaves:
             li = self.leaf_index[(r, c)]
             _bw, _bh = common.leaf_wh(size)
@@ -468,80 +473,127 @@ class InterFrameEncoder:
             abs_thr = self._qp_for(None)[1] * (_bw * _bh) * 32.0
             if costs[li] <= thr and costs[li] <= abs_thr:
                 continue
-            x, y = c * 4, r * 4
+            cand.append((r, c, size, li))
+        if not cand:
+            return
+        flips = self._flip_decision_batch(cand, mode_bits)
+        for wave in self._flip_waves(flips):
+            self._flip_apply_wave(wave)
+
+    def _flip_waves(self, flips):
+        """Dependency waves over accepted flips: a flip depends on any
+        earlier-coding-order flip whose rect intersects its intra edge
+        bands (above row incl. top-right reach 2*bw and the top-left
+        pixel; left column incl. bottom-left reach 2*bh). Same-wave flips
+        cannot see each other's pixels, so each wave recodes as one
+        batch while exactly reproducing sequential coding-order edges."""
+        cell = {}
+        wave_of = []
+        waves = []
+        for k, (r, c, size, li, m) in enumerate(flips):
             bw, bh = common.leaf_wh(size)
+            w4, h4 = bw >> 2, bh >> 2
+            w = 0
+            if r > 0:
+                for cc in range(max(c - 1, 0),
+                                min(c + 2 * w4 + 1, self.mi_cols)):
+                    j = cell.get((r - 1, cc))
+                    if j is not None:
+                        w = max(w, wave_of[j] + 1)
+            if c > 0:
+                for rr in range(r, min(r + 2 * h4 + 1, self.mi_rows)):
+                    j = cell.get((rr, c - 1))
+                    if j is not None:
+                        w = max(w, wave_of[j] + 1)
+            wave_of.append(w)
+            for rr in range(r, min(r + h4, self.mi_rows)):
+                for cc in range(c, min(c + w4, self.mi_cols)):
+                    cell[(rr, cc)] = k
+            if w == len(waves):
+                waves.append([])
+            waves[w].append(flips[k])
+        return waves
+
+    def _flip_apply_wave(self, wave) -> None:
+        """Recode one wave of accepted flips with true edges, batched per
+        (block shape, qindex, mode) group: luma full loop with the chosen
+        mode, then the chroma mode-vs-CfL choice."""
+        from svt_av1_tpu.ops import cfl as cfl_ops
+        from svt_av1_tpu.ops import intra as intra_ops
+        from svt_av1_tpu.pipeline import avail, md
+        cfg = self.cfg
+        groups = {}
+        for e in wave:
+            r, c, size, li, m = e
             qidx = None if self.qmap is None \
                 else int(self.qmap[r // 16, c // 16])
+            groups.setdefault((common.leaf_wh(size), qidx, m),
+                              []).append(e)
+        for ((bw, bh), qidx, m), es in groups.items():
             qp, lam = self._qp_for(qidx)
-            tx_y = common.tx_size_for_rect(bw, bh, 0)
-            ha = np.array([y > 0])
-            hl = np.array([x > 0])
-            htr = np.array([avail.has_top_right_wh(r, c, bw >> 2, bh >> 2,
-                                                   self.mi_cols)])
-            hbl = np.array([avail.has_bottom_left_wh(r, c, bw >> 2,
-                                                     bh >> 2,
-                                                     self.mi_rows)])
-            above1, left1 = intra_ops.prepare_edges_av1(
-                self.recon[0], np.array([x]), np.array([y]), bw, bh,
-                ha, hl, htr, hbl, bd=cfg.bit_depth,
-                max_w=self.mi_cols * 4, max_h=self.mi_rows * 4)
-            src = self.src[0][y:y + bh, x:x + bw][None].astype(np.int64)
             lamq = md.lam_to_q(lam)
-            cand_modes = tuple(cfg.intra_modes) or (0,)
-            # one batched full loop over all candidate modes (mode is the
-            # batch axis; edges broadcast) instead of M single-block calls
-            m_arr = np.asarray(cand_modes)
-            mcount = len(cand_modes)
-            preds = np.stack([
-                intra_ops.predict_any(m, 0, above1, left1, bw, bh, ha,
-                                      hl, bd=cfg.bit_depth)[0]
-                for m in cand_modes]).astype(np.int64)
-            qc, eo, rec, dist, rate = md._full_loop(
-                np.broadcast_to(src[0], preds.shape), preds,
-                np.zeros(mcount, dtype=np.int32), tx_y, (bw, bh), qp,
-                cfg.bit_depth)
-            costs_m = md.rdcost(dist, lamq, rate + mode_bits)
-            bi = int(np.argmin(costs_m))
-            best = (int(costs_m[bi]), int(m_arr[bi]), qc[bi],
-                    int(eo[bi]), rec[bi])
-            if best[0] >= costs[li]:
-                continue
-            cost, m, qc_y, eo_y, rec_y = best
-            self.block_is_inter[li] = False
-            self.intra_mode[li] = m
-            self.qcoeff[0][li] = qc_y
-            self.eobs[0, li] = eo_y
-            self.recon[0][y:y + bh, x:x + bw] = rec_y
+            tx_y = common.tx_size_for_rect(bw, bh, 0)
+            rs = np.array([e[0] for e in es])
+            cs = np.array([e[1] for e in es])
+            lis = np.array([e[3] for e in es])
+            xs, ys = cs * 4, rs * 4
+            b = len(es)
+            ha = ys > 0
+            hl = xs > 0
+            htr = np.array([avail.has_top_right_wh(
+                int(r), int(c), bw >> 2, bh >> 2, self.mi_cols)
+                for r, c in zip(rs, cs)])
+            hbl = np.array([avail.has_bottom_left_wh(
+                int(r), int(c), bw >> 2, bh >> 2, self.mi_rows)
+                for r, c in zip(rs, cs)])
+            above1, left1 = intra_ops.prepare_edges_av1(
+                self.recon[0], xs, ys, bw, bh, ha, hl, htr, hbl,
+                bd=cfg.bit_depth, max_w=self.mi_cols * 4,
+                max_h=self.mi_rows * 4)
+            srcs = np.stack([self.src[0][y:y + bh, x:x + bw]
+                             for x, y in zip(xs, ys)]).astype(np.int64)
+            pred = intra_ops.predict_any(
+                m, 0, above1, left1, bw, bh, ha, hl,
+                bd=cfg.bit_depth).astype(np.int64)
+            qc, eo, rec, _, _ = md._full_loop(
+                srcs, pred, np.zeros(b, dtype=np.int32), tx_y, (bw, bh),
+                qp, cfg.bit_depth)
+            self.block_is_inter[lis] = False
+            self.intra_mode[lis] = m
+            self.eobs[0, lis] = eo
+            for k, li in enumerate(lis):
+                self.qcoeff[0][li] = qc[k]
+                y, x = int(ys[k]), int(xs[k])
+                self.recon[0][y:y + bh, x:x + bw] = rec[k]
             # chroma: luma mode vs CfL candidate (cfl_allowed <= 32x32)
-            from svt_av1_tpu.ops import cfl as cfl_ops
             cw2, ch2 = bw >> 1, bh >> 1
             tx_uv = common.tx_size_for_rect(cw2, ch2, 1)
-            cx, cy = x >> 1, y >> 1
+            cxs, cys = xs >> 1, ys >> 1
             cfl_ok = bw <= 32 and bh <= 32
-            ac = dc_map = None
+            ac = None
             if cfl_ok:
-                luma = self.recon[0][y:y + bh, x:x + bw][None] \
-                    .astype(np.int64)
+                luma = np.stack([
+                    self.recon[0][y:y + bh, x:x + bw]
+                    for x, y in zip(xs, ys)]).astype(np.int64)
                 ac = cfl_ops.luma_ac_420(luma)
-            alphas = [0, 0]
-            use_cfl = False
             results = {}
             for p in (1, 2):
                 a1, l1 = intra_ops.prepare_edges_av1(
-                    self.recon[p], np.array([cx]), np.array([cy]), cw2,
-                    ch2, ha, hl, htr, hbl, bd=cfg.bit_depth,
-                    max_w=self.mi_cols * 2, max_h=self.mi_rows * 2)
-                srcs_c = self.src[p][cy:cy + ch2,
-                                     cx:cx + cw2][None].astype(np.int64)
-                pred = intra_ops.predict_any(
+                    self.recon[p], cxs, cys, cw2, ch2, ha, hl, htr, hbl,
+                    bd=cfg.bit_depth, max_w=self.mi_cols * 2,
+                    max_h=self.mi_rows * 2)
+                srcs_c = np.stack([
+                    self.src[p][y:y + ch2, x:x + cw2]
+                    for x, y in zip(cxs, cys)]).astype(np.int64)
+                predc = intra_ops.predict_any(
                     m, 0, a1, l1, cw2, ch2, ha, hl,
                     bd=cfg.bit_depth).astype(np.int64)
                 tt_u = common.chroma_tx_type(m, tx_uv, False)
-                qc, eo, rec, dist, rate = md._full_loop(
-                    srcs_c, pred, np.full(1, tt_u, dtype=np.int32), tx_uv,
-                    (cw2, ch2), qp, cfg.bit_depth)
-                cand = {"mode": (qc[0], int(eo[0]), rec[0],
-                                 int(md.rdcost(dist, lamq, rate)[0]))}
+                qcp, eop, recp, dist, rate = md._full_loop(
+                    srcs_c, predc, np.full(b, tt_u, dtype=np.int32),
+                    tx_uv, (cw2, ch2), qp, cfg.bit_depth)
+                res = {"mode": (qcp, eop, recp,
+                                md.rdcost(dist, lamq, rate))}
                 if cfl_ok:
                     dc = intra_ops.predict(
                         0, a1[:, 1:], l1[:, 1:], a1[:, 0], cw2, ch2,
@@ -551,31 +603,94 @@ class InterFrameEncoder:
                                             bd=cfg.bit_depth)
                     qc2, eo2, rec2, dist2, rate2 = md._full_loop(
                         srcs_c, cpred.astype(np.int64),
-                        np.zeros(1, dtype=np.int32), tx_uv, (cw2, ch2),
+                        np.zeros(b, dtype=np.int32), tx_uv, (cw2, ch2),
                         qp, cfg.bit_depth)
-                    cand["cfl"] = (qc2[0], int(eo2[0]), rec2[0],
-                                   int(md.rdcost(dist2, lamq,
-                                                 rate2
-                                                 + (4 << md.RATE_Q))[0]),
-                                   int(alpha[0]))
-                results[p] = cand
+                    res["cfl"] = (qc2, eo2, rec2,
+                                  md.rdcost(dist2, lamq,
+                                            rate2 + (4 << md.RATE_Q)),
+                                  alpha)
+                results[p] = res
             if cfl_ok and "cfl" in results[1]:
                 cost_mode = results[1]["mode"][3] + results[2]["mode"][3]
                 cost_cfl = results[1]["cfl"][3] + results[2]["cfl"][3]
-                use_cfl = cost_cfl < cost_mode and not (
-                    results[1]["cfl"][4] == 0
-                    and results[2]["cfl"][4] == 0)
-            self.intra_uv_cfl[li] = use_cfl
+                use_cfl = (cost_cfl < cost_mode) \
+                    & ~((results[1]["cfl"][4] == 0)
+                        & (results[2]["cfl"][4] == 0))
+            else:
+                use_cfl = np.zeros(b, dtype=bool)
+            self.intra_uv_cfl[lis] = use_cfl
             for p in (1, 2):
-                sel = results[p]["cfl"] if use_cfl else results[p]["mode"]
-                self.qcoeff[p][li] = sel[0]
-                self.eobs[p, li] = sel[1]
-                self.recon[p][cy:cy + ch2, cx:cx + cw2] = sel[2]
-                if use_cfl:
-                    alphas[p - 1] = sel[4]
-            if use_cfl:
-                self.intra_alpha_u[li] = alphas[0]
-                self.intra_alpha_v[li] = alphas[1]
+                mode_r = results[p]["mode"]
+                cfl_r = results[p].get("cfl")
+                for k, li in enumerate(lis):
+                    sel = cfl_r if use_cfl[k] else mode_r
+                    self.qcoeff[p][li] = sel[0][k]
+                    self.eobs[p, li] = sel[1][k]
+                    y, x = int(cys[k]), int(cxs[k])
+                    self.recon[p][y:y + ch2, x:x + cw2] = sel[2][k]
+            au = np.where(use_cfl, results[1].get(
+                "cfl", (0, 0, 0, 0, np.zeros(b, np.int64)))[4], 0)
+            av = np.where(use_cfl, results[2].get(
+                "cfl", (0, 0, 0, 0, np.zeros(b, np.int64)))[4], 0)
+            self.intra_alpha_u[lis] = au
+            self.intra_alpha_v[lis] = av
+
+    def _flip_decision_batch(self, cand, mode_bits):
+        """Batched open-loop intra-vs-inter decision over all candidate
+        blocks: returns [(r, c, size, li, best_mode)] for accepted flips,
+        in coding order."""
+        from svt_av1_tpu.ops import intra as intra_ops
+        from svt_av1_tpu.pipeline import avail, md
+        cfg = self.cfg
+        cand_modes = tuple(cfg.intra_modes) or (0,)
+        m_arr = np.asarray(cand_modes)
+        groups = {}
+        for k, (r, c, size, li) in enumerate(cand):
+            qidx = None if self.qmap is None \
+                else int(self.qmap[r // 16, c // 16])
+            groups.setdefault((common.leaf_wh(size), qidx),
+                              []).append(k)
+        flips = [None] * len(cand)
+        for ((bw, bh), qidx), ks in groups.items():
+            qp, lam = self._qp_for(qidx)
+            lamq = md.lam_to_q(lam)
+            tx_y = common.tx_size_for_rect(bw, bh, 0)
+            rs = np.array([cand[k][0] for k in ks])
+            cs = np.array([cand[k][1] for k in ks])
+            xs, ys = cs * 4, rs * 4
+            ha = ys > 0
+            hl = xs > 0
+            htr = np.array([avail.has_top_right_wh(
+                int(r), int(c), bw >> 2, bh >> 2, self.mi_cols)
+                for r, c in zip(rs, cs)])
+            hbl = np.array([avail.has_bottom_left_wh(
+                int(r), int(c), bw >> 2, bh >> 2, self.mi_rows)
+                for r, c in zip(rs, cs)])
+            above1, left1 = intra_ops.prepare_edges_av1(
+                self.recon[0], xs, ys, bw, bh, ha, hl, htr, hbl,
+                bd=cfg.bit_depth, max_w=self.mi_cols * 4,
+                max_h=self.mi_rows * 4)
+            srcs = np.stack([self.src[0][y:y + bh, x:x + bw]
+                             for x, y in zip(xs, ys)]).astype(np.int64)
+            b = len(ks)
+            best_cost = np.full(b, np.iinfo(np.int64).max)
+            best_mode = np.zeros(b, dtype=np.int64)
+            for m in cand_modes:
+                preds = intra_ops.predict_any(
+                    m, 0, above1, left1, bw, bh, ha, hl,
+                    bd=cfg.bit_depth).astype(np.int64)
+                _, _, _, dist, rate = md._full_loop(
+                    srcs, preds, np.zeros(b, dtype=np.int32), tx_y,
+                    (bw, bh), qp, cfg.bit_depth)
+                cost_m = md.rdcost(dist, lamq, rate + mode_bits)
+                bt = cost_m < best_cost
+                best_cost = np.where(bt, cost_m, best_cost)
+                best_mode = np.where(bt, m, best_mode)
+            for j, k in enumerate(ks):
+                li = cand[k][3]
+                if best_cost[j] < self.inter_cost[li]:
+                    flips[k] = cand[k] + (int(best_mode[j]),)
+        return [f for f in flips if f is not None]
 
     # --- sequential syntax pass ----------------------------------------------
     def _syntax_pass(self) -> bytes:
