@@ -1,16 +1,23 @@
-"""Benchmark: device compute-core throughput for 1080p encoding.
+"""Benchmark: END-TO-END 1080p encode throughput (IVF bytes out).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Scope (round 1): the two per-frame device compute cores at 1080p —
-(a) the fused intra analysis step (mode decision + transform + quant +
-recon distortion over all 16x16 blocks) and (b) the inter core (full-pel
-ME over a ±16 offset grid + MC + residual DCT + quant + recon). Reported
-fps is the harmonic combination 1/(t_intra + t_inter): the compute budget
-of one intra + one inter frame. The sequential syntax stage (native C
-coder) is excluded; ``vs_baseline`` anchors against the SVT-class 1080p
-realtime operating point (~60 fps/socket — BASELINE.md records that the
-reference publishes no measured numbers).
+What is measured (round 2, honest scope): `svt_av1_tpu.pipeline.encoder.
+Encoder` driven through the same path the CLI uses — random-access
+hierarchical-B pyramid (levels 3, one full mini-GOP after the key frame),
+1920x1080 8-bit, qp 40, device backend (pixel path as jitted XLA
+programs, entropy/syntax on host) at the preset-5 operating point. The
+timed pass includes motion estimation, mode decision, transforms,
+reconstruction, in-loop filters, entropy coding and OBU packaging —
+everything until the IVF temporal units are in hand. A first untimed
+pass absorbs XLA compilation (programs are shape-cached).
+
+``vs_baseline`` anchors against the MEASURED reference throughput on
+this machine: SvtAv1EncApp v0.4.0 (built here, see BASELINE.md) encodes
+the same-shape random-access 1080p clip at 1.38 fps (4 logical cores,
+its default/fastest enc-mode 3). The round-1 microkernel number
+(12,718 "core fps") is retired: it timed a fixed-16x16 DCT-only kernel,
+not the encoder (VERDICT round 1, weak #1).
 """
 
 import json
@@ -18,56 +25,71 @@ import time
 
 import numpy as np
 
+BASELINE_FPS = 1.38  # measured: reference config 3 on this machine (BASELINE.md)
+
+
+def make_clip(w=1920, h=1080, frames=9, seed=3):
+    """Moving-texture clip (sinusoid mix + noise + global pan) — the same
+    content family used for the measured reference baseline."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h + 64, 0:w + 64].astype(np.float32)
+    base = (
+        96 + 48 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+        + 32 * np.sin((xx + 2 * yy) / 41.0)
+        + rng.normal(0, 6.0, (h + 64, w + 64))
+    )
+    out = []
+    for t in range(frames):
+        dx, dy = 3 * t, 2 * t
+        y = np.clip(base[dy:dy + h, dx:dx + w], 0, 255).astype(np.uint8)
+        u = np.clip(128 + 24 * np.sin((xx[:h // 2, :w // 2] + 7 * t) / 29.0),
+                    0, 255).astype(np.uint8)
+        v = np.clip(128 + 24 * np.cos((yy[:h // 2, :w // 2] - 5 * t) / 31.0),
+                    0, 255).astype(np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+def encode_once(frames, cfg):
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    enc = Encoder(cfg)
+    n = nbytes = 0
+    for (y, u, v) in frames:
+        enc.send_picture(y, u, v)
+        while (pkt := enc.get_packet()) is not None:
+            n += 1
+            nbytes += len(pkt[0])
+    enc.flush()
+    while (pkt := enc.get_packet()) is not None:
+        n += 1
+        nbytes += len(pkt[0])
+    # pyramid GOPs emit extra packets (non-shown anchors + show_existing)
+    assert n >= len(frames) and nbytes > 0
+    return nbytes
+
 
 def main():
-    import jax
-    import jax.numpy as jnp
-    from svt_av1_tpu.ops.device import inter_core_step, intra_analysis_step
+    from types import SimpleNamespace
 
-    w, h, size = 1920, 1088, 16
-    blocks = (w // size) * (h // size)          # 8160 blocks / frame
-    rng = np.random.default_rng(0)
-    src = jnp.asarray(rng.integers(0, 256, (blocks, size, size)), jnp.int32)
-    above = jnp.asarray(rng.integers(0, 256, (blocks, 2 * size)), jnp.int32)
-    left = jnp.asarray(rng.integers(0, 256, (blocks, 2 * size)), jnp.int32)
-    tl = jnp.asarray(rng.integers(0, 256, blocks), jnp.int32)
-    ha = jnp.ones(blocks, dtype=bool)
-    hl = jnp.ones(blocks, dtype=bool)
-    cur = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
-    refp = jnp.asarray(rng.integers(0, 256, (h + 32, w + 32)), jnp.int32)
+    from svt_av1_tpu.app.cli import preset_config
 
-    def intra():
-        return intra_analysis_step(src, above, left, tl, ha, hl,
-                                   size=size, qindex=160)
+    frames = make_clip()
+    args = SimpleNamespace(width=1920, height=1080, qp=40, bit_depth=8,
+                           intra_period=-1, fps=30, film_grain=0,
+                           preset=5, hierarchical_levels=3, tbr=0, lad=0,
+                           backend="device")
+    cfg = preset_config(args)
 
-    def inter():
-        return inter_core_step(cur, refp, size=size, qindex=160)
-
-    jax.block_until_ready(intra())   # compile
-    jax.block_until_ready(inter())
-
-    def timeit(fn, n=20, reps=5):
-        # best of repeated timed batches: the axon tunnel is shared and
-        # contention swings batch times by >5x, so the minimum is the
-        # only stable estimate of device capability
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            for _ in range(n):
-                out = fn()
-            jax.block_until_ready(out)
-            times.append((time.perf_counter() - t0) / n)
-        return min(times)
-
-    t_intra = timeit(intra)
-    t_inter = timeit(inter)
-    fps = 1.0 / (t_intra + t_inter)
-    baseline_fps = 60.0  # SVT-class 1080p realtime operating point
+    encode_once(frames, cfg)            # warm-up: XLA compiles, C build
+    t0 = time.perf_counter()
+    encode_once(frames, cfg)
+    dt = time.perf_counter() - t0
+    fps = len(frames) / dt
     print(json.dumps({
-        "metric": "1080p_encode_core_fps",
-        "value": round(fps, 2),
+        "metric": "1080p_e2e_encode_fps",
+        "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / baseline_fps, 3),
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
     }))
 
 

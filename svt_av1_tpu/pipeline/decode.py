@@ -633,14 +633,20 @@ class StreamDecoder:
                 fh, tiles = obu.parse_frame_obu(payload, self.seq)
                 refs = None
                 if fh.frame_type != obu.KEY_FRAME:
+                    # all 7 named references from ref_frame_idx (spec
+                    # 6.8.2); distinct slots padded once and shared
                     refs = {}
-                    last = self.slots[fh.ref_frame_idx[0]]
-                    assert last is not None, "missing LAST reference"
-                    refs[LAST_FRAME] = [mc.pad_reference(p) for p in last]
-                    alt = self.slots[fh.ref_frame_idx[6]]
-                    if alt is not None:
-                        refs[ALTREF_FRAME] = [mc.pad_reference(p)
-                                              for p in alt]
+                    padded = {}
+                    assert self.slots[fh.ref_frame_idx[0]] is not None, \
+                        "missing LAST reference"
+                    for rid in range(LAST_FRAME, ALTREF_FRAME + 1):
+                        slot = fh.ref_frame_idx[rid - 1]
+                        if self.slots[slot] is None:
+                            continue
+                        if slot not in padded:
+                            padded[slot] = [mc.pad_reference(p)
+                                            for p in self.slots[slot]]
+                        refs[rid] = padded[slot]
                 dec = FrameDecoder(self.seq, fh, refs)
                 out = dec.decode_frame(tiles)
                 if fh.show_frame:

@@ -22,6 +22,9 @@ from svt_av1_tpu.bitstream import obu
 from svt_av1_tpu.bitstream.ivf import (patch_ivf_frame_count,
                                        write_ivf_frame, write_ivf_header)
 from svt_av1_tpu.config import EncoderConfig
+from svt_av1_tpu.entropy.inter_modes import ALTREF2_FRAME as mvp_ALTREF2
+from svt_av1_tpu.entropy.inter_modes import GOLDEN_FRAME as mvp_GOLDEN
+from svt_av1_tpu.entropy.inter_modes import LAST2_FRAME as mvp_LAST2
 from svt_av1_tpu.pipeline.inter import InterFrameEncoder
 from svt_av1_tpu.pipeline.wavefront import WavefrontIntraEncoder
 
@@ -51,6 +54,8 @@ class Encoder:
                                                    cfg.film_grain_seed)
         self._slots = [None] * 8   # padded recon per slot
         self._base_slot = 0        # slot of the most recent past anchor
+        self._golden_slot = 7      # slot of the last keyframe (GOLDEN)
+        self._ld_last2 = None      # low-delay: slot of the frame before LAST
         self._frame_idx = 0        # display-order index of next input
         self._group: List[tuple] = []
         self._out: List[Tuple[bytes, Optional[list]]] = []
@@ -114,13 +119,19 @@ class Encoder:
         for i in range(8):
             self._slots[i] = enc.recon
         self._base_slot = 0
+        self._golden_slot = 7
+        self._ld_last2 = None
         self._out.append((tu, recon))
 
     def _encode_inter(self, y, u, v, last_slot, alt_slot, refresh_slot,
-                      show, q_offset: int = 0) -> list:
+                      show, q_offset: int = 0, extra_slots=None) -> list:
         """Encode one inter frame; returns its padded recon.
         refresh_slot None = non-reference frame (refresh_frame_flags 0,
-        the leaf-B case of the reference's hierarchical pyramid)."""
+        the leaf-B case of the reference's hierarchical pyramid).
+        extra_slots: {ref_id: slot} additional named references (the
+        multi-ref lists of Av1GenerateRpsInfo); slots whose content is
+        identical (same object) to an already-chosen ref are dropped —
+        searching a duplicate reference buys nothing."""
         cfg = self._cfg_for(False)
         if q_offset:
             # hierarchical qp scaling (reference: qp-scaling per temporal
@@ -132,16 +143,28 @@ class Encoder:
         enc.aq_prev_luma = self._aq_prev(y)
         idx = [last_slot] * 7
         alt = None
+        used = [self._slots[last_slot]]
         if alt_slot is not None:
             idx[6] = alt_slot
             alt = self._slots[alt_slot]
+            used.append(alt)
+        extra = {}
+        for rid, slot in (extra_slots or {}).items():
+            if slot is None:
+                continue
+            planes = self._slots[slot]
+            if planes is None or any(planes is u_ for u_ in used):
+                continue
+            idx[rid - 1] = slot
+            extra[rid] = planes
+            used.append(planes)
         rff = 0 if refresh_slot is None else 1 << refresh_slot
         from svt_av1_tpu.utils.trace import span
         with span("inter_frame"):
             tu, padded = enc.encode(
                 y, u, v, self._slots[last_slot], alt_planes=alt,
                 refresh_frame_flags=rff, ref_frame_idx=idx,
-                show_frame=show)
+                show_frame=show, extra_refs=extra)
         if self._rc is not None:
             self._rc.update(len(tu) * 8, False)
         if refresh_slot is not None:
@@ -162,26 +185,36 @@ class Encoder:
         g = len(group)
         base = self._base_slot
         anchor_slot = 1 if base != 1 else 2
-        free = [s for s in range(8) if s not in (base, anchor_slot)]
+        golden = self._golden_slot
+        free = [s for s in range(8)
+                if s not in (base, anchor_slot, golden)]
         ay, au, av = group[-1]
+        # multi-ref lists (Av1GenerateRpsInfo analogue): every frame also
+        # sees the GOP's base anchor (GOLDEN, long-term past) and the
+        # GOP-end anchor (ALTREF2, far future) beyond its nearest pair
         self._encode_inter(ay, au, av, base, None, anchor_slot,
-                           show=(g == 1))
+                           show=(g == 1),
+                           extra_slots={mvp_GOLDEN: golden})
 
         def rec(lo_idx, hi_idx, lo_slot, hi_slot, level):
             """Code + display frames lo_idx+1 .. hi_idx-1 in display
             order; slots are released once a subtree is displayed."""
             if hi_idx - lo_idx <= 1:
                 return
+            extra = {mvp_GOLDEN: base if lo_slot != base else golden,
+                     mvp_ALTREF2: anchor_slot}
             mid = (lo_idx + hi_idx) // 2
             my, mu, mv_ = group[mid]
             if hi_idx - lo_idx == 2:
                 # leaf B: nothing references it -> code it shown directly
                 self._encode_inter(my, mu, mv_, lo_slot, hi_slot, None,
-                                   show=True, q_offset=12 * level)
+                                   show=True, q_offset=12 * level,
+                                   extra_slots=extra)
                 return
             s = free.pop(0)
             self._encode_inter(my, mu, mv_, lo_slot, hi_slot, s,
-                               show=False, q_offset=12 * level)
+                               show=False, q_offset=12 * level,
+                               extra_slots=extra)
             rec(lo_idx, mid, lo_slot, s, level + 1)
             self._out.append((obu.show_existing_frame_tu(s),
                               self._crop(self._slots[s])))
@@ -265,8 +298,18 @@ class Encoder:
             if is_key:
                 self._encode_key(y, u, v)
             else:
-                self._encode_inter(y, u, v, self._base_slot, None,
-                                   self._base_slot, show=True)
+                # low-delay P: LAST/LAST2 rotate through slots 0 and 1,
+                # GOLDEN pins the last keyframe (slot 7) — the reference's
+                # LDP ref list (Av1GenerateRpsInfo low-delay branch)
+                prev = self._base_slot
+                refresh = 1 - prev if prev in (0, 1) else 0
+                extra = {mvp_GOLDEN: self._golden_slot}
+                if self._ld_last2 is not None:
+                    extra[mvp_LAST2] = self._ld_last2
+                self._encode_inter(y, u, v, prev, None, refresh,
+                                   show=True, extra_slots=extra)
+                self._ld_last2 = prev
+                self._base_slot = refresh
             return
         if is_key:
             self._flush_group()
@@ -288,12 +331,27 @@ class Encoder:
         state-in-process-memory; explicit here so long encodes can
         checkpoint/resume across host restarts)."""
         import copy
+        # slots are saved with aliasing preserved (after a keyframe all 8
+        # share one recon object); the multi-ref dedup keys on object
+        # identity, so resume must restore the same sharing to stay
+        # byte-identical
+        uniq, alias, seen = [], [], {}
+        for s in self._slots:
+            if s is None:
+                alias.append(None)
+                continue
+            if id(s) not in seen:
+                seen[id(s)] = len(uniq)
+                uniq.append([p.copy() for p in s])
+            alias.append(seen[id(s)])
         return {
-            "version": 1,
+            "version": 2,
             "cfg": dataclasses.asdict(self.cfg),
-            "slots": [None if s is None else [p.copy() for p in s]
-                      for s in self._slots],
+            "slots_uniq": uniq,
+            "slots_alias": alias,
             "base_slot": self._base_slot,
+            "golden_slot": self._golden_slot,
+            "ld_last2": self._ld_last2,
             "frame_idx": self._frame_idx,
             "group": copy.deepcopy(self._group),
             "la": copy.deepcopy(self._la),
@@ -306,12 +364,15 @@ class Encoder:
     @classmethod
     def load_state(cls, state: dict) -> "Encoder":
         """Rebuild an Encoder mid-stream from save_state() output."""
-        assert state.get("version") == 1
+        assert state.get("version") == 2
         cfg = EncoderConfig(**state["cfg"])
         enc = cls(cfg)
-        enc._slots = [None if s is None else [p.copy() for p in s]
-                      for s in state["slots"]]
+        uniq = [[p.copy() for p in s] for s in state["slots_uniq"]]
+        enc._slots = [None if a is None else uniq[a]
+                      for a in state["slots_alias"]]
         enc._base_slot = state["base_slot"]
+        enc._golden_slot = state.get("golden_slot", 7)
+        enc._ld_last2 = state.get("ld_last2")
         enc._frame_idx = state["frame_idx"]
         enc._group = list(state["group"])
         enc._la = list(state["la"])

@@ -61,21 +61,32 @@ class InterFrameEncoder:
 
     def encode(self, y, u, v, ref_planes, alt_planes=None,
                refresh_frame_flags: int = 0x01,
-               ref_frame_idx=(0,) * 7, show_frame: bool = True):
+               ref_frame_idx=(0,) * 7, show_frame: bool = True,
+               extra_refs=None):
         """ref_planes: past reference recon [Y, U, V] (padded dims);
-        alt_planes: optional future reference (hierarchical B — blocks
-        choose LAST or ALTREF per-block). Returns (tu, recon(padded))."""
+        alt_planes: optional future reference; extra_refs: additional
+        named references {ref_id: planes} (GOLDEN/LAST2/BWDREF/ALTREF2 —
+        the multi-reference lists the reference builds per picture in
+        Av1GenerateRpsInfo, EbPictureDecisionProcess.c:516). Blocks pick
+        the best single ref by RD, plus the best (fwd, bwd) compound
+        pair when both directions exist. Returns (tu, recon(padded))."""
         cfg = self.cfg
         self.src = [common.pad_to_multiple(y, 64).astype(np.int32),
                     common.pad_to_multiple(u, 32).astype(np.int32),
                     common.pad_to_multiple(v, 32).astype(np.int32)]
         self.recon = [np.zeros(p.shape, dtype=common.pixel_dtype(cfg.bit_depth))
                       for p in self.src]
-        from svt_av1_tpu.entropy.inter_modes import ALTREF_FRAME
+        from svt_av1_tpu.entropy.inter_modes import (ALTREF_FRAME,
+                                                     BWDREF_FRAME)
         self.refs = {LAST_FRAME: [mc.pad_reference(p) for p in ref_planes]}
         if alt_planes is not None:
             self.refs[ALTREF_FRAME] = [mc.pad_reference(p)
                                        for p in alt_planes]
+        for rid, planes in (extra_refs or {}).items():
+            if rid not in self.refs and planes is not None:
+                self.refs[rid] = [mc.pad_reference(p) for p in planes]
+        self.fwd_refs = sorted(r for r in self.refs if r < BWDREF_FRAME)
+        self.bwd_refs = sorted(r for r in self.refs if r >= BWDREF_FRAME)
         # HME pyramids once per frame (shared by every shape group)
         self.ref_pyrs = {r: me.build_pyramid(p[0])
                          for r, p in self.refs.items()}
@@ -107,7 +118,9 @@ class InterFrameEncoder:
         self.intra_uv_cfl = np.zeros(n, dtype=bool)
         self.intra_alpha_u = np.zeros(n, dtype=np.int64)
         self.intra_alpha_v = np.zeros(n, dtype=np.int64)
-        self.reference_select = alt_planes is not None
+        self.comp_ref0 = np.full(n, LAST_FRAME, dtype=np.int32)
+        self.comp_ref1 = np.zeros(n, dtype=np.int32)
+        self.reference_select = bool(self.fwd_refs and self.bwd_refs)
 
         self.qmap = None
         if cfg.adaptive_quantization:
@@ -264,6 +277,60 @@ class InterFrameEncoder:
                 best[4] = np.where(bt[:, None, None], rec, best[4])
         return best
 
+    def _compound_pairs(self, fsel, bsel, per_ref, xs, ys, srcs, size,
+                        tx_size, qp, lam, comp_f, comp_b):
+        """Batched bidirectional compound coding, grouped by the distinct
+        (fwd, bwd) ref pairs the per-block direction winners form.
+        Fills comp_f/comp_b in place; returns per-block
+        (cost, qc, eo, rec, mv0, mv1)."""
+        cfg = self.cfg
+        bw, bh = size
+        b = len(xs)
+        cdw, cdh = common.coded_dims(tx_size)
+        cost = np.full(b, np.iinfo(np.int64).max)
+        qc = np.zeros((b, cdh, cdw), dtype=np.int32)
+        eo = np.zeros(b, dtype=np.int32)
+        rec = np.zeros((b, bh, bw), dtype=np.int64)
+        mv0a = np.zeros((b, 2), dtype=np.int64)
+        mv1a = np.zeros((b, 2), dtype=np.int64)
+        for fi, f in enumerate(self.fwd_refs):
+            for bi, bref in enumerate(self.bwd_refs):
+                sub = np.nonzero((fsel == fi) & (bsel == bi))[0]
+                if len(sub) == 0:
+                    continue
+                mv0 = per_ref[f][1][sub]
+                mv1 = per_ref[bref][1][sub]
+                if cfg.backend == "device":
+                    from svt_av1_tpu.ops import device_inter as di
+                    cs, qs, es, rs = di.compound_code_dev(
+                        self.refs[f][0], self.refs[bref][0],
+                        self.src[0], xs[sub], ys[sub], mv0, mv1,
+                        (bw, bh), qp, lam, bd=cfg.bit_depth, ss=0,
+                        plane_type=0)
+                else:
+                    c0 = mc.mc_block_batch_conv(
+                        self.refs[f][0], xs[sub], ys[sub], mv0, bw, bh,
+                        bd=cfg.bit_depth)
+                    c1 = mc.mc_block_batch_conv(
+                        self.refs[bref][0], xs[sub], ys[sub], mv1, bw,
+                        bh, bd=cfg.bit_depth)
+                    pred_c = mc.compound_average(c0, c1, cfg.bit_depth) \
+                        .astype(np.int64)
+                    qs, es, rs, dist, rate = md._full_loop(
+                        srcs[sub], pred_c,
+                        np.zeros(len(sub), dtype=np.int32), tx_size,
+                        (bw, bh), qp, cfg.bit_depth)
+                    mv_bits = (3 << md.RATE_Q) \
+                        + 256 * ((np.abs(mv0).sum(axis=1) > 0)
+                                 .astype(np.int64)
+                                 + (np.abs(mv1).sum(axis=1) > 0))
+                    cs = md.rdcost(dist, md.lam_to_q(lam),
+                                   rate + mv_bits)
+                cost[sub], qc[sub], eo[sub], rec[sub] = cs, qs, es, rs
+                mv0a[sub], mv1a[sub] = mv0, mv1
+                comp_f[sub], comp_b[sub] = f, bref
+        return cost, qc, eo, rec, mv0a, mv1a
+
     DELTA_Q_RES = 2
 
     def _qp_for(self, qidx):
@@ -309,42 +376,30 @@ class InterFrameEncoder:
             chosen[4] = np.where(bt[:, None, None], cand[4], chosen[4])
 
         comp_sel = np.zeros(b, dtype=bool)
-        from svt_av1_tpu.entropy.inter_modes import ALTREF_FRAME as _ALT
-        if self.reference_select and _ALT in per_ref:
-            mv0 = per_ref[LAST_FRAME][1]
-            mv1 = per_ref[_ALT][1]
-            if cfg.backend == "device":
-                from svt_av1_tpu.ops import device_inter as di
-                cost, qc, eo, rec = di.compound_code_dev(
-                    self.refs[LAST_FRAME][0], self.refs[_ALT][0],
-                    self.src[0], xs, ys, mv0, mv1, (bw, bh), qp, lam,
-                    bd=cfg.bit_depth, ss=0, plane_type=0)
-            else:
-                c0 = mc.mc_block_batch_conv(self.refs[LAST_FRAME][0], xs,
-                                            ys, mv0, bw, bh,
-                                            bd=cfg.bit_depth)
-                c1 = mc.mc_block_batch_conv(self.refs[_ALT][0], xs, ys,
-                                            mv1, bw, bh,
-                                            bd=cfg.bit_depth)
-                pred_c = mc.compound_average(c0, c1, cfg.bit_depth) \
-                    .astype(np.int64)
-                qc, eo, rec, dist, rate = md._full_loop(
-                    srcs, pred_c, np.zeros(b, dtype=np.int32), tx_size,
-                    (bw, bh), qp, cfg.bit_depth)
-                mv_bits = (3 << md.RATE_Q) \
-                    + 256 * ((np.abs(mv0).sum(axis=1) > 0)
-                             .astype(np.int64)
-                             + (np.abs(mv1).sum(axis=1) > 0))
-                cost = md.rdcost(dist, md.lam_to_q(lam), rate + mv_bits)
+        comp_f = np.full(b, LAST_FRAME, dtype=np.int32)
+        comp_b = np.zeros(b, dtype=np.int32)
+        if self.reference_select:
+            # best (fwd, bwd) pair per block: the direction winners by
+            # single-ref RD (the reference's MD injects the analogous
+            # best-per-list compound candidates)
+            fsel = np.argmin(np.stack([per_ref[r][0]
+                                       for r in self.fwd_refs]), axis=0)
+            bsel = np.argmin(np.stack([per_ref[r][0]
+                                       for r in self.bwd_refs]), axis=0)
+            cost, qc, eo, rec, mv0a, mv1a = self._compound_pairs(
+                fsel, bsel, per_ref, xs, ys, srcs, (bw, bh), tx_size,
+                qp, lam, comp_f, comp_b)
             comp_sel = cost < chosen[0]
             chosen[0] = np.where(comp_sel, cost, chosen[0])
-            chosen[1] = np.where(comp_sel[:, None], mv0, chosen[1])
+            chosen[1] = np.where(comp_sel[:, None], mv0a, chosen[1])
             chosen[2] = np.where(comp_sel[:, None, None], qc, chosen[2])
             chosen[3] = np.where(comp_sel, eo, chosen[3])
             chosen[4] = np.where(comp_sel[:, None, None], rec, chosen[4])
-            chosen_ref = np.where(comp_sel, LAST_FRAME, chosen_ref)
-            self.mvs1[ids] = np.where(comp_sel[:, None], mv1, 0)
+            chosen_ref = np.where(comp_sel, comp_f, chosen_ref)
+            self.mvs1[ids] = np.where(comp_sel[:, None], mv1a, 0)
             self.block_comp[ids] = comp_sel
+            self.comp_ref0[ids] = np.where(comp_sel, comp_f, LAST_FRAME)
+            self.comp_ref1[ids] = np.where(comp_sel, comp_b, 0)
         self.mvs[ids] = chosen[1]
         self.block_ref[ids] = chosen_ref
         self.eobs[0, ids] = chosen[3]
@@ -354,9 +409,14 @@ class InterFrameEncoder:
             yy, xx = int(ys[k]), int(xs[k])
             self.recon[0][yy:yy + bh, xx:xx + bw] = chosen[4][k]
 
-        # chroma: MC with the chosen MV/ref, DCT residual
+        # chroma: MC with the chosen MV/ref (or compound pair), DCT residual
         tx_uv = common.tx_size_for_rect(cw, ch, 1)
-        from svt_av1_tpu.entropy.inter_modes import ALTREF_FRAME as _ALT2
+        cpairs = []
+        if np.any(comp_sel):
+            pf, pb_ = self.comp_ref0[ids], self.comp_ref1[ids]
+            cpairs = [(f, bb) for f, bb in
+                      {(int(f), int(bb))
+                       for f, bb in zip(pf[comp_sel], pb_[comp_sel])}]
         for plane in (1, 2):
             cxs, cys = xs >> 1, ys >> 1
             if cfg.backend == "device":
@@ -374,11 +434,15 @@ class InterFrameEncoder:
                         cxs[sel], cys[sel], chosen[1][sel], (cw, ch),
                         qp, bd=cfg.bit_depth, ss=1)
                     qc[sel], eo[sel], rec[sel] = qs, es, rs
-                csel = np.nonzero(comp_sel)[0]
-                if len(csel):
+                for f, bref in cpairs:
+                    csel = np.nonzero(comp_sel
+                                      & (self.comp_ref0[ids] == f)
+                                      & (self.comp_ref1[ids] == bref))[0]
+                    if len(csel) == 0:
+                        continue
                     _, qs, es, rs = di.compound_code_dev(
-                        self.refs[LAST_FRAME][plane],
-                        self.refs[_ALT2][plane], self.src[plane],
+                        self.refs[f][plane],
+                        self.refs[bref][plane], self.src[plane],
                         cxs[csel], cys[csel], chosen[1][csel],
                         self.mvs1[ids][csel], (cw, ch), qp, lam,
                         bd=cfg.bit_depth, ss=1, plane_type=1)
@@ -396,14 +460,18 @@ class InterFrameEncoder:
                         self.refs[ref][plane], cxs[sel], cys[sel],
                         chosen[1][sel], cw, ch, ss=1,
                         bd=cfg.bit_depth).astype(np.int64)
-                csel = np.nonzero(comp_sel)[0]
-                if len(csel):
+                for f, bref in cpairs:
+                    csel = np.nonzero(comp_sel
+                                      & (self.comp_ref0[ids] == f)
+                                      & (self.comp_ref1[ids] == bref))[0]
+                    if len(csel) == 0:
+                        continue
                     cc0 = mc.mc_block_batch_conv(
-                        self.refs[LAST_FRAME][plane], cxs[csel],
+                        self.refs[f][plane], cxs[csel],
                         cys[csel], chosen[1][csel], cw, ch, ss=1,
                         bd=cfg.bit_depth)
                     cc1 = mc.mc_block_batch_conv(
-                        self.refs[_ALT2][plane], cxs[csel], cys[csel],
+                        self.refs[bref][plane], cxs[csel], cys[csel],
                         self.mvs1[ids][csel], cw, ch, ss=1,
                         bd=cfg.bit_depth)
                     pred[csel] = mc.compound_average(cc0, cc1,
@@ -864,10 +932,9 @@ class InterFrameEncoder:
             self.ctxs.update_txb_ctx(p, x4, y4, ts, cul)
 
     def _emit_compound_tail(self, mi_row, mi_col, size, li, skip) -> None:
-        """Compound (LAST, ALTREF) block syntax after skip/cdef/is_inter
+        """Compound (fwd, bwd) block syntax after skip/cdef/is_inter
         (spec 5.11.25 compound branch). Modes used: NEAREST_NEARESTMV /
         GLOBAL_GLOBALMV / NEW_NEWMV with DRL 0."""
-        from svt_av1_tpu.entropy.inter_modes import ALTREF_FRAME
         from svt_av1_tpu.pipeline.mvp import (GLOBAL_GLOBALMV,
                                               NEAR_NEARMV,
                                               NEAREST_NEARESTMV,
@@ -878,17 +945,18 @@ class InterFrameEncoder:
         bsize = common.rect_bsize(bw, bh)
         s4 = bw >> 2
         h4 = bh >> 2
+        ref0 = int(self.comp_ref0[li])
+        ref1 = int(self.comp_ref1[li])
         mv0 = (int(self.mvs[li, 0]), int(self.mvs[li, 1]))
         mv1 = (int(self.mvs1[li, 0]), int(self.mvs1[li, 1]))
         inter_modes.write_comp_inter(self.w, self.fc, self.mvp_state,
                                      mi_row, mi_col, 1)
         inter_modes.write_comp_refs(self.w, self.fc, self.mvp_state,
-                                    mi_row, mi_col, LAST_FRAME,
-                                    ALTREF_FRAME)
-        gm_pair = (self.gm_mv.get(LAST_FRAME, (0, 0)),
-                   self.gm_mv.get(ALTREF_FRAME, (0, 0)))
+                                    mi_row, mi_col, ref0, ref1)
+        gm_pair = (self.gm_mv.get(ref0, (0, 0)),
+                   self.gm_mv.get(ref1, (0, 0)))
         res = mvp.find_mv_stack_comp(self.mvp_state, mi_row, mi_col, s4,
-                                     LAST_FRAME, ALTREF_FRAME,
+                                     ref0, ref1,
                                      gm=gm_pair, h4=h4)
         pair = (mv0, mv1)
         if res.count >= 1 and pair == res.ref_list[0]:
@@ -913,8 +981,8 @@ class InterFrameEncoder:
             mv_syntax.write_mv(self.w, self.nmv, mv1[0] - pred[1][0],
                                mv1[1] - pred[1][1])
         self.ctxs.set_mi(mi_row, mi_col, bsize, DC_PRED, skip)
-        self.mvp_state.set_block(mi_row, mi_col, s4, LAST_FRAME, mv0,
-                                 mode, ref1=ALTREF_FRAME, mv1=mv1, h4=h4)
+        self.mvp_state.set_block(mi_row, mi_col, s4, ref0, mv0,
+                                 mode, ref1=ref1, mv1=mv1, h4=h4)
         cw, ch = bw >> 1, bh >> 1
         x, y = mi_col * 4, mi_row * 4
         tx_y = common.tx_size_for_rect(bw, bh, 0)
