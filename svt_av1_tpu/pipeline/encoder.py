@@ -74,15 +74,16 @@ class Encoder:
             self._rc = RateControl(cfg.target_bit_rate,
                                    cfg.frame_rate_num / cfg.frame_rate_den,
                                    cfg.intra_period,
-                                   start_qindex=cfg.base_q_idx)
+                                   start_qindex=cfg.base_q_idx,
+                                   hierarchical_levels=cfg.hierarchical_levels)
 
     # --- internals -----------------------------------------------------------
-    def _cfg_for(self, is_key: bool) -> EncoderConfig:
+    def _cfg_for(self, is_key: bool, layer: int = 0) -> EncoderConfig:
         cfg = self.cfg
         if self._rc is not None:
             cfg = dataclasses.replace(
                 cfg, qindex_override=self._rc.frame_qindex(
-                    is_key, self._la_weight))
+                    is_key, self._la_weight, layer))
         return cfg
 
     def _crop(self, padded):
@@ -124,21 +125,23 @@ class Encoder:
         self._out.append((tu, recon))
 
     def _encode_inter(self, y, u, v, last_slot, alt_slot, refresh_slot,
-                      show, q_offset: int = 0, extra_slots=None) -> list:
+                      show, layer: int = 0, extra_slots=None) -> list:
         """Encode one inter frame; returns its padded recon.
         refresh_slot None = non-reference frame (refresh_frame_flags 0,
         the leaf-B case of the reference's hierarchical pyramid).
+        layer: temporal layer (pyramid level; 0 = anchor/P) — with RC
+        active the controller assigns per-layer budgets, otherwise a
+        fixed qp-scaling offset applies (reference av1_compute_qdelta
+        path, EbRateControlProcess.c:953).
         extra_slots: {ref_id: slot} additional named references (the
         multi-ref lists of Av1GenerateRpsInfo); slots whose content is
         identical (same object) to an already-chosen ref are dropped —
         searching a duplicate reference buys nothing."""
-        cfg = self._cfg_for(False)
-        if q_offset:
-            # hierarchical qp scaling (reference: qp-scaling per temporal
-            # layer, av1_compute_qdelta path in EbRateControlProcess.c:953)
+        cfg = self._cfg_for(False, layer)
+        if layer and self._rc is None:
             cfg = dataclasses.replace(
                 cfg, qindex_override=int(np.clip(
-                    cfg.base_q_idx + q_offset, 1, 255)))
+                    cfg.base_q_idx + 12 * layer, 1, 255)))
         enc = InterFrameEncoder(cfg, self.seq)
         enc.aq_prev_luma = self._aq_prev(y)
         idx = [last_slot] * 7
@@ -166,7 +169,7 @@ class Encoder:
                 refresh_frame_flags=rff, ref_frame_idx=idx,
                 show_frame=show, extra_refs=extra)
         if self._rc is not None:
-            self._rc.update(len(tu) * 8, False)
+            self._rc.update(len(tu) * 8, False, layer)
         if refresh_slot is not None:
             self._slots[refresh_slot] = padded
         self._out.append((tu, self._crop(padded) if show else None))
@@ -208,12 +211,12 @@ class Encoder:
             if hi_idx - lo_idx == 2:
                 # leaf B: nothing references it -> code it shown directly
                 self._encode_inter(my, mu, mv_, lo_slot, hi_slot, None,
-                                   show=True, q_offset=12 * level,
+                                   show=True, layer=level,
                                    extra_slots=extra)
                 return
             s = free.pop(0)
             self._encode_inter(my, mu, mv_, lo_slot, hi_slot, s,
-                               show=False, q_offset=12 * level,
+                               show=False, layer=level,
                                extra_slots=extra)
             rec(lo_idx, mid, lo_slot, s, level + 1)
             self._out.append((obu.show_existing_frame_tu(s),
@@ -285,6 +288,8 @@ class Encoder:
             y, u, v, c = self._la.pop(0)
             window = [c] + [e[3] for e in self._la]
             self._la_weight = c / max(np.mean(window), 1e-3)
+            if self._rc is not None:
+                self._rc.set_lookahead(window)
             self._encode_one(y, u, v)
             self._la_weight = 1.0
 

@@ -179,3 +179,68 @@ def test_parallel_gop_encode_matches_serial():
     assert len(serial) == len(par)
     for i, (a, b) in enumerate(zip(serial, par)):
         assert a[0] == b[0], f"packet {i} differs"
+
+
+def test_vbr_within_5pct_accuracy():
+    """VERDICT r1 #7 contract: VBR lands within ±5% of target on
+    synthetic clips, for both the low-delay chain and the hierarchical
+    pyramid (per-layer budgets + debt repayment)."""
+    rng = np.random.RandomState(12)
+    big = rng.randint(16, 235, (800, 1100)).astype(np.uint8)
+
+    def clip(n, w=192, h=128, pan=(2, 3)):
+        out = []
+        for t in range(n):
+            y = big[pan[0] * t:pan[0] * t + h,
+                    pan[1] * t:pan[1] * t + w].copy()
+            y[30:54, (20 + 5 * t) % (w - 24):(44 + 5 * t) % (w - 24)] = 220
+            u = np.full((h // 2, w // 2), 120, np.uint8)
+            v = np.full((h // 2, w // 2), 130, np.uint8)
+            out.append((y, u, v))
+        return out
+
+    for hier, tgt in ((0, 300_000), (2, 800_000)):
+        frames = clip(96)
+        cfg = EncoderConfig(width=192, height=128, qp=40,
+                            rate_control_mode=RateControlMode.VBR,
+                            target_bit_rate=tgt, frame_rate_num=30,
+                            hierarchical_levels=hier,
+                            look_ahead_distance=4,
+                            scene_change_detection=False)
+        iv = encode_ivf(frames, cfg)
+        bps = len(iv) * 8 * 30 / len(frames)
+        assert 0.95 * tgt < bps < 1.05 * tgt, \
+            f"hier={hier} target={tgt}: {bps:.0f}bps"
+
+
+def test_vbr_layer_budgets_learned():
+    """Per-layer budgets: anchors must end up spending more bits/frame
+    than leaf Bs, and the learned per-layer deltas must stay ordered."""
+    from svt_av1_tpu.pipeline.rc import RateControl, _layer_weights
+    w = _layer_weights(3)
+    assert w[0] > w[1] > w[3], w
+    rc = RateControl(500_000, 30, hierarchical_levels=1)
+    # GOP mean lands on budget, but the anchor overshoots its share and
+    # the leaf undershoots: the learned deltas must move toward each
+    # other (anchor delta up = fewer bits, leaf delta down = more)
+    dq0_0, dq1_0 = rc.layer_dq
+    b = rc.frame_budget
+    for _ in range(30):
+        rc.frame_qindex(False, layer=0)
+        rc.update(1.5 * b, False, 0)
+        rc.frame_qindex(False, layer=1)
+        rc.update(0.5 * b, False, 1)
+    assert rc.layer_dq[0] > dq0_0, "anchor delta must rise on overshoot"
+    assert rc.layer_dq[1] < dq1_0, "leaf delta must fall on undershoot"
+    # balanced totals: base q stays in a sane interior range
+    assert 20 < rc.q < 240, rc.q
+
+
+def test_gop_budget_correction():
+    """GOP model: overspending early in a GOP must push qindex up for
+    the GOP's remaining frames (RateControlModel.c correction role)."""
+    from svt_av1_tpu.pipeline.rc import RateControl
+    rc = RateControl(300_000, 30, intra_period=15)
+    q0 = rc.frame_qindex(False)
+    rc.update(rc.frame_budget * 4, False)   # big overshoot inside GOP
+    assert rc.frame_qindex(False) > q0
