@@ -16,7 +16,8 @@ from pathlib import Path
 
 _REPO = Path(__file__).resolve().parents[2]
 _SOURCES = [_REPO / "native" / "svt_ec.c",
-            _REPO / "native" / "svt_txfm.c"]
+            _REPO / "native" / "svt_txfm.c",
+            _REPO / "native" / "svt_quant.c"]
 _BUILD = _REPO / "native" / "build"
 
 c_i32p = ctypes.POINTER(ctypes.c_int32)
@@ -69,6 +70,14 @@ def lib() -> ctypes.CDLL:
         c_i32p, ctypes.c_int,         # eob_pt row, nsyms
         c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
         c_i32p, ctypes.c_int, ctypes.c_int,
+    ]
+    L.svt_quantize_b.restype = ctypes.c_int
+    L.svt_quantize_b.argtypes = [
+        c_i32p, ctypes.c_int, ctypes.c_int, c_i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        c_i32p, c_i32p, c_i32p,
     ]
     return L
 

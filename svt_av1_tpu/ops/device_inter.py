@@ -104,6 +104,7 @@ def fullpel_search_j(ref_pyr, src_pyr, xs, ys, size, max_range: int = 24):
     mv_b, cost_b = _exhaustive_j(ref_full, c0, iy0, ix0, zero, 3)
     better = cost_b < cost_a
     mvs = jnp.where(better[:, None], mv_b, mv_a)
+    cost = jnp.where(better, cost_b, cost_a)
     # trailing clamp (twin of the vectorized tail of fullpel_search)
     H, W = src_full.shape
     margin = (mc.REF_PAD - 5) << 2
@@ -112,7 +113,7 @@ def fullpel_search_j(ref_pyr, src_pyr, xs, ys, size, max_range: int = 24):
     c8 = jnp.clip(mvs[:, 1] * 8, -(xs << 2) - margin,
                   ((W - xs - bw) << 2) + margin)
     return jnp.stack([jnp.sign(r8) * (jnp.abs(r8) // 8),
-                      jnp.sign(c8) * (jnp.abs(c8) // 8)], axis=1)
+                      jnp.sign(c8) * (jnp.abs(c8) // 8)], axis=1), cost
 
 
 def subpel_refine_j(ref_padded, src_full, xs, ys, size, int_mvs,
@@ -199,9 +200,9 @@ def _build_ref_candidates(size, qindex: int, lamq: int, bd: int):
         xs = xs.astype(jnp.int64)
         ys = ys.astype(jnp.int64)
         H, W = src_full.shape
-        int_mvs = fullpel_search_j((ref_full, ref_h, ref_q),
-                                   (src_full, src_h, src_q), xs, ys,
-                                   size)
+        int_mvs, _ = fullpel_search_j((ref_full, ref_h, ref_q),
+                                      (src_full, src_h, src_q), xs, ys,
+                                      size)
         mvs = subpel_refine_j(ref_full, src_full, xs, ys, size, int_mvs,
                               bd=bd)
         zero = jnp.zeros_like(mvs)
@@ -339,3 +340,103 @@ def compound_code_dev(ref0, ref1, src_plane, xs, ys, mv0, mv1, size, qp,
     cost, qc, eo, rec = [np.asarray(o)[:b] for o in outs]
     return (cost.astype(np.int64), qc.astype(np.int32),
             eo.astype(np.int32), rec.astype(np.int64))
+
+
+# --- pruned-flow primitives (twin of inter._me_rd_pruned's pieces) ------------
+
+@functools.lru_cache(maxsize=256)
+def _build_fullpel(size):
+    def fn(ref_full, ref_h, ref_q, src_full, src_h, src_q, xs, ys):
+        return fullpel_search_j((ref_full, ref_h, ref_q),
+                                (src_full, src_h, src_q),
+                                xs.astype(jnp.int64),
+                                ys.astype(jnp.int64), size)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_subpel(size, bd: int):
+    def fn(ref_full, src_full, xs, ys, int_mvs):
+        return subpel_refine_j(ref_full, src_full, xs.astype(jnp.int64),
+                               ys.astype(jnp.int64), size, int_mvs,
+                               bd=bd)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_single_rd(size, qindex: int, lamq: int, bd: int):
+    """RD of {given (pre-clamped) MV, zero MV} against one reference —
+    the tail of _build_ref_candidates with ME factored out."""
+    bw, bh = common.leaf_wh(size)
+    tx_size = common.tx_size_for_rect(bw, bh, 0)
+
+    def fn(ref_full, src_full, xs, ys, mvs):
+        xs = xs.astype(jnp.int64)
+        ys = ys.astype(jnp.int64)
+        srcs, _, _ = _gather_curs(src_full.astype(jnp.int32), xs, ys,
+                                  bw, bh)
+        srcs = srcs.astype(jnp.int64)
+        best = None
+        for cand in (mvs.astype(jnp.int64),
+                     jnp.zeros_like(mvs, dtype=jnp.int64)):
+            pred = dev.mc_block_batch_j(ref_full, xs, ys, cand, bw, bh,
+                                        ss=0, bd=bd).astype(jnp.int64)
+            qc, eo, rec, dist, rate = _full_loop_j(
+                srcs, pred, jnp.zeros(xs.shape[0], dtype=jnp.int32),
+                (0,), tx_size, size, qindex, bd, 0)
+            mv_bits = (2 << md.RATE_Q) \
+                + 256 * (jnp.abs(cand).sum(axis=1) > 0)
+            cost = _rdcost_j(dist, lamq, rate + mv_bits)
+            if best is None:
+                best = [cost, cand, qc, eo, rec]
+            else:
+                bt = cost < best[0]
+                best[0] = jnp.where(bt, cost, best[0])
+                best[1] = jnp.where(bt[:, None], cand, best[1])
+                best[2] = jnp.where(bt[:, None, None], qc, best[2])
+                best[3] = jnp.where(bt, eo, best[3])
+                best[4] = jnp.where(bt[:, None, None], rec, best[4])
+        return tuple(best)
+
+    return jax.jit(fn)
+
+
+def fullpel_dev(ref_pyr, src_pyr, xs, ys, size):
+    """Twin of me.fullpel_search: (int_mvs, sad), numpy in/out."""
+    b = len(xs)
+    nb = _bucket(b)
+    fn = _build_fullpel(size if isinstance(size, int) else tuple(size))
+    mv, sad = fn(*ref_pyr, *src_pyr,
+                 _pad(np.asarray(xs, np.int64), nb, b),
+                 _pad(np.asarray(ys, np.int64), nb, b))
+    return (np.asarray(mv)[:b].astype(np.int64),
+            np.asarray(sad)[:b].astype(np.int64))
+
+
+def subpel_dev(ref_full, src_full, xs, ys, int_mvs, size, bd=8):
+    """Twin of me.subpel_refine (refined 1/8-pel MVs, unclamped)."""
+    b = len(xs)
+    nb = _bucket(b)
+    fn = _build_subpel(size if isinstance(size, int) else tuple(size), bd)
+    mv = fn(ref_full, src_full,
+            _pad(np.asarray(xs, np.int64), nb, b),
+            _pad(np.asarray(ys, np.int64), nb, b),
+            _pad(np.asarray(int_mvs, np.int64), nb, b))
+    return np.asarray(mv)[:b].astype(np.int64)
+
+
+def single_rd_dev(ref_full, src_full, xs, ys, mvs, size, qp, lam, bd=8):
+    """RD of {refined MV, zero} for one reference subset."""
+    b = len(xs)
+    nb = _bucket(b)
+    fn = _build_single_rd(
+        size if isinstance(size, int) else tuple(size), int(qp.qindex),
+        md.lam_to_q(lam), bd)
+    outs = fn(ref_full, src_full,
+              _pad(np.asarray(xs, np.int64), nb, b),
+              _pad(np.asarray(ys, np.int64), nb, b),
+              _pad(np.asarray(mvs, np.int64), nb, b))
+    cost, mv, qc, eo, rec = [np.asarray(o)[:b] for o in outs]
+    return [cost.astype(np.int64), mv.astype(np.int64),
+            qc.astype(np.int32), eo.astype(np.int32),
+            rec.astype(np.int64)]

@@ -89,8 +89,12 @@ def quantize(coeff: np.ndarray, scan: np.ndarray, qp: QuantParams,
     coeff: [B, n] int (raster order, n = scanned coeff count); scan: [n]
     raster positions in scan order. Returns (qcoeff[B,n] raster,
     dqcoeff[B,n] raster, eob[B]) with eob in scan-order units (0 = all zero).
+    Uses the native C twin (native/svt_quant.c) when available; the
+    NumPy body below is the oracle it is tested against.
     """
     b, n = coeff.shape
+    if _native_ok():
+        return _quantize_native(coeff, scan, qp, log_scale)
     is_dc = np.zeros(n, dtype=bool)
     is_dc[0] = True  # raster position 0 is DC
     def rpot(v):  # ROUND_POWER_OF_TWO(v, log_scale)
@@ -118,6 +122,39 @@ def quantize(coeff: np.ndarray, scan: np.ndarray, qp: QuantParams,
     idx = np.arange(1, n + 1)
     eob = np.max(np.where(nz_scan, idx[None, :], 0), axis=1)
     return qcoeff, dqcoeff, eob.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=1)
+def _native_ok() -> bool:
+    from svt_av1_tpu import native
+    return native.available()
+
+
+def _quantize_native(coeff, scan, qp, log_scale):
+    import ctypes
+
+    from svt_av1_tpu import native
+    b, n = coeff.shape
+    L = native.lib()
+    c32 = np.ascontiguousarray(coeff, dtype=np.int32)
+    s32 = np.ascontiguousarray(scan, dtype=np.int32)
+    qc = np.empty((b, n), dtype=np.int32)
+    dq = np.empty((b, n), dtype=np.int32)
+    eob = np.empty(b, dtype=np.int32)
+
+    def rpot(v):
+        return ((v + ((1 << log_scale) >> 1)) >> log_scale) \
+            if log_scale else v
+
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
+    rc = L.svt_quantize_b(
+        p(c32), b, n, p(s32),
+        rpot(qp.zbin[0]), rpot(qp.zbin[1]),
+        rpot(qp.round[0]), rpot(qp.round[1]),
+        qp.quant[0], qp.quant[1], qp.quant_shift[0], qp.quant_shift[1],
+        qp.dequant[0], qp.dequant[1], log_scale, p(qc), p(dq), p(eob))
+    assert rc == 0
+    return qc, dq, eob
 
 
 def dequantize(qcoeff: np.ndarray, qp: QuantParams, log_scale: int):

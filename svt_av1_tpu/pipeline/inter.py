@@ -277,12 +277,109 @@ class InterFrameEncoder:
                 best[4] = np.where(bt[:, None, None], rec, best[4])
         return best
 
-    def _compound_pairs(self, fsel, bsel, per_ref, xs, ys, srcs, size,
+    def _me_rd_pruned(self, xs, ys, srcs, size, tx_size, qp, lam,
+                      refs_order):
+        """Host ME+RD with SAD-based reference preselection (the
+        reference's ME candidate pruning): full-pel HME runs on every
+        ref, but sub-pel refinement and the full RD loop run only on the
+        per-block winners — the overall best ref plus the per-direction
+        winners feeding compound. Cuts the multi-ref cost from R full RD
+        passes to ~1 plus compound."""
+        cfg = self.cfg
+        bw, bh = size
+        b = len(xs)
+        dev = cfg.backend == "device"
+        if dev:
+            from svt_av1_tpu.ops import device_inter as di
+        plane_w, plane_h = self.src[0].shape[1], self.src[0].shape[0]
+        fullpel = {}
+        for r in refs_order:
+            if dev:
+                fullpel[r] = di.fullpel_dev(self.ref_pyrs[r],
+                                            self.src_pyr, xs, ys,
+                                            (bw, bh))
+            else:
+                fullpel[r] = me.fullpel_search(
+                    self.refs[r][0], self.src[0], xs, ys, (bw, bh),
+                    ref_pyr=self.ref_pyrs[r], src_pyr=self.src_pyr)
+        sads = np.stack([fullpel[r][1] for r in refs_order])
+        best_all = np.argmin(sads, axis=0)
+        need = {r: best_all == i for i, r in enumerate(refs_order)}
+        fsel = bsel = None
+        if self.reference_select:
+            fidx = [refs_order.index(r) for r in self.fwd_refs]
+            bidx = [refs_order.index(r) for r in self.bwd_refs]
+            fsel = np.argmin(sads[fidx], axis=0)
+            bsel = np.argmin(sads[bidx], axis=0)
+            for j, r in enumerate(self.fwd_refs):
+                need[r] |= fsel == j
+            for j, r in enumerate(self.bwd_refs):
+                need[r] |= bsel == j
+        refined = {r: np.zeros((b, 2), dtype=np.int64)
+                   for r in refs_order}
+        for r in refs_order:
+            sel = np.nonzero(need[r])[0]
+            if len(sel) == 0:
+                continue
+            if dev:
+                mv8 = di.subpel_dev(self.refs[r][0], self.src[0],
+                                    xs[sel], ys[sel], fullpel[r][0][sel],
+                                    (bw, bh), bd=cfg.bit_depth)
+            else:
+                mv8, _ = me.subpel_refine(self.refs[r][0], self.src[0],
+                                          xs[sel], ys[sel], (bw, bh),
+                                          fullpel[r][0][sel],
+                                          bd=cfg.bit_depth)
+            refined[r][sel] = clamp_mvs_batch(mv8, xs[sel], ys[sel], bw,
+                                              bh, plane_w, plane_h)
+        # single-ref RD on the overall winner: {refined MV, zero MV}
+        cdw, cdh = common.coded_dims(tx_size)
+        lamq = md.lam_to_q(lam)
+        cost = np.full(b, np.iinfo(np.int64).max)
+        mv_arr = np.zeros((b, 2), dtype=np.int64)
+        qc = np.zeros((b, cdh, cdw), dtype=np.int32)
+        eo = np.zeros(b, dtype=np.int32)
+        rec = np.zeros((b, bh, bw), dtype=np.int64)
+        chosen_ref = np.full(b, refs_order[0], dtype=np.int32)
+        for i, r in enumerate(refs_order):
+            sel = np.nonzero(best_all == i)[0]
+            if len(sel) == 0:
+                continue
+            chosen_ref[sel] = r
+            if dev:
+                cs, mvb, qs, es, rs = di.single_rd_dev(
+                    self.refs[r][0], self.src[0], xs[sel], ys[sel],
+                    refined[r][sel], (bw, bh), qp, lam,
+                    bd=cfg.bit_depth)
+                cost[sel], mv_arr[sel] = cs, mvb
+                qc[sel], eo[sel], rec[sel] = qs, es, rs
+                continue
+            zero = np.zeros((len(sel), 2), dtype=np.int64)
+            for cand in (refined[r][sel], zero):
+                pred = mc.mc_block_batch(self.refs[r][0], xs[sel],
+                                         ys[sel], cand, bw, bh,
+                                         bd=cfg.bit_depth) \
+                    .astype(np.int64)
+                qs, es, rs, dist, rate = md._full_loop(
+                    srcs[sel], pred, np.zeros(len(sel), dtype=np.int32),
+                    tx_size, (bw, bh), qp, cfg.bit_depth)
+                mv_bits = (2 << md.RATE_Q) \
+                    + 256 * (np.abs(cand).sum(axis=1) > 0)
+                cs = md.rdcost(dist, lamq, rate + mv_bits)
+                bt = cs < cost[sel]
+                sub = sel[bt]
+                cost[sub] = cs[bt]
+                mv_arr[sub] = cand[bt]
+                qc[sub], eo[sub], rec[sub] = qs[bt], es[bt], rs[bt]
+        chosen = [cost, mv_arr, qc, eo, rec]
+        return chosen_ref, chosen, refined, fsel, bsel
+
+    def _compound_pairs(self, fsel, bsel, pmvs, xs, ys, srcs, size,
                         tx_size, qp, lam, comp_f, comp_b):
         """Batched bidirectional compound coding, grouped by the distinct
         (fwd, bwd) ref pairs the per-block direction winners form.
-        Fills comp_f/comp_b in place; returns per-block
-        (cost, qc, eo, rec, mv0, mv1)."""
+        pmvs: {ref: [B, 2] refined MVs}. Fills comp_f/comp_b in place;
+        returns per-block (cost, qc, eo, rec, mv0, mv1)."""
         cfg = self.cfg
         bw, bh = size
         b = len(xs)
@@ -298,8 +395,8 @@ class InterFrameEncoder:
                 sub = np.nonzero((fsel == fi) & (bsel == bi))[0]
                 if len(sub) == 0:
                     continue
-                mv0 = per_ref[f][1][sub]
-                mv1 = per_ref[bref][1][sub]
+                mv0 = pmvs[f][sub]
+                mv1 = pmvs[bref][sub]
                 if cfg.backend == "device":
                     from svt_av1_tpu.ops import device_inter as di
                     cs, qs, es, rs = di.compound_code_dev(
@@ -358,36 +455,17 @@ class InterFrameEncoder:
                          for xx, yy in zip(xs, ys)]).astype(np.int64)
         tx_size = common.tx_size_for_rect(bw, bh, 0)
 
-        per_ref = {ref: self._ref_candidates(ref, xs, ys, size, srcs,
-                                             tx_size, qp, lam)
-                   for ref in self.refs}
-        refs_order = sorted(per_ref)
-        chosen_ref = np.full(b, refs_order[0], dtype=np.int32)
-        chosen = [a.copy() if hasattr(a, "copy") else a
-                  for a in per_ref[refs_order[0]]]
-        for ref in refs_order[1:]:
-            cand = per_ref[ref]
-            bt = cand[0] < chosen[0]
-            chosen_ref = np.where(bt, ref, chosen_ref)
-            chosen[0] = np.where(bt, cand[0], chosen[0])
-            chosen[1] = np.where(bt[:, None], cand[1], chosen[1])
-            chosen[2] = np.where(bt[:, None, None], cand[2], chosen[2])
-            chosen[3] = np.where(bt, cand[3], chosen[3])
-            chosen[4] = np.where(bt[:, None, None], cand[4], chosen[4])
+        refs_order = sorted(self.refs)
+        chosen_ref, chosen, pmvs, fsel, bsel = \
+            self._me_rd_pruned(xs, ys, srcs, (bw, bh), tx_size, qp,
+                               lam, refs_order)
 
         comp_sel = np.zeros(b, dtype=bool)
         comp_f = np.full(b, LAST_FRAME, dtype=np.int32)
         comp_b = np.zeros(b, dtype=np.int32)
         if self.reference_select:
-            # best (fwd, bwd) pair per block: the direction winners by
-            # single-ref RD (the reference's MD injects the analogous
-            # best-per-list compound candidates)
-            fsel = np.argmin(np.stack([per_ref[r][0]
-                                       for r in self.fwd_refs]), axis=0)
-            bsel = np.argmin(np.stack([per_ref[r][0]
-                                       for r in self.bwd_refs]), axis=0)
             cost, qc, eo, rec, mv0a, mv1a = self._compound_pairs(
-                fsel, bsel, per_ref, xs, ys, srcs, (bw, bh), tx_size,
+                fsel, bsel, pmvs, xs, ys, srcs, (bw, bh), tx_size,
                 qp, lam, comp_f, comp_b)
             comp_sel = cost < chosen[0]
             chosen[0] = np.where(comp_sel, cost, chosen[0])

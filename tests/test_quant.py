@@ -77,3 +77,31 @@ def test_pipeline_reconstruction_error_bounded(tx, qindex):
     assert err.max() <= max(2.0, 1.5 * step), \
         f"err {err.max()} vs step {step}"
     assert err.mean() <= max(1.0, 0.5 * step)
+
+
+def test_native_quantizer_bit_exact():
+    """native/svt_quant.c must match the NumPy oracle exactly over
+    random coefficients, all log_scales, extreme magnitudes and qindex
+    corners."""
+    from unittest import mock
+
+    from svt_av1_tpu.ops import quant as q
+    from svt_av1_tpu.utils.blocks import get_scan
+    if not q._native_ok():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(7)
+    for qindex in (0, 1, 80, 160, 255):
+        for tx_size, n in ((0, 16), (1, 64), (2, 256), (3, 1024)):
+            qp = q.make_quant_params(qindex, bit_depth=8)
+            ls = q.tx_scale(tx_size)
+            scan = get_scan(tx_size, 0)
+            coeff = rng.randint(-(1 << 20), 1 << 20, (13, n))
+            coeff[0] = 0
+            coeff[1, :4] = [-(1 << 22), 1 << 22, -1, 1]
+            nat = q._quantize_native(coeff, scan, qp, ls)
+            with mock.patch.object(q, "_native_ok", lambda: False):
+                ora = q.quantize(coeff, scan, qp, ls)
+            for a, b, name in zip(nat, ora, ("qc", "dq", "eob")):
+                assert (np.asarray(a) == np.asarray(b)).all(), \
+                    (qindex, tx_size, name)
