@@ -94,17 +94,20 @@ def fullpel_search_j(ref_pyr, src_pyr, xs, ys, size, max_range: int = 24):
                                     ys >> 1, bw >> 1, bh >> 1)
         mv_h, _ = _exhaustive_j(ref_h, ch, iyh, ixh, mv_q * 2, 2)
         seed = mv_h * 2
+        c0, iy0, ix0 = _gather_curs(src_full.astype(jnp.int32), xs, ys,
+                                    bw, bh)
+        # L0 center check: one probe each at seed and zero, then a single
+        # radius-3 window at the better center (twin of host me.py)
+        _, c_seed = _exhaustive_j(ref_full, c0, iy0, ix0, seed, 0)
+        _, c_zero = _exhaustive_j(ref_full, c0, iy0, ix0, zero, 0)
+        center = jnp.where((c_zero < c_seed)[:, None], zero, seed)
         radius0 = 3
     else:
-        seed = zero
+        c0, iy0, ix0 = _gather_curs(src_full.astype(jnp.int32), xs, ys,
+                                    bw, bh)
+        center = zero
         radius0 = max(4, max_range // 2)
-    c0, iy0, ix0 = _gather_curs(src_full.astype(jnp.int32), xs, ys,
-                                bw, bh)
-    mv_a, cost_a = _exhaustive_j(ref_full, c0, iy0, ix0, seed, radius0)
-    mv_b, cost_b = _exhaustive_j(ref_full, c0, iy0, ix0, zero, 3)
-    better = cost_b < cost_a
-    mvs = jnp.where(better[:, None], mv_b, mv_a)
-    cost = jnp.where(better, cost_b, cost_a)
+    mvs, cost = _exhaustive_j(ref_full, c0, iy0, ix0, center, radius0)
     # trailing clamp (twin of the vectorized tail of fullpel_search)
     H, W = src_full.shape
     margin = (mc.REF_PAD - 5) << 2

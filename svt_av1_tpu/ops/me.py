@@ -130,18 +130,22 @@ def fullpel_search(ref_padded, src_plane, xs, ys, size,
         mv_h, _ = _exhaustive(ref_h, cur_h, xa >> 1, ya >> 1,
                               (bw >> 1, bh >> 1), mv_q * 2, 2)
         seed = mv_h * 2
+        # L0 center check (hme_mv_center_check analogue): probe the HME
+        # seed and the zero MV with one SAD each, then sweep a single
+        # radius-3 window around the better center — 51 offsets instead
+        # of the two full windows' 98 at equal search quality.
+        zeros = np.zeros((b, 2), dtype=np.int64)
+        _, c_seed = _exhaustive(ref_padded, src_plane, xa, ya, size,
+                                seed, 0)
+        _, c_zero = _exhaustive(ref_padded, src_plane, xa, ya, size,
+                                zeros, 0)
+        center = np.where((c_zero < c_seed)[:, None], zeros, seed)
+        radius0 = 3
     else:
-        seed = np.zeros((b, 2), dtype=np.int64)
-    # L0: full resolution around the HME seed, with a zero-centered
-    # fallback window (hme_mv_center_check analogue)
-    mv_a, cost_a = _exhaustive(ref_padded, src_plane, xa, ya, size,
-                               seed, 3 if min(bw, bh) >= 16
-                               else max(4, max_range // 2))
-    mv_b, cost_b = _exhaustive(ref_padded, src_plane, xa, ya, size,
-                               np.zeros((b, 2), dtype=np.int64), 3)
-    better = cost_b < cost_a
-    mvs = np.where(better[:, None], mv_b, mv_a)
-    cost = np.where(better, cost_b, cost_a)
+        center = np.zeros((b, 2), dtype=np.int64)
+        radius0 = max(4, max_range // 2)
+    mvs, cost = _exhaustive(ref_padded, src_plane, xa, ya, size,
+                            center, radius0)
     # clamp so the 8-tap MC window of any refined sub-pel candidate stays
     # inside the padded reference (vectorized clamp_mv_for_padding, then
     # truncate the 1/8-pel result back to whole pels toward zero)
