@@ -443,3 +443,69 @@ def single_rd_dev(ref_full, src_full, xs, ys, mvs, size, qp, lam, bd=8):
     return [cost.astype(np.int64), mv.astype(np.int64),
             qc.astype(np.int32), eo.astype(np.int32),
             rec.astype(np.int64)]
+
+
+# --- partition-DP depth analysis (twin of rd.choose_partition_inter's
+# depth_cost: ME + SSE of the compensated block as one jitted program per
+# depth; reference analogue: the ME-driven MD partition search,
+# EbProductCodingLoop.c:2690) ---------------------------------------------------
+
+
+def _sse_at_j(ref_full, src_full, xs, ys, mvs, bw: int, bh: int):
+    """Integer SSE of src[y:y+bh, x:x+bw] vs ref at (y+mv0, x+mv1)."""
+    pad = mc.REF_PAD
+    iy = ys[:, None, None] + jnp.arange(bh)[None, :, None]
+    ix = xs[:, None, None] + jnp.arange(bw)[None, None, :]
+    ry = iy + (mvs[:, 0] + pad)[:, None, None]
+    rx = ix + (mvs[:, 1] + pad)[:, None, None]
+    d = (src_full[iy, ix].astype(jnp.int64)
+         - ref_full[ry, rx].astype(jnp.int64))
+    return jnp.sum(d * d, axis=(1, 2))
+
+
+@functools.lru_cache(maxsize=256)
+def _build_dp_root(size):
+    bw, bh = common.leaf_wh(size)
+
+    def fn(ref_full, ref_h, ref_q, src_full, src_h, src_q, xs, ys):
+        mvs, _ = fullpel_search_j((ref_full, ref_h, ref_q),
+                                  (src_full, src_h, src_q), xs, ys, size)
+        return mvs, _sse_at_j(ref_full, src_full, xs, ys, mvs, bw, bh)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_dp_refine(size):
+    bw, bh = common.leaf_wh(size)
+
+    def fn(ref_full, src_full, xs, ys, seeds):
+        curs, iy, ix = _gather_curs(src_full.astype(jnp.int32), xs, ys,
+                                    bw, bh)
+        mv_s, c_s = _exhaustive_j(ref_full, curs, iy, ix, seeds, 3)
+        mv_z, c_z = _exhaustive_j(ref_full, curs, iy, ix,
+                                  jnp.zeros_like(seeds), 3)
+        better = c_z < c_s
+        mvs = jnp.where(better[:, None], mv_z, mv_s)
+        return mvs, _sse_at_j(ref_full, src_full, xs, ys, mvs, bw, bh)
+
+    return jax.jit(fn)
+
+
+def dp_depth_dev(ref_pyr, src_pyr, xs, ys, size, seeds=None):
+    """Numpy-in/out wrapper: (mvs [B,2] int64, sse [B] int64)."""
+    b = len(xs)
+    nb = _bucket(b)
+    key = size if isinstance(size, int) else tuple(size)
+    xs_p = _pad(np.asarray(xs, np.int64), nb, b)
+    ys_p = _pad(np.asarray(ys, np.int64), nb, b)
+    if seeds is None:
+        fn = _build_dp_root(key)
+        mv, sse = fn(ref_pyr[0], ref_pyr[1], ref_pyr[2],
+                     src_pyr[0], src_pyr[1], src_pyr[2], xs_p, ys_p)
+    else:
+        fn = _build_dp_refine(key)
+        mv, sse = fn(ref_pyr[0], src_pyr[0], xs_p, ys_p,
+                     _pad(np.asarray(seeds, np.int64), nb, b))
+    return (np.asarray(mv)[:b].astype(np.int64),
+            np.asarray(sse)[:b].astype(np.int64))

@@ -97,6 +97,24 @@ def has_top_right_wh(mi_row: int, mi_col: int, w4: int, h4: int,
     return bool((tab[idx >> 3] >> (idx & 7)) & 1)
 
 
+def has_top_right_wh_vec(mi_row, mi_col, w4: int, h4: int,
+                         mi_cols: int, sb_mi: int = 16) -> np.ndarray:
+    """Vectorized ``has_top_right_wh`` over [B] mi coords (same block
+    shape for all): one table gather instead of B Python calls."""
+    mi_row = np.asarray(mi_row, dtype=np.int64)
+    mi_col = np.asarray(mi_col, dtype=np.int64)
+    bw_log2 = w4.bit_length() - 1
+    bh_log2 = h4.bit_length() - 1
+    blk_row = (mi_row & (sb_mi - 1)) >> bh_log2
+    blk_col = (mi_col & (sb_mi - 1)) >> bw_log2
+    idx = (blk_row << (_MAX_MIB_LOG2 - bw_log2)) + blk_col
+    tab = _avail_tables()[f"has_tr_{_BSIZE_OF_WH4[(w4, h4)]}"]
+    out = ((tab[idx >> 3] >> (idx & 7)) & 1).astype(bool)
+    out = np.where(((blk_col + 1) << bw_log2) >= sb_mi, False, out)
+    out = np.where(blk_row == 0, True, out)
+    return np.where((mi_row == 0) | (mi_col + w4 >= mi_cols), False, out)
+
+
 def has_bottom_left_wh(mi_row: int, mi_col: int, w4: int, h4: int,
                        mi_rows: int, sb_mi: int = 16) -> bool:
     if mi_col == 0 or mi_row + h4 >= mi_rows:
@@ -112,3 +130,20 @@ def has_bottom_left_wh(mi_row: int, mi_col: int, w4: int, h4: int,
     idx = (blk_row << (_MAX_MIB_LOG2 - bw_log2)) + blk_col
     tab = _avail_tables()[f"has_bl_{_BSIZE_OF_WH4[(w4, h4)]}"]
     return bool((tab[idx >> 3] >> (idx & 7)) & 1)
+
+
+def has_bottom_left_wh_vec(mi_row, mi_col, w4: int, h4: int,
+                           mi_rows: int, sb_mi: int = 16) -> np.ndarray:
+    """Vectorized ``has_bottom_left_wh`` over [B] mi coords."""
+    mi_row = np.asarray(mi_row, dtype=np.int64)
+    mi_col = np.asarray(mi_col, dtype=np.int64)
+    bw_log2 = w4.bit_length() - 1
+    bh_log2 = h4.bit_length() - 1
+    blk_row = (mi_row & (sb_mi - 1)) >> bh_log2
+    blk_col = (mi_col & (sb_mi - 1)) >> bw_log2
+    idx = (blk_row << (_MAX_MIB_LOG2 - bw_log2)) + blk_col
+    tab = _avail_tables()[f"has_bl_{_BSIZE_OF_WH4[(w4, h4)]}"]
+    out = ((tab[idx >> 3] >> (idx & 7)) & 1).astype(bool)
+    out = np.where(((blk_row + 1) << bh_log2) >= sb_mi, False, out)
+    out = np.where(blk_col == 0, (blk_row << bh_log2) + h4 < sb_mi, out)
+    return np.where((mi_col == 0) | (mi_row + h4 >= mi_rows), False, out)

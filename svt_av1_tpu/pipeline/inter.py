@@ -96,7 +96,8 @@ class InterFrameEncoder:
             from svt_av1_tpu.pipeline import rd as rd_mod
             self.leaf_sizes = rd_mod.choose_partition_inter(
                 y, self.refs[LAST_FRAME][0], cfg, self.mi_cols,
-                self.mi_rows)
+                self.mi_rows, ref_pyr=self.ref_pyrs[LAST_FRAME],
+                src_pyr=self.src_pyr)
         else:
             self.leaf_sizes = common.fixed_leaf_sizes(
                 self.mi_rows, self.mi_cols, self.seq.sb_rows,
@@ -686,18 +687,19 @@ class InterFrameEncoder:
             b = len(es)
             ha = ys > 0
             hl = xs > 0
-            htr = np.array([avail.has_top_right_wh(
-                int(r), int(c), bw >> 2, bh >> 2, self.mi_cols)
-                for r, c in zip(rs, cs)])
-            hbl = np.array([avail.has_bottom_left_wh(
-                int(r), int(c), bw >> 2, bh >> 2, self.mi_rows)
-                for r, c in zip(rs, cs)])
+            htr = avail.has_top_right_wh_vec(rs, cs, bw >> 2, bh >> 2,
+                                             self.mi_cols)
+            hbl = avail.has_bottom_left_wh_vec(rs, cs, bw >> 2, bh >> 2,
+                                               self.mi_rows)
             above1, left1 = intra_ops.prepare_edges_av1(
                 self.recon[0], xs, ys, bw, bh, ha, hl, htr, hbl,
                 bd=cfg.bit_depth, max_w=self.mi_cols * 4,
                 max_h=self.mi_rows * 4)
-            srcs = np.stack([self.src[0][y:y + bh, x:x + bw]
-                             for x, y in zip(xs, ys)]).astype(np.int64)
+            iy = np.asarray(ys)[:, None, None] \
+                + np.arange(bh)[None, :, None]
+            ix = np.asarray(xs)[:, None, None] \
+                + np.arange(bw)[None, None, :]
+            srcs = self.src[0][iy, ix].astype(np.int64)
             pred = intra_ops.predict_any(
                 m, 0, above1, left1, bw, bh, ha, hl,
                 bd=cfg.bit_depth).astype(np.int64)
@@ -806,18 +808,19 @@ class InterFrameEncoder:
             xs, ys = cs * 4, rs * 4
             ha = ys > 0
             hl = xs > 0
-            htr = np.array([avail.has_top_right_wh(
-                int(r), int(c), bw >> 2, bh >> 2, self.mi_cols)
-                for r, c in zip(rs, cs)])
-            hbl = np.array([avail.has_bottom_left_wh(
-                int(r), int(c), bw >> 2, bh >> 2, self.mi_rows)
-                for r, c in zip(rs, cs)])
+            htr = avail.has_top_right_wh_vec(rs, cs, bw >> 2, bh >> 2,
+                                             self.mi_cols)
+            hbl = avail.has_bottom_left_wh_vec(rs, cs, bw >> 2, bh >> 2,
+                                               self.mi_rows)
             above1, left1 = intra_ops.prepare_edges_av1(
                 self.recon[0], xs, ys, bw, bh, ha, hl, htr, hbl,
                 bd=cfg.bit_depth, max_w=self.mi_cols * 4,
                 max_h=self.mi_rows * 4)
-            srcs = np.stack([self.src[0][y:y + bh, x:x + bw]
-                             for x, y in zip(xs, ys)]).astype(np.int64)
+            iy = np.asarray(ys)[:, None, None] \
+                + np.arange(bh)[None, :, None]
+            ix = np.asarray(xs)[:, None, None] \
+                + np.arange(bw)[None, None, :]
+            srcs = self.src[0][iy, ix].astype(np.int64)
             b = len(ks)
             best_cost = np.full(b, np.iinfo(np.int64).max)
             best_mode = np.zeros(b, dtype=np.int64)

@@ -43,25 +43,31 @@ def _block_grid(w_eff: int, h_eff: int, size: int):
 
 def _analyze_depth(src: np.ndarray, xs, ys, size, cands, qp,
                    max_w: int, max_h: int, mi_cols: int, mi_rows: int,
-                   lam: float, bd: int = 8):
+                   lam: float, bd: int = 8, backend: str = "host"):
     """Open-loop analysis of all blocks at one depth via the shared mode
     decision kernel. ``size``: int (square) or (w, h) rect. Returns
     (rd_cost [B], best_mode [B])."""
     from svt_av1_tpu.pipeline import avail, md
     bw, bh = common.leaf_wh(size)
     ha, hl = ys > 0, xs > 0
-    htr = np.array([avail.has_top_right_wh(y >> 2, x >> 2, bw >> 2,
-                                           bh >> 2, mi_cols)
-                    for x, y in zip(xs, ys)])
-    hbl = np.array([avail.has_bottom_left_wh(y >> 2, x >> 2, bw >> 2,
-                                             bh >> 2, mi_rows)
-                    for x, y in zip(xs, ys)])
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    htr = avail.has_top_right_wh_vec(ys >> 2, xs >> 2, bw >> 2,
+                                     bh >> 2, mi_cols)
+    hbl = avail.has_bottom_left_wh_vec(ys >> 2, xs >> 2, bw >> 2,
+                                       bh >> 2, mi_rows)
     above1, left1 = intra_ops.prepare_edges_av1(
         src, xs, ys, bw, bh, ha, hl, htr, hbl, bd=bd,
         max_w=max_w, max_h=max_h)
-    srcs = np.stack([src[y:y + bh, x:x + bw]
-                     for x, y in zip(xs, ys)]).astype(np.int64)
-    best_mode, _, _, _, _, rd_cost, _, _ = md.decide_block_batch(
+    iy = ys[:, None, None] + np.arange(bh)[None, :, None]
+    ix = xs[:, None, None] + np.arange(bw)[None, None, :]
+    srcs = src[iy, ix].astype(np.int64)
+    if backend == "device":
+        from svt_av1_tpu.ops.device_md import decide_block_batch_dev
+        decide = decide_block_batch_dev
+    else:
+        decide = md.decide_block_batch
+    best_mode, _, _, _, _, rd_cost, _, _ = decide(
         0, srcs, above1, left1, ha, hl, cands, qp, size, lam, bd=bd)
     # per-leaf syntax floor: skip + partition share + chroma mode and
     # coefficient overhead invisible to this luma-only open-loop score
@@ -102,7 +108,8 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
     for size in sizes:
         xs, ys = _block_grid(w_eff, h_eff, size)
         c, _ = _analyze_depth(src, xs, ys, size, cands, qp, w_eff, h_eff,
-                              mi_cols, mi_rows, lam, cfg.bit_depth)
+                              mi_cols, mi_rows, lam, cfg.bit_depth,
+                              backend=cfg.backend)
         cols = (w_eff + size - 1) // size
         rows = (h_eff + size - 1) // size
         cost[size] = c.reshape(rows, cols)
@@ -141,7 +148,8 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
                     cc, _ = _analyze_depth(src, xs[sel], ys[sel], wh,
                                            cands, qp, w_eff, h_eff,
                                            mi_cols, mi_rows, lam,
-                                           cfg.bit_depth)
+                                           cfg.bit_depth,
+                                           backend=cfg.backend)
                     c[sel] = cc
                 n = len(gx)
                 rect_cost[(size, key)] = sum(
@@ -236,7 +244,7 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
 
 def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
                            cfg: EncoderConfig, mi_cols: int,
-                           mi_rows: int):
+                           mi_rows: int, ref_pyr=None, src_pyr=None):
     """Square partition DP for inter frames from motion-compensated
     residual energy (the inter analogue of the intra DP above; the
     reference derives inter partitions from the same ME-driven MD
@@ -253,16 +261,31 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
              if cfg.min_partition_size <= s <= cfg.max_partition_size]
     if 64 not in sizes:
         sizes = [64] + sizes
-    seed_map = {}
+    use_dev = cfg.backend == "device"
+    if use_dev:
+        from svt_av1_tpu.ops import device_inter as di
+    if ref_pyr is None:
+        ref_pyr = me.build_pyramid(ref_core)
+    if src_pyr is None:
+        src_pyr = me.src_pyramid(src)
 
     def depth_cost(xs, ys, wh, seeds=None):
         """Per-block ME cost. ``seeds``: [B, 2] full-pel centers from a
         coarser depth — a +-3 refinement around the parent MV replaces a
         fresh HME (one full HME at the root is enough; children refine,
-        the reference's HME seeding pattern)."""
+        the reference's HME seeding pattern). Backend-dispatched: the
+        device path runs ME + SSE as one jitted program per depth
+        (device_inter.dp_depth_dev), bit-identical to this host path."""
         bw, bh = common.leaf_wh(wh)
+        if use_dev:
+            mvs, sse_i = di.dp_depth_dev(ref_pyr, src_pyr, xs, ys, wh,
+                                         seeds)
+            sse = sse_i.astype(np.float64)
+            mv_bits = 4.0 + 0.5 * (np.abs(mvs).sum(axis=1) > 0)
+            return sse + lam * (12.0 + mv_bits), mvs
         if seeds is None:
-            mvs, _ = me.fullpel_search(ref_core, src, xs, ys, wh)
+            mvs, _ = me.fullpel_search(ref_core, src, xs, ys, wh,
+                                       ref_pyr=ref_pyr, src_pyr=src_pyr)
         else:
             cands = np.concatenate([seeds, np.zeros_like(seeds)])
             xs2 = np.concatenate([xs, xs])
@@ -272,13 +295,16 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
             n = len(xs)
             better = cost2[n:] < cost2[:n]
             mvs = np.where(better[:, None], mv2[n:], mv2[:n])
-        sse = np.empty(len(xs), dtype=np.float64)
-        for i, (x, y0) in enumerate(zip(xs, ys)):
-            ry = int(y0 + mvs[i, 0]) + pad
-            rx = int(x + mvs[i, 1]) + pad
-            blk = ref_core[ry:ry + bh, rx:rx + bw].astype(np.int64)
-            cur = srcf[y0:y0 + bh, x:x + bw]
-            sse[i] = float(((cur - blk) ** 2).sum())
+        xs = np.asarray(xs, dtype=np.int64)
+        ys = np.asarray(ys, dtype=np.int64)
+        ry = (ys + mvs[:, 0] + pad)[:, None, None] \
+            + np.arange(bh)[None, :, None]
+        rx = (xs + mvs[:, 1] + pad)[:, None, None] \
+            + np.arange(bw)[None, None, :]
+        iy = ys[:, None, None] + np.arange(bh)[None, :, None]
+        ix = xs[:, None, None] + np.arange(bw)[None, None, :]
+        d = srcf[iy, ix] - ref_core[ry, rx].astype(np.int64)
+        sse = (d * d).sum(axis=(1, 2)).astype(np.float64)
         # per-leaf floor: mode/mv/skip/chroma syntax (same calibration as
         # the intra DP) + a nonzero-mv surcharge
         mv_bits = 4.0 + 0.5 * (np.abs(mvs).sum(axis=1) > 0)
