@@ -50,15 +50,21 @@ def make_clip(w=1920, h=1080, frames=9, seed=3):
     return out
 
 
-def encode_once(frames, cfg):
+def encode_once(frames, cfg, tag=""):
+    import sys
     from svt_av1_tpu.pipeline.encoder import Encoder
     enc = Encoder(cfg)
     n = nbytes = 0
-    for (y, u, v) in frames:
+    t0 = time.perf_counter()
+    for fi, (y, u, v) in enumerate(frames):
         enc.send_picture(y, u, v)
         while (pkt := enc.get_packet()) is not None:
             n += 1
             nbytes += len(pkt[0])
+        if tag:
+            print(f"[bench {tag}] fed {fi + 1}/{len(frames)} "
+                  f"t={time.perf_counter() - t0:.1f}s", file=sys.stderr,
+                  flush=True)
     enc.flush()
     while (pkt := enc.get_packet()) is not None:
         n += 1
@@ -80,7 +86,7 @@ def main():
                            backend="device")
     cfg = preset_config(args)
 
-    encode_once(frames, cfg)            # warm-up: XLA compiles, C build
+    encode_once(frames, cfg, tag="warmup")  # XLA compiles, C build
     t0 = time.perf_counter()
     encode_once(frames, cfg)
     dt = time.perf_counter() - t0

@@ -116,7 +116,15 @@ class FrameHeader:
     refresh_frame_flags: int = 0xFF
     order_hint: int = 0
     # inter-frame fields
-    error_resilient: bool = True    # PRIMARY_REF_NONE path (MVP choice)
+    error_resilient: bool = True    # True: PRIMARY_REF_NONE per frame
+    # forward CDF carry (spec 6.8.2 load_cdfs / load_previous): index into
+    # ref_frame_idx of the frame whose saved CDFs/gm params seed this one;
+    # 7 = PRIMARY_REF_NONE. Only coded when !intra && !error_resilient.
+    primary_ref_frame: int = 7
+    # prediction base for gm param delta coding (PrevGmParams of the
+    # primary ref frame; spec 5.9.24 read_global_param) — NOT coded, both
+    # sides derive it from their slot stores.
+    prev_gm_trans: tuple = ((0, 0),) * 7
     ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)  # slots for LAST..ALTREF
     # cdef fields (used when seq.enable_cdef)
     cdef_damping: int = 3
@@ -238,25 +246,30 @@ _GM_TRANS_BITS = 8
 _GM_SUBEXP_K = 3
 
 
-def _write_gm_component(w, v: int) -> None:
+def _write_gm_component(w, v: int, prev: int = 0) -> None:
+    """``prev``: prediction base (PrevGmParams component in the same
+    reduced translation coordinate, spec 5.9.25 decode_signed_subexp)."""
     from svt_av1_tpu.entropy.lr import write_primitive_refsubexpfin
     n = (1 << _GM_TRANS_BITS) + 1
     scaled_n = (n << 1) - 1
-    write_primitive_refsubexpfin(w, scaled_n, _GM_SUBEXP_K, n - 1,
-                                 v + n - 1)
+    write_primitive_refsubexpfin(w, scaled_n, _GM_SUBEXP_K,
+                                 prev + n - 1, v + n - 1)
 
 
-def _read_gm_component(r) -> int:
+def _read_gm_component(r, prev: int = 0) -> int:
     from svt_av1_tpu.entropy.lr import read_primitive_refsubexpfin
     n = (1 << _GM_TRANS_BITS) + 1
     scaled_n = (n << 1) - 1
     return read_primitive_refsubexpfin(r, scaled_n, _GM_SUBEXP_K,
-                                       n - 1) - (n - 1)
+                                       prev + n - 1) - (n - 1)
 
 
 def _write_global_motion(w: BitWriter, fh: "FrameHeader") -> None:
+    prev_all = fh.prev_gm_trans if fh.primary_ref_frame != PRIMARY_REF_NONE \
+        else ((0, 0),) * 7
     for i in range(7):
         mv = fh.gm_trans[i]
+        prev = prev_all[i]
         if mv == (0, 0):
             w.write_bit(0)               # is_global
             continue
@@ -264,21 +277,23 @@ def _write_global_motion(w: BitWriter, fh: "FrameHeader") -> None:
         w.write_bit(1)                   # is_global
         w.write_bit(0)                   # is_rot_zoom
         w.write_bit(1)                   # is_translation
-        _write_gm_component(w, mv[1] >> 1)   # wmmat[0]: col
-        _write_gm_component(w, mv[0] >> 1)   # wmmat[1]: row
+        _write_gm_component(w, mv[1] >> 1, prev[1] >> 1)  # wmmat[0]: col
+        _write_gm_component(w, mv[0] >> 1, prev[0] >> 1)  # wmmat[1]: row
     return
 
 
-def _parse_global_motion(r: BitReader):
+def _parse_global_motion(r: BitReader, prev_all=None):
+    prev_all = prev_all or ((0, 0),) * 7
     out = []
-    for _ in range(7):
+    for i in range(7):
         if not r.read_bit():
             out.append((0, 0))
             continue
         assert r.read_bit() == 0, "rot-zoom gm unsupported"
         assert r.read_bit() == 1, "affine gm unsupported"
-        col = _read_gm_component(r) << 1
-        row = _read_gm_component(r) << 1
+        prev = prev_all[i]
+        col = _read_gm_component(r, prev[1] >> 1) << 1
+        row = _read_gm_component(r, prev[0] >> 1) << 1
         out.append((row, col))
     return tuple(out)
 
@@ -298,14 +313,16 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
         w.write_bit(1)                   # showable_frame
     if not (is_key and fh.show_frame):
         w.write_bit(int(fh.error_resilient))
-        assert fh.error_resilient, "primary-ref CDF carry is post-MVP"
     # (key+show: error_resilient implied 1, not coded)
     w.write_bit(int(fh.disable_cdf_update))
     # allow_screen_content_tools = seq_force (0), not coded
     w.write_bit(0)                       # frame_size_override_flag
     if seq.enable_order_hint:
         w.write(fh.order_hint, seq.order_hint_bits)
-    # primary_ref_frame = PRIMARY_REF_NONE (intra / error resilient)
+    if not is_key and not fh.error_resilient:
+        w.write(fh.primary_ref_frame, 3)
+    # (intra / error resilient: primary_ref_frame = PRIMARY_REF_NONE,
+    # not coded)
     if is_key:
         # refresh_frame_flags = 0xFF for shown key frame, not coded
         # frame_size(): from sequence (override=0); superres disabled
@@ -552,9 +569,12 @@ def parse_sequence_header_obu(payload: bytes) -> SequenceHeader:
                           seq_profile=profile, still_picture=bool(still))
 
 
-def parse_frame_obu(payload: bytes, seq: SequenceHeader):
+def parse_frame_obu(payload: bytes, seq: SequenceHeader, slot_gm=None):
     """Parse an OBU_FRAME produced by ``write_frame_obu``.
 
+    ``slot_gm``: 8-entry list of per-slot saved gm_trans 7-tuples (the
+    decoder's SavedGmParams store) — needed to predict gm params when
+    primary_ref_frame != PRIMARY_REF_NONE.
     Returns (FrameHeader, [tile bytes])."""
     r = BitReader(payload)
     assert r.read_bit() == 0, "use parse_show_existing for those headers"
@@ -567,10 +587,12 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
     error_resilient = True
     if not (is_key and show_frame):
         error_resilient = bool(r.read_bit())
-        assert error_resilient, "primary-ref CDF carry unsupported"
     disable_cdf_update = bool(r.read_bit())
     assert r.read_bit() == 0  # frame_size_override
     order_hint = r.read(seq.order_hint_bits) if seq.enable_order_hint else 0
+    primary_ref_frame = PRIMARY_REF_NONE
+    if not is_key and not error_resilient:
+        primary_ref_frame = r.read(3)
     refresh_frame_flags = 0xFF
     ref_frame_idx = (0,) * 7
     if is_key:
@@ -642,8 +664,11 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
         reference_select = bool(r.read_bit())
     reduced_tx_set = bool(r.read_bit())
     gm_trans = ((0, 0),) * 7
+    prev_gm = ((0, 0),) * 7
     if not is_key:
-        gm_trans = _parse_global_motion(r)
+        if primary_ref_frame != PRIMARY_REF_NONE and slot_gm is not None:
+            prev_gm = slot_gm[ref_frame_idx[primary_ref_frame]]
+        gm_trans = _parse_global_motion(r, prev_gm)
     film_grain = None
     if seq.film_grain_params_present:
         from svt_av1_tpu.ops import grain as grain_ops
@@ -651,6 +676,8 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader):
     r.byte_align()
     fh = FrameHeader(frame_type=frame_type, show_frame=show_frame,
                      error_resilient=error_resilient,
+                     primary_ref_frame=primary_ref_frame,
+                     prev_gm_trans=prev_gm,
                      refresh_frame_flags=refresh_frame_flags,
                      ref_frame_idx=ref_frame_idx,
                      cdef_damping=cdef_damping, cdef_bits=cdef_bits,

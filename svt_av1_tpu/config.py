@@ -57,6 +57,13 @@ class EncoderConfig:
     enable_dlf: bool = True
     enable_tx_type_search: bool = False
     disable_cdf_update: bool = False
+    # True: every inter frame is error-resilient (PRIMARY_REF_NONE —
+    # contexts reset per frame, any frame loss recoverable). False
+    # (default): forward CDF carry — inter frames start from the LAST
+    # ref's saved (frame-end-adapted) CDFs and gm params, like the
+    # reference's primary_ref_frame path (spec 6.8.2 load_cdfs;
+    # ref: EbEntropyCoding.c write_uncompressed_header_obu).
+    error_resilient: bool = False
     native_entropy: bool = True   # C range coder (falls back to Python)
     film_grain_strength: int = 0  # 0 off; 1..64 flat strength; -1 auto
                                   # (estimated from source noise by the

@@ -34,9 +34,12 @@ from svt_av1_tpu.utils.blocks import (DC_PRED, PARTITION_HORZ,
 
 class FrameDecoder:
     def __init__(self, seq: obu.SequenceHeader, fh: obu.FrameHeader,
-                 refs=None):
+                 refs=None, init_entropy=None):
         self.seq = seq
         self.fh = fh
+        # (FrameContext, NmvContext) loaded from the primary ref's slot
+        # (spec 6.8.2 load_cdfs) or None for PRIMARY_REF_NONE
+        self.init_entropy = init_entropy
         self.is_inter = fh.frame_type != obu.KEY_FRAME
         self.refs = refs  # padded reference planes (inter frames)
         self.mi_cols = seq.mi_cols
@@ -122,10 +125,23 @@ class FrameDecoder:
                            (mi_cs * 2, mi_rs * 2), (mi_cs * 2, mi_rs * 2)]
             self.tile_mi_off = (mi_r0, mi_c0)
             self._decode_one_tile(data, sb_rs, sb_cs)
+            if (mi_r0, mi_c0) == rects[0][:2]:
+                tile0_entropy = (self.fc, self.nmv)
             for (r, c), s in self.leaf_sizes.items():
                 frame_leaves[(r + mi_r0, c + mi_c0)] = s
             frame_skip[mi_r0:mi_r0 + mi_rs, mi_c0:mi_c0 + mi_cs] = \
                 self.ctxs.mi_skip[:mi_rs, :mi_cs] > 0
+        # the state saved into this frame's refresh slots (spec 7.20 /
+        # 6.8.2: frame-end update takes tile context_update_tile_id's
+        # adapted CDFs unless disabled, in which case the starting state)
+        if self.fh.disable_frame_end_update_cdf:
+            self.final_entropy = (
+                (self.init_entropy[0].copy(), self.init_entropy[1].copy())
+                if self.init_entropy is not None
+                else (FrameContext(self.fh.base_q_idx),
+                      mv_syntax.NmvContext()))
+        else:
+            self.final_entropy = tile0_entropy
         self.recon = frame_recon
         self.mi_rows, self.mi_cols = frame_mi_rows, frame_mi_cols
         if any(self.fh.loop_filter_levels):
@@ -180,8 +196,12 @@ class FrameDecoder:
         self.qp = self._dq_cache[self.cur_qindex]
 
     def _decode_one_tile(self, data: bytes, sb_rs: int, sb_cs: int):
-        self.fc = FrameContext(self.fh.base_q_idx)
-        self.nmv = mv_syntax.NmvContext()
+        if self.init_entropy is not None:
+            self.fc = self.init_entropy[0].copy()
+            self.nmv = self.init_entropy[1].copy()
+        else:
+            self.fc = FrameContext(self.fh.base_q_idx)
+            self.nmv = mv_syntax.NmvContext()
         self.r = SymbolReader(data,
                               disable_cdf_update=self.fh.disable_cdf_update)
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
@@ -594,6 +614,11 @@ class StreamDecoder:
         self.seq = seq
         self.slots = [None] * 8       # padded recon planes per slot
         self.slot_grain = [None] * 8  # film grain params per slot
+        # SavedCdfs / SavedGmParams stores (spec 7.20 reference frame
+        # update): entropy state + gm params per slot for primary-ref
+        # CDF carry
+        self.slot_entropy = [None] * 8
+        self.slot_gm = [((0, 0),) * 7] * 8
 
     def _crop(self, planes):
         w, h = self.seq.width, self.seq.height
@@ -630,7 +655,8 @@ class StreamDecoder:
                                           self.slot_grain[slot])
             elif obu_type == obu.OBU_FRAME:
                 assert self.seq is not None, "no sequence header seen"
-                fh, tiles = obu.parse_frame_obu(payload, self.seq)
+                fh, tiles = obu.parse_frame_obu(payload, self.seq,
+                                                slot_gm=self.slot_gm)
                 refs = None
                 if fh.frame_type != obu.KEY_FRAME:
                     # all 7 named references from ref_frame_idx (spec
@@ -647,7 +673,12 @@ class StreamDecoder:
                             padded[slot] = [mc.pad_reference(p)
                                             for p in self.slots[slot]]
                         refs[rid] = padded[slot]
-                dec = FrameDecoder(self.seq, fh, refs)
+                init_entropy = None
+                if fh.primary_ref_frame != obu.PRIMARY_REF_NONE:
+                    init_entropy = self.slot_entropy[
+                        fh.ref_frame_idx[fh.primary_ref_frame]]
+                dec = FrameDecoder(self.seq, fh, refs,
+                                   init_entropy=init_entropy)
                 out = dec.decode_frame(tiles)
                 if fh.show_frame:
                     recon = self._apply_grain(out, fh.film_grain)
@@ -655,6 +686,10 @@ class StreamDecoder:
                     if (fh.refresh_frame_flags >> i) & 1:
                         self.slots[i] = dec.recon
                         self.slot_grain[i] = fh.film_grain
+                        self.slot_entropy[i] = dec.final_entropy
+                        self.slot_gm[i] = fh.gm_trans \
+                            if fh.frame_type != obu.KEY_FRAME \
+                            else ((0, 0),) * 7
             else:
                 raise NotImplementedError(f"obu type {obu_type}")
         return recon

@@ -53,6 +53,11 @@ class Encoder:
             self._grain = grain_ops.default_params(cfg.film_grain_strength,
                                                    cfg.film_grain_seed)
         self._slots = [None] * 8   # padded recon per slot
+        # per-slot saved entropy state (FrameContext, NmvContext) and gm
+        # params — the decoder-side SavedCdfs/SavedGmParams stores that
+        # primary_ref_frame CDF carry reads from (spec 6.8.2)
+        self._slot_entropy = [None] * 8
+        self._slot_gm = [((0, 0),) * 7] * 8
         self._base_slot = 0        # slot of the most recent past anchor
         self._golden_slot = 7      # slot of the last keyframe (GOLDEN)
         self._ld_last2 = None      # low-delay: slot of the frame before LAST
@@ -119,6 +124,8 @@ class Encoder:
             self._rc.update(len(tu) * 8, True)
         for i in range(8):
             self._slots[i] = enc.recon
+            self._slot_entropy[i] = enc.final_entropy
+            self._slot_gm[i] = ((0, 0),) * 7
         self._base_slot = 0
         self._golden_slot = 7
         self._ld_last2 = None
@@ -167,11 +174,16 @@ class Encoder:
             tu, padded = enc.encode(
                 y, u, v, self._slots[last_slot], alt_planes=alt,
                 refresh_frame_flags=rff, ref_frame_idx=idx,
-                show_frame=show, extra_refs=extra)
+                show_frame=show, extra_refs=extra,
+                init_entropy=self._slot_entropy[last_slot],
+                prev_gm=self._slot_gm[last_slot])
         if self._rc is not None:
             self._rc.update(len(tu) * 8, False, layer)
         if refresh_slot is not None:
             self._slots[refresh_slot] = padded
+            self._slot_entropy[refresh_slot] = enc.final_entropy
+            self._slot_gm[refresh_slot] = tuple(
+                enc.gm_mv.get(ref, (0, 0)) for ref in range(1, 8))
         self._out.append((tu, self._crop(padded) if show else None))
         return padded
 
@@ -349,11 +361,24 @@ class Encoder:
                 seen[id(s)] = len(uniq)
                 uniq.append([p.copy() for p in s])
             alias.append(seen[id(s)])
+        # entropy slot states share the same aliasing concern
+        euniq, ealias, eseen = [], [], {}
+        for e in self._slot_entropy:
+            if e is None:
+                ealias.append(None)
+                continue
+            if id(e) not in eseen:
+                eseen[id(e)] = len(euniq)
+                euniq.append((e[0].copy(), e[1].copy()))
+            ealias.append(eseen[id(e)])
         return {
             "version": 2,
             "cfg": dataclasses.asdict(self.cfg),
             "slots_uniq": uniq,
             "slots_alias": alias,
+            "entropy_uniq": euniq,
+            "entropy_alias": ealias,
+            "slot_gm": list(self._slot_gm),
             "base_slot": self._base_slot,
             "golden_slot": self._golden_slot,
             "ld_last2": self._ld_last2,
@@ -375,6 +400,14 @@ class Encoder:
         uniq = [[p.copy() for p in s] for s in state["slots_uniq"]]
         enc._slots = [None if a is None else uniq[a]
                       for a in state["slots_alias"]]
+        euniq = [(e[0].copy(), e[1].copy())
+                 for e in state.get("entropy_uniq", [])]
+        enc._slot_entropy = [None if a is None else euniq[a]
+                             for a in state.get("entropy_alias",
+                                                [None] * 8)]
+        enc._slot_gm = [tuple(map(tuple, g))
+                        for g in state.get("slot_gm",
+                                           [((0, 0),) * 7] * 8)]
         enc._base_slot = state["base_slot"]
         enc._golden_slot = state.get("golden_slot", 7)
         enc._ld_last2 = state.get("ld_last2")

@@ -62,14 +62,23 @@ class InterFrameEncoder:
     def encode(self, y, u, v, ref_planes, alt_planes=None,
                refresh_frame_flags: int = 0x01,
                ref_frame_idx=(0,) * 7, show_frame: bool = True,
-               extra_refs=None):
+               extra_refs=None, init_entropy=None, prev_gm=None):
         """ref_planes: past reference recon [Y, U, V] (padded dims);
         alt_planes: optional future reference; extra_refs: additional
         named references {ref_id: planes} (GOLDEN/LAST2/BWDREF/ALTREF2 —
         the multi-reference lists the reference builds per picture in
         Av1GenerateRpsInfo, EbPictureDecisionProcess.c:516). Blocks pick
         the best single ref by RD, plus the best (fwd, bwd) compound
-        pair when both directions exist. Returns (tu, recon(padded))."""
+        pair when both directions exist.
+
+        init_entropy: (FrameContext, NmvContext) saved by the primary
+        reference (slot ref_frame_idx[0] = LAST) — when given and the
+        config is not error-resilient, the frame codes primary_ref_frame
+        = 0 and starts from these CDFs (spec 6.8.2 load_cdfs). prev_gm:
+        that slot's saved gm_trans (prediction base for gm params).
+        After encode, ``self.final_entropy`` holds the state a decoder
+        saves for this frame's refresh slots.
+        Returns (tu, recon(padded))."""
         cfg = self.cfg
         self.src = [common.pad_to_multiple(y, 64).astype(np.int32),
                     common.pad_to_multiple(u, 32).astype(np.int32),
@@ -205,6 +214,8 @@ class InterFrameEncoder:
             lr_kw = dict(lr_params=(
                 tuple(ri.frame_restoration_type for ri in self.lr_rinfos),
                 self.lr_rinfos[0].unit_size, self.lr_rinfos[1].unit_size))
+        carry = (not cfg.error_resilient) and init_entropy is not None
+        self.init_entropy = init_entropy if carry else None
         tile = self._syntax_pass()
         fg = None
         if self.seq.film_grain_params_present:
@@ -213,8 +224,15 @@ class InterFrameEncoder:
                                           cfg.film_grain_seed)
         gm_tuple = tuple(self.gm_mv.get(ref, (0, 0))
                          for ref in range(1, 8))
+        no_end_update = cfg.disable_cdf_update or cfg.error_resilient
         fh = obu.FrameHeader(frame_type=obu.INTER_FRAME,
                              gm_trans=gm_tuple,
+                             error_resilient=cfg.error_resilient,
+                             primary_ref_frame=(0 if carry
+                                                else obu.PRIMARY_REF_NONE),
+                             prev_gm_trans=(prev_gm if carry and prev_gm
+                                            else ((0, 0),) * 7),
+                             disable_frame_end_update_cdf=no_end_update,
                              reference_select=self.reference_select,
                              delta_q_present=(self.qmap is not None),
                              delta_q_res=self.DELTA_Q_RES,
@@ -226,6 +244,16 @@ class InterFrameEncoder:
                              refresh_frame_flags=refresh_frame_flags,
                              ref_frame_idx=tuple(ref_frame_idx),
                              **cdef_kw, **lr_kw)
+        # the state a decoder saves into this frame's refresh slots
+        # (spec: frame-end adapted CDFs unless end-update is disabled,
+        # in which case the frame's starting state)
+        if no_end_update:
+            self.final_entropy = (
+                (init_entropy[0].copy(), init_entropy[1].copy())
+                if carry else (FrameContext(cfg.base_q_idx),
+                               mv_syntax.NmvContext()))
+        else:
+            self.final_entropy = (self.fc, self.nmv)
         tu = (obu.temporal_delimiter_obu()
               + obu.write_frame_obu(self.seq, fh, [tile]))
         return tu, self.recon
@@ -844,8 +872,13 @@ class InterFrameEncoder:
     # --- sequential syntax pass ----------------------------------------------
     def _syntax_pass(self) -> bytes:
         cfg = self.cfg
-        self.fc = FrameContext(cfg.base_q_idx)
-        self.nmv = mv_syntax.NmvContext()
+        init = getattr(self, "init_entropy", None)
+        if init is not None:
+            self.fc = init[0].copy()
+            self.nmv = init[1].copy()
+        else:
+            self.fc = FrameContext(cfg.base_q_idx)
+            self.nmv = mv_syntax.NmvContext()
         self.w = make_symbol_writer(cfg.native_entropy,
                                     cfg.disable_cdf_update)
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)

@@ -116,6 +116,9 @@ class IntraFrameEncoder:
                                           cfg.film_grain_seed)
         fh = obu.FrameHeader(base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
+                             disable_frame_end_update_cdf=(
+                                 cfg.disable_cdf_update
+                                 or cfg.error_resilient),
                              loop_filter_levels=lf_levels,
                              reduced_tx_set=False, film_grain=fg)
         tu = (obu.temporal_delimiter_obu()

@@ -429,26 +429,37 @@ class WavefrontIntraEncoder:
         # syntax pass per tile (entropy stage runs after the filter stages,
         # mirroring the reference pipeline order)
         payloads = []
-        for st in tile_states:
+        for ti, st in enumerate(tile_states):
             for k, v in st.items():
                 if k != "rect":
                     setattr(self, k, v)
             self.tile_mi_off = (st["rect"][0], st["rect"][1])
             with span("entropy"):
                 payloads.append(self._syntax_pass())
+            if ti == 0:
+                # context_update_tile_id = 0: the state a decoder saves
+                # into every slot this key frame refreshes (spec 6.8.2;
+                # adapted unless frame-end update is disabled below)
+                tile0_fc = self.fc
         fg = None
         if cfg.film_grain_strength > 0:
             from svt_av1_tpu.ops import grain as grain_ops
             fg = grain_ops.default_params(cfg.film_grain_strength,
                                           cfg.film_grain_seed)
+        no_end_update = cfg.disable_cdf_update or cfg.error_resilient
         fh = obu.FrameHeader(base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
+                             disable_frame_end_update_cdf=no_end_update,
                              loop_filter_levels=lf_levels,
                              tile_cols_log2=self.tile_log2[0],
                              tile_rows_log2=self.tile_log2[1],
                              delta_q_present=(self.qmap is not None),
                              delta_q_res=self.DELTA_Q_RES,
                              film_grain=fg, **cdef_kw, **lr_kw)
+        from svt_av1_tpu.entropy import mv as mv_syntax
+        self.final_entropy = (
+            FrameContext(cfg.base_q_idx) if no_end_update else tile0_fc,
+            mv_syntax.NmvContext())
         tu = (obu.temporal_delimiter_obu()
               + obu.write_sequence_header_obu(self.seq)
               + obu.write_frame_obu(self.seq, fh, payloads))

@@ -124,3 +124,70 @@ def test_inter_header_roundtrip_after_fix():
     assert fh2.base_q_idx == 64
     assert fh2.refresh_frame_flags == 0x01
     assert tiles == [b"\x00" * 4]
+
+
+def test_inter_frame_header_bits_primary_ref_carry():
+    # INTER frame, error_resilient=0 (forward CDF carry): spec 5.9.2
+    # codes primary_ref_frame f(3) right after order_hint, and
+    # disable_frame_end_update_cdf=0 so frame-end CDFs are saved.
+    bits = (
+        "0"        # show_existing_frame
+        "01"       # frame_type = INTER
+        "1"        # show_frame
+        "0"        # error_resilient_mode = 0
+        "0"        # disable_cdf_update
+        "0"        # frame_size_override_flag
+        # order_hint: OrderHintBits==0 -> none
+        "000"      # primary_ref_frame = 0 (LAST)
+        "00000010"  # refresh_frame_flags = 0x02
+        + "000" * 6 + "001"  # ref_frame_idx
+        # !override -> frame_size() + render_size():
+        + "0"      # render_and_frame_size_different
+        "0"        # allow_high_precision_mv
+        "0"        # is_filter_switchable
+        "00"       # interpolation_filter = EIGHTTAP_REGULAR
+        "0"        # is_motion_mode_switchable
+        # use_ref_frame_mvs: seq enable_ref_frame_mvs==0 -> not coded
+        "0"        # disable_frame_end_update_cdf = 0 (save adapted CDFs)
+        "1"        # tile_info uniform
+        "00101000"  # base_q_idx = 40
+        "0" "0" "0" "0" "0"  # deltaQ dc/ac, qmatrix, segmentation
+        "0"        # delta_q_present
+        "000000" "000000" "000" "0"  # loop filter
+        "0"        # tx_mode_select
+        "0"        # reference_select
+        "0"        # reduced_tx_set
+        + "0" * 7  # global motion: is_global == 0 for all 7 refs
+    )
+    fh = obu.FrameHeader(frame_type=obu.INTER_FRAME, base_q_idx=40,
+                         error_resilient=False, primary_ref_frame=0,
+                         disable_frame_end_update_cdf=False,
+                         refresh_frame_flags=0x02,
+                         ref_frame_idx=(0, 0, 0, 0, 0, 0, 1))
+    assert _header_bytes(_seq_64(), fh) == _pack_bits(bits)
+
+
+def test_gm_param_prev_prediction_roundtrip():
+    """gm params delta-code against the primary ref's saved params
+    (spec 5.9.24 read_global_param with PrevGmParams)."""
+    seq = _seq_64()
+    prev = ((4, -6),) + ((0, 0),) * 6
+    fh = obu.FrameHeader(frame_type=obu.INTER_FRAME, base_q_idx=40,
+                         error_resilient=False, primary_ref_frame=0,
+                         disable_frame_end_update_cdf=False,
+                         refresh_frame_flags=0x02,
+                         gm_trans=((4, -8),) + ((0, 0),) * 6,
+                         prev_gm_trans=prev,
+                         ref_frame_idx=(2, 0, 0, 0, 0, 0, 1))
+    payload = obu.write_frame_obu(seq, fh, [b"\x00" * 4])
+    from svt_av1_tpu.bitstream.bitio import read_uleb128
+    size, off = read_uleb128(payload, 1)
+    slot_gm = [((0, 0),) * 7] * 8
+    slot_gm[2] = prev   # slot of ref_frame_idx[primary_ref_frame=0] = 2
+    fh2, _ = obu.parse_frame_obu(payload[off:off + size], seq,
+                                 slot_gm=slot_gm)
+    assert fh2.primary_ref_frame == 0
+    assert fh2.gm_trans == fh.gm_trans
+    # without the prev store the delta decodes to the wrong absolute
+    fh3, _ = obu.parse_frame_obu(payload[off:off + size], seq)
+    assert fh3.gm_trans != fh.gm_trans
