@@ -136,19 +136,30 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.nch > 1:
         # multi-instance channels (reference EbAppMain.c:82-230): fully
-        # independent encoder instances driven from one process
+        # independent encoder instances running CONCURRENTLY (the
+        # reference spawns EncApp threads per channel; here a thread per
+        # channel — numpy/ctypes stages release the GIL, and stdin is
+        # not a legal multi-channel input)
         import copy
+        from concurrent.futures import ThreadPoolExecutor
         inputs = args.input.split(",")
         outputs = args.output.split(",")
         assert len(inputs) == len(outputs) == args.nch, \
             "--nch requires matching comma-separated -i and -b lists"
-        rc = 0
+        assert "-" not in inputs, "--nch channels cannot read stdin"
+        chans = []
         for i, (inp, outp) in enumerate(zip(inputs, outputs)):
             ch = copy.copy(args)
             ch.input, ch.output, ch.nch = inp, outp, 1
             if not args.no_stats:
                 print(f"--- channel {i}: {inp} -> {outp}")
-            rc |= main_single(ch)
+            chans.append(ch)
+        with ThreadPoolExecutor(max_workers=args.nch,
+                                thread_name_prefix="channel") as pool:
+            rcs = list(pool.map(main_single, chans))
+        rc = 0
+        for r in rcs:
+            rc |= r
         return rc
     return main_single(args)
 

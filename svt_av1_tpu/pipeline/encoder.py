@@ -58,6 +58,15 @@ class Encoder:
         # primary_ref_frame CDF carry reads from (spec 6.8.2)
         self._slot_entropy = [None] * 8
         self._slot_gm = [((0, 0),) * 7] * 8
+        # one-deep entropy pipeline: frame N's host entropy runs on this
+        # worker while frame N+1's compute proceeds (the reference
+        # overlaps its EC process pool the same way, EbEncHandle.c:1056).
+        # Jobs run in order on the single worker, so the CDF-carry chain
+        # is identical to serial execution. Disabled under rate control:
+        # the controller needs frame N's actual bits before choosing
+        # frame N+1's qindex.
+        self._syntax_pool = None
+        self._syntax_pending: List = []
         self._base_slot = 0        # slot of the most recent past anchor
         self._golden_slot = 7      # slot of the last keyframe (GOLDEN)
         self._ld_last2 = None      # low-delay: slot of the frame before LAST
@@ -113,8 +122,16 @@ class Encoder:
         self._prev_luma = cur
         return prev
 
+    def _join_syntax(self) -> None:
+        """Wait for all in-flight entropy jobs (their slot-state writes
+        must land before anything else mutates the slot stores)."""
+        for fut in self._syntax_pending:
+            fut.result()
+        self._syntax_pending.clear()
+
     def _encode_key(self, y, u, v) -> None:
         from svt_av1_tpu.utils.trace import span
+        self._join_syntax()
         cfg = self._cfg_for(True)
         enc = WavefrontIntraEncoder(cfg)
         enc.aq_prev_luma = self._aq_prev(y)
@@ -171,20 +188,39 @@ class Encoder:
         rff = 0 if refresh_slot is None else 1 << refresh_slot
         from svt_av1_tpu.utils.trace import span
         with span("inter_frame"):
-            tu, padded = enc.encode(
+            padded = enc.encode_compute(
                 y, u, v, self._slots[last_slot], alt_planes=alt,
                 refresh_frame_flags=rff, ref_frame_idx=idx,
-                show_frame=show, extra_refs=extra,
-                init_entropy=self._slot_entropy[last_slot],
-                prev_gm=self._slot_gm[last_slot])
-        if self._rc is not None:
-            self._rc.update(len(tu) * 8, False, layer)
+                show_frame=show, extra_refs=extra)
         if refresh_slot is not None:
             self._slots[refresh_slot] = padded
-            self._slot_entropy[refresh_slot] = enc.final_entropy
-            self._slot_gm[refresh_slot] = tuple(
-                enc.gm_mv.get(ref, (0, 0)) for ref in range(1, 8))
-        self._out.append((tu, self._crop(padded) if show else None))
+
+        def syntax_job(enc=enc, last=last_slot, refresh=refresh_slot):
+            tu = enc.encode_syntax(self._slot_entropy[last],
+                                   self._slot_gm[last])
+            if refresh is not None:
+                self._slot_entropy[refresh] = enc.final_entropy
+                self._slot_gm[refresh] = tuple(
+                    enc.gm_mv.get(ref, (0, 0)) for ref in range(1, 8))
+            return tu
+
+        recon_out = self._crop(padded) if show else None
+        # overlap pays on the device backend (compute blocks on the TPU
+        # with the GIL released); on the host backend the two stages
+        # would fight over the GIL
+        if self._rc is None and self.cfg.backend == "device":
+            if self._syntax_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._syntax_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="entropy")
+            fut = self._syntax_pool.submit(syntax_job)
+            self._syntax_pending.append(fut)
+            self._out.append((fut, recon_out))
+        else:
+            tu = syntax_job()
+            if self._rc is not None:
+                self._rc.update(len(tu) * 8, False, layer)
+            self._out.append((tu, recon_out))
         return padded
 
     def _flush_group(self) -> None:
@@ -348,6 +384,9 @@ class Encoder:
         state-in-process-memory; explicit here so long encodes can
         checkpoint/resume across host restarts)."""
         import copy
+        self._join_syntax()
+        self._out = [(tu if isinstance(tu, bytes) else tu.result(), rec)
+                     for tu, rec in self._out]
         # slots are saved with aliasing preserved (after a keyframe all 8
         # share one recon object); the multi-ref dedup keys on object
         # identity, so resume must restore the same sharing to stay
@@ -424,7 +463,10 @@ class Encoder:
     def get_packet(self) -> Optional[Tuple[bytes, Optional[list]]]:
         if not self._out:
             return None
-        return self._out.pop(0)
+        tu, recon = self._out.pop(0)
+        if not isinstance(tu, bytes):   # pending entropy job
+            tu = tu.result()
+        return tu, recon
 
 
 def encode_ivf(frames: Iterable[tuple], cfg: EncoderConfig) -> bytes:

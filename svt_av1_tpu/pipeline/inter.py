@@ -78,7 +78,25 @@ class InterFrameEncoder:
         that slot's saved gm_trans (prediction base for gm params).
         After encode, ``self.final_entropy`` holds the state a decoder
         saves for this frame's refresh slots.
-        Returns (tu, recon(padded))."""
+        Returns (tu, recon(padded)).
+
+        Split into ``encode_compute`` (ME/MD/recon/filters — the recon is
+        final after this) and ``encode_syntax`` (entropy + OBU assembly)
+        so a driver can overlap this frame's host entropy with the next
+        frame's device compute (the reference overlaps its EC stage the
+        same way via process pools, EbEncHandle.c:1056)."""
+        self.encode_compute(y, u, v, ref_planes, alt_planes,
+                            refresh_frame_flags, ref_frame_idx,
+                            show_frame, extra_refs)
+        tu = self.encode_syntax(init_entropy, prev_gm)
+        return tu, self.recon
+
+    def encode_compute(self, y, u, v, ref_planes, alt_planes=None,
+                       refresh_frame_flags: int = 0x01,
+                       ref_frame_idx=(0,) * 7, show_frame: bool = True,
+                       extra_refs=None):
+        """Decision + reconstruction + in-loop filters; leaves syntax
+        inputs on self for ``encode_syntax``. self.recon is final."""
         cfg = self.cfg
         self.src = [common.pad_to_multiple(y, 64).astype(np.int32),
                     common.pad_to_multiple(u, 32).astype(np.int32),
@@ -214,6 +232,20 @@ class InterFrameEncoder:
             lr_kw = dict(lr_params=(
                 tuple(ri.frame_restoration_type for ri in self.lr_rinfos),
                 self.lr_rinfos[0].unit_size, self.lr_rinfos[1].unit_size))
+        self._lf_levels = lf_levels
+        self._cdef_kw = cdef_kw
+        self._lr_kw = lr_kw
+        self._show_frame = show_frame
+        self._refresh_frame_flags = refresh_frame_flags
+        self._ref_frame_idx = tuple(ref_frame_idx)
+        return self.recon
+
+    def encode_syntax(self, init_entropy=None, prev_gm=None) -> bytes:
+        """Entropy coding + OBU assembly for the computed frame. Pure
+        host work over state left by ``encode_compute`` — safe to run on
+        a worker thread while the next frame's compute proceeds (the
+        recon/filters do not depend on it)."""
+        cfg = self.cfg
         carry = (not cfg.error_resilient) and init_entropy is not None
         self.init_entropy = init_entropy if carry else None
         tile = self._syntax_pass()
@@ -239,11 +271,11 @@ class InterFrameEncoder:
                              film_grain=fg,
                              base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
-                             loop_filter_levels=lf_levels,
-                             show_frame=show_frame,
-                             refresh_frame_flags=refresh_frame_flags,
-                             ref_frame_idx=tuple(ref_frame_idx),
-                             **cdef_kw, **lr_kw)
+                             loop_filter_levels=self._lf_levels,
+                             show_frame=self._show_frame,
+                             refresh_frame_flags=self._refresh_frame_flags,
+                             ref_frame_idx=self._ref_frame_idx,
+                             **self._cdef_kw, **self._lr_kw)
         # the state a decoder saves into this frame's refresh slots
         # (spec: frame-end adapted CDFs unless end-update is disabled,
         # in which case the frame's starting state)
@@ -254,9 +286,8 @@ class InterFrameEncoder:
                                mv_syntax.NmvContext()))
         else:
             self.final_entropy = (self.fc, self.nmv)
-        tu = (obu.temporal_delimiter_obu()
-              + obu.write_frame_obu(self.seq, fh, [tile]))
-        return tu, self.recon
+        return (obu.temporal_delimiter_obu()
+                + obu.write_frame_obu(self.seq, fh, [tile]))
 
     # --- batched ME + coding -------------------------------------------------
     def _ref_candidates(self, ref, xs, ys, size, srcs, tx_size,
