@@ -67,7 +67,52 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("host", "device"),
                    help="compute backend: 'device' runs the pixel path "
                         "as jitted XLA programs (byte-identical output)")
+    p.add_argument("-c", "--config", default=None, metavar="FILE",
+                   help="config file with 'Token : value' lines using "
+                        "the reference app's token names (EbAppConfig.c "
+                        "config_entry); command-line options win")
+    p.add_argument("--qp-file", default=None, metavar="FILE",
+                   help="per-frame qp overrides, one integer per line "
+                        "(-1 keeps the configured qp); CQP only "
+                        "(reference --use-q-file)")
     return p
+
+
+# reference config-file tokens (EbAppConfig.c:266 config_entry) -> our
+# long-option names; unknown tokens fail loudly like the reference app
+CFG_TOKENS = {
+    "inputfile": "-i", "streamfile": "-b", "outputfile": "-b",
+    "sourcewidth": "-w", "sourceheight": "-h2", "qp": "-q",
+    "encodermode": "--preset", "intraperiod": "--intra-period",
+    "framerate": "--fps", "frametobeencoded": "-n",
+    "hierarchicallevels": "--hierarchical-levels",
+    "targetbitrate": "--tbr", "lookaheaddistance": "--lad",
+    "encoderbitdepth": "--bit-depth", "filmgrain": "--film-grain",
+    "reconfile": "-o", "backend": "--backend", "qpfile": "--qp-file",
+    "channelnumber": "--nch",
+}
+
+
+def load_config_file(path: str) -> list:
+    """Parse a reference-style cfg file into argv tokens (prepended so
+    explicit command-line options override them)."""
+    tokens = []
+    with open(path) as fh:
+        for ln, line in enumerate(fh, 1):
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            for sep in (":", "="):
+                if sep in line:
+                    key, val = line.split(sep, 1)
+                    break
+            else:
+                raise ValueError(f"{path}:{ln}: expected 'Token : value'")
+            key = key.strip().replace("_", "").replace("-", "").lower()
+            if key not in CFG_TOKENS:
+                raise ValueError(f"{path}:{ln}: unknown token {key!r}")
+            tokens += [CFG_TOKENS[key], val.strip()]
+    return tokens
 
 
 def preset_config(args) -> EncoderConfig:
@@ -129,10 +174,20 @@ def preset_config(args) -> EncoderConfig:
                   look_ahead_distance=args.lad)
     if getattr(args, "backend", "host") != "host":
         kw.update(backend=args.backend)
+    if getattr(args, "qp_file", None):
+        with open(args.qp_file) as fh:
+            kw.update(qp_file=tuple(
+                int(line.split()[0]) for line in fh if line.strip()))
     return EncoderConfig(**kw)
 
 
 def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    for flag in ("-c", "--config"):
+        if flag in argv:
+            i = argv.index(flag)
+            argv = load_config_file(argv[i + 1]) + argv[:i] + argv[i + 2:]
+            break
     args = build_parser().parse_args(argv)
     if args.nch > 1:
         # multi-instance channels (reference EbAppMain.c:82-230): fully

@@ -47,6 +47,10 @@ class EncoderConfig:
     # --- rate control ---------------------------------------------------------
     rate_control_mode: int = RateControlMode.CQP
     qp: int = 40                  # 0..63 CLI-style qp; mapped to qindex
+    # per-display-frame qp overrides (reference --use-q-file,
+    # EbAppConfig.c:694): entry i replaces frame i's qp; -1 keeps the
+    # configured qp; frames beyond the list keep it too. CQP only.
+    qp_file: Optional[Tuple[int, ...]] = None
     target_bit_rate: int = 0      # bits/s (VBR mode)
     look_ahead_distance: int = 0  # frames of lookahead for VBR weighting
     qindex_override: Optional[int] = None  # exact qindex (set by RC)

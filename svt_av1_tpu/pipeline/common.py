@@ -202,3 +202,16 @@ def intra_candidates(cfg):
         else:
             out.append((m, 0))
     return out
+
+
+def chroma_tx_type_inter(luma_tt: int, tx_size: int,
+                         reduced_tx_set: bool) -> int:
+    """compute_tx_type for inter chroma (spec 8.3.2): inherit the
+    co-located luma block's tx type, demoted to DCT when outside the
+    chroma tx size's allowed set or for 64-point transforms."""
+    if int(TX_SIZE_SQR_UP[tx_size]) > TX_32X32:
+        return DCT_DCT
+    set_type = tx_sets.ext_tx_set_type(tx_size, True, reduced_tx_set)
+    if not tx_sets.EXT_TX_USED[set_type][luma_tt]:
+        return DCT_DCT
+    return int(luma_tt)

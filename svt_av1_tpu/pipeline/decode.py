@@ -369,6 +369,7 @@ class FrameDecoder:
                        common.rect_bsize(cw, ch), 1)]
         mvarr = np.array([mv])
         ref_planes = self.refs[ref]
+        ltt = 0   # luma tx type; inter chroma inherits it (spec 8.3.2)
         for p, px, py, psz, ts, pb, ss in plane_info:
             pw, ph = psz
             pred = mc.mc_block_batch(ref_planes[p], np.array([px]),
@@ -383,8 +384,12 @@ class FrameDecoder:
             qcoeff, tx_type, cul = coeff_syntax.read_coeffs_txb(
                 self.r, self.fc, ts, plane_type=int(p > 0),
                 txb_skip_ctx=skip_ctx, dc_sign_ctx=sign_ctx, is_inter=True,
-                base_qindex=self.fh.base_q_idx, uv_tx_type=0)
+                base_qindex=self.fh.base_q_idx,
+                uv_tx_type=(0 if p == 0 else common.chroma_tx_type_inter(
+                    ltt, ts, self.fh.reduced_tx_set)))
             self.ctxs.update_txb_ctx(p, x4, y4, ts, cul)
+            if p == 0 and np.any(qcoeff):
+                ltt = int(tx_type)
             if not np.any(qcoeff):
                 self.recon[p][py:py + ph, px:px + pw] = pred
                 continue
@@ -460,6 +465,7 @@ class FrameDecoder:
         rp1 = self.refs[bwd]
         arr0 = np.array([mv0])
         arr1 = np.array([mv1])
+        ltt = 0   # luma tx type; inter chroma inherits it (spec 8.3.2)
         for p, px, py, psz, ts, pb, ss in plane_info:
             pw, ph = psz
             c0 = mc.mc_block_batch_conv(rp0[p], np.array([px]),
@@ -478,8 +484,12 @@ class FrameDecoder:
             qcoeff, tx_type, cul = coeff_syntax.read_coeffs_txb(
                 self.r, self.fc, ts, plane_type=int(p > 0),
                 txb_skip_ctx=skip_ctx, dc_sign_ctx=sign_ctx, is_inter=True,
-                base_qindex=self.fh.base_q_idx, uv_tx_type=0)
+                base_qindex=self.fh.base_q_idx,
+                uv_tx_type=(0 if p == 0 else common.chroma_tx_type_inter(
+                    ltt, ts, self.fh.reduced_tx_set)))
             self.ctxs.update_txb_ctx(p, x4, y4, ts, cul)
+            if p == 0 and np.any(qcoeff):
+                ltt = int(tx_type)
             if not np.any(qcoeff):
                 self.recon[p][py:py + ph, px:px + pw] = pred
                 continue

@@ -100,6 +100,16 @@ class Encoder:
                     is_key, self._la_weight, layer))
         return cfg
 
+    def _qp_file_qp(self, disp_idx):
+        """qp-file override for display frame ``disp_idx`` or None
+        (reference --use-q-file semantics: value replaces the frame qp,
+        -1/absent keeps it; ignored under rate control)."""
+        qf = self.cfg.qp_file
+        if (qf is None or disp_idx is None or self._rc is not None
+                or disp_idx >= len(qf) or qf[disp_idx] < 0):
+            return None
+        return int(qf[disp_idx])
+
     def _crop(self, padded):
         cfg = self.cfg
         out = [padded[0][:cfg.height, :cfg.width],
@@ -129,10 +139,13 @@ class Encoder:
             fut.result()
         self._syntax_pending.clear()
 
-    def _encode_key(self, y, u, v) -> None:
+    def _encode_key(self, y, u, v, disp_idx=None) -> None:
         from svt_av1_tpu.utils.trace import span
         self._join_syntax()
         cfg = self._cfg_for(True)
+        qv = self._qp_file_qp(disp_idx)
+        if qv is not None:
+            cfg = dataclasses.replace(cfg, qp=qv, qindex_override=None)
         enc = WavefrontIntraEncoder(cfg)
         enc.aq_prev_luma = self._aq_prev(y)
         with span("keyframe"):
@@ -149,7 +162,8 @@ class Encoder:
         self._out.append((tu, recon))
 
     def _encode_inter(self, y, u, v, last_slot, alt_slot, refresh_slot,
-                      show, layer: int = 0, extra_slots=None) -> list:
+                      show, layer: int = 0, extra_slots=None,
+                      disp_idx=None) -> list:
         """Encode one inter frame; returns its padded recon.
         refresh_slot None = non-reference frame (refresh_frame_flags 0,
         the leaf-B case of the reference's hierarchical pyramid).
@@ -166,6 +180,9 @@ class Encoder:
             cfg = dataclasses.replace(
                 cfg, qindex_override=int(np.clip(
                     cfg.base_q_idx + 12 * layer, 1, 255)))
+        qv = self._qp_file_qp(disp_idx)
+        if qv is not None:   # qp-file pins the frame qp exactly
+            cfg = dataclasses.replace(cfg, qp=qv, qindex_override=None)
         enc = InterFrameEncoder(cfg, self.seq)
         enc.aq_prev_luma = self._aq_prev(y)
         idx = [last_slot] * 7
@@ -239,13 +256,14 @@ class Encoder:
         golden = self._golden_slot
         free = [s for s in range(8)
                 if s not in (base, anchor_slot, golden)]
-        ay, au, av = group[-1]
+        adi, ay, au, av = group[-1]
         # multi-ref lists (Av1GenerateRpsInfo analogue): every frame also
         # sees the GOP's base anchor (GOLDEN, long-term past) and the
         # GOP-end anchor (ALTREF2, far future) beyond its nearest pair
         self._encode_inter(ay, au, av, base, None, anchor_slot,
                            show=(g == 1),
-                           extra_slots={mvp_GOLDEN: golden})
+                           extra_slots={mvp_GOLDEN: golden},
+                           disp_idx=adi)
 
         def rec(lo_idx, hi_idx, lo_slot, hi_slot, level):
             """Code + display frames lo_idx+1 .. hi_idx-1 in display
@@ -255,17 +273,17 @@ class Encoder:
             extra = {mvp_GOLDEN: base if lo_slot != base else golden,
                      mvp_ALTREF2: anchor_slot}
             mid = (lo_idx + hi_idx) // 2
-            my, mu, mv_ = group[mid]
+            mdi, my, mu, mv_ = group[mid]
             if hi_idx - lo_idx == 2:
                 # leaf B: nothing references it -> code it shown directly
                 self._encode_inter(my, mu, mv_, lo_slot, hi_slot, None,
                                    show=True, layer=level,
-                                   extra_slots=extra)
+                                   extra_slots=extra, disp_idx=mdi)
                 return
             s = free.pop(0)
             self._encode_inter(my, mu, mv_, lo_slot, hi_slot, s,
                                show=False, layer=level,
-                               extra_slots=extra)
+                               extra_slots=extra, disp_idx=mdi)
             rec(lo_idx, mid, lo_slot, s, level + 1)
             self._out.append((obu.show_existing_frame_tu(s),
                               self._crop(self._slots[s])))
@@ -347,9 +365,10 @@ class Encoder:
         if self._scd is not None and self._scd.is_scene_change(y):
             is_key = True  # CRA/IDR on detected scene cut
         self._frame_idx += 1
+        disp = self._frame_idx - 1
         if cfg.hierarchical_levels == 0:
             if is_key:
-                self._encode_key(y, u, v)
+                self._encode_key(y, u, v, disp_idx=disp)
             else:
                 # low-delay P: LAST/LAST2 rotate through slots 0 and 1,
                 # GOLDEN pins the last keyframe (slot 7) — the reference's
@@ -360,15 +379,16 @@ class Encoder:
                 if self._ld_last2 is not None:
                     extra[mvp_LAST2] = self._ld_last2
                 self._encode_inter(y, u, v, prev, None, refresh,
-                                   show=True, extra_slots=extra)
+                                   show=True, extra_slots=extra,
+                                   disp_idx=disp)
                 self._ld_last2 = prev
                 self._base_slot = refresh
             return
         if is_key:
             self._flush_group()
-            self._encode_key(y, u, v)
+            self._encode_key(y, u, v, disp_idx=disp)
             return
-        self._group.append((y, u, v))
+        self._group.append((self._frame_idx - 1, y, u, v))
         if len(self._group) == (1 << cfg.hierarchical_levels):
             self._flush_group()
 
@@ -411,7 +431,7 @@ class Encoder:
                 euniq.append((e[0].copy(), e[1].copy()))
             ealias.append(eseen[id(e)])
         return {
-            "version": 2,
+            "version": 3,
             "cfg": dataclasses.asdict(self.cfg),
             "slots_uniq": uniq,
             "slots_alias": alias,
@@ -433,7 +453,7 @@ class Encoder:
     @classmethod
     def load_state(cls, state: dict) -> "Encoder":
         """Rebuild an Encoder mid-stream from save_state() output."""
-        assert state.get("version") == 2
+        assert state.get("version") == 3  # v3: display-indexed group entries
         cfg = EncoderConfig(**state["cfg"])
         enc = cls(cfg)
         uniq = [[p.copy() for p in s] for s in state["slots_uniq"]]

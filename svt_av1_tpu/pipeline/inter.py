@@ -140,6 +140,7 @@ class InterFrameEncoder:
         self.eobs = np.zeros((3, n), dtype=np.int32)
         self.block_is_inter = np.ones(n, dtype=bool)
         self.intra_mode = np.zeros(n, dtype=np.int32)
+        self.y_tx_type = np.zeros(n, dtype=np.int32)
         self.inter_cost = np.zeros(n, dtype=np.int64)
         self.block_comp = np.zeros(n, dtype=bool)
         self.mvs1 = np.zeros((n, 2), dtype=np.int64)
@@ -488,6 +489,37 @@ class InterFrameEncoder:
                 comp_f[sub], comp_b[sub] = f, bref
         return cost, qc, eo, rec, mv0a, mv1a
 
+    def _winner_preds(self, xs, ys, size, mvs, refs_arr, comp_sel,
+                      comp_f, comp_b, mvs1):
+        """Recompute the winning MC prediction per block (single ref or
+        compound average) — the exact pred a decoder forms, needed by
+        the encode-pass tx sweep."""
+        cfg = self.cfg
+        bw, bh = common.leaf_wh(size)
+        b = len(xs)
+        preds = np.zeros((b, bh, bw), dtype=np.int64)
+        singles = ~comp_sel
+        for ref in np.unique(np.asarray(refs_arr)[singles]) \
+                if singles.any() else []:
+            m = singles & (refs_arr == ref)
+            preds[m] = mc.mc_block_batch(
+                self.refs[int(ref)][0], xs[m], ys[m], mvs[m], bw, bh,
+                ss=0, bd=cfg.bit_depth).astype(np.int64)
+        if comp_sel.any():
+            pairs = {(int(f), int(bb)) for f, bb in
+                     zip(comp_f[comp_sel], comp_b[comp_sel])}
+            for f, bb in pairs:
+                m = comp_sel & (comp_f == f) & (comp_b == bb)
+                c0 = mc.mc_block_batch_conv(
+                    self.refs[f][0], xs[m], ys[m], mvs[m], bw, bh,
+                    bd=cfg.bit_depth)
+                c1 = mc.mc_block_batch_conv(
+                    self.refs[bb][0], xs[m], ys[m], mvs1[m], bw, bh,
+                    bd=cfg.bit_depth)
+                preds[m] = mc.compound_average(
+                    c0, c1, cfg.bit_depth).astype(np.int64)
+        return preds
+
     DELTA_Q_RES = 2
 
     def _qp_for(self, qidx):
@@ -538,6 +570,16 @@ class InterFrameEncoder:
             self.block_comp[ids] = comp_sel
             self.comp_ref0[ids] = np.where(comp_sel, comp_f, LAST_FRAME)
             self.comp_ref1[ids] = np.where(comp_sel, comp_b, 0)
+        if cfg.enable_tx_type_search:
+            # encode-pass TX-type sweep on the winning prediction
+            # (ref: encode_pass_tx_search EbCodingLoop.c:516); runs on
+            # host for both backends — same ints, identical streams
+            preds = self._winner_preds(xs, ys, (bw, bh), chosen[1],
+                                       chosen_ref, comp_sel, comp_f,
+                                       comp_b, self.mvs1[ids])
+            self.y_tx_type[ids] = md.inter_tx_search(
+                srcs, preds, chosen[0], chosen[2], chosen[3], chosen[4],
+                tx_size, (bw, bh), qp, cfg.bit_depth, lam)
         self.mvs[ids] = chosen[1]
         self.block_ref[ids] = chosen_ref
         self.eobs[0, ids] = chosen[3]
@@ -555,9 +597,17 @@ class InterFrameEncoder:
             cpairs = [(f, bb) for f, bb in
                       {(int(f), int(bb))
                        for f, bb in zip(pf[comp_sel], pb_[comp_sel])}]
+        # inter chroma inherits the luma tx type (spec 8.3.2), demoted
+        # to DCT when luma coded no coefficients or outside the chroma
+        # set; all-DCT when the sweep is off
+        ctts = np.zeros(b, dtype=np.int32)
+        if cfg.enable_tx_type_search:
+            luma_tt = np.where(chosen[3] > 0, self.y_tx_type[ids], 0)
+            ctts = np.array([common.chroma_tx_type_inter(
+                int(t), tx_uv, False) for t in luma_tt], dtype=np.int32)
         for plane in (1, 2):
             cxs, cys = xs >> 1, ys >> 1
-            if cfg.backend == "device":
+            if cfg.backend == "device" and not cfg.enable_tx_type_search:
                 from svt_av1_tpu.ops import device_inter as di
                 cdw, cdh = common.coded_dims(tx_uv)
                 qc = np.zeros((b, cdh, cdw), dtype=np.int32)
@@ -615,8 +665,8 @@ class InterFrameEncoder:
                     pred[csel] = mc.compound_average(cc0, cc1,
                                                      cfg.bit_depth)
                 qc, eo, rec, _, _ = md._full_loop(
-                    srcs_c, pred, np.zeros(b, dtype=np.int32), tx_uv,
-                    (cw, ch), qp, cfg.bit_depth)
+                    srcs_c, pred, ctts, tx_uv, (cw, ch), qp,
+                    cfg.bit_depth)
             self.eobs[plane, ids] = eo
             for k, i in enumerate(ids):
                 self.qcoeff[plane][i] = qc[k]
@@ -1063,6 +1113,9 @@ class InterFrameEncoder:
                        common.rect_bsize(cw, ch)),
                       (2, x >> 1, y >> 1, tx_uv,
                        common.rect_bsize(cw, ch))]
+        ltt = int(self.y_tx_type[li])
+        ctt = common.chroma_tx_type_inter(
+            ltt if self.eobs[0, li] > 0 else DCT_DCT, tx_uv, False)
         for p, px, py, ts, pb in plane_info:
             x4, y4 = px >> 2, py >> 2
             if skip:
@@ -1070,7 +1123,8 @@ class InterFrameEncoder:
                 continue
             skip_ctx, sign_ctx = self.ctxs.txb_ctx(p, pb, ts, x4, y4)
             cul = coeff_syntax.write_coeffs_txb(
-                self.w, self.fc, self.qcoeff[p][li], ts, DCT_DCT,
+                self.w, self.fc, self.qcoeff[p][li], ts,
+                ltt if p == 0 else ctt,
                 plane_type=int(p > 0), txb_skip_ctx=skip_ctx,
                 dc_sign_ctx=sign_ctx, is_inter=True,
                 base_qindex=cfg.base_q_idx)
@@ -1137,6 +1191,9 @@ class InterFrameEncoder:
                        common.rect_bsize(cw, ch)),
                       (2, x >> 1, y >> 1, tx_uv,
                        common.rect_bsize(cw, ch))]
+        ltt = int(self.y_tx_type[li])
+        ctt = common.chroma_tx_type_inter(
+            ltt if self.eobs[0, li] > 0 else DCT_DCT, tx_uv, False)
         for p, px, py, ts, pb in plane_info:
             x4, y4 = px >> 2, py >> 2
             if skip:
@@ -1144,7 +1201,8 @@ class InterFrameEncoder:
                 continue
             skip_ctx, sign_ctx = self.ctxs.txb_ctx(p, pb, ts, x4, y4)
             cul = coeff_syntax.write_coeffs_txb(
-                self.w, self.fc, self.qcoeff[p][li], ts, DCT_DCT,
+                self.w, self.fc, self.qcoeff[p][li], ts,
+                ltt if p == 0 else ctt,
                 plane_type=int(p > 0), txb_skip_ctx=skip_ctx,
                 dc_sign_ctx=sign_ctx, is_inter=True,
                 base_qindex=cfg.base_q_idx)

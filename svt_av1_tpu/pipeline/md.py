@@ -364,3 +364,55 @@ def _luma_tx_search(srcs, preds, out, tx_size, size, qp, bd, lam):
         out[4] = np.where(better[:, None, None], rec, out[4])
         tts = np.where(better, tt, tts)
     return tts
+
+
+def inter_tx_search(srcs, preds, cost, qc, eo, rec, tx_size, size, qp,
+                    bd, lam):
+    """Encode-pass TX-type sweep for decided inter blocks (the analogue
+    of the reference's encode_pass_tx_search, EbCodingLoop.c:516): with
+    the winning prediction fixed, try every type in the inter ext-tx set
+    and keep the best RD. Updates cost/qc/eo/rec IN PLACE; returns the
+    per-block tx types. Signaling rate uses default-CDF bit costs of the
+    inter_ext_tx symbol."""
+    from svt_av1_tpu.entropy import tx_sets
+    from svt_av1_tpu.entropy.cdf import default_tables
+    from svt_av1_tpu.utils.blocks import TX_SIZE_SQR
+    b = srcs.shape[0]
+    lamq = lam_to_q(lam)
+    tts = np.zeros(b, dtype=np.int32)
+    set_type = tx_sets.ext_tx_set_type(tx_size, True, False)
+    nsyms = tx_sets.NUM_EXT_TX_SET[set_type]
+    if nsyms <= 1 or qp.qindex == 0:
+        return tts
+    eset = tx_sets.ext_tx_set(tx_size, True, False)
+    sqr = int(TX_SIZE_SQR[tx_size])
+    row = default_tables()["inter_ext_tx"][eset][sqr].astype(np.int64)
+    pbl = _prob_bits_lut()
+
+    def sig_bits(tt):
+        sym = int(tx_sets.EXT_TX_IND[set_type][tt])
+        hi = 32768 if sym == 0 else int(row[sym - 1])
+        p = max(int(hi - row[sym]), 1)
+        return int(pbl[p])
+
+    allowed = [int(t) for t in np.nonzero(
+        tx_sets.EXT_TX_USED[set_type])[0]]
+    best_part = None
+    for tt in allowed:
+        q2, e2, r2, dist, rate = _full_loop(
+            srcs, preds, np.full(b, tt, dtype=np.int32), tx_size, size,
+            qp, bd)
+        part = rdcost(dist, lamq, rate + sig_bits(tt))
+        if best_part is None:                 # DCT_DCT baseline (tt==0)
+            best_part = part
+            continue
+        better = part < best_part
+        if not better.any():
+            continue
+        cost[...] = np.where(better, cost - best_part + part, cost)
+        best_part = np.where(better, part, best_part)
+        qc[...] = np.where(better[:, None, None], q2, qc)
+        eo[...] = np.where(better, e2, eo)
+        rec[...] = np.where(better[:, None, None], r2, rec)
+        tts = np.where(better, tt, tts)
+    return tts

@@ -244,3 +244,79 @@ def test_gop_budget_correction():
     q0 = rc.frame_qindex(False)
     rc.update(rc.frame_budget * 4, False)   # big overshoot inside GOP
     assert rc.frame_qindex(False) > q0
+
+
+def test_config_file_and_qp_file(tmp_path):
+    """Reference-style cfg file (EbAppConfig.c config_entry tokens) and
+    per-frame qp file (--use-q-file analogue)."""
+    import numpy as np
+
+    from svt_av1_tpu.app import cli
+
+    from svt_av1_tpu.pipeline.decode import decode_ivf
+    from svt_av1_tpu.utils import yuv
+
+    w, h, n = 128, 96, 4
+    rng = np.random.default_rng(3)
+    src = tmp_path / "in.yuv"
+    with open(src, "wb") as fh:
+        for t in range(n):
+            fh.write(rng.integers(0, 255, (h, w), dtype=np.uint8)
+                     .tobytes())
+            fh.write(np.full((h // 2, w // 2), 128, np.uint8).tobytes())
+            fh.write(np.full((h // 2, w // 2), 128, np.uint8).tobytes())
+    qpf = tmp_path / "qp.txt"
+    qpf.write_text("30\n-1\n55\n")  # frame 0 qp30, 1 keeps, 2 qp55
+    cfgf = tmp_path / "enc.cfg"
+    cfgf.write_text(
+        f"InputFile : {src}\n"
+        "SourceWidth : 128\n"
+        "SourceHeight: 96   # comment\n"
+        "QP = 44\n"
+        "EncoderMode : 8\n"
+        f"QpFile : {qpf}\n")
+    out = tmp_path / "out.ivf"
+    rc = cli.main(["-c", str(cfgf), "-b", str(out), "--no-stats"])
+    assert rc == 0
+    with open(out, "rb") as fh:
+        frames = decode_ivf(fh)
+    assert len(frames) == n
+    # CLI overrides the file
+    out2 = tmp_path / "out2.ivf"
+    rc = cli.main(["-c", str(cfgf), "-b", str(out2), "-q", "60",
+                   "--no-stats"])
+    assert rc == 0
+    assert out2.stat().st_size < out.stat().st_size  # higher qp, fewer bytes
+
+
+def test_qp_file_changes_frame_sizes(tmp_path):
+    import io
+
+    import numpy as np
+
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.encoder import Encoder
+
+    rng = np.random.default_rng(5)
+    frames = [(rng.integers(0, 255, (96, 128), dtype=np.uint8),
+               np.full((48, 64), 128, np.uint8),
+               np.full((48, 64), 128, np.uint8)) for _ in range(3)]
+
+    def sizes(qp_file):
+        enc = Encoder(EncoderConfig(width=128, height=96, qp=40,
+                                    intra_period=0, qp_file=qp_file))
+        out = []
+        for (y, u, v) in frames:
+            enc.send_picture(y, u, v)
+            while (p := enc.get_packet()) is not None:
+                out.append(len(p[0]))
+        enc.flush()
+        while (p := enc.get_packet()) is not None:
+            out.append(len(p[0]))
+        return out
+
+    base = sizes(None)
+    tweaked = sizes((20, -1, 60))
+    assert tweaked[0] > base[0]      # much finer qp on frame 0
+    assert tweaked[1] == base[1]     # -1 keeps frame 1
+    assert tweaked[2] < base[2]      # coarser frame 2
