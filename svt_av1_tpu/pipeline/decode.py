@@ -620,6 +620,8 @@ class StreamDecoder:
     """Multi-frame decoder with reference-slot management (the decoder-side
     analogue of the reference's reference queue, EbPictureManagerProcess)."""
 
+    frame_decoder_cls = FrameDecoder   # seam for checking decoders
+
     def __init__(self, seq: obu.SequenceHeader = None):
         self.seq = seq
         self.slots = [None] * 8       # padded recon planes per slot
@@ -687,8 +689,8 @@ class StreamDecoder:
                 if fh.primary_ref_frame != obu.PRIMARY_REF_NONE:
                     init_entropy = self.slot_entropy[
                         fh.ref_frame_idx[fh.primary_ref_frame]]
-                dec = FrameDecoder(self.seq, fh, refs,
-                                   init_entropy=init_entropy)
+                dec = self.frame_decoder_cls(self.seq, fh, refs,
+                                             init_entropy=init_entropy)
                 out = dec.decode_frame(tiles)
                 if fh.show_frame:
                     recon = self._apply_grain(out, fh.film_grain)
