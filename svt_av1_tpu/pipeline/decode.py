@@ -367,14 +367,12 @@ class FrameDecoder:
                        common.rect_bsize(cw, ch), 1),
                       (2, x >> 1, y >> 1, (cw, ch), tx_uv,
                        common.rect_bsize(cw, ch), 1)]
-        mvarr = np.array([mv])
         ref_planes = self.refs[ref]
         ltt = 0   # luma tx type; inter chroma inherits it (spec 8.3.2)
         for p, px, py, psz, ts, pb, ss in plane_info:
             pw, ph = psz
-            pred = mc.mc_block_batch(ref_planes[p], np.array([px]),
-                                     np.array([py]), mvarr, pw, ph,
-                                     ss=ss, bd=self.bd)[0]
+            pred = self._single_pred(ref_planes[p], px, py, mv, pw, ph,
+                                     ss)
             x4, y4 = px >> 2, py >> 2
             if skip:
                 self.recon[p][py:py + ph, px:px + pw] = pred
@@ -403,6 +401,23 @@ class FrameDecoder:
                                         bd=self.bd)[0]
             self.recon[p][py:py + ph, px:px + pw] = tx_ops.recon_add(
                 pred[None].astype(np.int64), resid[None], bd=self.bd)[0]
+
+    # prediction seams (overridden by verify.indep's checking decoder) ---------
+    def _single_pred(self, ref_plane, px, py, mv, pw, ph, ss):
+        from svt_av1_tpu.ops import mc
+        return mc.mc_block_batch(ref_plane, np.array([px]),
+                                 np.array([py]), np.array([mv]), pw, ph,
+                                 ss=ss, bd=self.bd)[0]
+
+    def _compound_pred(self, rp0, rp1, px, py, mv0, mv1, pw, ph, ss):
+        from svt_av1_tpu.ops import mc
+        c0 = mc.mc_block_batch_conv(rp0, np.array([px]), np.array([py]),
+                                    np.array([mv0]), pw, ph, ss=ss,
+                                    bd=self.bd)
+        c1 = mc.mc_block_batch_conv(rp1, np.array([px]), np.array([py]),
+                                    np.array([mv1]), pw, ph, ss=ss,
+                                    bd=self.bd)
+        return mc.compound_average(c0, c1, self.bd)[0]
 
     def _decode_compound_tail(self, mi_row: int, mi_col: int, size: int,
                               skip: int) -> None:
@@ -463,18 +478,11 @@ class FrameDecoder:
                        common.rect_bsize(cw, ch), 1)]
         rp0 = self.refs[fwd]
         rp1 = self.refs[bwd]
-        arr0 = np.array([mv0])
-        arr1 = np.array([mv1])
         ltt = 0   # luma tx type; inter chroma inherits it (spec 8.3.2)
         for p, px, py, psz, ts, pb, ss in plane_info:
             pw, ph = psz
-            c0 = mc.mc_block_batch_conv(rp0[p], np.array([px]),
-                                        np.array([py]), arr0, pw, ph,
-                                        ss=ss, bd=self.bd)
-            c1 = mc.mc_block_batch_conv(rp1[p], np.array([px]),
-                                        np.array([py]), arr1, pw, ph,
-                                        ss=ss, bd=self.bd)
-            pred = mc.compound_average(c0, c1, self.bd)[0]
+            pred = self._compound_pred(rp0[p], rp1[p], px, py, mv0, mv1,
+                                       pw, ph, ss)
             x4, y4 = px >> 2, py >> 2
             if skip:
                 self.recon[p][py:py + ph, px:px + pw] = pred

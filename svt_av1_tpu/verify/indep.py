@@ -21,9 +21,13 @@ CfL) is what this module recomputes independently; only the normative
 constant tables (sm_weights, dr_intra_derivative — spec tables) are
 extracted by tools/extract_indep_tables.py.
 
-Inter blocks pass through unverified for now (motion compensation has
-its own conv-path tests); every intra block of every frame type is
-checked.
+Inter prediction is verified too: every single-ref and compound motion
+compensation is recomputed with a plain scalar 8/4-tap convolve written
+offset-free from the spec rounding chain (the reference's carried
+offsets cancel algebraically), including a hard check that the sample
+window stays inside the reference padding (an unclamped MV is a real
+conformance failure). Sub-pel filter taps are normative constants
+(tools/extract_indep_tables.py).
 """
 
 from __future__ import annotations
@@ -222,6 +226,78 @@ def predict_indep(recon, x, y, w, h, mode, delta, ha, hl, htr, hbl, bd,
     return _directional(above1, left1, mode, delta, w, h)
 
 
+# --- independent scalar motion compensation (spec 7.11.3) ----------------------
+
+def _mc_window(refp, pad, px, py, mv, w, h, ss):
+    """Integer window + filter phases for one block. refp is the padded
+    plane (edge replication is data, not logic); raises if the 8-tap
+    window escapes the padding — a real conformance failure (unclamped
+    MV)."""
+    sr = int(mv[0]) << (1 - ss)        # 1/8-pel luma -> 1/16-pel plane
+    sc = int(mv[1]) << (1 - ss)
+    ir = py + (sr >> 4)
+    ic = px + (sc >> 4)
+    y0 = ir + pad - 3
+    x0 = ic + pad - 3
+    if (y0 < 0 or x0 < 0 or y0 + h + 7 > refp.shape[0]
+            or x0 + w + 7 > refp.shape[1]):
+        raise MismatchError(
+            f"MV {mv} at plane pos ({px},{py}) {w}x{h} ss={ss} escapes "
+            f"the reference padding (window [{y0}:{y0 + h + 7},"
+            f"{x0}:{x0 + w + 7}] of {refp.shape})")
+    win = refp[y0:y0 + h + 7, x0:x0 + w + 7].astype(np.int64)
+    return win, sr & 15, sc & 15
+
+
+def _mc_filters(w, h, fr, fc):
+    t = _tables()
+    fx = (t["sub_pel_filters_4"] if w <= 4 else t["sub_pel_filters_8"])
+    fy = (t["sub_pel_filters_4"] if h <= 4 else t["sub_pel_filters_8"])
+    return [int(v) for v in fx[fc]], [int(v) for v in fy[fr]]
+
+
+def _mc_vert_pass(win, fx, fy, w, h, round1):
+    """Offset-free 2D convolve: horizontal Round2(·,3) then vertical
+    Round2(·,round1). Algebraically identical to the reference's
+    offset-carrying av1_convolve_2d_c chain (the offsets cancel)."""
+    mid = np.empty((h + 7, w), dtype=np.int64)
+    for i in range(h + 7):
+        for j in range(w):
+            s = sum(fx[t] * int(win[i, j + t]) for t in range(8))
+            mid[i, j] = _round2(s, 3)
+    out = np.empty((h, w), dtype=np.int64)
+    for i in range(h):
+        for j in range(w):
+            s = sum(fy[t] * int(mid[i + t, j]) for t in range(8))
+            out[i, j] = _round2(s, round1)
+    return out
+
+
+def mc_single_indep(refp, pad, px, py, mv, w, h, ss, bd):
+    win, fr, fc = _mc_window(refp, pad, px, py, mv, w, h, ss)
+    fx, fy = _mc_filters(w, h, fr, fc)
+    return np.clip(_mc_vert_pass(win, fx, fy, w, h, 11), 0,
+                   (1 << bd) - 1)
+
+
+def mc_compound_indep(rp0, rp1, pad, px, py, mv0, mv1, w, h, ss, bd):
+    """Compound average, offset-free: each side convolved with the
+    compound round (7), floor-halved, then Round2 by the remaining 4
+    bits (equal-weight distance compound; jnt weights disabled
+    sequence-wide)."""
+    sides = []
+    for refp, mv in ((rp0, mv0), (rp1, mv1)):
+        win, fr, fc = _mc_window(refp, pad, px, py, mv, w, h, ss)
+        fx, fy = _mc_filters(w, h, fr, fc)
+        sides.append(_mc_vert_pass(win, fx, fy, w, h, 7))
+    avg = (sides[0] + sides[1]) >> 1
+    return np.clip(_round2_arr(avg, 4), 0, (1 << bd) - 1)
+
+
+def _round2_arr(x, n):
+    return (x + (1 << (n - 1))) >> n
+
+
 # --- BlockDecoded-simulation availability (spec 7.11.2) ------------------------
 
 class _DecodedMap:
@@ -270,6 +346,38 @@ class IndepFrameDecoder(FrameDecoder):
         from svt_av1_tpu.pipeline import common
         bw, bh = common.leaf_wh(size)
         self._dmap.mark(mi_row, mi_col, bw >> 2, bh >> 2)
+
+    def _ref_pad(self, ref_plane, ss):
+        return (ref_plane.shape[0] - ((self.seq.sb_rows * 64) >> ss)) // 2
+
+    def _single_pred(self, ref_plane, px, py, mv, pw, ph, ss):
+        pred = super()._single_pred(ref_plane, px, py, mv, pw, ph, ss)
+        mine = mc_single_indep(ref_plane, self._ref_pad(ref_plane, ss),
+                               px, py, mv, pw, ph, ss, self.bd)
+        got = np.asarray(pred, dtype=np.int64)
+        if not np.array_equal(got, mine):
+            d = np.abs(got - mine)
+            raise MismatchError(
+                f"inter pred mismatch at ({px},{py}) {pw}x{ph} ss={ss} "
+                f"mv={tuple(mv)}: max |diff| {int(d.max())} over "
+                f"{int((d > 0).sum())} px")
+        self.checked_blocks += 1
+        return pred
+
+    def _compound_pred(self, rp0, rp1, px, py, mv0, mv1, pw, ph, ss):
+        pred = super()._compound_pred(rp0, rp1, px, py, mv0, mv1, pw,
+                                      ph, ss)
+        mine = mc_compound_indep(rp0, rp1, self._ref_pad(rp0, ss), px,
+                                 py, mv0, mv1, pw, ph, ss, self.bd)
+        got = np.asarray(pred, dtype=np.int64)
+        if not np.array_equal(got, mine):
+            d = np.abs(got - mine)
+            raise MismatchError(
+                f"compound pred mismatch at ({px},{py}) {pw}x{ph} "
+                f"ss={ss} mv0={tuple(mv0)} mv1={tuple(mv1)}: max |diff| "
+                f"{int(d.max())} over {int((d > 0).sum())} px")
+        self.checked_blocks += 1
+        return pred
 
     def _decode_intra_tail(self, mi_row, mi_col, size, skip, kf):
         from svt_av1_tpu.pipeline import common

@@ -46,6 +46,46 @@ def test_clean_streams_pass(kw):
     assert check_ivf(io.BytesIO(iv)) > 0
 
 
+@pytest.mark.parametrize("kw", [
+    dict(width=128, height=96, qp=40, fixed_partition_size=None),
+    dict(width=128, height=96, qp=40, hierarchical_levels=3,
+         intra_period=16, fixed_partition_size=None),
+], ids=["flat-inter", "hier-compound"])
+def test_clean_inter_streams_pass(kw):
+    iv = encode_ivf(_clip(kw["width"], kw["height"], 8),
+                    EncoderConfig(**kw))
+    assert check_ivf(io.BytesIO(iv)) > 0
+
+
+def test_injected_mc_bug_caught(monkeypatch):
+    """A motion-compensation bug in shared ops.mc survives the mirror
+    roundtrip (both sides compute the same wrong pixels) but the
+    independent scalar convolve flags it."""
+    from svt_av1_tpu.ops import mc as mc_ops
+
+    real = mc_ops.mc_block_batch
+
+    def buggy(ref_padded, xs, ys, mvs, w, h, ss=0, bd=8):
+        out = real(ref_padded, xs, ys, mvs, w, h, ss=ss, bd=bd)
+        out = out.copy()
+        out[..., h // 2, w // 2] = np.clip(
+            out[..., h // 2, w // 2].astype(np.int64) + 3, 0,
+            (1 << bd) - 1).astype(out.dtype)
+        return out
+
+    monkeypatch.setattr(mc_ops, "mc_block_batch", buggy)
+
+    cfg = EncoderConfig(width=128, height=96, qp=45,
+                        fixed_partition_size=None, enable_dlf=False)
+    iv = encode_ivf(_clip(128, 96, 4), cfg)
+
+    decoded = decode_mod.decode_ivf(io.BytesIO(iv))  # mirror is blind
+    assert len(decoded) == 4
+
+    with pytest.raises(MismatchError):
+        check_ivf(io.BytesIO(iv))
+
+
 def test_injected_shared_bug_caught(monkeypatch):
     """A prediction bug in shared ops.intra survives the mirror
     roundtrip byte-exactly (both sides compute the same wrong pixels)
