@@ -62,6 +62,7 @@ class SequenceHeader:
     enable_intra_edge_filter: bool = False
     enable_order_hint: bool = False
     order_hint_bits: int = 0
+    enable_ref_frame_mvs: bool = False
     enable_cdef: bool = False
     enable_restoration: bool = False
     enable_superres: bool = False
@@ -126,6 +127,11 @@ class FrameHeader:
     # sides derive it from their slot stores.
     prev_gm_trans: tuple = ((0, 0),) * 7
     ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)  # slots for LAST..ALTREF
+    # temporal MV prediction (spec 5.9.2; needs seq.enable_ref_frame_mvs)
+    use_ref_frame_mvs: bool = False
+    # order hints of all 8 slots at this frame (for the resilient-mode
+    # ref_order_hint syntax and the skip-mode derivation)
+    ref_order_hints: tuple = (0,) * 8
     # cdef fields (used when seq.enable_cdef)
     cdef_damping: int = 3
     cdef_bits: int = 2
@@ -141,6 +147,55 @@ class FrameHeader:
     # per-ref (LAST..ALTREF) global translation MV, 1/8-pel (row, col);
     # components must be even (allow_high_precision_mv = 0)
     gm_trans: tuple = ((0, 0),) * 7
+
+
+def order_hint_fields(enable: bool) -> dict:
+    """SequenceHeader kwargs for the order-hint/TMVP feature group (one
+    switch so every encoder front end builds the same sequence)."""
+    return dict(enable_order_hint=enable,
+                order_hint_bits=7 if enable else 0,
+                enable_ref_frame_mvs=enable)
+
+
+def get_relative_dist(a: int, b: int, bits: int) -> int:
+    """Signed wrap-around order-hint distance (spec 5.9.3)."""
+    if bits <= 0:
+        return 0
+    diff = a - b
+    m = 1 << (bits - 1)
+    return (diff & (m - 1)) - (diff & m)
+
+
+def skip_mode_allowed(seq, order_hint: int, ref_hints,
+                      reference_select: bool) -> bool:
+    """spec 5.9.22 skipModeAllowed: a nearest fwd/bwd pair (or two
+    forward refs) exists among the 7 named refs' order hints."""
+    if not reference_select or not seq.enable_order_hint:
+        return False
+    bits = seq.order_hint_bits
+    fwd = bwd = -1
+    fwd_hint = bwd_hint = -1
+    for i in range(7):
+        h = ref_hints[i]
+        d = get_relative_dist(h, order_hint, bits)
+        if d < 0:
+            if fwd < 0 or get_relative_dist(h, fwd_hint, bits) > 0:
+                fwd, fwd_hint = i, h
+        elif d > 0:
+            if bwd < 0 or get_relative_dist(h, bwd_hint, bits) < 0:
+                bwd, bwd_hint = i, h
+    if fwd < 0:
+        return False
+    if bwd >= 0:
+        return True
+    snd = -1
+    snd_hint = -1
+    for i in range(7):
+        h = ref_hints[i]
+        if get_relative_dist(h, fwd_hint, bits) < 0:
+            if snd < 0 or get_relative_dist(h, snd_hint, bits) > 0:
+                snd, snd_hint = i, h
+    return snd >= 0
 
 
 def _obu_header(obu_type: int) -> int:
@@ -214,7 +269,7 @@ def write_sequence_header_obu(seq: SequenceHeader) -> bytes:
     w.write_bit(int(seq.enable_order_hint))
     if seq.enable_order_hint:
         w.write_bit(0)                   # enable_jnt_comp
-        w.write_bit(0)                   # enable_ref_frame_mvs
+        w.write_bit(int(seq.enable_ref_frame_mvs))
     w.write_bit(0)                       # seq_choose_screen_content_tools
     w.write_bit(0)                       # seq_force_screen_content_tools
     if seq.enable_order_hint:
@@ -330,8 +385,11 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
         # allow_intrabc: allow_screen_content_tools == 0 -> not coded
     else:
         w.write(fh.refresh_frame_flags, 8)
-        # (error_resilient && enable_order_hint): ref_order_hint -> none
-        # (enable_order_hint): frame_refs_short_signaling -> none
+        if fh.error_resilient and seq.enable_order_hint:
+            for h in fh.ref_order_hints:      # per-slot ref_order_hint
+                w.write(h, seq.order_hint_bits)
+        if seq.enable_order_hint:
+            w.write_bit(0)                   # frame_refs_short_signaling
         for idx in fh.ref_frame_idx:
             w.write(idx, 3)
         # frame_size_override_flag==0 or error_resilient: spec 5.9.2
@@ -344,7 +402,9 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
         w.write_bit(0)                   # is_filter_switchable
         w.write(0, 2)                    # interpolation_filter (REGULAR)
         w.write_bit(0)                   # is_motion_mode_switchable
-        # use_ref_frame_mvs = 0 (error resilient), not coded
+        if not fh.error_resilient and seq.enable_ref_frame_mvs:
+            w.write_bit(int(fh.use_ref_frame_mvs))
+        # (else use_ref_frame_mvs = 0, not coded)
     if fh.disable_cdf_update:
         pass                             # disable_frame_end_update_cdf = 1
     else:
@@ -398,7 +458,13 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
     w.write_bit(int(fh.tx_mode_select))  # read_tx_mode
     if not is_key:
         w.write_bit(int(fh.reference_select))
-    # skip_mode_params: skipModeAllowed = 0 -> no bits
+    # skip_mode_params (spec 5.9.22): the present bit is coded exactly
+    # when a fwd/bwd (or two-fwd) ref pair exists; skip mode unused
+    if not is_key and skip_mode_allowed(seq, fh.order_hint,
+                                        [fh.ref_order_hints[i]
+                                         for i in fh.ref_frame_idx],
+                                        fh.reference_select):
+        w.write_bit(0)                       # skip_mode_present
     # allow_warped_motion: seq disables warp -> no bits
     w.write_bit(int(fh.reduced_tx_set))
     if not is_key:
@@ -531,9 +597,10 @@ def parse_sequence_header_obu(payload: bytes) -> SequenceHeader:
     r.read_bit()              # enable_dual_filter
     order_hint = bool(r.read_bit())
     order_hint_bits = 0
+    ref_frame_mvs = False
     if order_hint:
         r.read_bit()          # enable_jnt_comp
-        r.read_bit()          # enable_ref_frame_mvs
+        ref_frame_mvs = bool(r.read_bit())
     choose_sct = r.read_bit()
     force_sct = 2 if choose_sct else r.read_bit()
     if force_sct > 0:
@@ -563,13 +630,15 @@ def parse_sequence_header_obu(payload: bytes) -> SequenceHeader:
                           enable_intra_edge_filter=intra_edge,
                           enable_order_hint=order_hint,
                           order_hint_bits=order_hint_bits,
+                          enable_ref_frame_mvs=ref_frame_mvs,
                           enable_cdef=cdef, enable_restoration=restoration,
                           enable_superres=superres,
                           film_grain_params_present=grain,
                           seq_profile=profile, still_picture=bool(still))
 
 
-def parse_frame_obu(payload: bytes, seq: SequenceHeader, slot_gm=None):
+def parse_frame_obu(payload: bytes, seq: SequenceHeader, slot_gm=None,
+                    slot_hints=None):
     """Parse an OBU_FRAME produced by ``write_frame_obu``.
 
     ``slot_gm``: 8-entry list of per-slot saved gm_trans 7-tuples (the
@@ -595,10 +664,18 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader, slot_gm=None):
         primary_ref_frame = r.read(3)
     refresh_frame_flags = 0xFF
     ref_frame_idx = (0,) * 7
+    use_ref_frame_mvs = False
+    ref_order_hints = tuple(slot_hints) if slot_hints is not None \
+        else (0,) * 8
     if is_key:
         assert r.read_bit() == 0  # render_and_frame_size_different
     else:
         refresh_frame_flags = r.read(8)
+        if error_resilient and seq.enable_order_hint:
+            ref_order_hints = tuple(r.read(seq.order_hint_bits)
+                                    for _ in range(8))
+        if seq.enable_order_hint:
+            assert r.read_bit() == 0  # frame_refs_short_signaling
         ref_frame_idx = tuple(r.read(3) for _ in range(7))
         # !override || error_resilient -> frame_size() + render_size()
         assert r.read_bit() == 0  # render_and_frame_size_different
@@ -606,6 +683,8 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader, slot_gm=None):
         assert r.read_bit() == 0  # is_filter_switchable
         assert r.read(2) == 0     # interpolation_filter REGULAR
         assert r.read_bit() == 0  # is_motion_mode_switchable
+        if not error_resilient and seq.enable_ref_frame_mvs:
+            use_ref_frame_mvs = bool(r.read_bit())
     if disable_cdf_update:
         disable_end_update = True
     else:
@@ -662,6 +741,11 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader, slot_gm=None):
     reference_select = False
     if not is_key:
         reference_select = bool(r.read_bit())
+    if not is_key and skip_mode_allowed(seq, order_hint,
+                                        [ref_order_hints[i]
+                                         for i in ref_frame_idx],
+                                        reference_select):
+        assert r.read_bit() == 0  # skip_mode_present
     reduced_tx_set = bool(r.read_bit())
     gm_trans = ((0, 0),) * 7
     prev_gm = ((0, 0),) * 7
@@ -695,7 +779,9 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader, slot_gm=None):
                      tile_cols_log2=tile_cols_log2,
                      tile_rows_log2=tile_rows_log2,
                      loop_filter_levels=(lf0, lf1, lf2, lf3),
-                     order_hint=order_hint)
+                     order_hint=order_hint,
+                     use_ref_frame_mvs=use_ref_frame_mvs,
+                     ref_order_hints=ref_order_hints)
     # tile group
     data = payload[r.bit_pos // 8:]
     num_tiles = (1 << tile_cols_log2) * (1 << tile_rows_log2)

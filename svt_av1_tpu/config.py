@@ -106,6 +106,9 @@ class EncoderConfig:
     recon_enabled: bool = False
     scene_change_detection: bool = True  # auto keyframes on scene cuts
     intra_in_inter: bool = True   # allow intra blocks inside inter frames
+    # order hints + temporal MV prediction (seq enable_order_hint /
+    # enable_ref_frame_mvs + per-frame use_ref_frame_mvs; spec 7.9)
+    enable_tmvp: bool = True
     enable_rect_partitions: bool = True  # HORZ/VERT arms in partition RD
     adaptive_quantization: int = 0  # 0 off; 1 = variance AQ (per-SB
                                     # delta qindex, reference QPM)

@@ -206,6 +206,10 @@ class FrameDecoder:
                               disable_cdf_update=self.fh.disable_cdf_update)
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
         self.mvp_state = mvp.MvpState(self.mi_rows, self.mi_cols)
+        tc = getattr(self, "tmvp_ctx", None)
+        if tc is not None:
+            self.mvp_state.tpl, self.mvp_state.rel_dist, \
+                self.mvp_state.sign_bias = tc
         self.leaf_sizes = {}
         from svt_av1_tpu.entropy import lr as lr_syntax
         self.lr_ref = [lr_syntax.LrRefState() for _ in range(3)]
@@ -633,6 +637,7 @@ class StreamDecoder:
     def __init__(self, seq: obu.SequenceHeader = None):
         self.seq = seq
         self.slots = [None] * 8       # padded recon planes per slot
+        self.slot_info = [None] * 8   # TMVP facts (pipeline.tmvp.SlotInfo)
         self.slot_grain = [None] * 8  # film grain params per slot
         # SavedCdfs / SavedGmParams stores (spec 7.20 reference frame
         # update): entropy state + gm params per slot for primary-ref
@@ -675,8 +680,12 @@ class StreamDecoder:
                                           self.slot_grain[slot])
             elif obu_type == obu.OBU_FRAME:
                 assert self.seq is not None, "no sequence header seen"
+                slot_hints = tuple(
+                    si.order_hint if si is not None else 0
+                    for si in self.slot_info)
                 fh, tiles = obu.parse_frame_obu(payload, self.seq,
-                                                slot_gm=self.slot_gm)
+                                                slot_gm=self.slot_gm,
+                                                slot_hints=slot_hints)
                 refs = None
                 if fh.frame_type != obu.KEY_FRAME:
                     # all 7 named references from ref_frame_idx (spec
@@ -697,11 +706,42 @@ class StreamDecoder:
                 if fh.primary_ref_frame != obu.PRIMARY_REF_NONE:
                     init_entropy = self.slot_entropy[
                         fh.ref_frame_idx[fh.primary_ref_frame]]
+                # temporal MV context (spec 7.9), identical to the
+                # encoder-side derivation in pipeline.encoder
+                from svt_av1_tpu.pipeline import tmvp
+                bits = self.seq.order_hint_bits
+                hint = fh.order_hint
+                named_hints = [slot_hints[fh.ref_frame_idx[r - 1]]
+                               for r in range(1, 8)]
+                rel_dist = [0] * 8
+                sign_bias = [0] * 8
+                for r in range(1, 8):
+                    rel_dist[r] = obu.get_relative_dist(
+                        hint, named_hints[r - 1], bits)
+                    sign_bias[r] = int(obu.get_relative_dist(
+                        named_hints[r - 1], hint, bits) > 0)
+                tmvp_ctx = None
+                if fh.use_ref_frame_mvs:
+                    tmvp_ctx = (tmvp.build_tpl_field(
+                        self.seq.mi_rows, self.seq.mi_cols, hint,
+                        fh.ref_frame_idx, self.slot_info, bits),
+                        rel_dist, sign_bias)
                 dec = self.frame_decoder_cls(self.seq, fh, refs,
                                              init_entropy=init_entropy)
+                dec.tmvp_ctx = tmvp_ctx
                 out = dec.decode_frame(tiles)
                 if fh.show_frame:
                     recon = self._apply_grain(out, fh.film_grain)
+                if fh.frame_type == obu.KEY_FRAME:
+                    new_info = tmvp.SlotInfo(order_hint=fh.order_hint,
+                                             is_intra=True)
+                else:
+                    fr, fm = tmvp.save_motion_field(
+                        dec.mvp_state, [-d for d in rel_dist])
+                    new_info = tmvp.SlotInfo(
+                        order_hint=fh.order_hint,
+                        ref_order_hints=tuple(named_hints),
+                        is_intra=False, field_ref=fr, field_mv=fm)
                 for i in range(8):
                     if (fh.refresh_frame_flags >> i) & 1:
                         self.slots[i] = dec.recon
@@ -710,6 +750,7 @@ class StreamDecoder:
                         self.slot_gm[i] = fh.gm_trans \
                             if fh.frame_type != obu.KEY_FRAME \
                             else ((0, 0),) * 7
+                        self.slot_info[i] = new_info
             else:
                 raise NotImplementedError(f"obu type {obu_type}")
         return recon

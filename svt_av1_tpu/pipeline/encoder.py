@@ -46,7 +46,9 @@ class Encoder:
                                       enable_cdef=cfg.enable_cdef,
                                       enable_restoration=cfg.enable_restoration,
                                       film_grain_params_present=(
-                                          cfg.film_grain_strength > 0))
+                                          cfg.film_grain_strength > 0),
+                                      **obu.order_hint_fields(
+                                          cfg.enable_tmvp))
         self._grain = None
         if cfg.film_grain_strength > 0:
             from svt_av1_tpu.ops import grain as grain_ops
@@ -58,6 +60,10 @@ class Encoder:
         # primary_ref_frame CDF carry reads from (spec 6.8.2)
         self._slot_entropy = [None] * 8
         self._slot_gm = [((0, 0),) * 7] * 8
+        # per-slot TMVP facts (order hint, that frame's ref hints, its
+        # 8x8 motion field) — the encoder-side mirror of the decoder's
+        # slot_info store
+        self._slot_info = [None] * 8
         # one-deep entropy pipeline: frame N's host entropy runs on this
         # worker while frame N+1's compute proceeds (the reference
         # overlaps its EC process pool the same way, EbEncHandle.c:1056).
@@ -71,6 +77,11 @@ class Encoder:
         self._golden_slot = 7      # slot of the last keyframe (GOLDEN)
         self._ld_last2 = None      # low-delay: slot of the frame before LAST
         self._frame_idx = 0        # display-order index of next input
+        self._key_disp = 0         # display index of the last keyframe
+                                   # (order hints are coded relative to
+                                   # it so closed GOPs are position-
+                                   # independent — parallel GOP workers
+                                   # must emit serial-identical bytes)
         self._group: List[tuple] = []
         self._out: List[Tuple[bytes, Optional[list]]] = []
         self._scd = None
@@ -148,14 +159,20 @@ class Encoder:
             cfg = dataclasses.replace(cfg, qp=qv, qindex_override=None)
         enc = WavefrontIntraEncoder(cfg)
         enc.aq_prev_luma = self._aq_prev(y)
+        self._key_disp = disp_idx or 0
+        hint = 0
+        enc.order_hint = hint
         with span("keyframe"):
             tu, recon, _ = enc.encode(y, u, v)
         if self._rc is not None:
             self._rc.update(len(tu) * 8, True)
+        from svt_av1_tpu.pipeline import tmvp
         for i in range(8):
             self._slots[i] = enc.recon
             self._slot_entropy[i] = enc.final_entropy
             self._slot_gm[i] = ((0, 0),) * 7
+            self._slot_info[i] = tmvp.SlotInfo(order_hint=hint,
+                                               is_intra=True)
         self._base_slot = 0
         self._golden_slot = 7
         self._ld_last2 = None
@@ -203,8 +220,36 @@ class Encoder:
             extra[rid] = planes
             used.append(planes)
         rff = 0 if refresh_slot is None else 1 << refresh_slot
+        # temporal MV context: current hint, per-slot hints, projected
+        # field from the slot stores (decoder rebuilds the same from its
+        # own slots — spec 7.9)
+        from svt_av1_tpu.bitstream.obu import get_relative_dist
+        from svt_av1_tpu.pipeline import tmvp
+        hint = ((disp_idx or 0) - self._key_disp) & 127
+        bits = self.seq.order_hint_bits
+        slot_hints = tuple(si.order_hint if si is not None else 0
+                           for si in self._slot_info)
+        named_hints = [slot_hints[idx[r - 1]] for r in range(1, 8)]
+        rel_dist = [0] * 8       # dist(cur, ref) per named ref
+        sign_bias = [0] * 8
+        for r in range(1, 8):
+            rel_dist[r] = get_relative_dist(hint, named_hints[r - 1],
+                                            bits)
+            sign_bias[r] = int(get_relative_dist(named_hints[r - 1],
+                                                 hint, bits) > 0)
+        use_tmvp = (self.seq.enable_ref_frame_mvs
+                    and not cfg.error_resilient)
+        tpl = None
+        if use_tmvp:
+            tpl = tmvp.build_tpl_field(self.seq.mi_rows,
+                                       self.seq.mi_cols, hint, idx,
+                                       self._slot_info, bits)
         from svt_av1_tpu.utils.trace import span
         with span("inter_frame"):
+            enc.tmvp_ctx = dict(order_hint=hint,
+                                ref_order_hints=slot_hints,
+                                use=use_tmvp, tpl=tpl,
+                                rel_dist=rel_dist, sign_bias=sign_bias)
             padded = enc.encode_compute(
                 y, u, v, self._slots[last_slot], alt_planes=alt,
                 refresh_frame_flags=rff, ref_frame_idx=idx,
@@ -219,6 +264,12 @@ class Encoder:
                 self._slot_entropy[refresh] = enc.final_entropy
                 self._slot_gm[refresh] = tuple(
                     enc.gm_mv.get(ref, (0, 0)) for ref in range(1, 8))
+                fr, fm = tmvp.save_motion_field(
+                    enc.mvp_state, [-d for d in rel_dist])
+                self._slot_info[refresh] = tmvp.SlotInfo(
+                    order_hint=hint,
+                    ref_order_hints=tuple(named_hints),
+                    is_intra=False, field_ref=fr, field_mv=fm)
             return tu
 
         recon_out = self._crop(padded) if show else None
@@ -438,10 +489,21 @@ class Encoder:
             "entropy_uniq": euniq,
             "entropy_alias": ealias,
             "slot_gm": list(self._slot_gm),
+            "slot_info": [
+                None if si is None else {
+                    "order_hint": si.order_hint,
+                    "ref_order_hints": tuple(si.ref_order_hints),
+                    "is_intra": si.is_intra,
+                    "field_ref": None if si.field_ref is None
+                    else si.field_ref.copy(),
+                    "field_mv": None if si.field_mv is None
+                    else si.field_mv.copy(),
+                } for si in self._slot_info],
             "base_slot": self._base_slot,
             "golden_slot": self._golden_slot,
             "ld_last2": self._ld_last2,
             "frame_idx": self._frame_idx,
+            "key_disp": self._key_disp,
             "group": copy.deepcopy(self._group),
             "la": copy.deepcopy(self._la),
             "la_prev": None if self._la_prev is None
@@ -467,10 +529,15 @@ class Encoder:
         enc._slot_gm = [tuple(map(tuple, g))
                         for g in state.get("slot_gm",
                                            [((0, 0),) * 7] * 8)]
+        from svt_av1_tpu.pipeline import tmvp
+        enc._slot_info = [
+            None if d is None else tmvp.SlotInfo(**d)
+            for d in state.get("slot_info", [None] * 8)]
         enc._base_slot = state["base_slot"]
         enc._golden_slot = state.get("golden_slot", 7)
         enc._ld_last2 = state.get("ld_last2")
         enc._frame_idx = state["frame_idx"]
+        enc._key_disp = state.get("key_disp", 0)
         enc._group = list(state["group"])
         enc._la = list(state["la"])
         enc._la_prev = state["la_prev"]

@@ -258,8 +258,13 @@ class InterFrameEncoder:
         gm_tuple = tuple(self.gm_mv.get(ref, (0, 0))
                          for ref in range(1, 8))
         no_end_update = cfg.disable_cdf_update or cfg.error_resilient
+        tc = getattr(self, "tmvp_ctx", None) or {}
         fh = obu.FrameHeader(frame_type=obu.INTER_FRAME,
                              gm_trans=gm_tuple,
+                             order_hint=tc.get("order_hint", 0),
+                             use_ref_frame_mvs=tc.get("use", False),
+                             ref_order_hints=tc.get("ref_order_hints",
+                                                    (0,) * 8),
                              error_resilient=cfg.error_resilient,
                              primary_ref_frame=(0 if carry
                                                 else obu.PRIMARY_REF_NONE),
@@ -964,6 +969,11 @@ class InterFrameEncoder:
                                     cfg.disable_cdf_update)
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
         self.mvp_state = mvp.MvpState(self.mi_rows, self.mi_cols)
+        tc = getattr(self, "tmvp_ctx", None)
+        if tc is not None and tc["use"]:
+            self.mvp_state.tpl = tc["tpl"]
+            self.mvp_state.rel_dist = tc["rel_dist"]
+            self.mvp_state.sign_bias = tc["sign_bias"]
         self._cdef_written = set()
         from svt_av1_tpu.entropy import lr as lr_syntax
         self.lr_ref = [lr_syntax.LrRefState() for _ in range(3)]

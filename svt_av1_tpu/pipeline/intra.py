@@ -66,7 +66,10 @@ class IntraFrameEncoder:
                                       bit_depth=cfg.bit_depth,
                                       enable_cdef=cfg.enable_cdef,
                                       film_grain_params_present=(
-                                          cfg.film_grain_strength > 0))
+                                          cfg.film_grain_strength > 0),
+                                      **obu.order_hint_fields(
+                                          cfg.enable_tmvp))
+        self.order_hint = 0           # set by the driver (display index)
         self.mi_cols = self.seq.mi_cols
         self.mi_rows = self.seq.mi_rows
         self.qp = quant_ops.make_quant_params(cfg.base_q_idx,
@@ -114,7 +117,8 @@ class IntraFrameEncoder:
             from svt_av1_tpu.ops import grain as grain_ops
             fg = grain_ops.default_params(cfg.film_grain_strength,
                                           cfg.film_grain_seed)
-        fh = obu.FrameHeader(base_q_idx=cfg.base_q_idx,
+        fh = obu.FrameHeader(order_hint=self.order_hint,
+                             base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
                              disable_frame_end_update_cdf=(
                                  cfg.disable_cdf_update

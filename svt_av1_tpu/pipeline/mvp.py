@@ -2,10 +2,11 @@
 
 Port of the normative algorithm's semantics (reference:
 setup_ref_mv_list ``EbAdaptiveMotionVectorPrediction.c:905``, scans :685-835,
-add_ref_mv_candidate :595) specialized to this encoder's current shape:
-square blocks >= 8x8, single reference frame, translation-only global
-motion (gm candidate = (0,0)), no temporal MVs (use_ref_frame_mvs = 0 —
-the ZeroMv context therefore stays 0), single tile.
+add_ref_mv_candidate :595) for this encoder's shape: blocks >= 8x8,
+translation-only global motion, single tile. Temporal MV candidates
+(use_ref_frame_mvs) ride the projected field built by
+``pipeline.tmvp`` — the reference v0.4.0 stubs TMVP out (comment block
+:1002), so the temporal arm follows the final spec directly.
 
 Both the encoder syntax pass and the decoder drive the same ``MvpState``;
 the stack, DRL contexts and mode contexts are derived here for both, so
@@ -65,6 +66,13 @@ class MvpState:
         self.mode = np.zeros((mi_rows, mi_cols), dtype=np.int32)
         self.n8w = np.ones((mi_rows, mi_cols), dtype=np.int32)
         self.n8h = np.ones((mi_rows, mi_cols), dtype=np.int32)
+        # temporal MV projection context (use_ref_frame_mvs frames):
+        # tpl[r8, c8] = (mv_row, mv_col, ref_frame_offset>0) from
+        # tmvp.build_tpl_field; rel_dist[ref] = dist(cur, ref) per named
+        # ref; sign_bias[ref] for the compound collect inversion
+        self.tpl = None
+        self.rel_dist = None
+        self.sign_bias = [0] * 8
 
     def set_block(self, mi_row: int, mi_col: int, s4: int, ref: int,
                   mv, mode: int, ref1: int = NONE_FRAME,
@@ -160,6 +168,33 @@ class MvStackResult:
     @property
     def refmv_ctx(self) -> int:
         return (self.mode_context >> 4) & 0xF
+
+
+def _scan_tpl_grid(scan_tpl, mi_row, mi_col, w4, h4, zeromv_bit,
+                   sb_mi: int = 16):
+    """Drive a temporal scan callback over the normative sample grid:
+    the block's own 8x8 cells (step 2, or 4 for >=64px dims) plus three
+    bottom-right extension samples when the block is mid-sized, each
+    gated to stay inside the superblock (spec check_sb_range)."""
+    is_avail = False
+    step_h = 4 if h4 >= 16 else 2
+    step_w = 4 if w4 >= 16 else 2
+    for br in range(0, min(h4, 16), step_h):
+        for bc in range(0, min(w4, 16), step_w):
+            ret = scan_tpl(br, bc, br == 0 and bc == 0)
+            if br == 0 and bc == 0:
+                is_avail = ret
+    if not is_avail:
+        zeromv_bit[0] = True
+    if 2 <= h4 < 16 and 2 <= w4 < 16:
+        voffset = max(2, h4)
+        hoffset = max(2, w4)
+        mrow = mi_row & (sb_mi - 1)
+        mcol = mi_col & (sb_mi - 1)
+        for br, bc in ((voffset, -2), (voffset, hoffset),
+                       (voffset - 2, hoffset)):
+            if 0 <= mrow + br < sb_mi and 0 <= mcol + bc < sb_mi:
+                scan_tpl(br, bc, False)
 
 
 def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
@@ -283,7 +318,33 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
     for e in stack[:nearest_count]:
         e[1] += REF_CAT_LEVEL
 
-    # (temporal scan skipped: use_ref_frame_mvs = 0)
+    # temporal scan (spec add_tpl_ref_mv over the center 8x8 grid plus
+    # 3 bottom-right sample positions; sets the GLOBALMV/zeromv context
+    # bit when the co-located projection is absent or far from gm)
+    tpl_zeromv_bit = [False]
+    if state.tpl is not None:
+
+        def scan_tpl(br, bc, center):
+            e = state.tpl[(mi_row + br) >> 1, (mi_col + bc) >> 1]
+            if e[2] <= 0:
+                return False
+            from svt_av1_tpu.pipeline import tmvp
+            mv = tmvp.lower_precision(tmvp.mv_projection(
+                (int(e[0]), int(e[1])), state.rel_dist[ref_frame],
+                int(e[2])))
+            if center and (abs(mv[0] - gm_mv[0]) >= 16
+                           or abs(mv[1] - gm_mv[1]) >= 16):
+                tpl_zeromv_bit[0] = True
+            for s in stack:
+                if s[0] == mv:
+                    s[1] += 2
+                    return True
+            if len(stack) < MAX_REF_MV_STACK_SIZE:
+                stack.append([mv, 2])
+            return True
+
+        _scan_tpl_grid(scan_tpl, mi_row, mi_col, w4, h4, tpl_zeromv_bit)
+
     saved_newmv = newmv_count
     scan_blk(-1, -1)
     for idx in range(2, MVREF_ROWS + 1):
@@ -315,6 +376,8 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
     else:
         mode_context |= 4 if nearest_newmv >= 1 else 5
         mode_context |= 5 << 4
+    if tpl_zeromv_bit[0]:
+        mode_context |= 1 << 3       # GLOBALMV_OFFSET (zeromv ctx)
 
     # sort: nearest region then outer region (reference bubble semantics)
     def _bubble(lo, hi):
@@ -379,8 +442,9 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
     """Compound ref-MV stack for the (rf0, rf1) pair (reference
     setup_ref_mv_list compound path, EbAdaptiveMotionVectorPrediction.c:905
     + the under-2 fill :1110-1240). Stack entries are ((mv0, mv1), w);
-    ref_list holds the two predictor *pairs*. Sign-bias inversion is a
-    no-op in our streams (enable_order_hint = 0 => all biases equal)."""
+    ref_list holds the two predictor *pairs*. The under-2 collect
+    inverts candidates whose ref sits on the other temporal side
+    (RefFrameSignBias, live once order hints are on)."""
     mi_rows, mi_cols = state.mi_rows, state.mi_cols
     w4 = s4
     h4 = s4 if h4 is None else h4
@@ -489,6 +553,37 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
     for e in stack[:nearest_count]:
         e[1] += REF_CAT_LEVEL
 
+    # temporal scan: both MVs of the pair projected from the same
+    # co-located entry (spec add_tpl_ref_mv compound arm)
+    tpl_zeromv_bit = [False]
+    if state.tpl is not None:
+
+        def scan_tpl(br, bc, center):
+            e = state.tpl[(mi_row + br) >> 1, (mi_col + bc) >> 1]
+            if e[2] <= 0:
+                return False
+            from svt_av1_tpu.pipeline import tmvp
+            fwd = (int(e[0]), int(e[1]))
+            mv0 = tmvp.lower_precision(tmvp.mv_projection(
+                fwd, state.rel_dist[rf0], int(e[2])))
+            mv1 = tmvp.lower_precision(tmvp.mv_projection(
+                fwd, state.rel_dist[rf1], int(e[2])))
+            if center and (abs(mv0[0] - gm[0][0]) >= 16
+                           or abs(mv0[1] - gm[0][1]) >= 16
+                           or abs(mv1[0] - gm[1][0]) >= 16
+                           or abs(mv1[1] - gm[1][1]) >= 16):
+                tpl_zeromv_bit[0] = True
+            pair = (mv0, mv1)
+            for s in stack:
+                if s[0] == pair:
+                    s[1] += 2
+                    return True
+            if len(stack) < MAX_REF_MV_STACK_SIZE:
+                stack.append([pair, 2])
+            return True
+
+        _scan_tpl_grid(scan_tpl, mi_row, mi_col, w4, h4, tpl_zeromv_bit)
+
     saved_newmv = newmv_count
     scan_blk(-1, -1)
     for idx in range(2, MVREF_ROWS + 1):
@@ -520,6 +615,8 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
     else:
         mode_context |= 4 if nearest_newmv >= 1 else 5
         mode_context |= 5 << 4
+    if tpl_zeromv_bit[0]:
+        mode_context |= 1 << 3       # GLOBALMV_OFFSET (zeromv ctx)
 
     def _bubble(lo, hi):
         ln = hi
@@ -555,9 +652,14 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
                                                     int(cmv[1])))
                         elif cref > INTRA_FRAME \
                                 and len(ref_diff[cmp_idx]) < 2:
-                            # sign bias equal for all refs here: no invert
-                            ref_diff[cmp_idx].append((int(cmv[0]),
-                                                      int(cmv[1])))
+                            # invert when the candidate's ref lies on
+                            # the other temporal side of the target
+                            # (spec: RefFrameSignBias comparison)
+                            mvt = (int(cmv[0]), int(cmv[1]))
+                            if state.sign_bias[cref] \
+                                    != state.sign_bias[rf]:
+                                mvt = (-mvt[0], -mvt[1])
+                            ref_diff[cmp_idx].append(mvt)
                 i += int(state.n8w[rr, cc] if row else state.n8h[rr, cc])
 
         if abs(max_row_offset) >= 1:

@@ -48,7 +48,10 @@ class WavefrontIntraEncoder:
                                       enable_cdef=cfg.enable_cdef,
                                       enable_restoration=cfg.enable_restoration,
                                       film_grain_params_present=(
-                                          cfg.film_grain_strength > 0))
+                                          cfg.film_grain_strength > 0),
+                                      **obu.order_hint_fields(
+                                          cfg.enable_tmvp))
+        self.order_hint = 0           # set by the driver (display index)
         self.lr_rinfos = None
         self.mi_cols = self.seq.mi_cols
         self.mi_rows = self.seq.mi_rows
@@ -447,7 +450,8 @@ class WavefrontIntraEncoder:
             fg = grain_ops.default_params(cfg.film_grain_strength,
                                           cfg.film_grain_seed)
         no_end_update = cfg.disable_cdf_update or cfg.error_resilient
-        fh = obu.FrameHeader(base_q_idx=cfg.base_q_idx,
+        fh = obu.FrameHeader(order_hint=self.order_hint,
+                             base_q_idx=cfg.base_q_idx,
                              disable_cdf_update=cfg.disable_cdf_update,
                              disable_frame_end_update_cdf=no_end_update,
                              loop_filter_levels=lf_levels,

@@ -191,3 +191,54 @@ def test_gm_param_prev_prediction_roundtrip():
     # without the prev store the delta decodes to the wrong absolute
     fh3, _ = obu.parse_frame_obu(payload[off:off + size], seq)
     assert fh3.gm_trans != fh.gm_trans
+
+
+def test_inter_header_bits_order_hints_tmvp():
+    # INTER frame with order hints on (bits=7), enable_ref_frame_mvs,
+    # reference_select and a fwd/bwd hint pair: spec 5.9.2 codes
+    # order_hint f(7), frame_refs_short_signaling, use_ref_frame_mvs,
+    # and skip_mode_params' skip_mode_present bit (5.9.22).
+    bits = (
+        "0"        # show_existing_frame
+        "01"       # frame_type = INTER
+        "1"        # show_frame
+        "0"        # error_resilient_mode
+        "0"        # disable_cdf_update
+        "0"        # frame_size_override_flag
+        "0000101"  # order_hint = 5 (OrderHintBits = 7)
+        "000"      # primary_ref_frame = 0
+        "00000010"  # refresh_frame_flags = 0x02
+        # error_resilient==0 -> no ref_order_hint loop
+        "0"        # frame_refs_short_signaling
+        + "000" * 6 + "001"  # ref_frame_idx: LAST..ALTREF2 slot0, ALT slot1
+        + "0"      # render_and_frame_size_different
+        "0"        # allow_high_precision_mv
+        "0"        # is_filter_switchable
+        "00"       # interpolation_filter = EIGHTTAP_REGULAR
+        "0"        # is_motion_mode_switchable
+        "1"        # use_ref_frame_mvs (coded: !resilient && seq enable)
+        "0"        # disable_frame_end_update_cdf
+        "1"        # tile_info uniform
+        "00101000"  # base_q_idx = 40
+        "0" "0" "0" "0" "0"  # deltaQ dc/ac, qmatrix, segmentation
+        "0"        # delta_q_present
+        "000000" "000000" "000" "0"  # loop filter
+        "0"        # tx_mode_select
+        "1"        # reference_select
+        # skip_mode_params: LAST hint 3 (past of 5), ALT hint 8 (future)
+        # -> skipModeAllowed = 1 -> one bit:
+        "0"        # skip_mode_present
+        "0"        # reduced_tx_set
+        + "0" * 7  # global motion: is_global == 0 for all 7 refs
+    )
+    seq = obu.SequenceHeader(width=64, height=64, enable_order_hint=True,
+                             order_hint_bits=7, enable_ref_frame_mvs=True)
+    fh = obu.FrameHeader(frame_type=obu.INTER_FRAME, base_q_idx=40,
+                         error_resilient=False, primary_ref_frame=0,
+                         order_hint=5, use_ref_frame_mvs=True,
+                         refresh_frame_flags=0x02,
+                         ref_frame_idx=(0, 0, 0, 0, 0, 0, 1),
+                         ref_order_hints=(3, 8, 0, 0, 0, 0, 0, 0),
+                         reference_select=True,
+                         disable_frame_end_update_cdf=False)
+    assert _header_bytes(seq, fh) == _pack_bits(bits)
