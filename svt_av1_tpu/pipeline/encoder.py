@@ -73,6 +73,10 @@ class Encoder:
         # frame N+1's qindex.
         self._syntax_pool = None
         self._syntax_pending: List = []
+        # True while an in-flight syntax job will write slot state
+        # (slot_info/entropy/gm for its refresh slot) — the next
+        # frame's compute must join before reading those stores
+        self._slot_writes_pending = False
         self._base_slot = 0        # slot of the most recent past anchor
         self._golden_slot = 7      # slot of the last keyframe (GOLDEN)
         self._ld_last2 = None      # low-delay: slot of the frame before LAST
@@ -149,6 +153,7 @@ class Encoder:
         for fut in self._syntax_pending:
             fut.result()
         self._syntax_pending.clear()
+        self._slot_writes_pending = False
 
     def _encode_key(self, y, u, v, disp_idx=None) -> None:
         from svt_av1_tpu.utils.trace import span
@@ -222,7 +227,12 @@ class Encoder:
         rff = 0 if refresh_slot is None else 1 << refresh_slot
         # temporal MV context: current hint, per-slot hints, projected
         # field from the slot stores (decoder rebuilds the same from its
-        # own slots — spec 7.9)
+        # own slots — spec 7.9). A still-running reference-frame syntax
+        # job owns pending slot_info writes that feed this context, so
+        # join first; leaf-B syntax (refresh None, no slot writes) keeps
+        # overlapping with this frame's compute.
+        if self._slot_writes_pending:
+            self._join_syntax()
         from svt_av1_tpu.bitstream.obu import get_relative_dist
         from svt_av1_tpu.pipeline import tmvp
         hint = ((disp_idx or 0) - self._key_disp) & 127
@@ -283,6 +293,8 @@ class Encoder:
                     max_workers=1, thread_name_prefix="entropy")
             fut = self._syntax_pool.submit(syntax_job)
             self._syntax_pending.append(fut)
+            if refresh_slot is not None:
+                self._slot_writes_pending = True
             self._out.append((fut, recon_out))
         else:
             tu = syntax_job()
