@@ -285,6 +285,29 @@ def _build_compound(size, qindex: int, lamq: int, bd: int, ss: int,
     return jax.jit(fn)
 
 
+_dput_cache = {}
+
+
+def _dput(a):
+    """Upload-once cache for big per-frame arrays (ref planes, source
+    planes, pyramids): re-uploads cost ~0.1s+ through the tunnel, and the
+    same numpy object is passed to many device calls per frame. Entries
+    hold a strong ref so id() stays valid; FIFO-capped."""
+    ent = _dput_cache.get(id(a))
+    if ent is not None and ent[0] is a:
+        return ent[1]
+    d = jax.device_put(a)
+    if len(_dput_cache) >= 48:
+        for k in list(_dput_cache)[:16]:
+            del _dput_cache[k]
+    _dput_cache[id(a)] = (a, d)
+    return d
+
+
+def _dput_seq(seq):
+    return tuple(_dput(a) for a in seq)
+
+
 def _bucket(b: int) -> int:
     from svt_av1_tpu.ops.device_md import _bucket as _b
     return _b(b)
@@ -306,7 +329,7 @@ def ref_candidates_dev(ref_pyr, src_pyr, xs, ys, size, qp, lam, bd=8):
         md.lam_to_q(lam), bd)
     xs_p = _pad(np.asarray(xs, dtype=np.int64), nb, b)
     ys_p = _pad(np.asarray(ys, dtype=np.int64), nb, b)
-    outs = fn(*ref_pyr, *src_pyr, xs_p, ys_p)
+    outs = fn(*_dput_seq(ref_pyr), *_dput_seq(src_pyr), xs_p, ys_p)
     cost, mv, qc, eo, rec = [np.asarray(o)[:b] for o in outs]
     pix = np.uint16 if bd > 8 else np.uint8
     return [cost.astype(np.int64), mv.astype(np.int64),
@@ -320,10 +343,11 @@ def chroma_code_dev(refp, src_plane, xs, ys, mvs, size, qp, bd=8, ss=1):
     fn = _build_chroma_code(
         size if isinstance(size, int) else tuple(size), int(qp.qindex),
         bd, ss)
-    outs = fn(refp, _pad(np.asarray(xs, np.int64), nb, b),
-              _pad(np.asarray(ys, np.int64), nb, b),
-              _pad(np.asarray(mvs, np.int64), nb, b), src_plane)
-    qc, eo, rec = [np.asarray(o)[:b] for o in outs]
+    outs = jax.device_get(fn(
+        _dput(refp), _pad(np.asarray(xs, np.int64), nb, b),
+        _pad(np.asarray(ys, np.int64), nb, b),
+        _pad(np.asarray(mvs, np.int64), nb, b), _dput(src_plane)))
+    qc, eo, rec = [o[:b] for o in outs]
     return qc.astype(np.int32), eo.astype(np.int32), rec.astype(np.int64)
 
 
@@ -336,11 +360,13 @@ def compound_code_dev(ref0, ref1, src_plane, xs, ys, mv0, mv1, size, qp,
     fn = _build_compound(
         size if isinstance(size, int) else tuple(size), int(qp.qindex),
         md.lam_to_q(lam), bd, ss, plane_type)
-    outs = fn(ref0, ref1, _pad(np.asarray(xs, np.int64), nb, b),
-              _pad(np.asarray(ys, np.int64), nb, b),
-              _pad(np.asarray(mv0, np.int64), nb, b),
-              _pad(np.asarray(mv1, np.int64), nb, b), src_plane)
-    cost, qc, eo, rec = [np.asarray(o)[:b] for o in outs]
+    outs = jax.device_get(fn(
+        _dput(ref0), _dput(ref1),
+        _pad(np.asarray(xs, np.int64), nb, b),
+        _pad(np.asarray(ys, np.int64), nb, b),
+        _pad(np.asarray(mv0, np.int64), nb, b),
+        _pad(np.asarray(mv1, np.int64), nb, b), _dput(src_plane)))
+    cost, qc, eo, rec = [o[:b] for o in outs]
     return (cost.astype(np.int64), qc.astype(np.int32),
             eo.astype(np.int32), rec.astype(np.int64))
 
@@ -409,11 +435,11 @@ def fullpel_dev(ref_pyr, src_pyr, xs, ys, size):
     b = len(xs)
     nb = _bucket(b)
     fn = _build_fullpel(size if isinstance(size, int) else tuple(size))
-    mv, sad = fn(*ref_pyr, *src_pyr,
-                 _pad(np.asarray(xs, np.int64), nb, b),
-                 _pad(np.asarray(ys, np.int64), nb, b))
-    return (np.asarray(mv)[:b].astype(np.int64),
-            np.asarray(sad)[:b].astype(np.int64))
+    mv, sad = jax.device_get(fn(
+        *_dput_seq(ref_pyr), *_dput_seq(src_pyr),
+        _pad(np.asarray(xs, np.int64), nb, b),
+        _pad(np.asarray(ys, np.int64), nb, b)))
+    return (mv[:b].astype(np.int64), sad[:b].astype(np.int64))
 
 
 def subpel_dev(ref_full, src_full, xs, ys, int_mvs, size, bd=8):
@@ -421,11 +447,12 @@ def subpel_dev(ref_full, src_full, xs, ys, int_mvs, size, bd=8):
     b = len(xs)
     nb = _bucket(b)
     fn = _build_subpel(size if isinstance(size, int) else tuple(size), bd)
-    mv = fn(ref_full, src_full,
-            _pad(np.asarray(xs, np.int64), nb, b),
-            _pad(np.asarray(ys, np.int64), nb, b),
-            _pad(np.asarray(int_mvs, np.int64), nb, b))
-    return np.asarray(mv)[:b].astype(np.int64)
+    mv = jax.device_get(fn(
+        _dput(ref_full), _dput(src_full),
+        _pad(np.asarray(xs, np.int64), nb, b),
+        _pad(np.asarray(ys, np.int64), nb, b),
+        _pad(np.asarray(int_mvs, np.int64), nb, b)))
+    return mv[:b].astype(np.int64)
 
 
 def single_rd_dev(ref_full, src_full, xs, ys, mvs, size, qp, lam, bd=8):
@@ -435,11 +462,12 @@ def single_rd_dev(ref_full, src_full, xs, ys, mvs, size, qp, lam, bd=8):
     fn = _build_single_rd(
         size if isinstance(size, int) else tuple(size), int(qp.qindex),
         md.lam_to_q(lam), bd)
-    outs = fn(ref_full, src_full,
-              _pad(np.asarray(xs, np.int64), nb, b),
-              _pad(np.asarray(ys, np.int64), nb, b),
-              _pad(np.asarray(mvs, np.int64), nb, b))
-    cost, mv, qc, eo, rec = [np.asarray(o)[:b] for o in outs]
+    outs = jax.device_get(fn(
+        _dput(ref_full), _dput(src_full),
+        _pad(np.asarray(xs, np.int64), nb, b),
+        _pad(np.asarray(ys, np.int64), nb, b),
+        _pad(np.asarray(mvs, np.int64), nb, b)))
+    cost, mv, qc, eo, rec = [o[:b] for o in outs]
     return [cost.astype(np.int64), mv.astype(np.int64),
             qc.astype(np.int32), eo.astype(np.int32),
             rec.astype(np.int64)]
@@ -501,11 +529,12 @@ def dp_depth_dev(ref_pyr, src_pyr, xs, ys, size, seeds=None):
     ys_p = _pad(np.asarray(ys, np.int64), nb, b)
     if seeds is None:
         fn = _build_dp_root(key)
-        mv, sse = fn(ref_pyr[0], ref_pyr[1], ref_pyr[2],
-                     src_pyr[0], src_pyr[1], src_pyr[2], xs_p, ys_p)
+        mv, sse = jax.device_get(fn(
+            *_dput_seq(ref_pyr[:3]), *_dput_seq(src_pyr[:3]),
+            xs_p, ys_p))
     else:
         fn = _build_dp_refine(key)
-        mv, sse = fn(ref_pyr[0], src_pyr[0], xs_p, ys_p,
-                     _pad(np.asarray(seeds, np.int64), nb, b))
-    return (np.asarray(mv)[:b].astype(np.int64),
-            np.asarray(sse)[:b].astype(np.int64))
+        mv, sse = jax.device_get(fn(
+            _dput(ref_pyr[0]), _dput(src_pyr[0]), xs_p, ys_p,
+            _pad(np.asarray(seeds, np.int64), nb, b)))
+    return (mv[:b].astype(np.int64), sse[:b].astype(np.int64))
