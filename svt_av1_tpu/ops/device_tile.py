@@ -286,3 +286,262 @@ def inject_results(enc, n, ry, ru, rv, out) -> None:
         enc.qcoeff[0][i] = qc_y[i]
         enc.qcoeff[1][i] = qc_u[i]
         enc.qcoeff[2][i] = qc_v[i]
+
+
+# --- mixed-size fused tile program ---------------------------------------------
+# Partition-RD leaf maps mix square and rectangular blocks (8..64 with
+# 2:1 and 4:1 arms), which previously fell back to the per-wave path:
+# ~3 device dispatches per (wave x shape) group, thousands of host round
+# trips per 1080p keyframe. This program keeps the SAME dependency waves
+# but processes every shape class inside one lax.fori_loop — one
+# dispatch per tile. The wave count is padded to powers of two and the
+# class list depends only on which shapes the frame's partition map
+# contains, so a stream converges onto a handful of compiled variants.
+
+def _pow2(n: int, lo: int = 1) -> int:
+    v = lo
+    while v < n:
+        v <<= 1
+    return v
+
+
+def _class_stage(shape: tuple, cands: tuple, qindex: int, lamq: int,
+                 bd: int, nfl: int, tx_search: bool, max_wh: tuple):
+    """Per-wave processing step for one (bw, bh) shape class: the Y/U/V
+    decide chain of make_tile_body factored for reuse across classes."""
+    bw, bh = shape
+    cw_, ch_ = bw >> 1, bh >> 1
+    cfl_ok = bw <= 32 and bh <= 32    # cfl_allowed (host wavefront rule)
+    (mwy, mhy), (mwc, mhc) = max_wh
+    tx_y = common.tx_size_for_rect(bw, bh, 0)
+    tx_uv = common.tx_size_for_rect(cw_, ch_, 1)
+    cwy, chy = common.coded_dims(tx_y)
+    cwc, chc = common.coded_dims(tx_uv)
+    ysz = bw if bw == bh else (bw, bh)
+    csz = cw_ if cw_ == ch_ else (cw_, ch_)
+    decide_y = dmd.make_decide_core(0, cands, qindex, ysz, lamq, bd,
+                                    nfl, False, False, False, tx_search)
+    decide_u = dmd.make_decide_core(1, cands, qindex, csz, lamq, bd,
+                                    nfl, False, False, cfl_ok, False)
+    decide_v = dmd.make_decide_core(2, cands, qindex, csz, lamq, bd,
+                                    nfl, False, True, cfl_ok, False)
+
+    def out_zeros(n_cls: int):
+        n1 = n_cls + 1
+        return dict(
+            y_mode=jnp.zeros(n1, jnp.int64),
+            y_delta=jnp.zeros(n1, jnp.int64),
+            uv_mode=jnp.zeros(n1, jnp.int64),
+            uv_delta=jnp.zeros(n1, jnp.int64),
+            alpha_u=jnp.zeros(n1, jnp.int64),
+            alpha_v=jnp.zeros(n1, jnp.int64),
+            y_tt=jnp.zeros(n1, jnp.int32),
+            eob_y=jnp.zeros(n1, jnp.int64),
+            eob_u=jnp.zeros(n1, jnp.int64),
+            eob_v=jnp.zeros(n1, jnp.int64),
+            qc_y=jnp.zeros((n1, chy, cwy), jnp.int32),
+            qc_u=jnp.zeros((n1, chc, cwc), jnp.int32),
+            qc_v=jnp.zeros((n1, chc, cwc), jnp.int32),
+        )
+
+    def step(recon_y, recon_u, recon_v, out, src_y, src_u, src_v, xs,
+             ys, valid, htr, hbl, idx, n_cls):
+        idx = jnp.where(valid, idx, n_cls)
+        ha, hl = ys > 0, xs > 0
+        a1, l1 = _edges_j(recon_y, xs, ys, bw, bh, ha, hl, htr, hbl,
+                          bd, mwy, mhy)
+        srcs = _gather(src_y, xs, ys, bw, bh).astype(jnp.int64)
+        ym, yd, qcy, eoy, recy, _, _, ytt = decide_y(
+            srcs, a1, l1, ha, hl, None)
+        recon_y = _scatter(recon_y, xs, ys, recy, valid, bw, bh)
+        cxs, cys = xs >> 1, ys >> 1
+        cfl = None
+        if cfl_ok:
+            cfl = _gather(recon_y, xs, ys, bw, bh).astype(jnp.int64)
+        a1u, l1u = _edges_j(recon_u, cxs, cys, cw_, ch_, ha, hl, htr,
+                            hbl, bd, mwc, mhc)
+        srcs_u = _gather(src_u, cxs, cys, cw_, ch_).astype(jnp.int64)
+        um, ud, qcu, eou, recu, _, au, _ = decide_u(
+            srcs_u, a1u, l1u, ha, hl, cfl)
+        recon_u = _scatter(recon_u, cxs, cys, recu, valid, cw_, ch_)
+        a1v, l1v = _edges_j(recon_v, cxs, cys, cw_, ch_, ha, hl, htr,
+                            hbl, bd, mwc, mhc)
+        srcs_v = _gather(src_v, cxs, cys, cw_, ch_).astype(jnp.int64)
+        vm, vd, qcv, eov, recv, _, av, _ = decide_v(
+            srcs_v, a1v, l1v, ha, hl, um, ud, cfl)
+        recon_v = _scatter(recon_v, cxs, cys, recv, valid, cw_, ch_)
+        out = dict(out)
+        out["y_mode"] = out["y_mode"].at[idx].set(ym, mode="drop")
+        out["y_delta"] = out["y_delta"].at[idx].set(yd, mode="drop")
+        out["uv_mode"] = out["uv_mode"].at[idx].set(um, mode="drop")
+        out["uv_delta"] = out["uv_delta"].at[idx].set(ud, mode="drop")
+        out["alpha_u"] = out["alpha_u"].at[idx].set(au, mode="drop")
+        out["alpha_v"] = out["alpha_v"].at[idx].set(av, mode="drop")
+        out["y_tt"] = out["y_tt"].at[idx].set(ytt, mode="drop")
+        out["eob_y"] = out["eob_y"].at[idx].set(eoy, mode="drop")
+        out["eob_u"] = out["eob_u"].at[idx].set(eou, mode="drop")
+        out["eob_v"] = out["eob_v"].at[idx].set(eov, mode="drop")
+        out["qc_y"] = out["qc_y"].at[idx].set(
+            qcy.astype(jnp.int32), mode="drop")
+        out["qc_u"] = out["qc_u"].at[idx].set(
+            qcu.astype(jnp.int32), mode="drop")
+        out["qc_v"] = out["qc_v"].at[idx].set(
+            qcv.astype(jnp.int32), mode="drop")
+        return recon_y, recon_u, recon_v, out
+
+    return step, out_zeros
+
+
+@functools.lru_cache(maxsize=32)
+def make_mixed_tile_body(class_spec: tuple, n_waves: int, cands: tuple,
+                         qindex: int, lamq: int, bd: int, nfl: int,
+                         tx_search: bool, shapes: tuple, max_wh: tuple):
+    """class_spec: (((bw, bh), wmax, n_cls), ...) active shape classes,
+    descending area; wave count pre-quantized by the metadata builder."""
+    (Hy, Wy), (Hc, Wc) = shapes
+    stages = [(sh, wmax, n_cls)
+              + _class_stage(sh, cands, qindex, lamq, bd, nfl,
+                             tx_search, max_wh)
+              for (sh, wmax, n_cls) in class_spec]
+
+    def program(src_y, src_u, src_v, nw_dyn, *arrs):
+        recon_y = jnp.zeros((Hy + 64, Wy), dtype=jnp.int32)
+        recon_u = jnp.zeros((Hc + 32, Wc), dtype=jnp.int32)
+        recon_v = jnp.zeros((Hc + 32, Wc), dtype=jnp.int32)
+        outs = tuple(oz(n_cls) for (_, _, n_cls, _, oz) in stages)
+
+        def body(w, carry):
+            recon_y, recon_u, recon_v, outs = carry
+            outs = list(outs)
+            for ci, (S, wmax, n_cls, step, _) in enumerate(stages):
+                a = arrs[6 * ci:6 * ci + 6]
+                recon_y, recon_u, recon_v, outs[ci] = step(
+                    recon_y, recon_u, recon_v, outs[ci], src_y, src_u,
+                    src_v, a[0][w], a[1][w], a[2][w], a[3][w], a[4][w],
+                    a[5][w], n_cls)
+            return recon_y, recon_u, recon_v, tuple(outs)
+
+        recon_y, recon_u, recon_v, outs = lax.fori_loop(
+            0, jnp.minimum(nw_dyn, n_waves), body,
+            (recon_y, recon_u, recon_v, outs))
+        return (recon_y[:Hy], recon_u[:Hc], recon_v[:Hc]) + outs
+
+    return program
+
+
+@functools.lru_cache(maxsize=32)
+def _build_mixed_program(*key):
+    return jax.jit(make_mixed_tile_body(*key))
+
+
+def mixed_tile_metadata(enc, cands):
+    """(program_key, input_arrays, per-class leaf-id lists) for the
+    mixed-shape fused program, or None (per-SB delta-q / shapes below
+    8px). Classes are the (bw, bh) shapes present in the partition map
+    (squares + 2:1 + 4:1 rects); the jit key depends only on that shape
+    set and the frame geometry, so a stream compiles a few variants."""
+    cfg = enc.cfg
+    if enc.qmap_t is not None:
+        return None
+    leaves = enc._leaves()
+    n = len(leaves)
+    if n == 0:
+        return None
+    if any(wh[0] < 8 or wh[1] < 8 for _, _, wh in leaves):
+        return None
+    from svt_av1_tpu.pipeline import avail
+    waves = enc._dependency_waves(leaves, enc.mi_cols, enc.mi_rows)
+    n_waves = int(waves.max()) + 1
+    nwq = _pow2(n_waves, 8)
+    # lane capacity: leaf y is always a multiple of bh (quadtree + H/V
+    # + 4:1 splits keep it aligned), and two same-class blocks in the
+    # same bh-band are chained through left-edge deps into different
+    # waves -> at most one block per band per wave.
+    classes = sorted({tuple(wh) for _, _, wh in leaves},
+                     key=lambda s: (-s[0] * s[1], -s[0]))
+    h_px = enc.mi_rows * 4
+    w_px = enc.mi_cols * 4
+    class_spec = []
+    args = []
+    cls_ids = []
+    for bwc, bhc in classes:
+        ids = [i for i, (_, _, wh) in enumerate(leaves)
+               if wh == (bwc, bhc)]
+        wq = max(1, (h_px + bhc - 1) // bhc)
+        ncq = max(1, ((h_px + bhc - 1) // bhc)
+                  * ((w_px + bwc - 1) // bwc))
+        xsw = np.zeros((nwq, wq), dtype=np.int64)
+        ysw = np.zeros((nwq, wq), dtype=np.int64)
+        validw = np.zeros((nwq, wq), dtype=bool)
+        htrw = np.zeros((nwq, wq), dtype=bool)
+        hblw = np.zeros((nwq, wq), dtype=bool)
+        idxw = np.zeros((nwq, wq), dtype=np.int64)
+        fill = np.zeros(n_waves, dtype=np.int64)
+        for li, i in enumerate(ids):
+            r, c, wh = leaves[i]
+            w = int(waves[i])
+            j = fill[w]
+            if j >= wq:           # band-chaining bound violated:
+                return None       # degrade to the per-wave path
+            fill[w] = j + 1
+            xsw[w, j] = c * 4
+            ysw[w, j] = r * 4
+            validw[w, j] = True
+            htrw[w, j] = avail.has_top_right_wh(r, c, wh[0] >> 2,
+                                                wh[1] >> 2, enc.mi_cols)
+            hblw[w, j] = avail.has_bottom_left_wh(r, c, wh[0] >> 2,
+                                                  wh[1] >> 2,
+                                                  enc.mi_rows)
+            idxw[w, j] = li
+        class_spec.append(((bwc, bhc), wq, ncq))
+        args += [xsw, ysw, validw, htrw, hblw, idxw]
+        cls_ids.append(ids)
+    shapes = (tuple(enc.recon[0].shape), tuple(enc.recon[1].shape))
+    max_wh = (tuple(enc.max_wh[0]), tuple(enc.max_wh[1]))
+    from svt_av1_tpu.pipeline import md as md_mod
+    key = (tuple(class_spec), nwq, tuple(map(tuple, cands)),
+           int(enc.qp.qindex), md_mod.lam_to_q(enc.lam), cfg.bit_depth,
+           cfg.nfl,
+           bool(cfg.enable_tx_type_search and cfg.base_q_idx > 0),
+           shapes, max_wh)
+    full_args = (np.ascontiguousarray(enc.src[0]),
+                 np.ascontiguousarray(enc.src[1]),
+                 np.ascontiguousarray(enc.src[2]),
+                 np.int32(n_waves)) + tuple(args)
+    return key, full_args, cls_ids
+
+
+def analyze_tile_fused_mixed(enc, cands) -> bool:
+    meta = mixed_tile_metadata(enc, cands)
+    if meta is None:
+        return False
+    key, args, cls_ids = meta
+    prog = _build_mixed_program(*key)
+    res = prog(*args)
+    ry, ru, rv = res[0], res[1], res[2]
+    cfg = enc.cfg
+    pix = np.uint16 if cfg.bit_depth > 8 else np.uint8
+    enc.recon[0][...] = np.asarray(ry).astype(pix)
+    enc.recon[1][...] = np.asarray(ru).astype(pix)
+    enc.recon[2][...] = np.asarray(rv).astype(pix)
+    for ci, ids in enumerate(cls_ids):
+        out = res[3 + ci]
+        ids = np.asarray(ids)
+        enc.y_mode[ids] = np.asarray(out["y_mode"])[:len(ids)]
+        enc.y_delta[ids] = np.asarray(out["y_delta"])[:len(ids)]
+        enc.uv_mode[ids] = np.asarray(out["uv_mode"])[:len(ids)]
+        enc.uv_delta[ids] = np.asarray(out["uv_delta"])[:len(ids)]
+        enc.alpha_u[ids] = np.asarray(out["alpha_u"])[:len(ids)]
+        enc.alpha_v[ids] = np.asarray(out["alpha_v"])[:len(ids)]
+        enc.y_tx_type[ids] = np.asarray(out["y_tt"])[:len(ids)]
+        enc.eobs[0, ids] = np.asarray(out["eob_y"])[:len(ids)]
+        enc.eobs[1, ids] = np.asarray(out["eob_u"])[:len(ids)]
+        enc.eobs[2, ids] = np.asarray(out["eob_v"])[:len(ids)]
+        qc_y = np.asarray(out["qc_y"])
+        qc_u = np.asarray(out["qc_u"])
+        qc_v = np.asarray(out["qc_v"])
+        for li, i in enumerate(ids):
+            enc.qcoeff[0][i] = qc_y[li]
+            enc.qcoeff[1][i] = qc_u[li]
+            enc.qcoeff[2][i] = qc_v[li]
+    return True

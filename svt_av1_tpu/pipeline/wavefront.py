@@ -314,6 +314,8 @@ class WavefrontIntraEncoder:
             from svt_av1_tpu.ops import device_tile
             if device_tile.analyze_tile_fused(self, cands):
                 return None  # whole tile ran as one fused device program
+            if device_tile.analyze_tile_fused_mixed(self, cands):
+                return None  # mixed-size leaf map, still one program
 
         larr = np.array([(r, c, wh[0], wh[1]) for r, c, wh in leaves],
                         dtype=np.int64)

@@ -120,6 +120,46 @@ def test_fused_tile_program_byte_identical():
     assert tu_h == tu_d
 
 
+def test_mixed_fused_tile_program_byte_identical():
+    """Partition RD -> mixed square + rect leaves -> the mixed-shape
+    fused program runs (asserted via spy) and matches the host stream
+    and recon byte-exactly."""
+    from svt_av1_tpu.ops import device_tile
+    from svt_av1_tpu.pipeline.wavefront import encode_keyframe_wavefront
+    rng = np.random.default_rng(7)
+    h, w = 128, 192
+    y = np.zeros((h, w), dtype=np.uint8)
+    y[:] = (np.arange(w)[None, :] // 3 % 256).astype(np.uint8)
+    y[40:80, 40:100] = rng.integers(0, 256, (40, 60))
+    y[90:, 120:] = 128
+    u = rng.integers(100, 160, (h // 2, w // 2)).astype(np.uint8)
+    v = rng.integers(100, 160, (h // 2, w // 2)).astype(np.uint8)
+    cfg_h = EncoderConfig(width=w, height=h, qp=20,
+                          fixed_partition_size=None)
+    cfg_d = dataclasses.replace(cfg_h, backend="device")
+    shapes = []
+    orig = device_tile.analyze_tile_fused_mixed
+
+    def spy(enc, cands):
+        r = orig(enc, cands)
+        if r:
+            shapes.append({tuple(wh) for _, _, wh in enc._leaves()})
+        return r
+
+    device_tile.analyze_tile_fused_mixed = spy
+    try:
+        tu_h, rec_h, _ = encode_keyframe_wavefront(y, u, v, cfg_h)
+        tu_d, rec_d, _ = encode_keyframe_wavefront(y, u, v, cfg_d)
+    finally:
+        device_tile.analyze_tile_fused_mixed = orig
+    assert shapes, "mixed fused tile path did not run"
+    assert any(bw != bh for s in shapes for bw, bh in s), \
+        "content produced no rect leaves; test needs restructuring"
+    assert tu_h == tu_d
+    for a, b in zip(rec_h, rec_d):
+        assert np.array_equal(a, b)
+
+
 def test_backend_inter_streams_byte_identical():
     from svt_av1_tpu.pipeline.encoder import Encoder
     rng = np.random.default_rng(4)
