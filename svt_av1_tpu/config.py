@@ -73,6 +73,10 @@ class EncoderConfig:
                                   # (estimated from source noise by the
                                   # GOP encoder's analysis stage)
     film_grain_seed: int = 45231  # 16-bit LFSR seed for grain synthesis
+    # Full noise-model parameters (ops.grain.FilmGrainParams or its
+    # asdict form) — set by auto estimation (film_grain_strength -1) or
+    # directly by API users; overrides the flat-strength synthesis.
+    film_grain_params: Optional[object] = None
 
     # --- mode decision budget (static shapes for XLA) --------------------------
     # Intra modes scored in the batched mode decision (all 13 AV1 modes by

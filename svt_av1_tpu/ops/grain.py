@@ -336,6 +336,22 @@ def read_params(r, is_inter: bool):
     return p
 
 
+def resolved_params(cfg) -> FilmGrainParams:
+    """The frame's synthesis parameters from config: full noise-model
+    params when present (auto estimation / API), else the flat-strength
+    mapping. Tolerates the asdict form (checkpoint round trips)."""
+    p = getattr(cfg, "film_grain_params", None)
+    if p is not None:
+        if isinstance(p, dict):
+            p = FilmGrainParams(**{
+                k: tuple(map(tuple, v)) if isinstance(v, list)
+                and v and isinstance(v[0], (list, tuple))
+                else (tuple(v) if isinstance(v, list) else v)
+                for k, v in p.items()})
+        return p
+    return default_params(cfg.film_grain_strength, cfg.film_grain_seed)
+
+
 def default_params(strength: int, seed: int = 45231) -> FilmGrainParams:
     """Synthetic flat-luma grain at a given strength (1..64 units of the
     piecewise scaling LUT; the CLI maps ``--film-grain`` levels here the

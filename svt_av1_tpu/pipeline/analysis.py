@@ -113,20 +113,143 @@ def _grain_unit_sigma(bd: int = 8) -> float:
     return float((g / (1 << (12 - bd))).std() / 256.0)
 
 
+def _plane_residuals(y: np.ndarray, bs: int = 16):
+    """Per-block planar-fit residuals: [nby, nbx, bs, bs] noise field,
+    [nby, nbx] block DC (noise_model.c's flat-block extraction fits and
+    removes a bilinear plane before measuring noise)."""
+    nby, nbx = y.shape[0] // bs, y.shape[1] // bs
+    z = y[:nby * bs, :nbx * bs].astype(np.float64) \
+        .reshape(nby, bs, nbx, bs).transpose(0, 2, 1, 3)
+    j = np.arange(bs) - (bs - 1) / 2.0          # orthogonal ramp basis
+    varj = float((j ** 2).mean())
+    a = z.mean(axis=(2, 3), keepdims=True)
+    b = (z * j[None, None, None, :]).mean(axis=(2, 3), keepdims=True) \
+        / varj
+    c = (z * j[None, None, :, None]).mean(axis=(2, 3), keepdims=True) \
+        / varj
+    resid = z - a - b * j[None, None, None, :] - c * j[None, None, :, None]
+    return resid, a[..., 0, 0]
+
+
+def _flat_mask_from(y: np.ndarray, dc: np.ndarray, bs: int,
+                    bd: int) -> np.ndarray:
+    """Flat-block gate on the _plane_residuals grid (gradient energy +
+    mid-tone DC range, the noise_model.c flat-block finder rules)."""
+    up = 1 << (bd - 8)
+    gy = np.abs(np.diff(y.astype(np.float64), axis=0))
+    gx = np.abs(np.diff(y.astype(np.float64), axis=1))
+    grad = np.zeros(y.shape)
+    grad[:-1] += gy
+    grad[:, :-1] += gx
+    gmean = _block_reduce(grad, bs).mean(axis=2)
+    nby, nbx = dc.shape
+    gmean = gmean[:nby, :nbx]
+    gthr = np.quantile(gmean, 0.5) if gmean.size else 0.0
+    return (gmean <= max(gthr, 6.0 * up)) \
+        & (dc > 24 * up) & (dc < 232 * up)
+
+
+def _ar_fit(resid: np.ndarray, mask: np.ndarray, lag: int):
+    """Least-squares AR(lag) coefficients over flat-block interiors
+    (noise_model.c:add_block_observations + solve, re-expressed as one
+    whole-frame normal-equation solve). Returns float coeffs in
+    _ar_positions order, or None when under-determined."""
+    from svt_av1_tpu.ops.grain import _ar_positions
+    pos = _ar_positions(lag)
+    blocks = resid[mask]                     # [NB, bs, bs]
+    if blocks.shape[0] < 4:
+        return None
+    bs = blocks.shape[1]
+    t = blocks[:, lag:, lag:bs - lag].reshape(-1)
+    X = np.stack([blocks[:, lag + dy: bs + dy,
+                         lag + dx: bs - lag + dx].reshape(-1)
+                  for dy, dx in pos], axis=1)
+    if t.size < 8 * len(pos):
+        return None
+    xtx = X.T @ X
+    if np.linalg.cond(xtx) > 1e8:
+        return None
+    return np.linalg.solve(xtx, X.T @ t)
+
+
+def _quantize_ar(sol: np.ndarray):
+    """Integer AR coefficients + shift (spec: 8-bit two's complement at
+    ar_coeff_shift in 6..9; pick the finest shift that fits)."""
+    shift = 9
+    while shift > 6 and np.max(np.abs(np.round(sol * (1 << shift)))) > 127:
+        shift -= 1
+    ints = np.clip(np.round(sol * (1 << shift)), -128, 127).astype(int)
+    return tuple(int(v) for v in ints), shift
+
+
+def _template_sigma(params: FilmGrainParams, bd: int) -> float:
+    """Std of the synthesized (AR-filtered) luma grain template core."""
+    from svt_av1_tpu.ops.grain import _generate_grain
+    luma, _, _ = _generate_grain(params, bd)
+    return float(luma[9:, 9:73].astype(np.float64).std())
+
+
 def estimate_grain_params(y: np.ndarray, bd: int = 8,
-                          seed: int = 45231) -> FilmGrainParams:
-    """Map measured source noise to synthesis parameters: pick the flat
-    luma scaling value whose synthesized grain matches the measured
-    sigma (the role of denoise_estimate_film_grain + noise_model.c's
-    scaling-LUT solve). Returns apply_grain=False params when the
-    source is clean."""
-    sigma = estimate_noise_sigma(y)
-    if sigma < 0.8:
+                          seed: int = 45231,
+                          ar_lag: int = 2) -> FilmGrainParams:
+    """Full noise-model solve (the role of denoise_estimate_film_grain
+    + noise_model.c:118-1823): flat-block planar residuals give the
+    noise field; an AR(2) least-squares fit gives the spectral shape;
+    per-intensity-bin sigmas give a piecewise scaling LUT whose values
+    are calibrated against the synthesized template's actual std.
+    Returns apply_grain=False params when the source is clean."""
+    bs = 16
+    up = 1 << (bd - 8)
+    if y.shape[0] < bs + 2 or y.shape[1] < bs + 2:
         return FilmGrainParams(apply_grain=False)
-    unit = _grain_unit_sigma(bd)
-    scale = int(np.clip(round(sigma / unit), 1, 255))
-    return FilmGrainParams(grain_seed=seed & 0xFFFF,
-                           scaling_points_y=((0, scale), (255, scale)))
+    # primary noise gate: the Laplacian MAD estimator is robust to smooth
+    # image structure a per-block planar fit cannot remove (curvature
+    # reads as residual but not as high-pass energy)
+    hp_sigma = estimate_noise_sigma(y)
+    if hp_sigma < 0.8 * up:
+        return FilmGrainParams(apply_grain=False)
+    resid, dc = _plane_residuals(y, bs)
+    sig_blk = resid.std(axis=(2, 3))
+    # curvature-contaminated blocks: planar residual far above the
+    # high-pass estimate means structure, not noise
+    mask = _flat_mask_from(y, dc, bs, bd) & (sig_blk <= 3.0 * hp_sigma)
+    if not mask.any():
+        # fall back to a flat LUT calibrated from the high-pass sigma
+        unit = _grain_unit_sigma(bd)
+        s = int(np.clip(round(hp_sigma / unit), 1, 255))
+        return FilmGrainParams(grain_seed=seed & 0xFFFF,
+                               scaling_points_y=((0, s), (255, s)))
+    # spectral shape
+    coeffs, shift, lag = (), 6, 0
+    sol = _ar_fit(resid, mask, ar_lag) if ar_lag > 0 else None
+    if sol is not None and np.max(np.abs(sol)) > 0.02:
+        coeffs, shift = _quantize_ar(sol)
+        lag = ar_lag
+    params = FilmGrainParams(grain_seed=seed & 0xFFFF,
+                             ar_coeff_lag=lag, ar_coeffs_y=coeffs,
+                             ar_coeff_shift=shift)
+    unit = _template_sigma(params, bd) / 256.0
+    # intensity-dependent strength: bin flat blocks by DC, one scaling
+    # point per populated bin (spec max 14 luma points)
+    pts = []
+    for lo in range(0, 256, 32):
+        sel = mask & (dc >= lo * up) & (dc < (lo + 32) * up)
+        if sel.sum() < 3:
+            continue
+        s = int(np.clip(round(float(np.median(sig_blk[sel]))
+                              / max(unit, 1e-9)), 0, 255))
+        pts.append((min(lo + 16, 255), s))
+    if not pts:
+        s = int(np.clip(round(float(np.median(sig_blk[mask]))
+                              / max(unit, 1e-9)), 1, 255))
+        pts = [(0, s), (255, s)]
+    elif len(pts) == 1:
+        pts = [(0, pts[0][1]), (255, pts[0][1])]
+    if all(p[1] == 0 for p in pts):
+        return FilmGrainParams(apply_grain=False)
+    params.num_y_points = len(pts)
+    params.scaling_points_y = tuple(pts)
+    return params
 
 
 def variance_qmap(y_padded: np.ndarray, sb_rows: int, sb_cols: int,

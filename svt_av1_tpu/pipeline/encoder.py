@@ -46,14 +46,15 @@ class Encoder:
                                       enable_cdef=cfg.enable_cdef,
                                       enable_restoration=cfg.enable_restoration,
                                       film_grain_params_present=(
-                                          cfg.film_grain_strength > 0),
+                                          cfg.film_grain_strength > 0
+                                          or cfg.film_grain_params
+                                          is not None),
                                       **obu.order_hint_fields(
                                           cfg.enable_tmvp))
         self._grain = None
-        if cfg.film_grain_strength > 0:
+        if self.seq.film_grain_params_present:
             from svt_av1_tpu.ops import grain as grain_ops
-            self._grain = grain_ops.default_params(cfg.film_grain_strength,
-                                                   cfg.film_grain_seed)
+            self._grain = grain_ops.resolved_params(cfg)
         self._slots = [None] * 8   # padded recon per slot
         # per-slot saved entropy state (FrameContext, NmvContext) and gm
         # params — the decoder-side SavedCdfs/SavedGmParams stores that
@@ -371,22 +372,20 @@ class Encoder:
 
     # --- public ---------------------------------------------------------------
     def _resolve_auto_grain(self, y) -> None:
-        """film_grain_strength == -1: estimate synthesis strength from
-        the first frame's measured noise (PictureAnalysis
-        denoise_estimate_film_grain analogue)."""
+        """film_grain_strength == -1: full noise-model estimation from
+        the first frame (PictureAnalysis denoise_estimate_film_grain +
+        noise_model.c analogue): AR(2) spectral fit + per-intensity
+        scaling points, carried in cfg so every frame header resends
+        the same parameters."""
         from svt_av1_tpu.pipeline import analysis
-        params = analysis.estimate_grain_params(y, self.cfg.bit_depth)
-        strength = 0
-        if params.apply_grain:
-            strength = min(int(params.scaling_points_y[0][1]), 64)
-        self.cfg = dataclasses.replace(self.cfg,
-                                       film_grain_strength=strength)
-        self.seq.film_grain_params_present = strength > 0
-        self._grain = None
-        if strength > 0:
-            from svt_av1_tpu.ops import grain as grain_ops
-            self._grain = grain_ops.default_params(
-                strength, self.cfg.film_grain_seed)
+        params = analysis.estimate_grain_params(
+            y, self.cfg.bit_depth, seed=self.cfg.film_grain_seed)
+        use = params.apply_grain
+        self.cfg = dataclasses.replace(
+            self.cfg, film_grain_strength=0,
+            film_grain_params=params if use else None)
+        self.seq.film_grain_params_present = use
+        self._grain = params if use else None
 
     def send_picture(self, y: np.ndarray, u: np.ndarray,
                      v: np.ndarray) -> None:

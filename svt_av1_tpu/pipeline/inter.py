@@ -253,8 +253,7 @@ class InterFrameEncoder:
         fg = None
         if self.seq.film_grain_params_present:
             from svt_av1_tpu.ops import grain as grain_ops
-            fg = grain_ops.default_params(cfg.film_grain_strength,
-                                          cfg.film_grain_seed)
+            fg = grain_ops.resolved_params(cfg)
         gm_tuple = tuple(self.gm_mv.get(ref, (0, 0))
                          for ref in range(1, 8))
         no_end_update = cfg.disable_cdf_update or cfg.error_resilient

@@ -48,7 +48,9 @@ class WavefrontIntraEncoder:
                                       enable_cdef=cfg.enable_cdef,
                                       enable_restoration=cfg.enable_restoration,
                                       film_grain_params_present=(
-                                          cfg.film_grain_strength > 0),
+                                          cfg.film_grain_strength > 0
+                                          or cfg.film_grain_params
+                                          is not None),
                                       **obu.order_hint_fields(
                                           cfg.enable_tmvp))
         self.order_hint = 0           # set by the driver (display index)
@@ -447,10 +449,9 @@ class WavefrontIntraEncoder:
                 # adapted unless frame-end update is disabled below)
                 tile0_fc = self.fc
         fg = None
-        if cfg.film_grain_strength > 0:
+        if self.seq.film_grain_params_present:
             from svt_av1_tpu.ops import grain as grain_ops
-            fg = grain_ops.default_params(cfg.film_grain_strength,
-                                          cfg.film_grain_seed)
+            fg = grain_ops.resolved_params(cfg)
         no_end_update = cfg.disable_cdf_update or cfg.error_resilient
         fh = obu.FrameHeader(order_hint=self.order_hint,
                              base_q_idx=cfg.base_q_idx,

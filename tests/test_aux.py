@@ -115,7 +115,7 @@ def test_auto_grain_estimates_from_noise():
         enc.send_picture(*frames[0])
         enc.flush()
         pkts = _drain(enc)
-        assert (enc.cfg.film_grain_strength > 0) == expect_grain
+        assert (enc.cfg.film_grain_params is not None) == expect_grain
         dec = StreamDecoder()
         for tu, disp in pkts:
             out = dec.decode_tu(tu)

@@ -185,7 +185,7 @@ def test_auto_film_grain_end_to_end():
     enc.send_picture(noisy, u, v)
     enc.flush()
     tu, disp = enc.get_packet()
-    assert enc.cfg.film_grain_strength > 0, "noise not detected"
+    assert enc.cfg.film_grain_params is not None, "noise not detected"
     dec = StreamDecoder()
     out = dec.decode_tu(tu)
     for p in range(3):
@@ -194,4 +194,38 @@ def test_auto_film_grain_end_to_end():
     enc2 = Encoder(cfg)
     enc2.send_picture(base.astype(np.uint8), u, v)
     enc2.flush()
-    assert enc2.cfg.film_grain_strength == 0
+    assert enc2.cfg.film_grain_params is None
+
+
+def test_grain_ar_model_estimation():
+    """The noise-model solve recovers AR(2) spectral shape and noise
+    strength from a grained source (noise_model.c:118-1823 role)."""
+    from svt_av1_tpu.ops.grain import FilmGrainParams, apply_grain
+    from svt_av1_tpu.pipeline import analysis
+    h, w = 480, 640
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    clean = np.clip(120 + 30 * np.sin(xx / 200.0)
+                    + 20 * np.cos(yy / 150.0), 0, 255).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 128, np.uint8)
+    true_p = FilmGrainParams(
+        grain_seed=1234, ar_coeff_lag=2,
+        ar_coeffs_y=(2, -3, 5, -2, 4, 6, -8, 12, 30, -12, 8, 40),
+        ar_coeff_shift=7, scaling_points_y=((0, 40), (255, 40)),
+        num_y_points=2)
+    gy, _, _ = apply_grain([clean, u, u], true_p, 8)
+    est = analysis.estimate_grain_params(gy, 8)
+    assert est.apply_grain and est.ar_coeff_lag == 2
+    tf = np.array(true_p.ar_coeffs_y, float) / (1 << true_p.ar_coeff_shift)
+    ef = np.array(est.ar_coeffs_y, float) / (1 << est.ar_coeff_shift)
+    assert np.corrcoef(tf, ef)[0, 1] > 0.9
+    # resynthesized noise strength within 20% of the truth
+    ry, _, _ = apply_grain([clean, u, u], est, 8)
+    t_std = (gy.astype(float) - clean).std()
+    r_std = (ry.astype(float) - clean).std()
+    assert abs(r_std - t_std) / t_std < 0.2, (t_std, r_std)
+    # white noise -> no spurious AR structure
+    wn = np.clip(clean.astype(float)
+                 + np.random.default_rng(0).normal(0, 5, (h, w)),
+                 0, 255).astype(np.uint8)
+    est_w = analysis.estimate_grain_params(wn, 8)
+    assert est_w.apply_grain and est_w.ar_coeff_lag == 0
