@@ -54,6 +54,12 @@ class EncoderConfig:
     target_bit_rate: int = 0      # bits/s (VBR mode)
     look_ahead_distance: int = 0  # frames of lookahead for VBR weighting
     qindex_override: Optional[int] = None  # exact qindex (set by RC)
+    # CQP qp-scaling: key frames encode at 0.25x the nominal quantizer
+    # step, temporal layers at 0.40/0.7/0.85/1.0x (the reference's
+    # enable_qp_scaling_flag, default on — EbEncHandle.c:2033,
+    # EbRateControlProcess.c:1123-1155). Ignored under rate control or
+    # qp-file override.
+    enable_qp_scaling: bool = True
 
     # --- tools ----------------------------------------------------------------
     enable_cdef: bool = False     # post-MVP round work

@@ -33,6 +33,21 @@ def ac_quant(qindex: int, delta: int, bit_depth: int = 8) -> int:
     return int(ac[np.clip(qindex + delta, 0, 255)])
 
 
+def qindex_for_qstep_scale(base_qindex: int, scale: float,
+                           bit_depth: int = 8) -> int:
+    """Smallest qindex whose AC quantizer step is <= ``scale`` x the step
+    at ``base_qindex`` (the reference's av1_compute_qdelta /
+    av1_convert_qindex_to_q pair, EbRateControlProcess.c:1129: qp scaling
+    targets a quantizer-step ratio, not a qindex offset)."""
+    _, ac = qlookup(bit_depth)
+    target = scale * float(ac[np.clip(base_qindex, 0, 255)])
+    # first qindex whose step reaches the target (av1_compute_qdelta
+    # scans upward and stops at q(i) >= qtarget)
+    idx = int(np.searchsorted(np.asarray(ac, dtype=np.float64), target,
+                              side="left"))
+    return int(np.clip(idx, 1, 255))
+
+
 def tx_scale(tx_size: int) -> int:
     """av1_get_tx_scale: 0 / 1 / 2 for <=256 / <=1024 / more pels."""
     pels = int(TX_WIDTH[tx_size]) * int(TX_HEIGHT[tx_size])

@@ -107,6 +107,12 @@ class Encoder:
                                    start_qindex=cfg.base_q_idx,
                                    hierarchical_levels=cfg.hierarchical_levels)
 
+    # CQP qp-scaling quantizer-step ratios per temporal layer (the
+    # reference's delta_rate_new, EbRateControlProcess.c:1143; key
+    # frames target 0.25x the nominal step, EbRateControlProcess.c:1129)
+    QPS_KEY_RATIO = 0.25
+    QPS_LAYER_RATIO = (0.40, 0.7, 0.85, 1.0, 1.0, 1.0)
+
     # --- internals -----------------------------------------------------------
     def _cfg_for(self, is_key: bool, layer: int = 0) -> EncoderConfig:
         cfg = self.cfg
@@ -114,6 +120,15 @@ class Encoder:
             cfg = dataclasses.replace(
                 cfg, qindex_override=self._rc.frame_qindex(
                     is_key, self._la_weight, layer))
+        elif cfg.enable_qp_scaling and cfg.qindex_override is None:
+            from svt_av1_tpu.ops.quant import qindex_for_qstep_scale
+            ratio = self.QPS_KEY_RATIO if is_key else \
+                self.QPS_LAYER_RATIO[min(layer,
+                                         len(self.QPS_LAYER_RATIO) - 1)]
+            if ratio < 1.0:
+                cfg = dataclasses.replace(
+                    cfg, qindex_override=qindex_for_qstep_scale(
+                        cfg.base_q_idx, ratio, cfg.bit_depth))
         return cfg
 
     def _qp_file_qp(self, disp_idx):
@@ -199,7 +214,7 @@ class Encoder:
         identical (same object) to an already-chosen ref are dropped —
         searching a duplicate reference buys nothing."""
         cfg = self._cfg_for(False, layer)
-        if layer and self._rc is None:
+        if layer and self._rc is None and not self.cfg.enable_qp_scaling:
             cfg = dataclasses.replace(
                 cfg, qindex_override=int(np.clip(
                     cfg.base_q_idx + 12 * layer, 1, 255)))

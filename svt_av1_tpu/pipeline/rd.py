@@ -27,9 +27,12 @@ from svt_av1_tpu.utils.blocks import DCT_DCT, get_scan
 
 def rd_lambda(qindex: int, bit_depth: int = 8) -> float:
     """RD multiplier from qindex (shape follows av1_compute_rd_mult:
-    lambda ~ q_step^2; constant calibrated on synthetic sweeps)."""
+    lambda ~ q_step^2; constant calibrated on synthetic sweeps).
+    SVT_TPU_LAMBDA_SCALE (env) rescales for calibration experiments."""
+    import os
     q = quant_ops.dc_quant(qindex, 0, bit_depth) / 8.0
-    return 0.1 * q * q
+    scale = float(os.environ.get("SVT_TPU_LAMBDA_SCALE", "1"))
+    return 0.1 * scale * q * q
 
 
 def _block_grid(w_eff: int, h_eff: int, size: int):

@@ -303,8 +303,12 @@ def test_qp_file_changes_frame_sizes(tmp_path):
                np.full((48, 64), 128, np.uint8)) for _ in range(3)]
 
     def sizes(qp_file):
+        # qp scaling off: a qp-file frame bypasses scaling (reference
+        # qp_on_the_fly semantics), so the nominal-vs-override size
+        # ordering this test asserts only holds at unscaled qindexes
         enc = Encoder(EncoderConfig(width=128, height=96, qp=40,
-                                    intra_period=0, qp_file=qp_file))
+                                    intra_period=0, qp_file=qp_file,
+                                    enable_qp_scaling=False))
         out = []
         for (y, u, v) in frames:
             enc.send_picture(y, u, v)
@@ -320,3 +324,45 @@ def test_qp_file_changes_frame_sizes(tmp_path):
     assert tweaked[0] > base[0]      # much finer qp on frame 0
     assert tweaked[1] == base[1]     # -1 keeps frame 1
     assert tweaked[2] < base[2]      # coarser frame 2
+
+
+def test_cqp_qp_scaling_allocation():
+    """CQP qp-scaling (reference enable_qp_scaling_flag): key frames
+    target 0.25x the nominal quantizer step, temporal layers
+    0.40/0.7/0.85/1.0x (EbRateControlProcess.c:1123-1155), so scaled
+    streams spend more bits on anchors than unscaled ones."""
+    import numpy as np
+
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.ops.quant import ac_quant, qindex_for_qstep_scale
+    from svt_av1_tpu.pipeline.encoder import Encoder
+
+    # step-ratio targets are honored within table granularity
+    for base in (80, 120, 160, 200):
+        for r in (0.25, 0.40, 0.7, 0.85):
+            qi = qindex_for_qstep_scale(base, r)
+            step = ac_quant(qi, 0)
+            assert step >= r * ac_quant(base, 0)
+            assert ac_quant(max(qi - 1, 0), 0) < r * ac_quant(base, 0) \
+                or qi == 1
+
+    rng = np.random.default_rng(7)
+    frames = [(rng.integers(0, 255, (96, 128), dtype=np.uint8),
+               np.full((48, 64), 128, np.uint8),
+               np.full((48, 64), 128, np.uint8)) for _ in range(5)]
+
+    def total(scaling):
+        enc = Encoder(EncoderConfig(width=128, height=96, qp=45,
+                                    intra_period=-1, hierarchical_levels=2,
+                                    enable_qp_scaling=scaling))
+        n = 0
+        for (y, u, v) in frames:
+            enc.send_picture(y, u, v)
+            while (p := enc.get_packet()) is not None:
+                n += len(p[0])
+        enc.flush()
+        while (p := enc.get_packet()) is not None:
+            n += len(p[0])
+        return n
+
+    assert total(True) > total(False)  # finer anchors spend more bits
