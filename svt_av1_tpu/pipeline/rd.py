@@ -255,6 +255,8 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
     per-leaf syntax overhead; bottom-up split decision."""
     from svt_av1_tpu.ops import me
     lam = rd_lambda(cfg.base_q_idx, cfg.bit_depth)
+    # quantizer step in pixel units (same scale as the SSE operands)
+    qstep = quant_ops.ac_quant(cfg.base_q_idx, 0, cfg.bit_depth) / 8.0
     src = common.pad_to_multiple(y_plane, 64).astype(
         common.pixel_dtype(cfg.bit_depth))
     w_eff, h_eff = mi_cols * 4, mi_rows * 4
@@ -272,6 +274,26 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
     if src_pyr is None:
         src_pyr = me.src_pyramid(src)
 
+    def rd_model(sse, wh, mvs):
+        """Quantization-aware open-loop RD estimate from full-pel SSE.
+
+        Raw SSE always prefers smaller blocks (per-block MVs fit the
+        residual better), but at coarse quantizers those gains vanish
+        after T/Q while the per-leaf syntax stays — the reference sees
+        this because its MD runs the actual full loop per depth
+        (EbProductCodingLoop.c). Model: distortion saturates at the
+        coding floor ~N*qstep^2/12 and rate follows the Gaussian R(D)
+        shape N*log2(1+SSE/(N*qstep^2)), so when residuals die after
+        quantization the leaf-overhead term decides and the DP merges."""
+        bw, bh = common.leaf_wh(wh)
+        n = float(bw * bh)
+        sse = np.asarray(sse, dtype=np.float64)
+        nq = n * qstep * qstep
+        mv_bits = 4.0 + 0.5 * (np.abs(mvs).sum(axis=1) > 0)
+        dist = np.minimum(sse, sse * 0.05 + 0.125 * nq)
+        rate = 12.0 + mv_bits + 0.6 * n * np.log2(1.0 + sse / nq)
+        return dist + lam * rate
+
     def depth_cost(xs, ys, wh, seeds=None):
         """Per-block ME cost. ``seeds``: [B, 2] full-pel centers from a
         coarser depth — a +-3 refinement around the parent MV replaces a
@@ -283,9 +305,7 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
         if use_dev:
             mvs, sse_i = di.dp_depth_dev(ref_pyr, src_pyr, xs, ys, wh,
                                          seeds)
-            sse = sse_i.astype(np.float64)
-            mv_bits = 4.0 + 0.5 * (np.abs(mvs).sum(axis=1) > 0)
-            return sse + lam * (12.0 + mv_bits), mvs
+            return rd_model(sse_i, wh, mvs), mvs
         if seeds is None:
             mvs, _ = me.fullpel_search(ref_core, src, xs, ys, wh,
                                        ref_pyr=ref_pyr, src_pyr=src_pyr)
@@ -307,11 +327,8 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
         iy = ys[:, None, None] + np.arange(bh)[None, :, None]
         ix = xs[:, None, None] + np.arange(bw)[None, None, :]
         d = srcf[iy, ix] - ref_core[ry, rx].astype(np.int64)
-        sse = (d * d).sum(axis=(1, 2)).astype(np.float64)
-        # per-leaf floor: mode/mv/skip/chroma syntax (same calibration as
-        # the intra DP) + a nonzero-mv surcharge
-        mv_bits = 4.0 + 0.5 * (np.abs(mvs).sum(axis=1) > 0)
-        return sse + lam * (12.0 + mv_bits), mvs
+        sse = (d * d).sum(axis=(1, 2))
+        return rd_model(sse, wh, mvs), mvs
 
     cost = {}
     rect_cost = {}

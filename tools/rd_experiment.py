@@ -83,6 +83,7 @@ def run_ours(frames, w, h, qp, lam_scale, aq, intra_period=0, hier=0):
     cfg = EncoderConfig(width=w, height=h, qp=qp,
                         intra_period=intra_period,
                         hierarchical_levels=hier,
+                        fixed_partition_size=None,  # partition RD, as the CLI presets
                         adaptive_quantization=1 if aq else 0,
                         scene_change_detection=False)
     enc = Encoder(cfg)
