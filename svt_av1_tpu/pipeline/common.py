@@ -120,45 +120,92 @@ def fixed_leaf_sizes(mi_rows: int, mi_cols: int, sb_rows: int, sb_cols: int,
     return sizes
 
 
+def infer_partition(leaf_sizes: dict, mi_row: int, mi_col: int, psize: int,
+                    mi_rows: int, mi_cols: int):
+    """Partition type + ordered leaves at one tree node, from the leaf
+    map (single source of truth for emit/ordering; the decode side reads
+    the coded symbol instead). Returns (partition, [(r, c, (w, h))]) or
+    (PARTITION_SPLIT, None). Rect leaves sit under both half keys; the
+    T-shapes (HORZ_A/B, VERT_A/B, spec 5.11.4) are recognized by their
+    mixed square+rect corner patterns, which no SPLIT recursion can
+    produce (a child-quadrant leaf can never span the parent's width)."""
+    from svt_av1_tpu.utils.blocks import (PARTITION_HORZ, PARTITION_HORZ_4,
+                                          PARTITION_HORZ_A,
+                                          PARTITION_HORZ_B, PARTITION_NONE,
+                                          PARTITION_SPLIT, PARTITION_VERT,
+                                          PARTITION_VERT_4,
+                                          PARTITION_VERT_A,
+                                          PARTITION_VERT_B)
+    hbs = psize >> 3
+    half = psize >> 1
+    quarter = psize >> 2
+    inb = lambda r, c: r < mi_rows and c < mi_cols
+    clip = lambda lst: [(r, c, wh) for r, c, wh in lst if inb(r, c)]
+    vA = leaf_sizes.get((mi_row, mi_col))
+    if vA == psize:
+        return PARTITION_NONE, [(mi_row, mi_col, (psize, psize))]
+    vB = leaf_sizes.get((mi_row, mi_col + hbs))
+    vC = leaf_sizes.get((mi_row + hbs, mi_col))
+    rh, rv = (psize, half), (half, psize)
+    if vA == rh:
+        if vC == half and mi_row + hbs < mi_rows:   # HORZ_B: rect + 2 sq
+            return PARTITION_HORZ_B, clip(
+                [(mi_row, mi_col, rh), (mi_row + hbs, mi_col, (half, half)),
+                 (mi_row + hbs, mi_col + hbs, (half, half))])
+        return PARTITION_HORZ, clip(
+            [(mi_row, mi_col, rh), (mi_row + hbs, mi_col, rh)])
+    if vA == rv:
+        if vB == half and mi_col + hbs < mi_cols:   # VERT_B: rect + 2 sq
+            return PARTITION_VERT_B, clip(
+                [(mi_row, mi_col, rv), (mi_row, mi_col + hbs, (half, half)),
+                 (mi_row + hbs, mi_col + hbs, (half, half))])
+        return PARTITION_VERT, clip(
+            [(mi_row, mi_col, rv), (mi_row, mi_col + hbs, rv)])
+    if vA == half:
+        if vC == rh:                                # HORZ_A: 2 sq + rect
+            return PARTITION_HORZ_A, clip(
+                [(mi_row, mi_col, (half, half)),
+                 (mi_row, mi_col + hbs, (half, half)),
+                 (mi_row + hbs, mi_col, rh)])
+        if vB == rv:                                # VERT_A: 2 sq + rect
+            return PARTITION_VERT_A, clip(
+                [(mi_row, mi_col, (half, half)),
+                 (mi_row + hbs, mi_col, (half, half)),
+                 (mi_row, mi_col + hbs, rv)])
+    if vA == (psize, quarter):
+        qbs = psize >> 4
+        return PARTITION_HORZ_4, clip(
+            [(mi_row + i * qbs, mi_col, (psize, quarter))
+             for i in range(4)])
+    if vA == (quarter, psize):
+        qbs = psize >> 4
+        return PARTITION_VERT_4, clip(
+            [(mi_row, mi_col + i * qbs, (quarter, psize))
+             for i in range(4)])
+    return PARTITION_SPLIT, None
+
+
 def leaves_in_coding_order(leaf_sizes: dict, mi_rows: int, mi_cols: int,
                            sb_rows: int, sb_cols: int):
     """Ordered (mi_row, mi_col, size_or_(w,h)) list from a leaf map.
     Rect leaves are stored under BOTH half keys with the same (w, h)
     value; the recursion emits them in coding order (top/bottom for
-    HORZ, left/right for VERT)."""
+    HORZ, left/right for VERT; spec block order for the T-shapes)."""
+    from svt_av1_tpu.utils.blocks import PARTITION_NONE, PARTITION_SPLIT
     out = []
 
     def rec(mi_row, mi_col, psize):
         if mi_row >= mi_rows or mi_col >= mi_cols:
             return
-        v = leaf_sizes.get((mi_row, mi_col))
-        hbs = psize >> 3
-        if v == psize:
+        part, leaves = infer_partition(leaf_sizes, mi_row, mi_col, psize,
+                                       mi_rows, mi_cols)
+        if part == PARTITION_NONE:
             out.append((mi_row, mi_col, psize))
             return
-        if v is not None and not isinstance(v, (int, np.integer)):
-            w, h = v
-            if w == psize and h == psize >> 1:      # HORZ: top then bottom
-                out.append((mi_row, mi_col, (w, h)))
-                if mi_row + hbs < mi_rows:
-                    out.append((mi_row + hbs, mi_col, (w, h)))
-                return
-            if w == psize >> 1 and h == psize:      # VERT: left then right
-                out.append((mi_row, mi_col, (w, h)))
-                if mi_col + hbs < mi_cols:
-                    out.append((mi_row, mi_col + hbs, (w, h)))
-                return
-            qbs = psize >> 4
-            if w == psize and h == psize >> 2:      # HORZ_4: top to bottom
-                for i in range(4):
-                    if mi_row + i * qbs < mi_rows:
-                        out.append((mi_row + i * qbs, mi_col, (w, h)))
-                return
-            if w == psize >> 2 and h == psize:      # VERT_4: left to right
-                for i in range(4):
-                    if mi_col + i * qbs < mi_cols:
-                        out.append((mi_row, mi_col + i * qbs, (w, h)))
-                return
+        if part != PARTITION_SPLIT:
+            out.extend(leaves)
+            return
+        hbs = psize >> 3
         half = psize >> 1
         rec(mi_row, mi_col, half)
         rec(mi_row, mi_col + hbs, half)

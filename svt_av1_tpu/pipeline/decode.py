@@ -26,9 +26,11 @@ from svt_av1_tpu.ops import quant as quant_ops
 from svt_av1_tpu.ops import transforms as tx_ops
 from svt_av1_tpu.pipeline import avail, common
 from svt_av1_tpu.utils.blocks import (DC_PRED, PARTITION_HORZ,
-                                      PARTITION_HORZ_4, PARTITION_NONE,
+                                      PARTITION_HORZ_4, PARTITION_HORZ_A,
+                                      PARTITION_HORZ_B, PARTITION_NONE,
                                       PARTITION_SPLIT, PARTITION_VERT,
-                                      PARTITION_VERT_4, TX_HEIGHT, TX_WIDTH,
+                                      PARTITION_VERT_4, PARTITION_VERT_A,
+                                      PARTITION_VERT_B, TX_HEIGHT, TX_WIDTH,
                                       get_scan)
 
 
@@ -246,38 +248,33 @@ class FrameDecoder:
             self._decode_block(mi_row, mi_col, size)
             self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, bsize)
             self.leaf_sizes[(mi_row, mi_col)] = size
-        elif partition in (PARTITION_HORZ, PARTITION_VERT):
+        else:
+            # non-none leaf layouts: ordered (r, c, (w, h)) per partition
+            # type (spec 5.11.4 block order); clipped leaves are skipped
             hbs = size >> 3
             half = size >> 1
-            wh = (size, half) if partition == PARTITION_HORZ \
-                else (half, size)
-            subsize = common.rect_bsize(*wh)
-            halves = [(mi_row, mi_col)]
-            r2 = mi_row + (hbs if partition == PARTITION_HORZ else 0)
-            c2 = mi_col + (0 if partition == PARTITION_HORZ else hbs)
-            if r2 < self.mi_rows and c2 < self.mi_cols:
-                halves.append((r2, c2))
-            for (rr, cc) in halves:
-                skip0 = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
-                                              rr, cc)
-                self._read_cdef(rr, cc, skip0)
-                self._read_delta_q(rr, cc, 0, skip0)
-                if self.is_inter:
-                    self._decode_inter_tail(rr, cc, wh, skip0)
-                else:
-                    self._decode_intra_tail(rr, cc, wh, skip0, kf=True)
-                self.leaf_sizes[(rr, cc)] = wh
-            self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, subsize)
-        elif partition in (PARTITION_HORZ_4, PARTITION_VERT_4):
             quarter = size >> 2
-            qbs = size >> 4                 # quarter step, mi units
-            wh = (size, quarter) if partition == PARTITION_HORZ_4 \
-                else (quarter, size)
-            for i in range(4):
-                rr = mi_row + (i * qbs if partition == PARTITION_HORZ_4
-                               else 0)
-                cc = mi_col + (0 if partition == PARTITION_HORZ_4
-                               else i * qbs)
+            qbs = size >> 4
+            sq = (half, half)
+            rh, rv = (size, half), (half, size)
+            layouts = {
+                PARTITION_HORZ: [(0, 0, rh), (hbs, 0, rh)],
+                PARTITION_VERT: [(0, 0, rv), (0, hbs, rv)],
+                PARTITION_HORZ_A: [(0, 0, sq), (0, hbs, sq), (hbs, 0, rh)],
+                PARTITION_HORZ_B: [(0, 0, rh), (hbs, 0, sq),
+                                   (hbs, hbs, sq)],
+                PARTITION_VERT_A: [(0, 0, sq), (hbs, 0, sq), (0, hbs, rv)],
+                PARTITION_VERT_B: [(0, 0, rv), (0, hbs, sq),
+                                   (hbs, hbs, sq)],
+                PARTITION_HORZ_4: [(i * qbs, 0, (size, quarter))
+                                   for i in range(4)],
+                PARTITION_VERT_4: [(0, i * qbs, (quarter, size))
+                                   for i in range(4)],
+            }
+            if partition not in layouts:
+                raise NotImplementedError(f"partition type {partition}")
+            for dr, dc, wh in layouts[partition]:
+                rr, cc = mi_row + dr, mi_col + dc
                 if rr >= self.mi_rows or cc >= self.mi_cols:
                     continue
                 skip0 = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
@@ -288,11 +285,13 @@ class FrameDecoder:
                     self._decode_inter_tail(rr, cc, wh, skip0)
                 else:
                     self._decode_intra_tail(rr, cc, wh, skip0, kf=True)
-                self.leaf_sizes[(rr, cc)] = wh
-            self.ctxs.update_partition_ctx(mi_row, mi_col, bsize,
-                                           common.rect_bsize(*wh))
-        else:
-            raise NotImplementedError(f"partition type {partition}")
+                self.leaf_sizes[(rr, cc)] = \
+                    wh[0] if wh[0] == wh[1] else wh
+                # per-leaf partition-context update (mirrors the emit
+                # side; equals the one-shot parent update for the
+                # equal-leaf types)
+                self.ctxs.update_partition_ctx(
+                    rr, cc, common.rect_bsize(*wh), common.rect_bsize(*wh))
 
     def _read_cdef(self, mi_row: int, mi_col: int, skip: int) -> None:
         """read_cdef mirror: cdef_idx literal at the first non-skip block

@@ -1004,27 +1004,12 @@ class InterFrameEncoder:
     def _emit_partition(self, mi_row, mi_col, psize) -> None:
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
             return
-        from svt_av1_tpu.utils.blocks import (PARTITION_HORZ,
-                                              PARTITION_HORZ_4,
-                                              PARTITION_VERT,
-                                              PARTITION_VERT_4)
         bsize = common.square_bsize(psize)
         hbs = psize >> 3
         half = psize >> 1
-        quarter = psize >> 2
-        v = self.leaf_sizes.get((mi_row, mi_col))
-        if v == psize:
-            partition = PARTITION_NONE
-        elif v == (psize, half):
-            partition = PARTITION_HORZ
-        elif v == (half, psize):
-            partition = PARTITION_VERT
-        elif v == (psize, quarter):
-            partition = PARTITION_HORZ_4
-        elif v == (quarter, psize):
-            partition = PARTITION_VERT_4
-        else:
-            partition = PARTITION_SPLIT
+        partition, leaves = common.infer_partition(
+            self.leaf_sizes, mi_row, mi_col, psize, self.mi_rows,
+            self.mi_cols)
         mode_syntax.write_partition(self.w, self.fc, self.ctxs, partition,
                                     bsize, mi_row, mi_col,
                                     self.mi_cols, self.mi_rows)
@@ -1033,28 +1018,13 @@ class InterFrameEncoder:
             self._emit_partition(mi_row, mi_col + hbs, half)
             self._emit_partition(mi_row + hbs, mi_col, half)
             self._emit_partition(mi_row + hbs, mi_col + hbs, half)
-        elif partition == PARTITION_NONE:
-            self._emit_block(mi_row, mi_col, psize)
-            self.ctxs.update_partition_ctx(mi_row, mi_col, bsize, bsize)
-        elif partition in (PARTITION_HORZ_4, PARTITION_VERT_4):
-            qbs = psize >> 4
-            for i in range(4):
-                rr = mi_row + (i * qbs if partition == PARTITION_HORZ_4
-                               else 0)
-                cc = mi_col + (0 if partition == PARTITION_HORZ_4
-                               else i * qbs)
-                if rr < self.mi_rows and cc < self.mi_cols:
-                    self._emit_block(rr, cc, v)
-            self.ctxs.update_partition_ctx(mi_row, mi_col, bsize,
-                                           common.rect_bsize(*v))
-        else:
-            self._emit_block(mi_row, mi_col, v)
-            r2 = mi_row + (hbs if partition == PARTITION_HORZ else 0)
-            c2 = mi_col + (0 if partition == PARTITION_HORZ else hbs)
-            if r2 < self.mi_rows and c2 < self.mi_cols:
-                self._emit_block(r2, c2, v)
-            self.ctxs.update_partition_ctx(mi_row, mi_col, bsize,
-                                           common.rect_bsize(*v))
+            return
+        # per-leaf emission + context update over each leaf's own extent
+        # (reference EbEntropyCoding.c:4762 writes per coded block)
+        for r, c, wh in leaves:
+            self._emit_block(r, c, wh[0] if wh[0] == wh[1] else wh)
+            self.ctxs.update_partition_ctx(r, c, common.rect_bsize(*wh),
+                                           common.rect_bsize(*wh))
 
     def _emit_block(self, mi_row, mi_col, size) -> None:
         cfg = self.cfg

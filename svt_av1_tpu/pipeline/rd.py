@@ -83,6 +83,70 @@ def _analyze_depth(src: np.ndarray, xs, ys, size, cands, qp,
         + lam * float(16 << md_mod.RATE_Q), best_mode
 
 
+def _leaves_from_choices(choice: dict, min_size: int, mi_rows: int,
+                         mi_cols: int) -> dict:
+    """Materialize a DP decision grid into the leaf map. Kind encoding
+    (shared by both partition DPs): 0 NONE, 1 SPLIT, 2 HORZ, 3 VERT,
+    4 HORZ_4, 5 VERT_4, 6 HORZ_A, 7 HORZ_B, 8 VERT_A, 9 VERT_B."""
+    leaves = {}
+
+    def walk(r, c, size):  # r, c in mi units
+        if r >= mi_rows or c >= mi_cols:
+            return
+        hbs = size >> 3
+        crosses = (r + hbs) >= mi_rows or (c + hbs) >= mi_cols
+        kind = 1  # split
+        if not (crosses and size > 8):
+            if size <= min_size:
+                kind = 0
+            elif size in choice:
+                kind = int(choice[size][(r * 4) // size,
+                                        (c * 4) // size])
+        if kind == 0:
+            leaves[(r, c)] = size
+            return
+        half = size // 2
+        if kind == 2:      # HORZ
+            leaves[(r, c)] = (size, half)
+            if r + hbs < mi_rows:
+                leaves[(r + hbs, c)] = (size, half)
+            return
+        if kind == 3:      # VERT
+            leaves[(r, c)] = (half, size)
+            if c + hbs < mi_cols:
+                leaves[(r, c + hbs)] = (half, size)
+            return
+        if kind in (4, 5):  # HORZ_4 / VERT_4
+            qbs = size >> 4
+            wh = (size, size // 4) if kind == 4 else (size // 4, size)
+            for i in range(4):
+                rr = r + (i * qbs if kind == 4 else 0)
+                cc = c + (0 if kind == 4 else i * qbs)
+                if rr < mi_rows and cc < mi_cols:
+                    leaves[(rr, cc)] = wh
+            return
+        if kind in (6, 7, 8, 9):  # T-shapes: 2 squares + 1 rect half
+            rh, rv = (size, half), (half, size)
+            pat = {6: [((0, 0), half), ((0, hbs), half), ((hbs, 0), rh)],
+                   7: [((0, 0), rh), ((hbs, 0), half), ((hbs, hbs), half)],
+                   8: [((0, 0), half), ((hbs, 0), half), ((0, hbs), rv)],
+                   9: [((0, 0), rv), ((0, hbs), half),
+                       ((hbs, hbs), half)]}[kind]
+            for (dr, dc), v in pat:
+                if r + dr < mi_rows and c + dc < mi_cols:
+                    leaves[(r + dr, c + dc)] = v
+            return
+        walk(r, c, half)
+        walk(r, c + hbs, half)
+        walk(r + hbs, c, half)
+        walk(r + hbs, c + hbs, half)
+
+    for sb_r in range(0, mi_rows, 16):
+        for sb_c in range(0, mi_cols, 16):
+            walk(sb_r, sb_c, 64)
+    return leaves
+
+
 def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
                      mi_cols: int, mi_rows: int):
     """Returns the chosen leaf set {(mi_row, mi_col): size} for the frame.
@@ -155,9 +219,13 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
                                            backend=cfg.backend)
                     c[sel] = cc
                 n = len(gx)
-                rect_cost[(size, key)] = sum(
-                    c[i * n:(i + 1) * n] for i in range(len(offs))
-                ).reshape(rows, cols)
+                halves = [c[i * n:(i + 1) * n].reshape(rows, cols)
+                          for i in range(len(offs))]
+                rect_cost[(size, key)] = sum(halves)
+                if key in ("h", "v"):
+                    # individual half grids feed the T-shape arms below
+                    rect_cost[(size, key + "0")] = halves[0]
+                    rect_cost[(size, key + "1")] = halves[1]
 
     # bottom-up DP. "crosses" must mirror the emit/_leaves rule exactly:
     # a block is forced to split when its HALF-point falls outside the mi
@@ -192,57 +260,28 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
                                         rect_cost[(size, "h4")] + rb4)))
             options.append((5, np.where(crosses, np.inf,
                                         rect_cost[(size, "v4")] + rb4)))
+        if (size, "h0") in rect_cost and (size // 2) in cost:
+            # T-shapes (HORZ_A/B, VERT_A/B): two child squares + one
+            # rect half, reusing the child-depth and rect-half grids
+            ch = cost[size // 2]
+            chp = np.full((2 * rows, 2 * cols), np.inf)
+            chp[:min(ch.shape[0], 2 * rows), :min(ch.shape[1], 2 * cols)] \
+                = ch[:2 * rows, :2 * cols]
+            tl, tr = chp[0::2, 0::2], chp[0::2, 1::2]
+            bl, br = chp[1::2, 0::2], chp[1::2, 1::2]
+            rbt = lam * (split_bits + 1024.0)  # symbol + 2 extra leaves
+            tarms = [(6, tl + tr + rect_cost[(size, "h1")]),
+                     (7, rect_cost[(size, "h0")] + bl + br),
+                     (8, tl + bl + rect_cost[(size, "v1")]),
+                     (9, rect_cost[(size, "v0")] + tr + br)]
+            options += [(k, np.where(crosses, np.inf, v + rbt))
+                        for k, v in tarms]
         stackc = np.stack([o[1] for o in options])
         pick = np.argmin(stackc, axis=0)
         choice[size] = np.array([o[0] for o in options])[pick]
         best = np.take_along_axis(stackc, pick[None], axis=0)[0]
 
-    leaves = {}
-
-    def walk(r, c, size):  # r, c in mi units
-        if r >= mi_rows or c >= mi_cols:
-            return
-        hbs = size >> 3
-        crosses = (r + hbs) >= mi_rows or (c + hbs) >= mi_cols
-        kind = 1  # split
-        if not (crosses and size > 8):
-            if size <= min_size:
-                kind = 0
-            elif size in choice:
-                kind = int(choice[size][(r * 4) // size,
-                                        (c * 4) // size])
-        if kind == 0:
-            leaves[(r, c)] = size
-            return
-        half = size // 2
-        if kind == 2:      # HORZ
-            leaves[(r, c)] = (size, half)
-            if r + hbs < mi_rows:
-                leaves[(r + hbs, c)] = (size, half)
-            return
-        if kind == 3:      # VERT
-            leaves[(r, c)] = (half, size)
-            if c + hbs < mi_cols:
-                leaves[(r, c + hbs)] = (half, size)
-            return
-        if kind in (4, 5):  # HORZ_4 / VERT_4
-            qbs = size >> 4
-            wh = (size, size // 4) if kind == 4 else (size // 4, size)
-            for i in range(4):
-                rr = r + (i * qbs if kind == 4 else 0)
-                cc = c + (0 if kind == 4 else i * qbs)
-                if rr < mi_rows and cc < mi_cols:
-                    leaves[(rr, cc)] = wh
-            return
-        walk(r, c, half)
-        walk(r, c + hbs, half)
-        walk(r + hbs, c, half)
-        walk(r + hbs, c + hbs, half)
-
-    for sb_r in range(0, mi_rows, 16):
-        for sb_c in range(0, mi_cols, 16):
-            walk(sb_r, sb_c, 64)
-    return leaves
+    return _leaves_from_choices(choice, min_size, mi_rows, mi_cols)
 
 
 def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
@@ -369,9 +408,12 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
                     c2[sel], _ = depth_cost(xs2[sel], ys2[sel], wh,
                                             rseeds)
                 n = len(gx)
-                rect_cost[(size, key)] = sum(
-                    c2[i * n:(i + 1) * n] for i in range(len(offs))
-                ).reshape(rows, cols)
+                halves = [c2[i * n:(i + 1) * n].reshape(rows, cols)
+                          for i in range(len(offs))]
+                rect_cost[(size, key)] = sum(halves)
+                if key in ("h", "v"):
+                    rect_cost[(size, key + "0")] = halves[0]
+                    rect_cost[(size, key + "1")] = halves[1]
 
     min_size = sizes[-1]
     best = cost[min_size].copy()
@@ -401,54 +443,24 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
                                         rect_cost[(size, "h4")] + rb4)))
             options.append((5, np.where(crosses, np.inf,
                                         rect_cost[(size, "v4")] + rb4)))
+        if (size, "h0") in rect_cost and (size // 2) in cost:
+            # T-shapes: two child squares + one rect half
+            ch = cost[size // 2]
+            chp = np.full((2 * rows, 2 * cols), np.inf)
+            chp[:min(ch.shape[0], 2 * rows), :min(ch.shape[1], 2 * cols)] \
+                = ch[:2 * rows, :2 * cols]
+            tl, tr = chp[0::2, 0::2], chp[0::2, 1::2]
+            bl, br = chp[1::2, 0::2], chp[1::2, 1::2]
+            rbt = lam * 2.0  # T symbol + 2 extra leaves of overhead
+            tarms = [(6, tl + tr + rect_cost[(size, "h1")]),
+                     (7, rect_cost[(size, "h0")] + bl + br),
+                     (8, tl + bl + rect_cost[(size, "v1")]),
+                     (9, rect_cost[(size, "v0")] + tr + br)]
+            options += [(k, np.where(crosses, np.inf, v + rbt))
+                        for k, v in tarms]
         stackc = np.stack([o[1] for o in options])
         pick = np.argmin(stackc, axis=0)
         choice[size] = np.array([o[0] for o in options])[pick]
         best = np.take_along_axis(stackc, pick[None], axis=0)[0]
 
-    leaves = {}
-
-    def walk(r, c, size):
-        if r >= mi_rows or c >= mi_cols:
-            return
-        hbs = size >> 3
-        crosses = (r + hbs) >= mi_rows or (c + hbs) >= mi_cols
-        kind = 1
-        if not (crosses and size > 8):
-            if size <= min_size:
-                kind = 0
-            elif size in choice:
-                kind = int(choice[size][(r * 4) // size,
-                                        (c * 4) // size])
-        if kind == 0:
-            leaves[(r, c)] = size
-            return
-        half = size // 2
-        if kind == 2:
-            leaves[(r, c)] = (size, half)
-            if r + hbs < mi_rows:
-                leaves[(r + hbs, c)] = (size, half)
-            return
-        if kind == 3:
-            leaves[(r, c)] = (half, size)
-            if c + hbs < mi_cols:
-                leaves[(r, c + hbs)] = (half, size)
-            return
-        if kind in (4, 5):
-            qbs = size >> 4
-            wh = (size, size // 4) if kind == 4 else (size // 4, size)
-            for i in range(4):
-                rr = r + (i * qbs if kind == 4 else 0)
-                cc = c + (0 if kind == 4 else i * qbs)
-                if rr < mi_rows and cc < mi_cols:
-                    leaves[(rr, cc)] = wh
-            return
-        walk(r, c, half)
-        walk(r, c + hbs, half)
-        walk(r + hbs, c, half)
-        walk(r + hbs, c + hbs, half)
-
-    for sb_r in range(0, mi_rows, 16):
-        for sb_c in range(0, mi_cols, 16):
-            walk(sb_r, sb_c, 64)
-    return leaves
+    return _leaves_from_choices(choice, min_size, mi_rows, mi_cols)

@@ -226,3 +226,113 @@ def test_inter_4way_partitions_roundtrip():
     for p in range(3):
         hh, ww = out[p].shape
         assert (out[p] == rec[p][:hh, :ww]).all(), f"plane {p}"
+
+
+_T_MAP = {
+    # 64-node (0,0): HORZ_A — two 32x32 squares on top, 64x32 below
+    (0, 0): 32, (0, 8): 32, (8, 0): (64, 32),
+    # 64-node (0,16): HORZ_B — 64x32 on top, two 32x32 below
+    (0, 16): (64, 32), (8, 16): 32, (8, 24): 32,
+    # 64-node (16,0): VERT_A — two 32x32 left, 32x64 right
+    (16, 0): 32, (24, 0): 32, (16, 8): (32, 64),
+    # 64-node (16,16): split; 32-node T-shapes inside
+    (16, 16): (16, 32), (16, 20): 16, (20, 20): 16,     # VERT_B @32
+    (16, 24): 16, (16, 28): 16, (20, 24): (32, 16),     # HORZ_A @32
+    (24, 16): (32, 16), (28, 16): 16, (28, 20): 16,     # HORZ_B @32
+    (24, 24): 16, (28, 24): 16, (24, 28): (16, 32),     # VERT_A @32
+}
+
+
+def test_infer_partition_t_shapes():
+    from svt_av1_tpu.pipeline import common
+    from svt_av1_tpu.utils.blocks import (PARTITION_HORZ_A,
+                                          PARTITION_HORZ_B,
+                                          PARTITION_SPLIT,
+                                          PARTITION_VERT_A,
+                                          PARTITION_VERT_B)
+    part, leaves = common.infer_partition(_T_MAP, 0, 0, 64, 32, 32)
+    assert part == PARTITION_HORZ_A
+    assert [(r, c) for r, c, _ in leaves] == [(0, 0), (0, 8), (8, 0)]
+    part, _ = common.infer_partition(_T_MAP, 0, 16, 64, 32, 32)
+    assert part == PARTITION_HORZ_B
+    part, _ = common.infer_partition(_T_MAP, 16, 0, 64, 32, 32)
+    assert part == PARTITION_VERT_A
+    part, leaves = common.infer_partition(_T_MAP, 16, 16, 64, 32, 32)
+    assert part == PARTITION_SPLIT and leaves is None
+    part, _ = common.infer_partition(_T_MAP, 16, 16, 32, 32, 32)
+    assert part == PARTITION_VERT_B
+    part, _ = common.infer_partition(_T_MAP, 16, 24, 32, 32, 32)
+    assert part == PARTITION_HORZ_A
+    part, _ = common.infer_partition(_T_MAP, 24, 16, 32, 32, 32)
+    assert part == PARTITION_HORZ_B
+    part, _ = common.infer_partition(_T_MAP, 24, 24, 32, 32, 32)
+    assert part == PARTITION_VERT_A
+
+
+@pytest.mark.parametrize("tools", [
+    {}, {"enable_dlf": True, "enable_tx_type_search": True},
+    {"adaptive_quantization": 1}, {"enable_cdef": True},
+    {"bit_depth": 10},
+])
+def test_handcrafted_t_shape_roundtrip(tools):
+    """HORZ_A/B + VERT_A/B keyframe streams decode byte-exactly."""
+    bd = tools.get("bit_depth", 8)
+    y, u, v = _content(128, 128, seed=9)
+    if bd == 10:
+        y = (y.astype(np.uint16) << 2)
+        u = (u.astype(np.uint16) << 2)
+        v = (v.astype(np.uint16) << 2)
+    cfg = EncoderConfig(width=128, height=128, qp=35,
+                        fixed_partition_size=None, **tools)
+    with mock.patch.object(rd, "choose_partition",
+                           return_value=dict(_T_MAP)):
+        enc = WavefrontIntraEncoder(cfg)
+        tu, recon, _ = enc.encode(y, u, v)
+    _, dec = decode_temporal_unit(tu)
+    for p in range(3):
+        assert (dec[p] == recon[p]).all(), f"{tools} plane {p}"
+
+
+def test_t_shape_inter_roundtrip():
+    """T-shape leaf maps through the inter path decode byte-exactly."""
+    import io
+    from svt_av1_tpu.bitstream.ivf import (write_ivf_frame,
+                                           write_ivf_header)
+    from svt_av1_tpu.pipeline.decode import decode_ivf
+    from svt_av1_tpu.pipeline.encoder import Encoder
+
+    y, u, v = _content(128, 128, seed=12)
+    frames = [(y, u, v)]
+    for t in range(1, 3):
+        frames.append((np.roll(y, 2 * t, axis=1), u, v))
+    cfg = EncoderConfig(width=128, height=128, qp=40,
+                        fixed_partition_size=None, intra_period=-1,
+                        scene_change_detection=False)
+    with mock.patch.object(rd, "choose_partition",
+                           return_value=dict(_T_MAP)), \
+         mock.patch.object(rd, "choose_partition_inter",
+                           return_value=dict(_T_MAP)):
+        enc = Encoder(cfg)
+        outs = []
+        for f in frames:
+            enc.send_picture(*f)
+            while (p := enc.get_packet()) is not None:
+                outs.append(p)
+        enc.flush()
+        while (p := enc.get_packet()) is not None:
+            outs.append(p)
+    buf = io.BytesIO()
+    write_ivf_header(buf, 128, 128, 30, 1, len(frames))
+    for i, (tu, _) in enumerate(outs):
+        write_ivf_frame(buf, tu, i)
+    buf.seek(0)
+    decs = decode_ivf(buf)
+    assert len(decs) == len(frames)
+    shown = 0
+    for tu, disp in outs:
+        if disp is None:
+            continue
+        for p in range(3):
+            assert (decs[shown][p] == disp[p]).all(), \
+                f"frame {shown} plane {p}"
+        shown += 1
