@@ -41,6 +41,34 @@ def variance_maps(y: np.ndarray, sizes=(8, 16, 32, 64)) -> Dict[int, np.ndarray]
     return out
 
 
+def ois_intra_cost(y: np.ndarray, bs: int = 16) -> np.ndarray:
+    """Open Intra Search: per-block best open-loop intra SAD among
+    DC / V / H predictors built from *source* neighbors (the reference's
+    OIS, EbMotionEstimation.c:7419 open_loop_intra_search_sb — cheap
+    intra hints computed during picture analysis, before any recon
+    exists). Returns [rows, cols] SAD per block; edge blocks replicate
+    their own first row/column as the missing neighbor."""
+    h = y.shape[0] // bs * bs
+    w = y.shape[1] // bs * bs
+    yv = y[:h, :w].astype(np.int32)
+    rows, cols = h // bs, w // bs
+    blocks = yv.reshape(rows, bs, cols, bs).transpose(0, 2, 1, 3)
+    # neighbor row above each block row (first block row: own top row)
+    above = np.empty((rows, w), np.int32)
+    above[0] = yv[0]
+    above[1:] = yv[bs - 1::bs][:rows - 1]
+    above = above.reshape(rows, cols, bs)
+    left = np.empty((h, cols), np.int32)
+    left[:, 0] = yv[:, 0]
+    left[:, 1:] = yv[:, bs - 1::bs][:, :cols - 1]
+    left = left.reshape(rows, bs, cols).transpose(0, 2, 1)
+    dc = (above.sum(axis=2) + left.sum(axis=2) + bs) // (2 * bs)
+    sad_dc = np.abs(blocks - dc[:, :, None, None]).sum(axis=(2, 3))
+    sad_v = np.abs(blocks - above[:, :, None, :]).sum(axis=(2, 3))
+    sad_h = np.abs(blocks - left[:, :, :, None]).sum(axis=(2, 3))
+    return np.minimum(np.minimum(sad_dc, sad_v), sad_h)
+
+
 def luma_histogram(y: np.ndarray, bins: int = 256) -> np.ndarray:
     """Frame luma histogram (CalculateHistogram analogue)."""
     return np.bincount(y.reshape(-1).astype(np.int64), minlength=bins)

@@ -417,6 +417,16 @@ class Encoder:
             if self._la_prev is not None and self._la_prev.shape == d.shape:
                 c = float(np.mean(np.abs(
                     d.astype(np.int32) - self._la_prev.astype(np.int32))))
+                # BEA-style cap: a frame never costs more than its
+                # open-loop intra coding estimate — a scene cut onto
+                # simple content has a huge temporal diff but cheap
+                # intra blocks (reference OIS feeding InitialRateControl,
+                # EbMotionEstimation.c:7419 / EbInitialRateControl
+                # Process.c:467). Both terms are per-pixel SAD scale.
+                from svt_av1_tpu.pipeline.analysis import ois_intra_cost
+                ois = ois_intra_cost(d)
+                if ois.size:
+                    c = min(c, float(ois.mean()) / 256.0)
             self._la_prev = d
             self._la.append((y, u, v, max(c, 1e-3)))
             if len(self._la) <= lad:

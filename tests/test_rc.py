@@ -366,3 +366,21 @@ def test_cqp_qp_scaling_allocation():
         return n
 
     assert total(True) > total(False)  # finer anchors spend more bits
+
+
+def test_ois_intra_cost():
+    """OIS: per-block open-loop intra SADs are 0 on flat/columnwise/
+    rowwise content (DC/V/H predictors from source neighbors) and
+    positive on noise; the lookahead complexity uses it as a cap."""
+    from svt_av1_tpu.pipeline.analysis import ois_intra_cost
+
+    flat = np.full((64, 96), 77, np.uint8)
+    assert (ois_intra_cost(flat) == 0).all()
+    colwise = np.tile(np.arange(96, dtype=np.uint8), (64, 1))
+    assert (ois_intra_cost(colwise) == 0).all()        # V predicts exactly
+    rowwise = np.tile(np.arange(64, dtype=np.uint8)[:, None], (1, 96))
+    assert (ois_intra_cost(rowwise) == 0).all()        # H predicts exactly
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 255, (64, 96), dtype=np.uint8)
+    costs = ois_intra_cost(noise)
+    assert costs.shape == (4, 6) and (costs > 0).all()
