@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-stats", action="store_true")
     p.add_argument("--film-grain", type=int, default=0, metavar="LEVEL",
                    help="film grain synthesis strength 0..64 (0 = off, -1 = auto-estimate from source noise)")
+    p.add_argument("--enable-denoise", action="store_true",
+                   help="noise-classified source denoising before encode "
+                        "(reference -enable-denoise-flag)")
     p.add_argument("--jobs", type=int, default=1,
                    help="parallel GOP workers (closed GOPs + CQP only; "
                         "reads the whole input into memory)")
@@ -121,7 +124,8 @@ def preset_config(args) -> EncoderConfig:
     kw = dict(width=args.width, height=args.height, qp=args.qp,
               bit_depth=args.bit_depth, intra_period=args.intra_period,
               frame_rate_num=args.fps,
-              film_grain_strength=args.film_grain)
+              film_grain_strength=args.film_grain,
+              enable_source_denoise=getattr(args, "enable_denoise", False))
     if args.preset <= 0:       # M0: full tools
         kw.update(fixed_partition_size=None, nfl=4,
                   angle_deltas=(-3, -2, -1, 0, 1, 2, 3),

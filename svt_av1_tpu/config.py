@@ -76,6 +76,10 @@ class EncoderConfig:
     error_resilient: bool = False
     native_entropy: bool = True   # C range coder (falls back to Python)
     film_grain_strength: int = 0  # 0 off; 1..64 flat strength; -1 auto
+    # source denoising before encode (reference enable_denoise_flag,
+    # default 0 — EbEncHandle.c:2120): noise-classified weak filtering,
+    # frame-based or flat-blocks-only (EbPictureAnalysisProcess.c:3409)
+    enable_source_denoise: bool = False
                                   # (estimated from source noise by the
                                   # GOP encoder's analysis stage)
     film_grain_seed: int = 45231  # 16-bit LFSR seed for grain synthesis

@@ -69,6 +69,75 @@ def ois_intra_cost(y: np.ndarray, bs: int = 16) -> np.ndarray:
     return np.minimum(np.minimum(sad_dc, sad_v), sad_h)
 
 
+DENOISER_QP_TH = 29  # reference EbPictureAnalysisProcess.c:36
+
+
+def weak_filter_luma(y: np.ndarray) -> np.ndarray:
+    """Weak denoising filter: 5-point cross (1,1,4,1,1)/8 with truncating
+    division on interior pixels, borders copied (the reference's
+    getFilteredTypes type 0 used by noiseExtractLumaWeak,
+    EbPictureAnalysisProcess.c:1498)."""
+    yi = y.astype(np.int32)
+    out = yi.copy()
+    out[1:-1, 1:-1] = (yi[:-2, 1:-1] + yi[1:-1, :-2] + 4 * yi[1:-1, 1:-1]
+                       + yi[1:-1, 2:] + yi[2:, 1:-1]) // 8
+    return out.astype(y.dtype)
+
+
+def weak_filter_chroma(p: np.ndarray) -> np.ndarray:
+    """Chroma weak filter: cross (2,2,4,2,2) with the reference's
+    fixed-point /12 (mulhrs trick, getFilteredTypes type 1)."""
+    pi = p.astype(np.int64)
+    a = (2 * pi[:-2, 1:-1] + 2 * pi[1:-1, :-2] + 4 * pi[1:-1, 1:-1]
+         + 2 * pi[1:-1, 2:] + 2 * pi[2:, 1:-1])
+    a = (((a * 2730) >> 14) + 1) >> 1
+    out = pi.copy()
+    out[1:-1, 1:-1] = a
+    return out.astype(p.dtype)
+
+
+def classify_picture_noise(y: np.ndarray) -> int:
+    """Frame noise class from the flat-block noise estimate + edge
+    energy, collapsed to the reference's action classes
+    (EbPictureAnalysisProcess.c:3738-3744): 1 = no noise (no action),
+    2 = flat noisy areas (denoise flat blocks only), 3 = noise+edges
+    (no denoising), 4 (= PIC_NOISE_CLASS_3_1) = dominated by noise
+    (frame-based denoising)."""
+    sigma = estimate_noise_sigma(y)
+    if sigma < 1.0:
+        return 1
+    flat = flat_block_mask(y)
+    flat_frac = float(flat.mean()) if flat.size else 0.0
+    if sigma >= 4.0 and flat_frac >= 0.5:
+        return 4
+    if flat_frac > 0.10:
+        return 2
+    return 3
+
+
+def denoise_source(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                   noise_class: int, qp: int):
+    """Source denoising by noise class (reference DenoiseInputPicture,
+    EbPictureAnalysisProcess.c:3409): class 3_1 filters the whole frame
+    (luma + chroma); class 2 filters only flat-noisy luma blocks, and
+    only at coarse operating points (qp > DENOISER_QP_TH). Encoder-side
+    only — the bitstream stays conformant either way."""
+    if noise_class >= 4:
+        return weak_filter_luma(y), weak_filter_chroma(u), \
+            weak_filter_chroma(v)
+    if noise_class == 2 and qp > DENOISER_QP_TH:
+        bs = 16
+        mask = flat_block_mask(y, bs)
+        if mask.any():
+            den = weak_filter_luma(y)
+            out = y.copy()
+            m = np.repeat(np.repeat(mask, bs, axis=0), bs, axis=1)
+            h, w = m.shape
+            out[:h, :w] = np.where(m, den[:h, :w], y[:h, :w])
+            return out, u, v
+    return y, u, v
+
+
 def luma_histogram(y: np.ndarray, bins: int = 256) -> np.ndarray:
     """Frame luma histogram (CalculateHistogram analogue)."""
     return np.bincount(y.reshape(-1).astype(np.int64), minlength=bins)

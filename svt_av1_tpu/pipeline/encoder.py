@@ -409,6 +409,10 @@ class Encoder:
         InitialRateControl look-ahead analogue)."""
         if self.cfg.film_grain_strength == -1:
             self._resolve_auto_grain(y)
+        if self.cfg.enable_source_denoise:
+            from svt_av1_tpu.pipeline import analysis
+            nc = analysis.classify_picture_noise(y)
+            y, u, v = analysis.denoise_source(y, u, v, nc, self.cfg.qp)
         lad = self.cfg.look_ahead_distance
         if lad > 0 and self._rc is not None:
             from svt_av1_tpu.pipeline.scd import luma_stats

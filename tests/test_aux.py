@@ -123,3 +123,47 @@ def test_auto_grain_estimates_from_noise():
             # still match byte-exactly
             for p in range(3):
                 assert (out[p] == disp[p]).all()
+
+
+def test_source_denoise_classes_and_filters():
+    """Noise classification drives the weak-filter denoiser (reference
+    DenoiseInputPicture): clean frames pass through untouched, heavy
+    flat noise triggers frame filtering, and the stream still
+    roundtrips byte-exactly with denoising on."""
+    import numpy as np
+    from svt_av1_tpu.pipeline import analysis
+
+    rng = np.random.default_rng(8)
+    clean = np.full((96, 128), 120, np.uint8)
+    assert analysis.classify_picture_noise(clean) == 1
+    y2, _, _ = analysis.denoise_source(
+        clean, np.full((48, 64), 128, np.uint8),
+        np.full((48, 64), 128, np.uint8), 1, 45)
+    assert (y2 == clean).all()
+
+    noisy = np.clip(120 + rng.normal(0, 12, (96, 128)), 0,
+                    255).astype(np.uint8)
+    nc = analysis.classify_picture_noise(noisy)
+    assert nc == 4          # flat + strong noise -> frame-based denoise
+    yd, ud, vd = analysis.denoise_source(
+        noisy, noisy[:48, :64].copy(), noisy[:48, :64].copy(), nc, 45)
+    assert yd[1:-1, 1:-1].std() < noisy[1:-1, 1:-1].std()
+    # weak luma filter exact semantics: cross (1,1,4,1,1) // 8
+    yi = noisy.astype(np.int32)
+    expect = (yi[:-2, 1:-1] + yi[1:-1, :-2] + 4 * yi[1:-1, 1:-1]
+              + yi[1:-1, 2:] + yi[2:, 1:-1]) // 8
+    assert (analysis.weak_filter_luma(noisy)[1:-1, 1:-1]
+            == expect.astype(np.uint8)).all()
+
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.decode import decode_temporal_unit
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    cfg = EncoderConfig(width=128, height=96, qp=45,
+                        enable_source_denoise=True)
+    enc = Encoder(cfg)
+    enc.send_picture(noisy, np.full((48, 64), 128, np.uint8),
+                     np.full((48, 64), 128, np.uint8))
+    tu, disp = enc.get_packet()
+    _, dec = decode_temporal_unit(tu)
+    for p in range(3):
+        assert (dec[p] == disp[p]).all()
