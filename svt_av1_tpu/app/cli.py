@@ -31,7 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
                     "options)")
     p.add_argument("-i", "--input", required=True,
                    help="input file (.y4m or raw .yuv; '-' = stdin y4m)")
-    p.add_argument("-b", "--output", required=True, help="output IVF file")
+    p.add_argument("-b", "--output", required=True,
+                   help="output IVF file ('-' = stdout)")
     p.add_argument("-w", "--width", type=int, default=0)
     p.add_argument("-h2", "--height", type=int, default=0,
                    dest="height")
@@ -286,12 +287,18 @@ def main_single(args) -> int:
                     f = report.frames[-1]
                     print(f"frame {shown:4d} {ftype:3s} {f.bytes:7d} B  "
                           f"Y {f.psnr_y:6.2f}  U {f.psnr_u:6.2f}  "
-                          f"V {f.psnr_v:6.2f} dB")
+                          f"V {f.psnr_v:6.2f} dB",
+                          file=sys.stderr if to_stdout else sys.stdout)
                 shown += 1
             n += 1
 
-    with open(args.output, "wb") as out:
-        write_ivf_header(out, cfg.width, cfg.height, args.fps, fps_den, 0)
+    import contextlib
+    to_stdout = args.output == "-"
+    out_cm = contextlib.nullcontext(sys.stdout.buffer) if to_stdout \
+        else open(args.output, "wb")
+    with out_cm as out:
+        write_ivf_header(out, cfg.width, cfg.height, args.fps, fps_den,
+                         args.frames or 0)
         if args.jobs > 1:
             from svt_av1_tpu.pipeline import parallel
             all_frames = list(frames)
@@ -307,7 +314,10 @@ def main_single(args) -> int:
                 drain(out)
             enc.flush()
             drain(out)
-        patch_ivf_frame_count(out, n)
+        if not to_stdout:
+            patch_ivf_frame_count(out, n)  # pipes aren't seekable
+        else:
+            out.flush()
     dt = time.perf_counter() - t0
     if recon_fh is not None:
         recon_fh.close()
@@ -315,14 +325,16 @@ def main_single(args) -> int:
         from svt_av1_tpu.utils.trace import TRACER
         TRACER.dump(args.trace)
         if not args.no_stats:
-            print(f"trace: {TRACER.summary()}")
+            print(f"trace: {TRACER.summary()}",
+                  file=sys.stderr if to_stdout else sys.stdout)
     s = report.summary(args.fps, fps_den)
     if s and not args.no_stats:
         print(f"\n{s['frames']} frames, {s['total_bytes']} bytes, "
               f"{s['kbps']:.1f} kbps, "
               f"PSNR Y {s['avg_psnr_y']:.2f} U {s['avg_psnr_u']:.2f} "
               f"V {s['avg_psnr_v']:.2f} dB, "
-              f"{n / dt:.2f} fps encode speed")
+              f"{n / dt:.2f} fps encode speed",
+              file=sys.stderr if to_stdout else sys.stdout)
     return 0
 
 

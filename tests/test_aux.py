@@ -167,3 +167,28 @@ def test_source_denoise_classes_and_filters():
     _, dec = decode_temporal_unit(tu)
     for p in range(3):
         assert (dec[p] == disp[p]).all()
+
+
+def test_cli_stdout_ivf_pipe():
+    """The ffmpeg-plugin pipe contract: y4m on stdin -> IVF on stdout,
+    stats on stderr, stream decodes byte-exactly."""
+    import io
+    import subprocess
+    import sys
+
+    import numpy as np
+    from svt_av1_tpu.pipeline.decode import decode_ivf
+
+    rng = np.random.RandomState(3)
+    y4m = b"YUV4MPEG2 W64 H64 F30:1 Ip A1:1 C420\n"
+    for _ in range(2):
+        y4m += (b"FRAME\n"
+                + rng.randint(0, 255, 64 * 64).astype(np.uint8).tobytes()
+                + np.full(2 * 32 * 32, 128, np.uint8).tobytes())
+    p = subprocess.run([sys.executable, "-m", "svt_av1_tpu.app.cli",
+                        "-i", "-", "-b", "-", "--preset", "8", "-n", "2"],
+                       input=y4m, capture_output=True, timeout=300)
+    assert p.returncode == 0, p.stderr.decode()[-400:]
+    assert p.stdout[:4] == b"DKIF"
+    assert b"encode speed" in p.stderr     # stats rerouted off stdout
+    assert len(decode_ivf(io.BytesIO(p.stdout))) == 2
