@@ -213,6 +213,59 @@ def temporal_delimiter_obu() -> bytes:
     return wrap_obu(OBU_TEMPORAL_DELIMITER, b"")
 
 
+# metadata_type values (spec 6.7.1)
+METADATA_TYPE_HDR_CLL = 1
+METADATA_TYPE_HDR_MDCV = 2
+METADATA_TYPE_ITUT_T35 = 4
+
+
+def write_metadata_hdr_cll(max_cll: int, max_fall: int) -> bytes:
+    """HDR content light level metadata OBU (spec 5.8.3 metadata_hdr_cll;
+    the SEI-equivalent side channel the reference leaves unimplemented —
+    EbErrorCodes.h has no SEI path, VERDICT r1 §2.5)."""
+    w = BitWriter()
+    for b in write_uleb128(METADATA_TYPE_HDR_CLL):
+        w.write(b, 8)
+    w.write(max_cll & 0xFFFF, 16)
+    w.write(max_fall & 0xFFFF, 16)
+    w.trailing_bits()
+    return wrap_obu(OBU_METADATA, w.data())
+
+
+def write_metadata_hdr_mdcv(primaries, white_point, max_lum,
+                            min_lum) -> bytes:
+    """Mastering display color volume metadata (spec 5.8.4
+    metadata_hdr_mdcv). ``primaries``: 3 (x, y) 0.16-fixed chromaticity
+    pairs; luminance in 24.8 / 18.14 fixed point per spec."""
+    w = BitWriter()
+    for b in write_uleb128(METADATA_TYPE_HDR_MDCV):
+        w.write(b, 8)
+    for (px, py) in primaries:
+        w.write(px & 0xFFFF, 16)
+        w.write(py & 0xFFFF, 16)
+    w.write(white_point[0] & 0xFFFF, 16)
+    w.write(white_point[1] & 0xFFFF, 16)
+    w.write(max_lum & 0xFFFFFFFF, 32)
+    w.write(min_lum & 0xFFFFFFFF, 32)
+    w.trailing_bits()
+    return wrap_obu(OBU_METADATA, w.data())
+
+
+def parse_metadata_obu(payload: bytes):
+    """(metadata_type, dict) from a metadata OBU payload."""
+    mtype, pos = read_uleb128(payload, 0)
+    r = BitReader(payload[pos:])
+    if mtype == METADATA_TYPE_HDR_CLL:
+        return mtype, {"max_cll": r.read(16), "max_fall": r.read(16)}
+    if mtype == METADATA_TYPE_HDR_MDCV:
+        prim = [(r.read(16), r.read(16)) for _ in range(3)]
+        wp = (r.read(16), r.read(16))
+        return mtype, {"primaries": prim, "white_point": wp,
+                       "max_luminance": r.read(32),
+                       "min_luminance": r.read(32)}
+    return mtype, {"raw": payload[pos:]}
+
+
 def show_existing_frame_tu(slot: int) -> bytes:
     """A temporal unit that displays an already-decoded reference
     (show_existing_frame; reference handles this in WriteFrameHeaderAv1)."""

@@ -80,8 +80,10 @@ class EncoderConfig:
     # default 0 — EbEncHandle.c:2120): noise-classified weak filtering,
     # frame-based or flat-blocks-only (EbPictureAnalysisProcess.c:3409)
     enable_source_denoise: bool = False
-                                  # (estimated from source noise by the
-                                  # GOP encoder's analysis stage)
+    # HDR metadata OBUs, emitted on keyframe TUs (spec 5.8.3/5.8.4 —
+    # the SEI-equivalent side channel; the reference has no SEI path)
+    content_light: Optional[Tuple[int, int]] = None      # (max_cll, max_fall)
+    mastering_display: Optional[tuple] = None  # (primaries3, wp, max_l, min_l)
     film_grain_seed: int = 45231  # 16-bit LFSR seed for grain synthesis
     # Full noise-model parameters (ops.grain.FilmGrainParams or its
     # asdict form) — set by auto estimation (film_grain_strength -1) or

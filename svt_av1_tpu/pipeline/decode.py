@@ -643,6 +643,7 @@ class StreamDecoder:
         # CDF carry
         self.slot_entropy = [None] * 8
         self.slot_gm = [((0, 0),) * 7] * 8
+        self.metadata = {}            # metadata_type -> parsed fields
 
     def _crop(self, planes):
         w, h = self.seq.width, self.seq.height
@@ -668,6 +669,10 @@ class StreamDecoder:
         recon = None
         for obu_type, payload in obu.parse_obus(tu):
             if obu_type == obu.OBU_TEMPORAL_DELIMITER:
+                continue
+            if obu_type == obu.OBU_METADATA:
+                mtype, md_vals = obu.parse_metadata_obu(payload)
+                self.metadata[mtype] = md_vals
                 continue
             if obu_type == obu.OBU_SEQUENCE_HEADER:
                 self.seq = obu.parse_sequence_header_obu(payload)

@@ -467,8 +467,14 @@ class WavefrontIntraEncoder:
         self.final_entropy = (
             FrameContext(cfg.base_q_idx) if no_end_update else tile0_fc,
             mv_syntax.NmvContext())
+        md_obus = b""
+        if cfg.content_light is not None:
+            md_obus += obu.write_metadata_hdr_cll(*cfg.content_light)
+        if cfg.mastering_display is not None:
+            md_obus += obu.write_metadata_hdr_mdcv(*cfg.mastering_display)
         tu = (obu.temporal_delimiter_obu()
               + obu.write_sequence_header_obu(self.seq)
+              + md_obus
               + obu.write_frame_obu(self.seq, fh, payloads))
         recon = [frame_recon[0][:cfg.height, :cfg.width],
                  frame_recon[1][:(cfg.height + 1) // 2,

@@ -192,3 +192,35 @@ def test_cli_stdout_ivf_pipe():
     assert p.stdout[:4] == b"DKIF"
     assert b"encode speed" in p.stderr     # stats rerouted off stdout
     assert len(decode_ivf(io.BytesIO(p.stdout))) == 2
+
+
+def test_hdr_metadata_obus():
+    """HDR CLL/MDCV metadata OBUs (spec 5.8.3/5.8.4) ride keyframe TUs
+    and surface from the stream decoder without disturbing decode."""
+    import numpy as np
+    from svt_av1_tpu.bitstream import obu
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.encoder import Encoder
+
+    prim = ((13250, 34500), (7500, 3000), (34000, 16000))
+    cfg = EncoderConfig(width=128, height=96, qp=40,
+                        content_light=(1000, 400),
+                        mastering_display=(prim, (15635, 16450),
+                                           1000 << 8, 1))
+    enc = Encoder(cfg)
+    rng = np.random.default_rng(2)
+    enc.send_picture(rng.integers(0, 255, (96, 128), dtype=np.uint8),
+                     np.full((48, 64), 128, np.uint8),
+                     np.full((48, 64), 128, np.uint8))
+    tu, disp = enc.get_packet()
+    dec = StreamDecoder()
+    out = dec.decode_tu(tu)
+    for p in range(3):
+        assert (out[p] == disp[p]).all()
+    assert dec.metadata[obu.METADATA_TYPE_HDR_CLL] == {
+        "max_cll": 1000, "max_fall": 400}
+    md = dec.metadata[obu.METADATA_TYPE_HDR_MDCV]
+    assert md["primaries"] == [list(p) for p in map(list, prim)] or \
+        md["primaries"] == [tuple(p) for p in prim]
+    assert md["max_luminance"] == 1000 << 8 and md["min_luminance"] == 1
