@@ -69,6 +69,12 @@ class SequenceHeader:
     film_grain_params_present: bool = False
     seq_profile: int = 0
     still_picture: bool = False
+    # color_config (spec 5.5.2): CICP code points (ISO 23091-4); None =
+    # color_description_present_flag 0 (unspecified)
+    color_primaries: int = None
+    transfer_characteristics: int = None
+    matrix_coefficients: int = None
+    color_range: int = 0          # 0 studio swing, 1 full swing
 
     @property
     def frame_width_bits(self) -> int:
@@ -333,8 +339,13 @@ def write_sequence_header_obu(seq: SequenceHeader) -> bytes:
     # color_config (spec 5.5.2)
     w.write_bit(int(seq.bit_depth == 10))   # high_bitdepth
     w.write_bit(0)                       # mono_chrome (profile 0 codes it)
-    w.write_bit(0)                       # color_description_present_flag
-    w.write_bit(0)                       # color_range (studio swing)
+    has_desc = seq.color_primaries is not None
+    w.write_bit(int(has_desc))           # color_description_present_flag
+    if has_desc:
+        w.write(seq.color_primaries, 8)
+        w.write(seq.transfer_characteristics or 2, 8)
+        w.write(seq.matrix_coefficients or 2, 8)
+    w.write_bit(seq.color_range)         # color_range
     # profile 0 implies 4:2:0 -> subsampling not coded
     w.write(0, 2)                        # chroma_sample_position (unknown)
     w.write_bit(0)                       # separate_uv_delta_q
@@ -669,9 +680,10 @@ def parse_sequence_header_obu(payload: bytes) -> SequenceHeader:
     if profile != 1:
         mono = r.read_bit()
         assert not mono, "monochrome unsupported"
+    cp = tc = mc_ = None
     if r.read_bit():          # color_description_present
-        r.read(8), r.read(8), r.read(8)
-    r.read_bit()              # color_range
+        cp, tc, mc_ = r.read(8), r.read(8), r.read(8)
+    crange = r.read_bit()     # color_range
     assert profile == 0, "4:2:0 only"
     r.read(2)                 # chroma_sample_position
     sep_uv_dq = r.read_bit()
@@ -687,6 +699,9 @@ def parse_sequence_header_obu(payload: bytes) -> SequenceHeader:
                           enable_cdef=cdef, enable_restoration=restoration,
                           enable_superres=superres,
                           film_grain_params_present=grain,
+                          color_primaries=cp,
+                          transfer_characteristics=tc,
+                          matrix_coefficients=mc_, color_range=crange,
                           seq_profile=profile, still_picture=bool(still))
 
 

@@ -84,6 +84,16 @@ class EncoderConfig:
     # the SEI-equivalent side channel; the reference has no SEI path)
     content_light: Optional[Tuple[int, int]] = None      # (max_cll, max_fall)
     mastering_display: Optional[tuple] = None  # (primaries3, wp, max_l, min_l)
+    # CICP color description for the sequence header's color_config
+    # (reference EbApi.h color description fields; None = unspecified)
+    color_primaries: Optional[int] = None
+    transfer_characteristics: Optional[int] = None
+    matrix_coefficients: Optional[int] = None
+    color_range: int = 0
+    # qp clamps (reference min_qp_allowed/max_qp_allowed, EbApi.h):
+    # bound every per-frame qindex choice (qp scaling, RC, qp-file)
+    min_qp_allowed: int = 0
+    max_qp_allowed: int = 63
     film_grain_seed: int = 45231  # 16-bit LFSR seed for grain synthesis
     # Full noise-model parameters (ops.grain.FilmGrainParams or its
     # asdict form) — set by auto estimation (film_grain_strength -1) or

@@ -49,6 +49,12 @@ class Encoder:
                                           cfg.film_grain_strength > 0
                                           or cfg.film_grain_params
                                           is not None),
+                                      color_primaries=cfg.color_primaries,
+                                      transfer_characteristics=(
+                                          cfg.transfer_characteristics),
+                                      matrix_coefficients=(
+                                          cfg.matrix_coefficients),
+                                      color_range=cfg.color_range,
                                       **obu.order_hint_fields(
                                           cfg.enable_tmvp))
         self._grain = None
@@ -129,6 +135,13 @@ class Encoder:
                 cfg = dataclasses.replace(
                     cfg, qindex_override=qindex_for_qstep_scale(
                         cfg.base_q_idx, ratio, cfg.bit_depth))
+        if cfg.qindex_override is not None and (
+                cfg.min_qp_allowed > 0 or cfg.max_qp_allowed < 63):
+            # reference min_qp_allowed/max_qp_allowed clamps (CLIP3 at
+            # every per-frame qp assignment, EbRateControlProcess.c)
+            cfg = dataclasses.replace(cfg, qindex_override=int(np.clip(
+                cfg.qindex_override, max(1, cfg.min_qp_allowed * 4),
+                cfg.max_qp_allowed * 4)))
         return cfg
 
     def _qp_file_qp(self, disp_idx):

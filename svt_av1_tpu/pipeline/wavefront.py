@@ -51,6 +51,12 @@ class WavefrontIntraEncoder:
                                           cfg.film_grain_strength > 0
                                           or cfg.film_grain_params
                                           is not None),
+                                      color_primaries=cfg.color_primaries,
+                                      transfer_characteristics=(
+                                          cfg.transfer_characteristics),
+                                      matrix_coefficients=(
+                                          cfg.matrix_coefficients),
+                                      color_range=cfg.color_range,
                                       **obu.order_hint_fields(
                                           cfg.enable_tmvp))
         self.order_hint = 0           # set by the driver (display index)

@@ -78,3 +78,38 @@ def test_encode_ivf_frame_count_backpatched():
     outs = decode_ivf(io.BytesIO(data))
     assert count == 3
     assert len(outs) == 3
+
+
+def test_color_config_and_qp_clamps():
+    """CICP color description rides the sequence header's color_config
+    (spec 5.5.2) and min/max-qp clamps bound per-frame qindex choices
+    (reference min_qp_allowed/max_qp_allowed)."""
+    import numpy as np
+    from svt_av1_tpu.bitstream import obu
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.decode import StreamDecoder
+    from svt_av1_tpu.pipeline.encoder import Encoder
+
+    cfg = EncoderConfig(width=128, height=96, qp=40,
+                        color_primaries=9,           # BT.2020
+                        transfer_characteristics=16,  # PQ
+                        matrix_coefficients=9, color_range=1,
+                        min_qp_allowed=35, max_qp_allowed=45)
+    enc = Encoder(cfg)
+    rng = np.random.default_rng(5)
+    enc.send_picture(rng.integers(0, 255, (96, 128), dtype=np.uint8),
+                     np.full((48, 64), 128, np.uint8),
+                     np.full((48, 64), 128, np.uint8))
+    tu, disp = enc.get_packet()
+    dec = StreamDecoder()
+    out = dec.decode_tu(tu)
+    for p in range(3):
+        assert (out[p] == disp[p]).all()
+    assert dec.seq.color_primaries == 9
+    assert dec.seq.transfer_characteristics == 16
+    assert dec.seq.matrix_coefficients == 9
+    assert dec.seq.color_range == 1
+    # qp scaling would pick qindex ~70 for the key frame at qp 40;
+    # min_qp_allowed=35 clamps it to >= 140
+    eff = enc._cfg_for(True).base_q_idx
+    assert eff == 140, eff
