@@ -25,6 +25,7 @@ from svt_av1_tpu.entropy import modes as mode_syntax
 from svt_av1_tpu.entropy import mv as mv_syntax
 from svt_av1_tpu.entropy.cdf import FrameContext
 from svt_av1_tpu.entropy.ctx import TileContexts
+from svt_av1_tpu.utils.trace import span
 from svt_av1_tpu.ops import mc, me
 from svt_av1_tpu.ops import quant as quant_ops
 from svt_av1_tpu.ops import transforms as tx_ops
@@ -121,10 +122,11 @@ class InterFrameEncoder:
 
         if cfg.fixed_partition_size is None:
             from svt_av1_tpu.pipeline import rd as rd_mod
-            self.leaf_sizes = rd_mod.choose_partition_inter(
-                y, self.refs[LAST_FRAME][0], cfg, self.mi_cols,
-                self.mi_rows, ref_pyr=self.ref_pyrs[LAST_FRAME],
-                src_pyr=self.src_pyr)
+            with span("inter_partition_dp"):
+                self.leaf_sizes = rd_mod.choose_partition_inter(
+                    y, self.refs[LAST_FRAME][0], cfg, self.mi_cols,
+                    self.mi_rows, ref_pyr=self.ref_pyrs[LAST_FRAME],
+                    src_pyr=self.src_pyr)
         else:
             self.leaf_sizes = common.fixed_leaf_sizes(
                 self.mi_rows, self.mi_cols, self.seq.sb_rows,
@@ -173,21 +175,24 @@ class InterFrameEncoder:
                            for q in np.unique(qv)]
             for qidx, ids in qgroups:
                 if len(ids):
-                    self._encode_blocks(larr[ids], ids, wh, qidx=qidx)
+                    with span("inter_blocks"):
+                        self._encode_blocks(larr[ids], ids, wh, qidx=qidx)
         if cfg.intra_in_inter:
-            self._intra_flip_pass(leaves)
+            with span("intra_flip"):
+                self._intra_flip_pass(leaves)
         self._estimate_gm()
 
         lf_levels = (0, 0, 0, 0)
         if cfg.enable_dlf:
             from svt_av1_tpu.ops import dlf
-            lf_levels = dlf.pick_levels(self.recon, self.src,
-                                        self.leaf_sizes, self.mi_rows,
-                                        self.mi_cols, cfg.base_q_idx,
-                                        cfg.bit_depth)
-            dlf.loop_filter_frame(self.recon, self.leaf_sizes, self.mi_rows,
-                                  self.mi_cols, lf_levels,
-                                  bd=cfg.bit_depth)
+            with span("dlf"):
+                lf_levels = dlf.pick_levels(self.recon, self.src,
+                                            self.leaf_sizes, self.mi_rows,
+                                            self.mi_cols, cfg.base_q_idx,
+                                            cfg.bit_depth)
+                dlf.loop_filter_frame(self.recon, self.leaf_sizes,
+                                      self.mi_rows, self.mi_cols, lf_levels,
+                                      bd=cfg.bit_depth)
         self.lr_rinfos = None
         lr_bounds = None
         if cfg.enable_restoration:
@@ -211,12 +216,13 @@ class InterFrameEncoder:
                     frame_skip[r:r + (lh >> 2), c:c + (lw >> 2)] = True
             skip8 = frame_skip[0::2, 0::2] & frame_skip[0::2, 1::2] \
                 & frame_skip[1::2, 0::2] & frame_skip[1::2, 1::2]
-            idx_map, y_str, uv_str, damping = cdef_ops.cdef_search(
-                self.recon, self.src, skip8, self.mi_rows, self.mi_cols,
-                cfg.base_q_idx, cfg.bit_depth)
-            cdef_ops.cdef_frame(self.recon, skip8, idx_map, y_str, uv_str,
-                                damping, self.mi_rows, self.mi_cols,
-                                cfg.bit_depth)
+            with span("cdef"):
+                idx_map, y_str, uv_str, damping = cdef_ops.cdef_search(
+                    self.recon, self.src, skip8, self.mi_rows,
+                    self.mi_cols, cfg.base_q_idx, cfg.bit_depth)
+                cdef_ops.cdef_frame(self.recon, skip8, idx_map, y_str,
+                                    uv_str, damping, self.mi_rows,
+                                    self.mi_cols, cfg.bit_depth)
             self.cdef_idx_map = idx_map
             cdef_kw = dict(cdef_damping=damping, cdef_bits=2,
                            cdef_y_strengths=y_str, cdef_uv_strengths=uv_str)
@@ -224,12 +230,13 @@ class InterFrameEncoder:
         if cfg.enable_restoration:
             from svt_av1_tpu.ops import restoration as rst_ops
             from svt_av1_tpu.pipeline import lr_search
-            self.lr_rinfos = lr_search.search_restoration(
-                self.recon, self.src, lr_bounds, cfg.width, cfg.height,
-                cfg.bit_depth, cfg.base_q_idx, self.lam)
-            rst_ops.loop_restoration_filter_frame(
-                self.recon, self.lr_rinfos, lr_bounds, cfg.width,
-                cfg.height, cfg.bit_depth)
+            with span("lr"):
+                self.lr_rinfos = lr_search.search_restoration(
+                    self.recon, self.src, lr_bounds, cfg.width, cfg.height,
+                    cfg.bit_depth, cfg.base_q_idx, self.lam)
+                rst_ops.loop_restoration_filter_frame(
+                    self.recon, self.lr_rinfos, lr_bounds, cfg.width,
+                    cfg.height, cfg.bit_depth)
             lr_kw = dict(lr_params=(
                 tuple(ri.frame_restoration_type for ri in self.lr_rinfos),
                 self.lr_rinfos[0].unit_size, self.lr_rinfos[1].unit_size))
@@ -552,17 +559,19 @@ class InterFrameEncoder:
         tx_size = common.tx_size_for_rect(bw, bh, 0)
 
         refs_order = sorted(self.refs)
-        chosen_ref, chosen, pmvs, fsel, bsel = \
-            self._me_rd_pruned(xs, ys, srcs, (bw, bh), tx_size, qp,
-                               lam, refs_order)
+        with span("me_rd"):
+            chosen_ref, chosen, pmvs, fsel, bsel = \
+                self._me_rd_pruned(xs, ys, srcs, (bw, bh), tx_size, qp,
+                                   lam, refs_order)
 
         comp_sel = np.zeros(b, dtype=bool)
         comp_f = np.full(b, LAST_FRAME, dtype=np.int32)
         comp_b = np.zeros(b, dtype=np.int32)
         if self.reference_select:
-            cost, qc, eo, rec, mv0a, mv1a = self._compound_pairs(
-                fsel, bsel, pmvs, xs, ys, srcs, (bw, bh), tx_size,
-                qp, lam, comp_f, comp_b)
+            with span("compound"):
+                cost, qc, eo, rec, mv0a, mv1a = self._compound_pairs(
+                    fsel, bsel, pmvs, xs, ys, srcs, (bw, bh), tx_size,
+                    qp, lam, comp_f, comp_b)
             comp_sel = cost < chosen[0]
             chosen[0] = np.where(comp_sel, cost, chosen[0])
             chosen[1] = np.where(comp_sel[:, None], mv0a, chosen[1])
@@ -578,12 +587,13 @@ class InterFrameEncoder:
             # encode-pass TX-type sweep on the winning prediction
             # (ref: encode_pass_tx_search EbCodingLoop.c:516); runs on
             # host for both backends — same ints, identical streams
-            preds = self._winner_preds(xs, ys, (bw, bh), chosen[1],
-                                       chosen_ref, comp_sel, comp_f,
-                                       comp_b, self.mvs1[ids])
-            self.y_tx_type[ids] = md.inter_tx_search(
-                srcs, preds, chosen[0], chosen[2], chosen[3], chosen[4],
-                tx_size, (bw, bh), qp, cfg.bit_depth, lam)
+            with span("inter_tx_search"):
+                preds = self._winner_preds(xs, ys, (bw, bh), chosen[1],
+                                           chosen_ref, comp_sel, comp_f,
+                                           comp_b, self.mvs1[ids])
+                self.y_tx_type[ids] = md.inter_tx_search(
+                    srcs, preds, chosen[0], chosen[2], chosen[3],
+                    chosen[4], tx_size, (bw, bh), qp, cfg.bit_depth, lam)
         self.mvs[ids] = chosen[1]
         self.block_ref[ids] = chosen_ref
         self.eobs[0, ids] = chosen[3]
