@@ -704,9 +704,11 @@ def quantize_pallas(coeff, scan: np.ndarray, qp: quant_host.QuantParams,
 # the padded reference; filter rows are gathered by sub-pel phase.)
 
 def mc_block_batch_j(ref_padded, xs, ys, mvs, w: int, h: int,
-                     ss: int = 0, bd: int = 8):
+                     ss: int = 0, bd: int = 8, ref_idx=None):
     """Device twin of mc.mc_block_batch: [B] blocks, [B, 2] MVs in
-    1/8-pel luma units. Returns [B, h, w] pixels (int32)."""
+    1/8-pel luma units. Returns [B, h, w] pixels (int32).
+    ``ref_idx``: optional [B] plane selector when ``ref_padded`` is a
+    stacked [R, H, W] bank (per-block reference choice in one gather)."""
     from svt_av1_tpu.ops import mc as mch
     b = xs.shape[0]
     mvs = mvs.astype(jnp.int32)
@@ -720,13 +722,18 @@ def mc_block_batch_j(ref_padded, xs, ys, mvs, w: int, h: int,
     fy_tab = jnp.asarray(mch._filters(h), jnp.int32)
     fx = fx_tab[frac_c]                                  # [B, 8]
     fy = fy_tab[frac_r]
-    Wp = ref_padded.shape[1]
+    Wp = ref_padded.shape[-1]
     flat = ref_padded.reshape(-1).astype(jnp.int32)
     y0 = int_r + mch.REF_PAD - 3
     x0 = int_c + mch.REF_PAD - 3
     iy = y0[:, None, None] + jnp.arange(h + 7)[None, :, None]
     ix = x0[:, None, None] + jnp.arange(w + 7)[None, None, :]
-    win = flat[(iy * Wp + ix).reshape(b, -1)].reshape(b, h + 7, w + 7)
+    idx = iy * Wp + ix
+    if ref_idx is not None:
+        plane_sz = ref_padded.shape[-1] * ref_padded.shape[-2]
+        idx = idx + (ref_idx.astype(jnp.int32)
+                     * plane_sz)[:, None, None]
+    win = flat[idx.reshape(b, -1)].reshape(b, h + 7, w + 7)
 
     offset_bits = bd + 2 * mch.FILTER_BITS - mch.ROUND0
     final_bits = 2 * mch.FILTER_BITS - mch.ROUND0 - mch.ROUND1

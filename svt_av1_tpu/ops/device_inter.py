@@ -430,6 +430,97 @@ def _build_single_rd(size, qindex: int, lamq: int, bd: int):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=256)
+def _build_me_rd_multi(size, n_refs: int, qindex: int, lamq: int,
+                       bd: int):
+    """Fused multi-reference ME + RD: full-pel HME over every ref,
+    quarter-pel refinement, clamp, and the {refined, zero} full-loop RD
+    on the per-block winning ref — ONE program where the per-ref loops
+    cost 3R+1 tunnel round trips (~60 ms each through the axon link).
+    Decisions are bit-identical to the host _me_rd_pruned: same argmin
+    tie-breaks, same clamp, same integer RD."""
+    bw, bh = common.leaf_wh(size)
+    tx_size = common.tx_size_for_rect(bw, bh, 0)
+
+    def fn(*args):
+        # args: R pyramids (full, half, quarter each), then src pyramid
+        # (3), xs, ys
+        pyrs = [args[3 * i:3 * i + 3] for i in range(n_refs)]
+        src_pyr = args[3 * n_refs:3 * n_refs + 3]
+        xs = args[-2].astype(jnp.int64)
+        ys = args[-1].astype(jnp.int64)
+        src_full = src_pyr[0]
+        H, W = src_full.shape
+        fulls, sads = [], []
+        for pyr in pyrs:
+            mv, sad = fullpel_search_j(pyr, src_pyr, xs, ys, size)
+            fulls.append(mv)
+            sads.append(sad)
+        sads = jnp.stack(sads)                    # [R, B]
+        best_all = jnp.argmin(sads, axis=0)       # first-min tie-break
+        refined = []
+        for i, pyr in enumerate(pyrs):
+            mv8 = subpel_refine_j(pyr[0], src_full, xs, ys, size,
+                                  fulls[i], bd=bd)
+            refined.append(_clamp_mvs_j(mv8, xs, ys, bw, bh, W, H))
+        refined = jnp.stack(refined)              # [R, B, 2]
+        # single-ref RD on the overall winner, per-block ref gather
+        refs_bank = jnp.stack([pyr[0] for pyr in pyrs])   # [R, H+2p, W+2p]
+        mv_win = jnp.take_along_axis(
+            refined, best_all[None, :, None], axis=0)[0]
+        srcs, _, _ = _gather_curs(src_full.astype(jnp.int32), xs, ys,
+                                  bw, bh)
+        srcs = srcs.astype(jnp.int64)
+        best = None
+        for cand in (mv_win, jnp.zeros_like(mv_win)):
+            pred = dev.mc_block_batch_j(refs_bank, xs, ys, cand, bw, bh,
+                                        ss=0, bd=bd,
+                                        ref_idx=best_all).astype(jnp.int64)
+            qc, eo, rec, dist, rate = _full_loop_j(
+                srcs, pred, jnp.zeros(xs.shape[0], dtype=jnp.int32),
+                (0,), tx_size, size, qindex, bd, 0)
+            mv_bits = (2 << md.RATE_Q) \
+                + 256 * (jnp.abs(cand).sum(axis=1) > 0)
+            cost = _rdcost_j(dist, lamq, rate + mv_bits)
+            if best is None:
+                best = [cost, cand, qc, eo, rec]
+            else:
+                bt = cost < best[0]
+                best[0] = jnp.where(bt, cost, best[0])
+                best[1] = jnp.where(bt[:, None], cand, best[1])
+                best[2] = jnp.where(bt[:, None, None], qc, best[2])
+                best[3] = jnp.where(bt, eo, best[3])
+                best[4] = jnp.where(bt[:, None, None], rec, best[4])
+        return (sads, refined, best_all) + tuple(best)
+
+    return jax.jit(fn)
+
+
+def me_rd_multi_dev(ref_pyrs_list, src_pyr, xs, ys, size, qp, lam, bd=8):
+    """One call for the whole multi-ref ME+RD stage. Returns
+    (sads [R,B], refined_mvs [R,B,2], best_all [B], cost [B], mv [B,2],
+    qc, eob, rec), numpy."""
+    b = len(xs)
+    nb = _bucket(b)
+    fn = _build_me_rd_multi(
+        size if isinstance(size, int) else tuple(size),
+        len(ref_pyrs_list), int(qp.qindex), md.lam_to_q(lam), bd)
+    args = []
+    for pyr in ref_pyrs_list:
+        args.extend(_dput_seq(pyr[:3]))
+    args.extend(_dput_seq(src_pyr[:3]))
+    args.append(_pad(np.asarray(xs, np.int64), nb, b))
+    args.append(_pad(np.asarray(ys, np.int64), nb, b))
+    outs = jax.device_get(fn(*args))
+    sads, refined, best_all, cost, mv, qc, eo, rec = outs
+    return (sads[:, :b].astype(np.int64),
+            refined[:, :b].astype(np.int64),
+            best_all[:b].astype(np.int64),
+            cost[:b].astype(np.int64), mv[:b].astype(np.int64),
+            qc[:b].astype(np.int32), eo[:b].astype(np.int32),
+            rec[:b].astype(np.int64))
+
+
 def fullpel_dev(ref_pyr, src_pyr, xs, ys, size):
     """Twin of me.fullpel_search: (int_mvs, sad), numpy in/out."""
     b = len(xs)

@@ -361,19 +361,33 @@ class InterFrameEncoder:
         bw, bh = size
         b = len(xs)
         dev = cfg.backend == "device"
-        if dev:
-            from svt_av1_tpu.ops import device_inter as di
         plane_w, plane_h = self.src[0].shape[1], self.src[0].shape[0]
+        if dev:
+            # ONE fused program for the whole multi-ref ME+RD stage
+            # (full-pel over every ref, sub-pel, clamp, winner RD) —
+            # per-ref round trips through the tunnel cost ~60 ms each
+            from svt_av1_tpu.ops import device_inter as di
+            sads, refined_a, best_all, cost, mv_arr, qc, eo, rec = \
+                di.me_rd_multi_dev([self.ref_pyrs[r] for r in refs_order],
+                                   self.src_pyr, xs, ys, (bw, bh), qp,
+                                   lam, bd=cfg.bit_depth)
+            chosen_ref = np.asarray(refs_order,
+                                    dtype=np.int32)[best_all]
+            fsel = bsel = None
+            if self.reference_select:
+                fidx = [refs_order.index(r) for r in self.fwd_refs]
+                bidx = [refs_order.index(r) for r in self.bwd_refs]
+                fsel = np.argmin(sads[fidx], axis=0)
+                bsel = np.argmin(sads[bidx], axis=0)
+            refined = {r: refined_a[i]
+                       for i, r in enumerate(refs_order)}
+            chosen = [cost, mv_arr, qc, eo, rec]
+            return chosen_ref, chosen, refined, fsel, bsel
         fullpel = {}
         for r in refs_order:
-            if dev:
-                fullpel[r] = di.fullpel_dev(self.ref_pyrs[r],
-                                            self.src_pyr, xs, ys,
-                                            (bw, bh))
-            else:
-                fullpel[r] = me.fullpel_search(
-                    self.refs[r][0], self.src[0], xs, ys, (bw, bh),
-                    ref_pyr=self.ref_pyrs[r], src_pyr=self.src_pyr)
+            fullpel[r] = me.fullpel_search(
+                self.refs[r][0], self.src[0], xs, ys, (bw, bh),
+                ref_pyr=self.ref_pyrs[r], src_pyr=self.src_pyr)
         sads = np.stack([fullpel[r][1] for r in refs_order])
         best_all = np.argmin(sads, axis=0)
         need = {r: best_all == i for i, r in enumerate(refs_order)}
@@ -393,15 +407,10 @@ class InterFrameEncoder:
             sel = np.nonzero(need[r])[0]
             if len(sel) == 0:
                 continue
-            if dev:
-                mv8 = di.subpel_dev(self.refs[r][0], self.src[0],
-                                    xs[sel], ys[sel], fullpel[r][0][sel],
-                                    (bw, bh), bd=cfg.bit_depth)
-            else:
-                mv8, _ = me.subpel_refine(self.refs[r][0], self.src[0],
-                                          xs[sel], ys[sel], (bw, bh),
-                                          fullpel[r][0][sel],
-                                          bd=cfg.bit_depth)
+            mv8, _ = me.subpel_refine(self.refs[r][0], self.src[0],
+                                      xs[sel], ys[sel], (bw, bh),
+                                      fullpel[r][0][sel],
+                                      bd=cfg.bit_depth)
             refined[r][sel] = clamp_mvs_batch(mv8, xs[sel], ys[sel], bw,
                                               bh, plane_w, plane_h)
         # single-ref RD on the overall winner: {refined MV, zero MV}
@@ -418,14 +427,6 @@ class InterFrameEncoder:
             if len(sel) == 0:
                 continue
             chosen_ref[sel] = r
-            if dev:
-                cs, mvb, qs, es, rs = di.single_rd_dev(
-                    self.refs[r][0], self.src[0], xs[sel], ys[sel],
-                    refined[r][sel], (bw, bh), qp, lam,
-                    bd=cfg.bit_depth)
-                cost[sel], mv_arr[sel] = cs, mvb
-                qc[sel], eo[sel], rec[sel] = qs, es, rs
-                continue
             zero = np.zeros((len(sel), 2), dtype=np.int64)
             for cand in (refined[r][sel], zero):
                 pred = mc.mc_block_batch(self.refs[r][0], xs[sel],
