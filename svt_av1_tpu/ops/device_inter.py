@@ -258,6 +258,59 @@ def _build_chroma_code(size, qindex: int, bd: int, ss: int):
 
 
 @functools.lru_cache(maxsize=256)
+def _build_chroma_multi(size, n_refs: int, qindex: int, bd: int):
+    """Both chroma planes' single-ref coding in ONE program: the chosen
+    reference per block selects from a stacked plane bank (was 2 planes x
+    R refs separate round trips)."""
+    cw, ch = common.leaf_wh(size)
+    tx_uv = common.tx_size_for_rect(cw, ch, 1)
+
+    def fn(*args):
+        # args: R u-planes, R v-planes, src_u, src_v, xs, ys, mvs, ridx
+        uplanes = args[:n_refs]
+        vplanes = args[n_refs:2 * n_refs]
+        src_u, src_v = args[2 * n_refs], args[2 * n_refs + 1]
+        xs, ys, mvs, ridx = args[2 * n_refs + 2:]
+        outs = []
+        for bank_planes, srcp in ((uplanes, src_u), (vplanes, src_v)):
+            bank = jnp.stack(bank_planes)
+            srcs, _, _ = _gather_curs(srcp.astype(jnp.int32),
+                                      xs.astype(jnp.int64),
+                                      ys.astype(jnp.int64), cw, ch)
+            pred = dev.mc_block_batch_j(bank, xs, ys, mvs, cw, ch, ss=1,
+                                        bd=bd,
+                                        ref_idx=ridx).astype(jnp.int64)
+            qc, eo, rec, _, _ = _full_loop_j(
+                srcs.astype(jnp.int64), pred,
+                jnp.zeros(xs.shape[0], dtype=jnp.int32), (0,), tx_uv,
+                (cw, ch), qindex, bd, 1)
+            outs += [qc, eo, rec]
+        return tuple(outs)
+
+    return jax.jit(fn)
+
+
+def chroma_multi_dev(refs_u, refs_v, src_u, src_v, xs, ys, mvs, ridx,
+                     size, qp, bd=8):
+    """U+V single-ref chroma coding across the whole ref set, one call.
+    Returns (qc_u, eo_u, rec_u, qc_v, eo_v, rec_v), numpy."""
+    b = len(xs)
+    nb = _bucket(b)
+    fn = _build_chroma_multi(
+        size if isinstance(size, int) else tuple(size), len(refs_u),
+        int(qp.qindex), bd)
+    args = [_dput(p) for p in refs_u] + [_dput(p) for p in refs_v]
+    args += [_dput(src_u), _dput(src_v),
+             _pad(np.asarray(xs, np.int64), nb, b),
+             _pad(np.asarray(ys, np.int64), nb, b),
+             _pad(np.asarray(mvs, np.int64), nb, b),
+             _pad(np.asarray(ridx, np.int64), nb, b)]
+    outs = jax.device_get(fn(*args))
+    return tuple(o[:b].astype(np.int32 if i % 3 != 2 else np.int64)
+                 for i, o in enumerate(outs))
+
+
+@functools.lru_cache(maxsize=256)
 def _build_compound(size, qindex: int, lamq: int, bd: int, ss: int,
                     plane_type: int):
     bw, bh = common.leaf_wh(size)

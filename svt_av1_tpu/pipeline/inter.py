@@ -620,23 +620,26 @@ class InterFrameEncoder:
             luma_tt = np.where(chosen[3] > 0, self.y_tx_type[ids], 0)
             ctts = np.array([common.chroma_tx_type_inter(
                 int(t), tx_uv, False) for t in luma_tt], dtype=np.int32)
-        for plane in (1, 2):
+        dev_chroma = cfg.backend == "device" \
+            and not cfg.enable_tx_type_search
+        if dev_chroma:
+            # one fused call codes U+V for every single-ref block; the
+            # (rare) compound pairs follow per pair
+            from svt_av1_tpu.ops import device_inter as di
             cxs, cys = xs >> 1, ys >> 1
-            if cfg.backend == "device" and not cfg.enable_tx_type_search:
-                from svt_av1_tpu.ops import device_inter as di
-                cdw, cdh = common.coded_dims(tx_uv)
-                qc = np.zeros((b, cdh, cdw), dtype=np.int32)
-                eo = np.zeros(b, dtype=np.int32)
-                rec = np.zeros((b, ch, cw), dtype=np.int64)
-                for ref in refs_order:
-                    sel = np.nonzero((chosen_ref == ref) & ~comp_sel)[0]
-                    if len(sel) == 0:
-                        continue
-                    qs, es, rs = di.chroma_code_dev(
-                        self.refs[ref][plane], self.src[plane],
-                        cxs[sel], cys[sel], chosen[1][sel], (cw, ch),
-                        qp, bd=cfg.bit_depth, ss=1)
-                    qc[sel], eo[sel], rec[sel] = qs, es, rs
+            cdw, cdh = common.coded_dims(tx_uv)
+            ref_pos = {r: i for i, r in enumerate(refs_order)}
+            ridx = np.array([ref_pos[int(r)] for r in chosen_ref],
+                            dtype=np.int64)
+            outs = di.chroma_multi_dev(
+                [self.refs[r][1] for r in refs_order],
+                [self.refs[r][2] for r in refs_order],
+                self.src[1], self.src[2], cxs, cys, chosen[1], ridx,
+                (cw, ch), qp, bd=cfg.bit_depth)
+            for pi, plane in enumerate((1, 2)):
+                qc, eo, rec = outs[3 * pi], outs[3 * pi + 1], \
+                    outs[3 * pi + 2]
+                qc, eo, rec = qc.copy(), eo.copy(), rec.copy()
                 for f, bref in cpairs:
                     csel = np.nonzero(comp_sel
                                       & (self.comp_ref0[ids] == f)
@@ -650,38 +653,45 @@ class InterFrameEncoder:
                         self.mvs1[ids][csel], (cw, ch), qp, lam,
                         bd=cfg.bit_depth, ss=1, plane_type=1)
                     qc[csel], eo[csel], rec[csel] = qs, es, rs
-            else:
-                srcs_c = np.stack([
-                    self.src[plane][yy:yy + ch, xx:xx + cw]
-                    for xx, yy in zip(cxs, cys)]).astype(np.int64)
-                pred = np.empty((b, ch, cw), dtype=np.int64)
-                for ref in refs_order:
-                    sel = np.nonzero((chosen_ref == ref) & ~comp_sel)[0]
-                    if len(sel) == 0:
-                        continue
-                    pred[sel] = mc.mc_block_batch(
-                        self.refs[ref][plane], cxs[sel], cys[sel],
-                        chosen[1][sel], cw, ch, ss=1,
-                        bd=cfg.bit_depth).astype(np.int64)
-                for f, bref in cpairs:
-                    csel = np.nonzero(comp_sel
-                                      & (self.comp_ref0[ids] == f)
-                                      & (self.comp_ref1[ids] == bref))[0]
-                    if len(csel) == 0:
-                        continue
-                    cc0 = mc.mc_block_batch_conv(
-                        self.refs[f][plane], cxs[csel],
-                        cys[csel], chosen[1][csel], cw, ch, ss=1,
-                        bd=cfg.bit_depth)
-                    cc1 = mc.mc_block_batch_conv(
-                        self.refs[bref][plane], cxs[csel], cys[csel],
-                        self.mvs1[ids][csel], cw, ch, ss=1,
-                        bd=cfg.bit_depth)
-                    pred[csel] = mc.compound_average(cc0, cc1,
-                                                     cfg.bit_depth)
-                qc, eo, rec, _, _ = md._full_loop(
-                    srcs_c, pred, ctts, tx_uv, (cw, ch), qp,
-                    cfg.bit_depth)
+                self.eobs[plane, ids] = eo
+                for k, i in enumerate(ids):
+                    self.qcoeff[plane][i] = qc[k]
+                    yy, xx = int(cys[k]), int(cxs[k])
+                    self.recon[plane][yy:yy + ch, xx:xx + cw] = rec[k]
+            return
+        for plane in (1, 2):
+            cxs, cys = xs >> 1, ys >> 1
+            srcs_c = np.stack([
+                self.src[plane][yy:yy + ch, xx:xx + cw]
+                for xx, yy in zip(cxs, cys)]).astype(np.int64)
+            pred = np.empty((b, ch, cw), dtype=np.int64)
+            for ref in refs_order:
+                sel = np.nonzero((chosen_ref == ref) & ~comp_sel)[0]
+                if len(sel) == 0:
+                    continue
+                pred[sel] = mc.mc_block_batch(
+                    self.refs[ref][plane], cxs[sel], cys[sel],
+                    chosen[1][sel], cw, ch, ss=1,
+                    bd=cfg.bit_depth).astype(np.int64)
+            for f, bref in cpairs:
+                csel = np.nonzero(comp_sel
+                                  & (self.comp_ref0[ids] == f)
+                                  & (self.comp_ref1[ids] == bref))[0]
+                if len(csel) == 0:
+                    continue
+                cc0 = mc.mc_block_batch_conv(
+                    self.refs[f][plane], cxs[csel],
+                    cys[csel], chosen[1][csel], cw, ch, ss=1,
+                    bd=cfg.bit_depth)
+                cc1 = mc.mc_block_batch_conv(
+                    self.refs[bref][plane], cxs[csel], cys[csel],
+                    self.mvs1[ids][csel], cw, ch, ss=1,
+                    bd=cfg.bit_depth)
+                pred[csel] = mc.compound_average(cc0, cc1,
+                                                 cfg.bit_depth)
+            qc, eo, rec, _, _ = md._full_loop(
+                srcs_c, pred, ctts, tx_uv, (cw, ch), qp,
+                cfg.bit_depth)
             self.eobs[plane, ids] = eo
             for k, i in enumerate(ids):
                 self.qcoeff[plane][i] = qc[k]
