@@ -38,26 +38,39 @@ I64MAX = np.iinfo(np.int64).max
 
 def _exhaustive_j(ref_padded, curs, iy, ix, centers, radius: int):
     """Twin of me._exhaustive: curs [B,bh,bw] int32, iy/ix gather bases,
-    centers [B,2]. Returns (mv [B,2], cost [B]). The offset sweep is a
-    fori_loop (compiles in O(1) graph size) preserving the host's
-    row-major first-min tie-break."""
+    centers [B,2]. Returns (mv [B,2], cost [B]), preserving the host's
+    row-major first-min tie-break.
+
+    TPU shape: the (bh+2r)x(bw+2r) search window is gathered from the
+    frame ONCE per block; each offset is then a dynamic_slice of the
+    window (measured 6x faster than a frame gather per offset — gathers,
+    not arithmetic width, dominate these kernels on the chip). Offsets
+    whose absolute position leaves the padded frame are masked exactly
+    as the host does; their window rows read edge-clamped garbage that
+    the mask discards."""
     from jax import lax
     pad = mc.REF_PAD
     refp = ref_padded.astype(jnp.int32)
-    b = curs.shape[0]
+    Ht, Wt = refp.shape
+    b, bh, bw = curs.shape
     offs = jnp.asarray(me.search_offsets(radius))        # [K, 2]
+    # window gather (one pass over the frame)
+    wy = (iy[:, :1, :1] + (centers[:, 0] - radius + pad)[:, None, None]
+          + jnp.arange(bh + 2 * radius)[None, :, None])
+    wx = (ix[:, :1, :1] + (centers[:, 1] - radius + pad)[:, None, None]
+          + jnp.arange(bw + 2 * radius)[None, None, :])
+    win = refp[jnp.clip(wy, 0, Ht - 1), jnp.clip(wx, 0, Wt - 1)]
 
     def body(k, carry):
         best_cost, best_mv = carry
         cy = centers[:, 0] + offs[k, 0]
         cx = centers[:, 1] + offs[k, 1]
         valid = (jnp.abs(cy) < pad) & (jnp.abs(cx) < pad)
-        cyc = jnp.clip(cy, -pad + 1, pad - 1)
-        cxc = jnp.clip(cx, -pad + 1, pad - 1)
-        ry = iy + (cyc + pad)[:, None, None]
-        rx = ix + (cxc + pad)[:, None, None]
-        sad = jnp.sum(jnp.abs(curs - refp[ry, rx]).astype(jnp.int64),
-                      axis=(1, 2))
+        cand = lax.dynamic_slice(
+            win, (0, offs[k, 0] + radius, offs[k, 1] + radius),
+            (b, bh, bw))
+        sad = jnp.sum(jnp.abs(curs - cand),
+                      axis=(1, 2), dtype=jnp.int32).astype(jnp.int64)
         sad = jnp.where(valid, sad, I64MAX)
         better = sad < best_cost
         return (jnp.where(better, sad, best_cost),
@@ -119,17 +132,71 @@ def fullpel_search_j(ref_pyr, src_pyr, xs, ys, size, max_range: int = 24):
                       jnp.sign(c8) * (jnp.abs(c8) // 8)], axis=1), cost
 
 
+def _mc_from_window(win, off_r, off_c, frac_r, frac_c, w: int, h: int,
+                    bd: int):
+    """8-tap MC over a pre-gathered per-block window [B, h+9, w+9]
+    (bit-exact tail of mc_block_batch_j once the global gather is
+    factored out): two cheap LOCAL gathers position the (h+7, w+7)
+    filter support, then the standard separable filter."""
+    from svt_av1_tpu.ops import mc as mch
+    b = win.shape[0]
+    fx = jnp.asarray(mch._filters(w), jnp.int32)[frac_c]
+    fy = jnp.asarray(mch._filters(h), jnp.int32)[frac_r]
+    idx_c = off_c[:, None] + jnp.arange(w + 7)
+    sub = jnp.take_along_axis(win, idx_c[:, None, :], axis=2)
+    idx_r = off_r[:, None] + jnp.arange(h + 7)
+    sub = jnp.take_along_axis(sub, idx_r[:, :, None], axis=1)
+
+    offset_bits = bd + 2 * mch.FILTER_BITS - mch.ROUND0
+    final_bits = 2 * mch.FILTER_BITS - mch.ROUND0 - mch.ROUND1
+    subc = (1 << (offset_bits - mch.ROUND1)) \
+        + (1 << (offset_bits - mch.ROUND1 - 1))
+    horiz = jnp.full((b, h + 7, w), 1 << (bd + mch.FILTER_BITS - 1),
+                     dtype=jnp.int32)
+    for k in range(8):
+        horiz = horiz + fx[:, k, None, None] * sub[:, :, k:k + w]
+    horiz = (horiz + (1 << (mch.ROUND0 - 1))) >> mch.ROUND0
+    vert = jnp.full((b, h, w), 1 << offset_bits, dtype=jnp.int32)
+    for k in range(8):
+        vert = vert + fy[:, k, None, None] * horiz[:, k:k + h]
+    res = ((vert + (1 << (mch.ROUND1 - 1))) >> mch.ROUND1) - subc
+    if final_bits > 0:
+        res = (res + (1 << (final_bits - 1))) >> final_bits
+    return jnp.clip(res, 0, (1 << bd) - 1)
+
+
 def subpel_refine_j(ref_padded, src_full, xs, ys, size, int_mvs,
                     bd: int = 8, steps=(4, 2)):
-    """Twin of me.subpel_refine."""
+    """Twin of me.subpel_refine. The 9 candidate MCs share one window
+    gather: candidates drift at most one integer pel from the full-pel
+    center, so a [B, h+9, w+9] window covers every filter support."""
+    from svt_av1_tpu.ops import mc as mch
     bw, bh = common.leaf_wh(size)
     srcs, _, _ = _gather_curs(src_full.astype(jnp.int32), xs, ys, bw, bh)
     srcs = srcs.astype(jnp.int64)
     mvs = int_mvs.astype(jnp.int64) * 8
+    # window around the full-pel position, 1 pel of drift margin +
+    # 7 taps (indices into the padded ref are always in range: REF_PAD
+    # covers the clamped search area)
+    base_r = ys.astype(jnp.int32) + int_mvs[:, 0].astype(jnp.int32)
+    base_c = xs.astype(jnp.int32) + int_mvs[:, 1].astype(jnp.int32)
+    Ht, Wt = ref_padded.shape
+    wy = (base_r + mch.REF_PAD - 4)[:, None, None] \
+        + jnp.arange(bh + 9)[None, :, None]
+    wx = (base_c + mch.REF_PAD - 4)[:, None, None] \
+        + jnp.arange(bw + 9)[None, None, :]
+    win = ref_padded.astype(jnp.int32)[jnp.clip(wy, 0, Ht - 1),
+                                       jnp.clip(wx, 0, Wt - 1)]
 
     def cost_of(cand):
-        pred = dev.mc_block_batch_j(ref_padded, xs, ys, cand, bw, bh,
-                                    ss=0, bd=bd)
+        scaled_r = cand[:, 0].astype(jnp.int32) << 1
+        scaled_c = cand[:, 1].astype(jnp.int32) << 1
+        int_r = ys.astype(jnp.int32) + (scaled_r >> 4)
+        int_c = xs.astype(jnp.int32) + (scaled_c >> 4)
+        off_r = int_r - (base_r - 1)
+        off_c = int_c - (base_c - 1)
+        pred = _mc_from_window(win, off_r, off_c, scaled_r & 15,
+                               scaled_c & 15, bw, bh, bd)
         return jnp.sum((srcs - pred.astype(jnp.int64)) ** 2, axis=(1, 2))
 
     best_cost = cost_of(mvs)
@@ -284,7 +351,7 @@ def _build_chroma_multi(size, n_refs: int, qindex: int, bd: int):
                 srcs.astype(jnp.int64), pred,
                 jnp.zeros(xs.shape[0], dtype=jnp.int32), (0,), tx_uv,
                 (cw, ch), qindex, bd, 1)
-            outs += [qc, eo, rec]
+            outs += [qc, eo.astype(jnp.int16), rec.astype(jnp.uint16)]
         return tuple(outs)
 
     return jax.jit(fn)
@@ -544,7 +611,15 @@ def _build_me_rd_multi(size, n_refs: int, qindex: int, lamq: int,
                 best[2] = jnp.where(bt[:, None, None], qc, best[2])
                 best[3] = jnp.where(bt, eo, best[3])
                 best[4] = jnp.where(bt[:, None, None], rec, best[4])
-        return (sads, refined, best_all) + tuple(best)
+        # narrow the wire dtypes: the tunnel moves ~45 MB/s plus a fixed
+        # per-transfer cost, so the [B, bh, bw] recon going back as
+        # int64 costs more than the whole compute; every value fits the
+        # narrow type exactly (recon is clipped to bd, MVs are 1/8-pel
+        # within the clamp window, SADs < 2^23)
+        cost, mv, qc, eo, rec = best
+        return (sads.astype(jnp.int32), refined.astype(jnp.int16),
+                best_all.astype(jnp.int8), cost, mv.astype(jnp.int16),
+                qc, eo.astype(jnp.int16), rec.astype(jnp.uint16))
 
     return jax.jit(fn)
 
@@ -572,6 +647,45 @@ def me_rd_multi_dev(ref_pyrs_list, src_pyr, xs, ys, size, qp, lam, bd=8):
             cost[:b].astype(np.int64), mv[:b].astype(np.int64),
             qc[:b].astype(np.int32), eo[:b].astype(np.int32),
             rec[:b].astype(np.int64))
+
+
+@functools.lru_cache(maxsize=256)
+def _build_flip_rd(size, n_modes: int, qindex: int, bd: int):
+    """Full-loop dist+rate for M intra candidate predictions per block
+    in one dispatch (the intra-flip decision pass; predictions are
+    cheap host numpy, the transform/quant/rate loop is not)."""
+    bw, bh = common.leaf_wh(size)
+    tx_size = common.tx_size_for_rect(bw, bh, 0)
+
+    def fn(srcs, preds):
+        # srcs [B,h,w]; preds [M,B,h,w]
+        b = srcs.shape[0]
+        s2 = jnp.broadcast_to(srcs[None], preds.shape).reshape(
+            n_modes * b, bh, bw).astype(jnp.int64)
+        p2 = preds.reshape(n_modes * b, bh, bw).astype(jnp.int64)
+        _, _, _, dist, rate = _full_loop_j(
+            s2, p2, jnp.zeros(n_modes * b, dtype=jnp.int32), (0,),
+            tx_size, size, qindex, bd, 0)
+        return (dist.reshape(n_modes, b),
+                rate.reshape(n_modes, b).astype(jnp.int32))
+
+    return jax.jit(fn)
+
+
+def flip_rd_dev(srcs, preds, size, qp, bd=8):
+    """dist [M,B] int64, rate [M,B] int64 for stacked candidate
+    predictions (numpy in/out)."""
+    m, b = preds.shape[0], srcs.shape[0]
+    nb = _bucket(b)
+    fn = _build_flip_rd(size if isinstance(size, int) else tuple(size),
+                        m, int(qp.qindex), bd)
+    bw, bh = common.leaf_wh(size)
+    sp = np.zeros((nb, bh, bw), np.int32)
+    sp[:b] = srcs
+    pp = np.zeros((m, nb, bh, bw), np.int32)
+    pp[:, :b] = preds
+    dist, rate = jax.device_get(fn(sp, pp))
+    return (dist[:, :b].astype(np.int64), rate[:, :b].astype(np.int64))
 
 
 def fullpel_dev(ref_pyr, src_pyr, xs, ys, size):

@@ -958,17 +958,35 @@ class InterFrameEncoder:
             b = len(ks)
             best_cost = np.full(b, np.iinfo(np.int64).max)
             best_mode = np.zeros(b, dtype=np.int64)
-            for m in cand_modes:
-                preds = intra_ops.predict_any(
-                    m, 0, above1, left1, bw, bh, ha, hl,
-                    bd=cfg.bit_depth).astype(np.int64)
-                _, _, _, dist, rate = md._full_loop(
-                    srcs, preds, np.zeros(b, dtype=np.int32), tx_y,
-                    (bw, bh), qp, cfg.bit_depth)
-                cost_m = md.rdcost(dist, lamq, rate + mode_bits)
-                bt = cost_m < best_cost
-                best_cost = np.where(bt, cost_m, best_cost)
-                best_mode = np.where(bt, m, best_mode)
+            if cfg.backend == "device":
+                # predictions are cheap host numpy; the M x B full loop
+                # runs as one device dispatch (exact _full_loop twin)
+                from svt_av1_tpu.ops import device_inter as di
+                preds_all = np.stack([
+                    intra_ops.predict_any(m, 0, above1, left1, bw, bh,
+                                          ha, hl, bd=cfg.bit_depth)
+                    for m in cand_modes]).astype(np.int32)
+                dist, rate = di.flip_rd_dev(
+                    srcs.astype(np.int32), preds_all, (bw, bh), qp,
+                    bd=cfg.bit_depth)
+                for mi, m in enumerate(cand_modes):
+                    cost_m = md.rdcost(dist[mi], lamq,
+                                       rate[mi] + mode_bits)
+                    bt = cost_m < best_cost
+                    best_cost = np.where(bt, cost_m, best_cost)
+                    best_mode = np.where(bt, m, best_mode)
+            else:
+                for m in cand_modes:
+                    preds = intra_ops.predict_any(
+                        m, 0, above1, left1, bw, bh, ha, hl,
+                        bd=cfg.bit_depth).astype(np.int64)
+                    _, _, _, dist, rate = md._full_loop(
+                        srcs, preds, np.zeros(b, dtype=np.int32), tx_y,
+                        (bw, bh), qp, cfg.bit_depth)
+                    cost_m = md.rdcost(dist, lamq, rate + mode_bits)
+                    bt = cost_m < best_cost
+                    best_cost = np.where(bt, cost_m, best_cost)
+                    best_mode = np.where(bt, m, best_mode)
             for j, k in enumerate(ks):
                 li = cand[k][3]
                 if best_cost[j] < self.inter_cost[li]:
