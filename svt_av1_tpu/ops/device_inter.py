@@ -778,6 +778,101 @@ def _build_dp_refine(size):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def _build_dp_all(w_eff: int, h_eff: int, sizes: tuple, arm_spec: tuple):
+    """The WHOLE inter partition DP's device work as one program: every
+    depth's seeded square search plus every rect/4:1 arm refine, chained
+    on-device (child depths seed from the parent grid via static index
+    maps, arms seed from their node's square MV). Replaces ~14 tunnel
+    round trips per frame with one. Block grids are trace-time
+    constants derived from the frame geometry."""
+    def grid(size):
+        xs = np.arange(0, w_eff, size)
+        ys = np.arange(0, h_eff, size)
+        gx, gy = np.meshgrid(xs, ys)
+        return gx.reshape(-1), gy.reshape(-1)
+
+    def fn(ref_full, ref_h, ref_q, src_full, src_h, src_q):
+        pyr = (ref_full, ref_h, ref_q)
+        spyr = (src_full, src_h, src_q)
+        outs = []
+        parent_mvs = None
+        parent_size = None
+        for size in sizes:
+            gx, gy = grid(size)
+            xs = jnp.asarray(gx)
+            ys = jnp.asarray(gy)
+            bw = bh = size
+            if parent_mvs is None:
+                mvs, _ = fullpel_search_j(pyr, spyr, xs, ys, size)
+            else:
+                pcols = (w_eff + parent_size - 1) // parent_size
+                sidx = jnp.asarray((gy // parent_size) * pcols
+                                   + gx // parent_size)
+                seeds = parent_mvs[sidx]
+                curs, iy, ix = _gather_curs(src_full.astype(jnp.int32),
+                                            xs, ys, bw, bh)
+                mv_s, c_s = _exhaustive_j(ref_full, curs, iy, ix, seeds,
+                                          3)
+                mv_z, c_z = _exhaustive_j(ref_full, curs, iy, ix,
+                                          jnp.zeros_like(seeds), 3)
+                better = c_z < c_s
+                mvs = jnp.where(better[:, None], mv_z, mv_s)
+            sse = _sse_at_j(ref_full, src_full, xs, ys, mvs, bw, bh)
+            outs += [mvs.astype(jnp.int16), sse]
+            for (asize, wh, offs) in arm_spec:
+                if asize != size:
+                    continue
+                aw, ah = wh
+                xs2 = jnp.asarray(np.concatenate(
+                    [gx + dx for dx, _ in offs]))
+                ys2 = jnp.asarray(np.concatenate(
+                    [gy + dy for _, dy in offs]))
+                # out-of-area sub-blocks: clamp the coords for safe
+                # gathers; the host masks their costs to inf after
+                xs2 = jnp.minimum(xs2, src_full.shape[1] - aw)
+                ys2 = jnp.minimum(ys2, src_full.shape[0] - ah)
+                rseeds = jnp.concatenate([mvs] * len(offs))
+                curs, iy, ix = _gather_curs(src_full.astype(jnp.int32),
+                                            xs2, ys2, aw, ah)
+                mv_s, c_s = _exhaustive_j(ref_full, curs, iy, ix,
+                                          rseeds, 3)
+                mv_z, c_z = _exhaustive_j(ref_full, curs, iy, ix,
+                                          jnp.zeros_like(rseeds), 3)
+                better = c_z < c_s
+                amvs = jnp.where(better[:, None], mv_z, mv_s)
+                asse = _sse_at_j(ref_full, src_full, xs2, ys2, amvs,
+                                 aw, ah)
+                outs += [amvs.astype(jnp.int16), asse]
+        return tuple(outs)
+
+    return jax.jit(fn), None
+
+
+def dp_all_dev(ref_pyr, src_pyr, w_eff: int, h_eff: int, sizes,
+               arm_spec):
+    """Run the fused DP program; returns a dict:
+    {size: (mvs, sse), (size, key): (mvs, sse)} (numpy int64)."""
+    fn, _ = _build_dp_all(w_eff, h_eff, tuple(sizes),
+                          tuple((s, tuple(wh), tuple(offs))
+                                for s, wh, offs in arm_spec))
+    outs = jax.device_get(fn(*_dput_seq(ref_pyr[:3]),
+                             *_dput_seq(src_pyr[:3])))
+    res = {}
+    k = 0
+    for size in sizes:
+        res[size] = (outs[k].astype(np.int64),
+                     outs[k + 1].astype(np.int64))
+        k += 2
+        for (asize, wh, offs) in arm_spec:
+            if asize != size:
+                continue
+            res[(size, tuple(wh))] = (outs[k].astype(np.int64),
+                                      outs[k + 1].astype(np.int64))
+            k += 2
+    return res
+
+
 def dp_depth_dev(ref_pyr, src_pyr, xs, ys, size, seeds=None):
     """Numpy-in/out wrapper: (mvs [B,2] int64, sse [B] int64)."""
     b = len(xs)

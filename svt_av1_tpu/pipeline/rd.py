@@ -372,30 +372,46 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
     cost = {}
     rect_cost = {}
     srcf = src.astype(np.int64)
+
+    def arms_for(size):
+        half, quarter = size // 2, size // 4
+        arms = [("h", (size, half), ((0, 0), (0, half))),
+                ("v", (half, size), ((0, 0), (half, 0)))]
+        if size >= 32:
+            arms += [("h4", (size, quarter),
+                      tuple((0, i * quarter) for i in range(4))),
+                     ("v4", (quarter, size),
+                      tuple((i * quarter, 0) for i in range(4)))]
+        return arms
+
+    dp_res = None
+    if use_dev:
+        # the whole DP's device work (every depth + every arm) runs as
+        # ONE program — see device_inter._build_dp_all
+        arm_spec = [(size, wh, offs) for size in sizes
+                    if cfg.enable_rect_partitions and size >= 16
+                    for (_, wh, offs) in arms_for(size)]
+        dp_res = di.dp_all_dev(ref_pyr, src_pyr, w_eff, h_eff, sizes,
+                               arm_spec)
     parent_mvs = None   # [rows, cols, 2] of the previous (coarser) depth
     for size in sizes:
         xs, ys = _block_grid(w_eff, h_eff, size)
         rows = (h_eff + size - 1) // size
         cols = (w_eff + size - 1) // size
-        seeds = None
-        if parent_mvs is not None:
-            seeds = parent_mvs[(ys // (size * 2)).astype(int),
-                               (xs // (size * 2)).astype(int)]
-        c, mvs = depth_cost(xs, ys, size, seeds)
+        if dp_res is not None:
+            mvs, sse = dp_res[size]
+            c = rd_model(sse, size, mvs)
+        else:
+            seeds = None
+            if parent_mvs is not None:
+                seeds = parent_mvs[(ys // (size * 2)).astype(int),
+                                   (xs // (size * 2)).astype(int)]
+            c, mvs = depth_cost(xs, ys, size, seeds)
         cost[size] = c.reshape(rows, cols)
         parent_mvs = mvs.reshape(rows, cols, 2)
         if cfg.enable_rect_partitions and size >= 16:
-            half = size // 2
-            quarter = size // 4
             gx, gy = xs, ys
-            arms = [("h", (size, half), [(0, 0), (0, half)]),
-                    ("v", (half, size), [(0, 0), (half, 0)])]
-            if size >= 32:
-                arms += [("h4", (size, quarter),
-                          [(0, i * quarter) for i in range(4)]),
-                         ("v4", (quarter, size),
-                          [(i * quarter, 0) for i in range(4)])]
-            for key, wh, offs in arms:
+            for key, wh, offs in arms_for(size):
                 xs2 = np.concatenate([gx + dx for dx, _ in offs])
                 ys2 = np.concatenate([gy + dy for _, dy in offs])
                 pw = src.shape[1]
@@ -403,7 +419,11 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
                 ok = (xs2 + wh[0] <= pw) & (ys2 + wh[1] <= ph)
                 c2 = np.full(len(xs2), np.inf)
                 sel = np.nonzero(ok)[0]
-                if len(sel):
+                if dp_res is not None:
+                    amvs, asse = dp_res[(size, tuple(wh))]
+                    c2full = rd_model(asse, wh, amvs)
+                    c2 = np.where(ok, c2full, np.inf)
+                elif len(sel):
                     rseeds = np.concatenate([mvs] * len(offs))[sel]
                     c2[sel], _ = depth_cost(xs2[sel], ys2[sel], wh,
                                             rseeds)
