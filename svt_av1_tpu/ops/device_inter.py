@@ -220,9 +220,11 @@ def _clamp_mvs_j(mvs, xs, ys, bw, bh, plane_w, plane_h, ss=0):
     return jnp.stack([r, c], axis=1)
 
 
-def mc_block_batch_conv_j(ref_padded, xs, ys, mvs, w, h, ss=0, bd=8):
+def mc_block_batch_conv_j(ref_padded, xs, ys, mvs, w, h, ss=0, bd=8,
+                          ref_idx=None):
     """Device twin of mc.mc_block_batch_conv (CONV-domain compound
-    side)."""
+    side). ``ref_idx``: optional [B] plane selector when ``ref_padded``
+    is a stacked [R, H, W] bank."""
     from svt_av1_tpu.ops import mc as mch
     b = xs.shape[0]
     mvs = mvs.astype(jnp.int64)
@@ -238,7 +240,15 @@ def mc_block_batch_conv_j(ref_padded, xs, ys, mvs, w, h, ss=0, bd=8):
     x0 = int_c + mch.REF_PAD - 3
     iy = y0[:, None, None] + jnp.arange(h + 7)[None, :, None]
     ix = x0[:, None, None] + jnp.arange(w + 7)[None, None, :]
-    win = ref_padded[iy, ix].astype(jnp.int64)
+    if ref_idx is not None:
+        Wp = ref_padded.shape[-1]
+        plane_sz = ref_padded.shape[-1] * ref_padded.shape[-2]
+        flat = ref_padded.reshape(-1)
+        idx = (iy * Wp + ix
+               + (ref_idx.astype(jnp.int64) * plane_sz)[:, None, None])
+        win = flat[idx.reshape(b, -1)].reshape(b, h + 7, w + 7)             .astype(jnp.int64)
+    else:
+        win = ref_padded[iy, ix].astype(jnp.int64)
     offset_bits = bd + 2 * mch.FILTER_BITS - mch.ROUND0
     horiz = jnp.full((b, h + 7, w), 1 << (bd + mch.FILTER_BITS - 1),
                      dtype=jnp.int64)
@@ -403,6 +413,76 @@ def _build_compound(size, qindex: int, lamq: int, bd: int, ss: int,
         return cost, qc, eo, rec
 
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_compound_multi(size, n_refs: int, qindex: int, lamq: int,
+                          bd: int, ss: int, planes: int):
+    """Compound coding for every block's own (fwd, bwd) pair in one
+    program: per-block pair indices gather from a stacked ref bank (was
+    one round trip per distinct pair per plane). planes=1: luma
+    (returns cost too); planes=2: U+V."""
+    bw, bh = common.leaf_wh(size)
+
+    def fn(*args):
+        banks = [jnp.stack(args[p * n_refs:(p + 1) * n_refs])
+                 for p in range(planes)]
+        srcs_pl = args[planes * n_refs:planes * n_refs + planes]
+        xs, ys, mv0, mv1, idx0, idx1 = args[planes * n_refs + planes:]
+        outs = []
+        for bank, srcp in zip(banks, srcs_pl):
+            tx = common.tx_size_for_rect(bw, bh, 1 if ss else 0)
+            srcs, _, _ = _gather_curs(srcp.astype(jnp.int32),
+                                      xs.astype(jnp.int64),
+                                      ys.astype(jnp.int64), bw, bh)
+            c0 = mc_block_batch_conv_j(bank, xs, ys, mv0, bw, bh, ss=ss,
+                                       bd=bd, ref_idx=idx0)
+            c1 = mc_block_batch_conv_j(bank, xs, ys, mv1, bw, bh, ss=ss,
+                                       bd=bd, ref_idx=idx1)
+            pred = compound_average_j(c0, c1, bd).astype(jnp.int64)
+            qc, eo, rec, dist, rate = _full_loop_j(
+                srcs.astype(jnp.int64), pred,
+                jnp.zeros(xs.shape[0], dtype=jnp.int32), (0,), tx,
+                (bw, bh), qindex, bd, 1 if ss else 0)
+            outs += [qc, eo.astype(jnp.int16), rec.astype(jnp.uint16)]
+            if ss == 0:
+                mv_bits = (3 << md.RATE_Q) \
+                    + 256 * ((jnp.abs(mv0).sum(axis=1) > 0)
+                             .astype(jnp.int64)
+                             + (jnp.abs(mv1).sum(axis=1) > 0))
+                outs.append(_rdcost_j(dist, lamq, rate + mv_bits))
+        return tuple(outs)
+
+    return jax.jit(fn)
+
+
+def compound_multi_dev(ref_planes_list, src_planes, xs, ys, mv0, mv1,
+                       idx0, idx1, size, qp, lam, bd=8, ss=0):
+    """All blocks' compound coding with per-block ref pairs, one call.
+    ref_planes_list: [plane][ref] padded planes; src_planes: [plane].
+    Luma (ss=0, 1 plane): returns (qc, eo, rec, cost).
+    Chroma (ss=1, 2 planes): returns (qc_u, eo_u, rec_u, qc_v, eo_v,
+    rec_v)."""
+    b = len(xs)
+    nb = _bucket(b)
+    planes = len(src_planes)
+    fn = _build_compound_multi(
+        size if isinstance(size, int) else tuple(size),
+        len(ref_planes_list[0]), int(qp.qindex), md.lam_to_q(lam), bd,
+        ss, planes)
+    args = []
+    for pl in ref_planes_list:
+        args.extend(_dput(p) for p in pl)
+    for sp in src_planes:
+        args.append(_dput(sp))
+    args += [_pad(np.asarray(xs, np.int64), nb, b),
+             _pad(np.asarray(ys, np.int64), nb, b),
+             _pad(np.asarray(mv0, np.int64), nb, b),
+             _pad(np.asarray(mv1, np.int64), nb, b),
+             _pad(np.asarray(idx0, np.int64), nb, b),
+             _pad(np.asarray(idx1, np.int64), nb, b)]
+    outs = jax.device_get(fn(*args))
+    return tuple(o[:b] for o in outs)
 
 
 _dput_cache = {}

@@ -463,6 +463,31 @@ class InterFrameEncoder:
         rec = np.zeros((b, bh, bw), dtype=np.int64)
         mv0a = np.zeros((b, 2), dtype=np.int64)
         mv1a = np.zeros((b, 2), dtype=np.int64)
+        if cfg.backend == "device":
+            # every block's own (fwd, bwd) pair in ONE program: the
+            # pair indices gather from a stacked ref bank
+            from svt_av1_tpu.ops import device_inter as di
+            refs_order = sorted(self.refs)
+            pos = {r: i for i, r in enumerate(refs_order)}
+            fmvs = np.stack([pmvs[f] for f in self.fwd_refs])
+            bmvs = np.stack([pmvs[r] for r in self.bwd_refs])
+            ar = np.arange(b)
+            mv0a = fmvs[fsel, ar]
+            mv1a = bmvs[bsel, ar]
+            fref = np.asarray([pos[f] for f in self.fwd_refs])[fsel]
+            bref_i = np.asarray([pos[r] for r in self.bwd_refs])[bsel]
+            qc_, eo_, rec_, cost_ = di.compound_multi_dev(
+                [[self.refs[r][0] for r in refs_order]], [self.src[0]],
+                xs, ys, mv0a, mv1a, fref, bref_i, (bw, bh), qp, lam,
+                bd=cfg.bit_depth, ss=0)
+            cost[:] = cost_.astype(np.int64)
+            qc[:] = qc_.astype(np.int32)
+            eo[:] = eo_.astype(np.int32)
+            rec[:] = rec_.astype(np.int64)
+            comp_f[:] = np.asarray(self.fwd_refs)[fsel]
+            comp_b[:] = np.asarray(self.bwd_refs)[bsel]
+            return cost, qc, eo, rec, mv0a.astype(np.int64), \
+                mv1a.astype(np.int64)
         for fi, f in enumerate(self.fwd_refs):
             for bi, bref in enumerate(self.bwd_refs):
                 sub = np.nonzero((fsel == fi) & (bsel == bi))[0]
@@ -470,32 +495,24 @@ class InterFrameEncoder:
                     continue
                 mv0 = pmvs[f][sub]
                 mv1 = pmvs[bref][sub]
-                if cfg.backend == "device":
-                    from svt_av1_tpu.ops import device_inter as di
-                    cs, qs, es, rs = di.compound_code_dev(
-                        self.refs[f][0], self.refs[bref][0],
-                        self.src[0], xs[sub], ys[sub], mv0, mv1,
-                        (bw, bh), qp, lam, bd=cfg.bit_depth, ss=0,
-                        plane_type=0)
-                else:
-                    c0 = mc.mc_block_batch_conv(
-                        self.refs[f][0], xs[sub], ys[sub], mv0, bw, bh,
-                        bd=cfg.bit_depth)
-                    c1 = mc.mc_block_batch_conv(
-                        self.refs[bref][0], xs[sub], ys[sub], mv1, bw,
-                        bh, bd=cfg.bit_depth)
-                    pred_c = mc.compound_average(c0, c1, cfg.bit_depth) \
-                        .astype(np.int64)
-                    qs, es, rs, dist, rate = md._full_loop(
-                        srcs[sub], pred_c,
-                        np.zeros(len(sub), dtype=np.int32), tx_size,
-                        (bw, bh), qp, cfg.bit_depth)
-                    mv_bits = (3 << md.RATE_Q) \
-                        + 256 * ((np.abs(mv0).sum(axis=1) > 0)
-                                 .astype(np.int64)
-                                 + (np.abs(mv1).sum(axis=1) > 0))
-                    cs = md.rdcost(dist, md.lam_to_q(lam),
-                                   rate + mv_bits)
+                c0 = mc.mc_block_batch_conv(
+                    self.refs[f][0], xs[sub], ys[sub], mv0, bw, bh,
+                    bd=cfg.bit_depth)
+                c1 = mc.mc_block_batch_conv(
+                    self.refs[bref][0], xs[sub], ys[sub], mv1, bw,
+                    bh, bd=cfg.bit_depth)
+                pred_c = mc.compound_average(c0, c1, cfg.bit_depth) \
+                    .astype(np.int64)
+                qs, es, rs, dist, rate = md._full_loop(
+                    srcs[sub], pred_c,
+                    np.zeros(len(sub), dtype=np.int32), tx_size,
+                    (bw, bh), qp, cfg.bit_depth)
+                mv_bits = (3 << md.RATE_Q) \
+                    + 256 * ((np.abs(mv0).sum(axis=1) > 0)
+                             .astype(np.int64)
+                             + (np.abs(mv1).sum(axis=1) > 0))
+                cs = md.rdcost(dist, md.lam_to_q(lam),
+                               rate + mv_bits)
                 cost[sub], qc[sub], eo[sub], rec[sub] = cs, qs, es, rs
                 mv0a[sub], mv1a[sub] = mv0, mv1
                 comp_f[sub], comp_b[sub] = f, bref
@@ -636,23 +653,30 @@ class InterFrameEncoder:
                 [self.refs[r][2] for r in refs_order],
                 self.src[1], self.src[2], cxs, cys, chosen[1], ridx,
                 (cw, ch), qp, bd=cfg.bit_depth)
+            outs = [o.copy() for o in outs]
+            csel = np.nonzero(comp_sel)[0]
+            if len(csel):
+                # compound blocks' U+V in one call (per-block pairs)
+                idx0 = np.array([ref_pos[int(r)]
+                                 for r in self.comp_ref0[ids][csel]],
+                                dtype=np.int64)
+                idx1 = np.array([ref_pos[int(r)]
+                                 for r in self.comp_ref1[ids][csel]],
+                                dtype=np.int64)
+                comp = di.compound_multi_dev(
+                    [[self.refs[r][1] for r in refs_order],
+                     [self.refs[r][2] for r in refs_order]],
+                    [self.src[1], self.src[2]],
+                    cxs[csel], cys[csel], chosen[1][csel],
+                    self.mvs1[ids][csel], idx0, idx1, (cw, ch), qp,
+                    lam, bd=cfg.bit_depth, ss=1)
+                for pi in range(2):
+                    outs[3 * pi][csel] = comp[3 * pi]
+                    outs[3 * pi + 1][csel] = comp[3 * pi + 1]
+                    outs[3 * pi + 2][csel] = comp[3 * pi + 2]
             for pi, plane in enumerate((1, 2)):
                 qc, eo, rec = outs[3 * pi], outs[3 * pi + 1], \
                     outs[3 * pi + 2]
-                qc, eo, rec = qc.copy(), eo.copy(), rec.copy()
-                for f, bref in cpairs:
-                    csel = np.nonzero(comp_sel
-                                      & (self.comp_ref0[ids] == f)
-                                      & (self.comp_ref1[ids] == bref))[0]
-                    if len(csel) == 0:
-                        continue
-                    _, qs, es, rs = di.compound_code_dev(
-                        self.refs[f][plane],
-                        self.refs[bref][plane], self.src[plane],
-                        cxs[csel], cys[csel], chosen[1][csel],
-                        self.mvs1[ids][csel], (cw, ch), qp, lam,
-                        bd=cfg.bit_depth, ss=1, plane_type=1)
-                    qc[csel], eo[csel], rec[csel] = qs, es, rs
                 self.eobs[plane, ids] = eo
                 for k, i in enumerate(ids):
                     self.qcoeff[plane][i] = qc[k]
