@@ -228,10 +228,14 @@ def tile_metadata(enc, cands):
         xsw[w, j] = c * 4
         ysw[w, j] = r * 4
         validw[w, j] = True
+        vab = avail.leaf_vert_ab(enc.leaf_sizes, r, c, wh[0] >> 2,
+                                 wh[1] >> 2, enc.mi_rows, enc.mi_cols)
         htrw[w, j] = avail.has_top_right_wh(r, c, wh[0] >> 2,
-                                            wh[1] >> 2, enc.mi_cols)
+                                            wh[1] >> 2, enc.mi_cols,
+                                            vert_ab=vab)
         hblw[w, j] = avail.has_bottom_left_wh(r, c, wh[0] >> 2,
-                                              wh[1] >> 2, enc.mi_rows)
+                                              wh[1] >> 2, enc.mi_rows,
+                                              vert_ab=vab)
         idxw[w, j] = enc.leaf_index[(r, c)]
     shapes = (tuple(enc.recon[0].shape), tuple(enc.recon[1].shape))
     max_wh = (tuple(enc.max_wh[0]), tuple(enc.max_wh[1]))
@@ -487,11 +491,16 @@ def mixed_tile_metadata(enc, cands):
             xsw[w, j] = c * 4
             ysw[w, j] = r * 4
             validw[w, j] = True
+            vab = avail.leaf_vert_ab(enc.leaf_sizes, r, c, wh[0] >> 2,
+                                     wh[1] >> 2, enc.mi_rows,
+                                     enc.mi_cols)
             htrw[w, j] = avail.has_top_right_wh(r, c, wh[0] >> 2,
-                                                wh[1] >> 2, enc.mi_cols)
+                                                wh[1] >> 2, enc.mi_cols,
+                                                vert_ab=vab)
             hblw[w, j] = avail.has_bottom_left_wh(r, c, wh[0] >> 2,
                                                   wh[1] >> 2,
-                                                  enc.mi_rows)
+                                                  enc.mi_rows,
+                                                  vert_ab=vab)
             idxw[w, j] = li
         class_spec.append(((bwc, bhc), wq, ncq))
         args += [xsw, ysw, validw, htrw, hblw, idxw]

@@ -277,6 +277,9 @@ class FrameDecoder:
                 rr, cc = mi_row + dr, mi_col + dc
                 if rr >= self.mi_rows or cc >= self.mi_cols:
                     continue
+                # square members of mixed-vertical partitions follow the
+                # TL,BL,TR coding order: availability + MVP adjust
+                self._leaf_part = partition if wh[0] == wh[1] else None
                 skip0 = mode_syntax.read_skip(self.r, self.fc, self.ctxs,
                                               rr, cc)
                 self._read_cdef(rr, cc, skip0)
@@ -304,7 +307,15 @@ class FrameDecoder:
             self.cdef_idx_map[sbr, sbc] = self.r.read_literal(
                 self.fh.cdef_bits)
 
+    def _leaf_vert_a(self) -> bool:
+        """Current leaf is a square member of a PARTITION_VERT_A parent
+        (MVP top-right adjust, reference
+        EbAdaptiveMotionVectorPrediction.c:882)."""
+        from svt_av1_tpu.utils.blocks import PARTITION_VERT_A
+        return getattr(self, "_leaf_part", None) == PARTITION_VERT_A
+
     def _decode_block(self, mi_row: int, mi_col: int, size: int) -> None:
+        self._leaf_part = None
         if self.is_inter:
             self._decode_inter_block(mi_row, mi_col, size)
         else:
@@ -345,7 +356,8 @@ class FrameDecoder:
                                           mi_row, mi_col)
         gm_mv = self.fh.gm_trans[ref - 1]
         res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4, ref,
-                                gm_mv=gm_mv, h4=h4)
+                                gm_mv=gm_mv, h4=h4,
+                                vert_a=self._leaf_vert_a())
         mode = inter_modes.read_inter_mode(self.r, self.fc, res)
         drl = inter_modes.read_drl_idx(self.r, self.fc, mode, res)
         if mode == NEARESTMV:
@@ -444,7 +456,8 @@ class FrameDecoder:
                                               mi_col)
         gm_pair = (self.fh.gm_trans[fwd - 1], self.fh.gm_trans[bwd - 1])
         res = mvp.find_mv_stack_comp(self.mvp_state, mi_row, mi_col, s4,
-                                     fwd, bwd, gm=gm_pair, h4=h4)
+                                     fwd, bwd, gm=gm_pair, h4=h4,
+                                     vert_a=self._leaf_vert_a())
         mode = inter_modes.read_inter_compound_mode(self.r, self.fc, res)
         drl = inter_modes.read_drl_idx(self.r, self.fc, mode, res)
         if mode == NEAREST_NEARESTMV:
@@ -550,10 +563,16 @@ class FrameDecoder:
         uv_delta = mode_syntax.read_angle_delta(self.r, self.fc, uv_mode) \
             if intra_dir.is_directional(uv_mode) else 0
         self.ctxs.set_mi(mi_row, mi_col, bsize, y_mode, skip)
+        from svt_av1_tpu.utils.blocks import (PARTITION_VERT_A,
+                                              PARTITION_VERT_B)
+        vab = getattr(self, "_leaf_part", None) in (PARTITION_VERT_A,
+                                                    PARTITION_VERT_B)
         self._htr = avail.has_top_right_wh(mi_row, mi_col, bw >> 2,
-                                           bh >> 2, self.mi_cols)
+                                           bh >> 2, self.mi_cols,
+                                           vert_ab=vab)
         self._hbl = avail.has_bottom_left_wh(mi_row, mi_col, bw >> 2,
-                                             bh >> 2, self.mi_rows)
+                                             bh >> 2, self.mi_rows,
+                                             vert_ab=vab)
 
         cw, ch = bw >> 1, bh >> 1
         cx, cy = x >> 1, y >> 1

@@ -551,6 +551,16 @@ class InterFrameEncoder:
 
     DELTA_Q_RES = 2
 
+    def _leaf_vert_a(self, mi_row: int, mi_col: int, s4: int,
+                     h4: int) -> bool:
+        """Square member of a PARTITION_VERT_A parent (MVP top-right
+        adjust, reference EbAdaptiveMotionVectorPrediction.c:882)."""
+        from svt_av1_tpu.pipeline import avail
+        from svt_av1_tpu.utils.blocks import PARTITION_VERT_A
+        return avail.leaf_square_tshape(
+            self.leaf_sizes, mi_row, mi_col, s4, h4, self.mi_rows,
+            self.mi_cols) == PARTITION_VERT_A
+
     def _qp_for(self, qidx):
         if qidx is None:
             return self.qp, self.lam
@@ -845,10 +855,13 @@ class InterFrameEncoder:
             b = len(es)
             ha = ys > 0
             hl = xs > 0
+            vab = avail.leaf_vert_ab_flags(self.leaf_sizes, rs, cs,
+                                           bw >> 2, bh >> 2,
+                                           self.mi_rows, self.mi_cols)
             htr = avail.has_top_right_wh_vec(rs, cs, bw >> 2, bh >> 2,
-                                             self.mi_cols)
+                                             self.mi_cols, vert_ab=vab)
             hbl = avail.has_bottom_left_wh_vec(rs, cs, bw >> 2, bh >> 2,
-                                               self.mi_rows)
+                                               self.mi_rows, vert_ab=vab)
             above1, left1 = intra_ops.prepare_edges_av1(
                 self.recon[0], xs, ys, bw, bh, ha, hl, htr, hbl,
                 bd=cfg.bit_depth, max_w=self.mi_cols * 4,
@@ -966,10 +979,13 @@ class InterFrameEncoder:
             xs, ys = cs * 4, rs * 4
             ha = ys > 0
             hl = xs > 0
+            vab = avail.leaf_vert_ab_flags(self.leaf_sizes, rs, cs,
+                                           bw >> 2, bh >> 2,
+                                           self.mi_rows, self.mi_cols)
             htr = avail.has_top_right_wh_vec(rs, cs, bw >> 2, bh >> 2,
-                                             self.mi_cols)
+                                             self.mi_cols, vert_ab=vab)
             hbl = avail.has_bottom_left_wh_vec(rs, cs, bw >> 2, bh >> 2,
-                                               self.mi_rows)
+                                               self.mi_rows, vert_ab=vab)
             above1, left1 = intra_ops.prepare_edges_av1(
                 self.recon[0], xs, ys, bw, bh, ha, hl, htr, hbl,
                 bd=cfg.bit_depth, max_w=self.mi_cols * 4,
@@ -1126,7 +1142,9 @@ class InterFrameEncoder:
                                      mi_row, mi_col, ref)
         gm_mv = self.gm_mv.get(ref, (0, 0))
         res = mvp.find_mv_stack(self.mvp_state, mi_row, mi_col, s4, ref,
-                                gm_mv=gm_mv, h4=h4)
+                                gm_mv=gm_mv, h4=h4,
+                                vert_a=self._leaf_vert_a(mi_row, mi_col,
+                                                         s4, h4))
         if res.count >= 1 and mv == res.ref_list[0]:
             mode = NEARESTMV
         elif res.count >= 2 and mv == res.ref_list[1]:
@@ -1198,7 +1216,9 @@ class InterFrameEncoder:
                    self.gm_mv.get(ref1, (0, 0)))
         res = mvp.find_mv_stack_comp(self.mvp_state, mi_row, mi_col, s4,
                                      ref0, ref1,
-                                     gm=gm_pair, h4=h4)
+                                     gm=gm_pair, h4=h4,
+                                     vert_a=self._leaf_vert_a(
+                                         mi_row, mi_col, s4, h4))
         pair = (mv0, mv1)
         if res.count >= 1 and pair == res.ref_list[0]:
             mode = NEAREST_NEARESTMV

@@ -90,10 +90,14 @@ class MvpState:
 
 
 def _mvp_has_top_right_rect(mi_row: int, mi_col: int, w4: int, h4: int,
-                            sb_mi: int = 16) -> bool:
+                            sb_mi: int = 16,
+                            vert_a: bool = False) -> bool:
     """Rect-aware MVP top-right (reference has_top_right
     EbAdaptiveMotionVectorPrediction.c:836): square rule on
-    bs = max(w4, h4) plus the two-rectangle adjustments."""
+    bs = max(w4, h4) plus the two-rectangle adjustments. ``vert_a``:
+    the block is a square member of a PARTITION_VERT_A parent — its
+    bottom-left square is coded before the right rectangle, so it has
+    no top-right (reference :882)."""
     bs = max(w4, h4)
     has_tr = _mvp_has_top_right(mi_row, mi_col, bs, sb_mi)
     if w4 < h4:
@@ -104,6 +108,8 @@ def _mvp_has_top_right_rect(mi_row: int, mi_col: int, w4: int, h4: int,
         is_sec_rect = bool(mi_row & (w4 - 1))
         if is_sec_rect:
             has_tr = False
+    if vert_a and w4 == h4 and ((mi_row & (sb_mi - 1)) & bs):
+        has_tr = False
     return has_tr
 
 
@@ -199,10 +205,12 @@ def _scan_tpl_grid(scan_tpl, mi_row, mi_col, w4, h4, zeromv_bit,
 
 def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
                   s4: int, ref_frame: int = LAST_FRAME,
-                  gm_mv=(0, 0), h4: int = None) -> MvStackResult:
+                  gm_mv=(0, 0), h4: int = None,
+                  vert_a: bool = False) -> MvStackResult:
     """Build the ref-MV stack for a block (s4 = width in mi units; h4
     defaults square) against ``ref_frame``. ``gm_mv``: the frame's
-    global translation MV for this ref."""
+    global translation MV for this ref. ``vert_a``: square member of a
+    PARTITION_VERT_A parent (reference :882 top-right adjust)."""
     mi_rows, mi_cols = state.mi_rows, state.mi_cols
     w4 = s4
     h4 = s4 if h4 is None else h4
@@ -309,7 +317,7 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
         scan_row(-1)
     if abs(max_col_offset) >= 1:
         scan_col(-1)
-    if _mvp_has_top_right_rect(mi_row, mi_col, w4, h4):
+    if _mvp_has_top_right_rect(mi_row, mi_col, w4, h4, vert_a=vert_a):
         scan_blk(-1, w4)
 
     nearest_match = int(row_match) + int(col_match)
@@ -438,7 +446,8 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
                        s4: int, rf0: int = LAST_FRAME,
                        rf1: int = ALTREF_FRAME,
                        gm=((0, 0), (0, 0)),
-                       h4: int = None) -> MvStackResult:
+                       h4: int = None,
+                       vert_a: bool = False) -> MvStackResult:
     """Compound ref-MV stack for the (rf0, rf1) pair (reference
     setup_ref_mv_list compound path, EbAdaptiveMotionVectorPrediction.c:905
     + the under-2 fill :1110-1240). Stack entries are ((mv0, mv1), w);
@@ -544,7 +553,7 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
         scan_row(-1)
     if abs(max_col_offset) >= 1:
         scan_col(-1)
-    if _mvp_has_top_right_rect(mi_row, mi_col, w4, h4):
+    if _mvp_has_top_right_rect(mi_row, mi_col, w4, h4, vert_a=vert_a):
         scan_blk(-1, w4)
 
     nearest_match = int(row_match) + int(col_match)

@@ -327,12 +327,15 @@ class WavefrontIntraEncoder:
 
         larr = np.array([(r, c, wh[0], wh[1]) for r, c, wh in leaves],
                         dtype=np.int64)
+        vab_all = [avail.leaf_vert_ab(
+            self.leaf_sizes, r, c, wh[0] >> 2, wh[1] >> 2,
+            self.mi_rows, self.mi_cols) for r, c, wh in leaves]
         htr_all = np.array([avail.has_top_right_wh(
-            r, c, wh[0] >> 2, wh[1] >> 2, self.mi_cols)
-            for r, c, wh in leaves])
+            r, c, wh[0] >> 2, wh[1] >> 2, self.mi_cols, vert_ab=vab)
+            for (r, c, wh), vab in zip(leaves, vab_all)])
         hbl_all = np.array([avail.has_bottom_left_wh(
-            r, c, wh[0] >> 2, wh[1] >> 2, self.mi_rows)
-            for r, c, wh in leaves])
+            r, c, wh[0] >> 2, wh[1] >> 2, self.mi_rows, vert_ab=vab)
+            for (r, c, wh), vab in zip(leaves, vab_all)])
         shape_key = larr[:, 2] * 1000 + larr[:, 3]
         for wv in range(int(waves.max()) + 1 if n else 0):
             in_wave = np.nonzero(waves == wv)[0]

@@ -390,10 +390,16 @@ class IndepFrameDecoder(FrameDecoder):
         # about to make) so a flag disagreement is reported as such, not
         # as a downstream prediction mismatch
         from svt_av1_tpu.pipeline import avail
+        from svt_av1_tpu.utils.blocks import (PARTITION_VERT_A,
+                                              PARTITION_VERT_B)
+        vab = getattr(self, "_leaf_part", None) in (PARTITION_VERT_A,
+                                                    PARTITION_VERT_B)
         t_htr = bool(avail.has_top_right_wh(mi_row, mi_col, bw >> 2,
-                                            bh >> 2, self.mi_cols))
+                                            bh >> 2, self.mi_cols,
+                                            vert_ab=vab))
         t_hbl = bool(avail.has_bottom_left_wh(mi_row, mi_col, bw >> 2,
-                                              bh >> 2, self.mi_rows))
+                                              bh >> 2, self.mi_rows,
+                                              vert_ab=vab))
         if (self._my_htr, self._my_hbl) != (t_htr, t_hbl):
             raise MismatchError(
                 f"availability mismatch at mi ({mi_row},{mi_col}) "

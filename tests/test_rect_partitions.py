@@ -336,3 +336,46 @@ def test_t_shape_inter_roundtrip():
             assert (decs[shown][p] == disp[p]).all(), \
                 f"frame {shown} plane {p}"
         shown += 1
+
+
+def test_vert_ab_availability_tables():
+    """Square members of VERT_A/VERT_B use the mixed-vertical coding
+    order tables (reference get_has_tr_table/get_has_bl_table,
+    EbIntraPrediction.c:5691/5879): the top-right square of a VERT_B
+    gets its bottom-left (the left rectangle is already decoded), and
+    the bottom-left square of a VERT_A loses its top-right (decoded
+    before the right rectangle)."""
+    from svt_av1_tpu.pipeline import avail
+
+    # VERT_B at 16x16 parent (12,4): rect (12..15, 4..5) decodes first,
+    # so the TR 8x8 at (12,6) sees decoded pixels below-left.
+    assert not avail.has_bottom_left_wh(12, 6, 2, 2, 64)
+    assert avail.has_bottom_left_wh(12, 6, 2, 2, 64, vert_ab=True)
+    # VERT_A at 16x16 parent (0,0): the BL 8x8 at (2,0)'s top-right
+    # region (rows 0..1, cols 2..3) is the right rect — NOT yet decoded.
+    assert avail.has_top_right_wh(2, 0, 2, 2, 64)
+    assert not avail.has_top_right_wh(2, 0, 2, 2, 64, vert_ab=True)
+    # MVP adjust (reference EbAdaptiveMotionVectorPrediction.c:882)
+    from svt_av1_tpu.pipeline.mvp import _mvp_has_top_right_rect
+    assert _mvp_has_top_right_rect(2, 0, 2, 2)
+    assert not _mvp_has_top_right_rect(2, 0, 2, 2, vert_a=True)
+
+
+def test_leaf_square_tshape_inference():
+    from svt_av1_tpu.pipeline import avail
+    from svt_av1_tpu.utils.blocks import (PARTITION_VERT_A,
+                                          PARTITION_VERT_B)
+    # 16x16 parent at (12,4) split VERT_B: 8x16 rect + two 8x8 squares
+    leaves = {(12, 4): (8, 16), (12, 6): 8, (14, 6): 8}
+    assert avail.leaf_square_tshape(leaves, 12, 6, 2, 2, 64, 64) \
+        == PARTITION_VERT_B
+    assert avail.leaf_square_tshape(leaves, 14, 6, 2, 2, 64, 64) \
+        == PARTITION_VERT_B
+    assert avail.leaf_square_tshape(leaves, 12, 4, 2, 4, 64, 64) is None
+    # VERT_A: two squares left + 8x16 right
+    leaves = {(0, 0): 8, (2, 0): 8, (0, 2): (8, 16)}
+    assert avail.leaf_square_tshape(leaves, 2, 0, 2, 2, 64, 64) \
+        == PARTITION_VERT_A
+    # plain SPLIT quadrant of 4 squares: no flag
+    leaves = {(0, 0): 8, (0, 2): 8, (2, 0): 8, (2, 2): 8}
+    assert avail.leaf_square_tshape(leaves, 2, 0, 2, 2, 64, 64) is None

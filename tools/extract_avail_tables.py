@@ -29,6 +29,21 @@ for prefix in ("has_tr", "has_bl"):
         vals = [int(v) for v in re.findall(r"\d+", m.group(1))]
         out[f"{prefix}_{i}"] = np.array(vals, dtype=np.uint8)
 
+# Partition-aware variants for square members of VERT_A/VERT_B T-shapes
+# (coding order TL, BL, TR within the mixed vertical partition — reference
+# EbIntraPrediction.c:5657-5888 has_tr_vert_* / has_bl_vert_* and the
+# get_has_tr_table/get_has_bl_table selectors). Only the square sizes have
+# distinct tables; rect members reuse the base tables above.
+for prefix in ("has_tr", "has_bl"):
+    for n in ("8x8", "16x16", "32x32", "64x64"):
+        i = NAMES.index(n)
+        m = re.search(
+            rf"static uint8_t {prefix}_vert_{n}\[\d+\] = \{{(.*?)\}};",
+            src, re.S)
+        assert m, f"{prefix}_vert_{n} not found"
+        vals = [int(v) for v in re.findall(r"\d+", m.group(1))]
+        out[f"{prefix}_vert_{i}"] = np.array(vals, dtype=np.uint8)
+
 dst = Path(__file__).resolve().parent.parent / \
     "svt_av1_tpu/pipeline/data/avail_tables.npz"
 dst.parent.mkdir(exist_ok=True)
