@@ -66,6 +66,12 @@ class EncoderConfig:
     enable_restoration: bool = False
     enable_dlf: bool = True
     enable_tx_type_search: bool = False
+    # RDOQ-lite: RD-optimal trailing-coefficient trim after quantize
+    # (the dominant win of av1_optimize_txb at coarse quantizers; the
+    # reference v0.4.0 has no RDOQ). Encoder-side only — streams stay
+    # conformant; host and device backends trim with identical integer
+    # math (md.rdoq_trim / device_md.rdoq_trim_j).
+    enable_rdoq: bool = True
     disable_cdf_update: bool = False
     # True: every inter frame is error-resilient (PRIMARY_REF_NONE —
     # contexts reset per frame, any frame loss recoverable). False

@@ -687,10 +687,14 @@ def quantize_pallas(coeff, scan: np.ndarray, qp: quant_host.QuantParams,
     ops = [jnp.broadcast_to(jnp.asarray(v, jnp.int32)[None, :], (b, n))
            for v in rows.values()]
     kern = _ft.partial(_quant_kernel, log_scale=log_scale)
+    # Mosaic kernels only compile for TPU; on the CPU test mesh fall
+    # back to the interpreter (bit-identical semantics, slower).
+    interp = jax.default_backend() == "cpu"
     q, dq = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((b, n), jnp.int32),
                    jax.ShapeDtypeStruct((b, n), jnp.int32)),
+        interpret=interp,
     )(coeff.astype(jnp.int32), *ops)
     nz_scan = q[:, scan] != 0
     idx = jnp.arange(1, n + 1, dtype=jnp.int32)

@@ -272,9 +272,11 @@ def compound_average_j(res0, res1, bd=8):
 
 
 @functools.lru_cache(maxsize=256)
-def _build_ref_candidates(size, qindex: int, lamq: int, bd: int):
+def _build_ref_candidates(size, qindex: int, lamq: int, bd: int,
+                          rdoq: bool = False):
     bw, bh = common.leaf_wh(size)
     tx_size = common.tx_size_for_rect(bw, bh, 0)
+    rlq = lamq if (rdoq and qindex > 0) else None
 
     def fn(ref_full, ref_h, ref_q, src_full, src_h, src_q, xs, ys):
         xs = xs.astype(jnp.int64)
@@ -296,7 +298,7 @@ def _build_ref_candidates(size, qindex: int, lamq: int, bd: int):
                                         ss=0, bd=bd).astype(jnp.int64)
             qc, eo, rec, dist, rate = _full_loop_j(
                 srcs, pred, jnp.zeros(xs.shape[0], dtype=jnp.int32),
-                (0,), tx_size, size, qindex, bd, 0)
+                (0,), tx_size, size, qindex, bd, 0, rdoq_lam_q=rlq)
             mv_bits = (2 << md.RATE_Q) \
                 + 256 * (jnp.abs(cand).sum(axis=1) > 0)
             cost = _rdcost_j(dist, lamq, rate + mv_bits)
@@ -315,9 +317,11 @@ def _build_ref_candidates(size, qindex: int, lamq: int, bd: int):
 
 
 @functools.lru_cache(maxsize=256)
-def _build_chroma_code(size, qindex: int, bd: int, ss: int):
+def _build_chroma_code(size, qindex: int, bd: int, ss: int,
+                       lamq: int = 0, rdoq: bool = False):
     cw, ch = common.leaf_wh(size)
     tx_uv = common.tx_size_for_rect(cw, ch, 1)
+    rlq = lamq if (rdoq and qindex > 0) else None
 
     def fn(refp, xs, ys, mvs, src_plane):
         srcs, _, _ = _gather_curs(src_plane.astype(jnp.int32),
@@ -328,19 +332,21 @@ def _build_chroma_code(size, qindex: int, bd: int, ss: int):
         qc, eo, rec, _, _ = _full_loop_j(
             srcs.astype(jnp.int64), pred,
             jnp.zeros(xs.shape[0], dtype=jnp.int32), (0,), tx_uv,
-            (cw, ch), qindex, bd, 1)
+            (cw, ch), qindex, bd, 1, rdoq_lam_q=rlq)
         return qc, eo, rec
 
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=256)
-def _build_chroma_multi(size, n_refs: int, qindex: int, bd: int):
+def _build_chroma_multi(size, n_refs: int, qindex: int, bd: int,
+                        lamq: int = 0, rdoq: bool = False):
     """Both chroma planes' single-ref coding in ONE program: the chosen
     reference per block selects from a stacked plane bank (was 2 planes x
     R refs separate round trips)."""
     cw, ch = common.leaf_wh(size)
     tx_uv = common.tx_size_for_rect(cw, ch, 1)
+    rlq = lamq if (rdoq and qindex > 0) else None
 
     def fn(*args):
         # args: R u-planes, R v-planes, src_u, src_v, xs, ys, mvs, ridx
@@ -360,7 +366,7 @@ def _build_chroma_multi(size, n_refs: int, qindex: int, bd: int):
             qc, eo, rec, _, _ = _full_loop_j(
                 srcs.astype(jnp.int64), pred,
                 jnp.zeros(xs.shape[0], dtype=jnp.int32), (0,), tx_uv,
-                (cw, ch), qindex, bd, 1)
+                (cw, ch), qindex, bd, 1, rdoq_lam_q=rlq)
             outs += [qc, eo.astype(jnp.int16), rec.astype(jnp.uint16)]
         return tuple(outs)
 
@@ -368,14 +374,14 @@ def _build_chroma_multi(size, n_refs: int, qindex: int, bd: int):
 
 
 def chroma_multi_dev(refs_u, refs_v, src_u, src_v, xs, ys, mvs, ridx,
-                     size, qp, bd=8):
+                     size, qp, bd=8, lam=0.0, rdoq=False):
     """U+V single-ref chroma coding across the whole ref set, one call.
     Returns (qc_u, eo_u, rec_u, qc_v, eo_v, rec_v), numpy."""
     b = len(xs)
     nb = _bucket(b)
     fn = _build_chroma_multi(
         size if isinstance(size, int) else tuple(size), len(refs_u),
-        int(qp.qindex), bd)
+        int(qp.qindex), bd, lamq=md.lam_to_q(lam), rdoq=rdoq)
     args = [_dput(p) for p in refs_u] + [_dput(p) for p in refs_v]
     args += [_dput(src_u), _dput(src_v),
              _pad(np.asarray(xs, np.int64), nb, b),
@@ -389,9 +395,10 @@ def chroma_multi_dev(refs_u, refs_v, src_u, src_v, xs, ys, mvs, ridx,
 
 @functools.lru_cache(maxsize=256)
 def _build_compound(size, qindex: int, lamq: int, bd: int, ss: int,
-                    plane_type: int):
+                    plane_type: int, rdoq: bool = False):
     bw, bh = common.leaf_wh(size)
     tx = common.tx_size_for_rect(bw, bh, plane_type)
+    rlq = lamq if (rdoq and qindex > 0) else None
 
     def fn(ref0, ref1, xs, ys, mv0, mv1, src_plane):
         srcs, _, _ = _gather_curs(src_plane.astype(jnp.int32),
@@ -405,7 +412,7 @@ def _build_compound(size, qindex: int, lamq: int, bd: int, ss: int,
         qc, eo, rec, dist, rate = _full_loop_j(
             srcs.astype(jnp.int64), pred,
             jnp.zeros(xs.shape[0], dtype=jnp.int32), (0,), tx,
-            (bw, bh), qindex, bd, plane_type)
+            (bw, bh), qindex, bd, plane_type, rdoq_lam_q=rlq)
         mv_bits = (3 << md.RATE_Q) \
             + 256 * ((jnp.abs(mv0).sum(axis=1) > 0).astype(jnp.int64)
                      + (jnp.abs(mv1).sum(axis=1) > 0))
@@ -417,12 +424,14 @@ def _build_compound(size, qindex: int, lamq: int, bd: int, ss: int,
 
 @functools.lru_cache(maxsize=256)
 def _build_compound_multi(size, n_refs: int, qindex: int, lamq: int,
-                          bd: int, ss: int, planes: int):
+                          bd: int, ss: int, planes: int,
+                          rdoq: bool = False):
     """Compound coding for every block's own (fwd, bwd) pair in one
     program: per-block pair indices gather from a stacked ref bank (was
     one round trip per distinct pair per plane). planes=1: luma
     (returns cost too); planes=2: U+V."""
     bw, bh = common.leaf_wh(size)
+    rlq = lamq if (rdoq and qindex > 0) else None
 
     def fn(*args):
         banks = [jnp.stack(args[p * n_refs:(p + 1) * n_refs])
@@ -443,7 +452,7 @@ def _build_compound_multi(size, n_refs: int, qindex: int, lamq: int,
             qc, eo, rec, dist, rate = _full_loop_j(
                 srcs.astype(jnp.int64), pred,
                 jnp.zeros(xs.shape[0], dtype=jnp.int32), (0,), tx,
-                (bw, bh), qindex, bd, 1 if ss else 0)
+                (bw, bh), qindex, bd, 1 if ss else 0, rdoq_lam_q=rlq)
             outs += [qc, eo.astype(jnp.int16), rec.astype(jnp.uint16)]
             if ss == 0:
                 mv_bits = (3 << md.RATE_Q) \
@@ -457,7 +466,8 @@ def _build_compound_multi(size, n_refs: int, qindex: int, lamq: int,
 
 
 def compound_multi_dev(ref_planes_list, src_planes, xs, ys, mv0, mv1,
-                       idx0, idx1, size, qp, lam, bd=8, ss=0):
+                       idx0, idx1, size, qp, lam, bd=8, ss=0,
+                       rdoq=False):
     """All blocks' compound coding with per-block ref pairs, one call.
     ref_planes_list: [plane][ref] padded planes; src_planes: [plane].
     Luma (ss=0, 1 plane): returns (qc, eo, rec, cost).
@@ -469,7 +479,7 @@ def compound_multi_dev(ref_planes_list, src_planes, xs, ys, mv0, mv1,
     fn = _build_compound_multi(
         size if isinstance(size, int) else tuple(size),
         len(ref_planes_list[0]), int(qp.qindex), md.lam_to_q(lam), bd,
-        ss, planes)
+        ss, planes, rdoq=rdoq)
     args = []
     for pl in ref_planes_list:
         args.extend(_dput(p) for p in pl)
@@ -519,14 +529,15 @@ def _pad(a, nb, b):
     return np.concatenate([a, np.repeat(a[:1], nb - b, axis=0)], axis=0)
 
 
-def ref_candidates_dev(ref_pyr, src_pyr, xs, ys, size, qp, lam, bd=8):
+def ref_candidates_dev(ref_pyr, src_pyr, xs, ys, size, qp, lam, bd=8,
+                       rdoq=False):
     """Twin of inter.InterFrameEncoder._ref_candidates for one reference
     (numpy in/out; jitted device compute)."""
     b = len(xs)
     nb = _bucket(b)
     fn = _build_ref_candidates(
         size if isinstance(size, int) else tuple(size), int(qp.qindex),
-        md.lam_to_q(lam), bd)
+        md.lam_to_q(lam), bd, rdoq=rdoq)
     xs_p = _pad(np.asarray(xs, dtype=np.int64), nb, b)
     ys_p = _pad(np.asarray(ys, dtype=np.int64), nb, b)
     outs = fn(*_dput_seq(ref_pyr), *_dput_seq(src_pyr), xs_p, ys_p)
@@ -536,13 +547,14 @@ def ref_candidates_dev(ref_pyr, src_pyr, xs, ys, size, qp, lam, bd=8):
             qc.astype(np.int32), eo.astype(np.int32), rec.astype(pix)]
 
 
-def chroma_code_dev(refp, src_plane, xs, ys, mvs, size, qp, bd=8, ss=1):
+def chroma_code_dev(refp, src_plane, xs, ys, mvs, size, qp, bd=8, ss=1,
+                    lam=0.0, rdoq=False):
     """Twin of the chroma MC + full loop in inter._encode_blocks."""
     b = len(xs)
     nb = _bucket(b)
     fn = _build_chroma_code(
         size if isinstance(size, int) else tuple(size), int(qp.qindex),
-        bd, ss)
+        bd, ss, lamq=md.lam_to_q(lam), rdoq=rdoq)
     outs = jax.device_get(fn(
         _dput(refp), _pad(np.asarray(xs, np.int64), nb, b),
         _pad(np.asarray(ys, np.int64), nb, b),
@@ -552,14 +564,14 @@ def chroma_code_dev(refp, src_plane, xs, ys, mvs, size, qp, bd=8, ss=1):
 
 
 def compound_code_dev(ref0, ref1, src_plane, xs, ys, mv0, mv1, size, qp,
-                      lam, bd=8, ss=0, plane_type=0):
+                      lam, bd=8, ss=0, plane_type=0, rdoq=False):
     """Twin of the compound (LAST+ALT) candidate in
     inter._encode_blocks."""
     b = len(xs)
     nb = _bucket(b)
     fn = _build_compound(
         size if isinstance(size, int) else tuple(size), int(qp.qindex),
-        md.lam_to_q(lam), bd, ss, plane_type)
+        md.lam_to_q(lam), bd, ss, plane_type, rdoq=rdoq)
     outs = jax.device_get(fn(
         _dput(ref0), _dput(ref1),
         _pad(np.asarray(xs, np.int64), nb, b),
@@ -593,11 +605,13 @@ def _build_subpel(size, bd: int):
 
 
 @functools.lru_cache(maxsize=256)
-def _build_single_rd(size, qindex: int, lamq: int, bd: int):
+def _build_single_rd(size, qindex: int, lamq: int, bd: int,
+                     rdoq: bool = False):
     """RD of {given (pre-clamped) MV, zero MV} against one reference —
     the tail of _build_ref_candidates with ME factored out."""
     bw, bh = common.leaf_wh(size)
     tx_size = common.tx_size_for_rect(bw, bh, 0)
+    rlq = lamq if (rdoq and qindex > 0) else None
 
     def fn(ref_full, src_full, xs, ys, mvs):
         xs = xs.astype(jnp.int64)
@@ -612,7 +626,7 @@ def _build_single_rd(size, qindex: int, lamq: int, bd: int):
                                         ss=0, bd=bd).astype(jnp.int64)
             qc, eo, rec, dist, rate = _full_loop_j(
                 srcs, pred, jnp.zeros(xs.shape[0], dtype=jnp.int32),
-                (0,), tx_size, size, qindex, bd, 0)
+                (0,), tx_size, size, qindex, bd, 0, rdoq_lam_q=rlq)
             mv_bits = (2 << md.RATE_Q) \
                 + 256 * (jnp.abs(cand).sum(axis=1) > 0)
             cost = _rdcost_j(dist, lamq, rate + mv_bits)
@@ -632,7 +646,7 @@ def _build_single_rd(size, qindex: int, lamq: int, bd: int):
 
 @functools.lru_cache(maxsize=256)
 def _build_me_rd_multi(size, n_refs: int, qindex: int, lamq: int,
-                       bd: int):
+                       bd: int, rdoq: bool = False):
     """Fused multi-reference ME + RD: full-pel HME over every ref,
     quarter-pel refinement, clamp, and the {refined, zero} full-loop RD
     on the per-block winning ref — ONE program where the per-ref loops
@@ -641,6 +655,7 @@ def _build_me_rd_multi(size, n_refs: int, qindex: int, lamq: int,
     tie-breaks, same clamp, same integer RD."""
     bw, bh = common.leaf_wh(size)
     tx_size = common.tx_size_for_rect(bw, bh, 0)
+    rlq = lamq if (rdoq and qindex > 0) else None
 
     def fn(*args):
         # args: R pyramids (full, half, quarter each), then src pyramid
@@ -678,7 +693,7 @@ def _build_me_rd_multi(size, n_refs: int, qindex: int, lamq: int,
                                         ref_idx=best_all).astype(jnp.int64)
             qc, eo, rec, dist, rate = _full_loop_j(
                 srcs, pred, jnp.zeros(xs.shape[0], dtype=jnp.int32),
-                (0,), tx_size, size, qindex, bd, 0)
+                (0,), tx_size, size, qindex, bd, 0, rdoq_lam_q=rlq)
             mv_bits = (2 << md.RATE_Q) \
                 + 256 * (jnp.abs(cand).sum(axis=1) > 0)
             cost = _rdcost_j(dist, lamq, rate + mv_bits)
@@ -704,7 +719,8 @@ def _build_me_rd_multi(size, n_refs: int, qindex: int, lamq: int,
     return jax.jit(fn)
 
 
-def me_rd_multi_dev(ref_pyrs_list, src_pyr, xs, ys, size, qp, lam, bd=8):
+def me_rd_multi_dev(ref_pyrs_list, src_pyr, xs, ys, size, qp, lam, bd=8,
+                    rdoq=False):
     """One call for the whole multi-ref ME+RD stage. Returns
     (sads [R,B], refined_mvs [R,B,2], best_all [B], cost [B], mv [B,2],
     qc, eob, rec), numpy."""
@@ -712,7 +728,8 @@ def me_rd_multi_dev(ref_pyrs_list, src_pyr, xs, ys, size, qp, lam, bd=8):
     nb = _bucket(b)
     fn = _build_me_rd_multi(
         size if isinstance(size, int) else tuple(size),
-        len(ref_pyrs_list), int(qp.qindex), md.lam_to_q(lam), bd)
+        len(ref_pyrs_list), int(qp.qindex), md.lam_to_q(lam), bd,
+        rdoq=rdoq)
     args = []
     for pyr in ref_pyrs_list:
         args.extend(_dput_seq(pyr[:3]))
@@ -730,12 +747,14 @@ def me_rd_multi_dev(ref_pyrs_list, src_pyr, xs, ys, size, qp, lam, bd=8):
 
 
 @functools.lru_cache(maxsize=256)
-def _build_flip_rd(size, n_modes: int, qindex: int, bd: int):
+def _build_flip_rd(size, n_modes: int, qindex: int, bd: int,
+                   lamq: int = 0, rdoq: bool = False):
     """Full-loop dist+rate for M intra candidate predictions per block
     in one dispatch (the intra-flip decision pass; predictions are
     cheap host numpy, the transform/quant/rate loop is not)."""
     bw, bh = common.leaf_wh(size)
     tx_size = common.tx_size_for_rect(bw, bh, 0)
+    rlq = lamq if (rdoq and qindex > 0) else None
 
     def fn(srcs, preds):
         # srcs [B,h,w]; preds [M,B,h,w]
@@ -745,20 +764,21 @@ def _build_flip_rd(size, n_modes: int, qindex: int, bd: int):
         p2 = preds.reshape(n_modes * b, bh, bw).astype(jnp.int64)
         _, _, _, dist, rate = _full_loop_j(
             s2, p2, jnp.zeros(n_modes * b, dtype=jnp.int32), (0,),
-            tx_size, size, qindex, bd, 0)
+            tx_size, size, qindex, bd, 0, rdoq_lam_q=rlq)
         return (dist.reshape(n_modes, b),
                 rate.reshape(n_modes, b).astype(jnp.int32))
 
     return jax.jit(fn)
 
 
-def flip_rd_dev(srcs, preds, size, qp, bd=8):
+def flip_rd_dev(srcs, preds, size, qp, bd=8, lam=0.0, rdoq=False):
     """dist [M,B] int64, rate [M,B] int64 for stacked candidate
     predictions (numpy in/out)."""
     m, b = preds.shape[0], srcs.shape[0]
     nb = _bucket(b)
     fn = _build_flip_rd(size if isinstance(size, int) else tuple(size),
-                        m, int(qp.qindex), bd)
+                        m, int(qp.qindex), bd, lamq=md.lam_to_q(lam),
+                        rdoq=rdoq)
     bw, bh = common.leaf_wh(size)
     sp = np.zeros((nb, bh, bw), np.int32)
     sp[:b] = srcs
@@ -793,13 +813,14 @@ def subpel_dev(ref_full, src_full, xs, ys, int_mvs, size, bd=8):
     return mv[:b].astype(np.int64)
 
 
-def single_rd_dev(ref_full, src_full, xs, ys, mvs, size, qp, lam, bd=8):
+def single_rd_dev(ref_full, src_full, xs, ys, mvs, size, qp, lam, bd=8,
+                  rdoq=False):
     """RD of {refined MV, zero} for one reference subset."""
     b = len(xs)
     nb = _bucket(b)
     fn = _build_single_rd(
         size if isinstance(size, int) else tuple(size), int(qp.qindex),
-        md.lam_to_q(lam), bd)
+        md.lam_to_q(lam), bd, rdoq=rdoq)
     outs = jax.device_get(fn(
         _dput(ref_full), _dput(src_full),
         _pad(np.asarray(xs, np.int64), nb, b),

@@ -181,11 +181,49 @@ def _rate_cdf_j(qcoeff_flat, eob, qindex: int, plane_type: int,
     return rate
 
 
+def rdoq_trim_j(qc, dq, eob, scan, tx_size, qindex: int,
+                plane_type: int, lam_q: int):
+    """Device twin of md.rdoq_trim (identical integer math, so host and
+    device backends keep emitting byte-identical streams)."""
+    from svt_av1_tpu.entropy import coeff_ctx as cc
+    from svt_av1_tpu.entropy.cdf import coef_qctx
+    b, n = qc.shape
+    lut = jnp.asarray(md._level_cost_lut(
+        coef_qctx(qindex), plane_type, int(cc.txs_ctx(tx_size))))
+    ebl = jnp.asarray(md._eob_bits_lut())
+    gq12 = (64, 330, 2700)[quant_host.tx_scale(tx_size)]
+
+    lv = jnp.minimum(jnp.abs(qc[:, scan]), 255)
+    dqs = dq[:, scan].astype(jnp.int64)
+    k = jnp.arange(n)
+    in_prefix = k[None, :] < eob[:, None]
+    dd = jnp.where(in_prefix, (dqs * dqs * gq12) >> 12, 0)
+    dr = jnp.where(in_prefix, lut[lv], 0)
+    sufd = jnp.cumsum(dd[:, ::-1], axis=1)[:, ::-1]
+    sufr = jnp.cumsum(dr[:, ::-1], axis=1)[:, ::-1]
+    sufd = jnp.concatenate([sufd, jnp.zeros((b, 1), jnp.int64)], axis=1)
+    sufr = jnp.concatenate([sufr, jnp.zeros((b, 1), jnp.int64)], axis=1)
+    e = jnp.arange(n + 1)
+    ebits = jnp.where(e > 0, (3 << md.RATE_Q) + ebl[e], 307)
+    cur_ebits = jnp.where(eob > 0, (3 << md.RATE_Q) + ebl[eob], 307)
+    dcost = (sufd << md.RATE_Q) - ((int(lam_q) * (
+        sufr + cur_ebits[:, None] - ebits[None, :])) >> md.LAM_Q)
+    valid = e[None, :] <= eob[:, None]
+    dcost = jnp.where(valid, dcost, jnp.int64(1) << 62)
+    new_eob = jnp.argmin(dcost, axis=1).astype(eob.dtype)
+    keep = k[None, :] < new_eob[:, None]
+    keep_raster = jnp.zeros((b, n), dtype=bool).at[:, scan].set(keep)
+    return (jnp.where(keep_raster, qc, 0),
+            jnp.where(keep_raster, dq, 0), new_eob)
+
+
 def _full_loop_j(srcs, preds, tts, tt_set, tx_size, size, qindex, bd,
-                 plane_type):
+                 plane_type, rdoq_lam_q=None):
     """Device twin of md._full_loop. tts [B] dynamic; tt_set: static
     tuple of the tx types tts can take (computed from the candidate
-    set). Returns (qcoeff [B,ch,cw], eob, recon, dist, rate)."""
+    set). Returns (qcoeff [B,ch,cw], eob, recon, dist, rate).
+    ``rdoq_lam_q``: static int lambda for the RDOQ-lite trailing trim
+    (None = off)."""
     b = srcs.shape[0]
     w, h = common.leaf_wh(size)
     cw, ch = common.coded_dims(tx_size)
@@ -203,6 +241,9 @@ def _full_loop_j(srcs, preds, tts, tt_set, tx_size, size, qindex, bd,
         coded = coeffs[:, :ch, :cw].reshape(b, -1)
         scan = get_scan(tx_size, int(tt))
         qc, dq, eo = dev.quantize(coded, scan, qp, log_scale)
+        if rdoq_lam_q is not None:
+            qc, dq, eo = rdoq_trim_j(qc, dq, eo, scan, tx_size,
+                                     qindex, plane_type, rdoq_lam_q)
         rt = _rate_cdf_j(qc, eo, qindex, plane_type, tx_size)
         full = jnp.zeros((b, h, w), dtype=jnp.int32)
         full = full.at[:, :ch, :cw].set(
@@ -239,7 +280,8 @@ def _tt_for_lut(all_cands, plane, tx_size, reduced_tx_set):
 @functools.lru_cache(maxsize=256)
 def make_decide_core(plane: int, cands: tuple, qindex: int, size,
                      lamq: int, bd: int, nfl: int, reduced_tx_set: bool,
-                     has_forced: bool, has_cfl: bool, tx_search: bool):
+                     has_forced: bool, has_cfl: bool, tx_search: bool,
+                     rdoq: bool = False):
     """Build the traceable decide function for a static configuration
     (jitted by _build_decide; also inlined into fused tile programs)."""
     bw, bh = common.leaf_wh(size)
@@ -257,6 +299,7 @@ def make_decide_core(plane: int, cands: tuple, qindex: int, size,
                                        plane, has_cfl)
     carr = np.asarray(all_cands, dtype=np.int64)
     plane_type = int(plane > 0)
+    rlq = lamq if (rdoq and qindex > 0) else None
 
     def tts_of(modes):
         if plane == 0:
@@ -292,7 +335,7 @@ def make_decide_core(plane: int, cands: tuple, qindex: int, size,
         ftts = tts_of(fmodes)
         qc, eo, rec, dist, rate = _full_loop_j(
             srcs, preds, ftts, tt_set, tx_size, size, qindex, bd,
-            plane_type)
+            plane_type, rdoq_lam_q=rlq)
         cost = _rdcost_j(dist, lamq, rate)
         return (fmodes, fdeltas, qc, eo, rec, cost, alphas, ftts)
 
@@ -327,7 +370,7 @@ def make_decide_core(plane: int, cands: tuple, qindex: int, size,
                 preds, idx[None, :, None, None], axis=0)[0]
             qc, eo, rec, dist, rate = _full_loop_j(
                 srcs, preds_k, tts_of(modes_k), tt_set, tx_size, size,
-                qindex, bd, plane_type)
+                qindex, bd, plane_type, rdoq_lam_q=rlq)
             cost = _rdcost_j(dist, lamq,
                              rate + jnp.asarray(mode_bits)[idx])
             if best_cost is None:
@@ -348,7 +391,7 @@ def make_decide_core(plane: int, cands: tuple, qindex: int, size,
         tts = tts_of(out[0])
         if tx_search and plane == 0:
             tts = _tx_search_j(srcs, out_pred, out, tx_size, size,
-                               qindex, bd, lamq)
+                               qindex, bd, lamq, rdoq=rdoq)
         alphas = jnp.zeros(b, dtype=jnp.int64)
         if cand_alphas is not None:
             alphas = jnp.where(out[0] == UV_CFL, cand_alphas, 0)
@@ -363,7 +406,8 @@ def _build_decide(*key):
     return jax.jit(make_decide_core(*key))
 
 
-def _tx_search_j(srcs, preds, out, tx_size, size, qindex, bd, lamq):
+def _tx_search_j(srcs, preds, out, tx_size, size, qindex, bd, lamq,
+                 rdoq: bool = False):
     """Device twin of md._luma_tx_search (in-place update of out)."""
     from svt_av1_tpu.entropy import tx_sets
     from svt_av1_tpu.entropy.cdf import default_tables
@@ -389,11 +433,12 @@ def _tx_search_j(srcs, preds, out, tx_size, size, qindex, bd, lamq):
 
     allowed = [int(t) for t in np.nonzero(
         tx_sets.EXT_TX_USED[set_type])[0]]
+    rlq = lamq if (rdoq and qindex > 0) else None
     best_part = None
     for tt in allowed:
         qc, eo, rec, dist, rate = _full_loop_j(
             srcs, preds, jnp.full(b, tt, dtype=jnp.int32), (tt,),
-            tx_size, size, qindex, bd, 0)
+            tx_size, size, qindex, bd, 0, rdoq_lam_q=rlq)
         part = _rdcost_j(dist, lamq, rate + sig_bits(tt))
         if best_part is None:
             best_part = part
@@ -423,7 +468,8 @@ def _bucket(b: int) -> int:
 
 def decide_block_batch_dev(plane, srcs, above1, left1, ha, hl, cands, qp,
                            size, lam, bd=8, nfl=3, reduced_tx_set=False,
-                           forced=None, cfl_luma=None, tx_search=False):
+                           forced=None, cfl_luma=None, tx_search=False,
+                           rdoq=False):
     """Drop-in twin of md.decide_block_batch running the compute as one
     jitted device program (same integer decisions, same return types)."""
     b = srcs.shape[0]
@@ -447,7 +493,7 @@ def decide_block_batch_dev(plane, srcs, above1, left1, ha, hl, cands, qp,
     fn = _build_decide(plane, tuple(map(tuple, cands)), int(qp.qindex),
                        size if isinstance(size, int) else tuple(size),
                        lamq, bd, nfl, reduced_tx_set, forced is not None,
-                       cfl_luma is not None, tx_search)
+                       cfl_luma is not None, tx_search, rdoq)
     if forced is not None:
         fm = pad(np.asarray(forced[0], dtype=np.int64))
         fd = pad(np.asarray(forced[1], dtype=np.int64))

@@ -89,7 +89,7 @@ def _scatter(plane, xs, ys, blocks, valid, bw: int, bh: int):
 def make_tile_body(size: int, cands: tuple, qindex: int, lamq: int,
                    bd: int, nfl: int, tx_search: bool,
                    n_waves: int, wmax: int, n_leaves: int,
-                   shapes: tuple, max_wh: tuple):
+                   shapes: tuple, max_wh: tuple, rdoq: bool = False):
     """The traceable full-tile intra analysis function (jitted by
     _build_tile_program; also the per-device body of the tile-sharded
     multi-chip program in parallel/tiles.py).
@@ -107,11 +107,14 @@ def make_tile_body(size: int, cands: tuple, qindex: int, lamq: int,
     cwc, chc = common.coded_dims(tx_uv)
 
     decide_y = dmd.make_decide_core(0, cands, qindex, S, lamq, bd, nfl,
-                                    False, False, False, tx_search)
+                                    False, False, False, tx_search,
+                                    rdoq=rdoq)
     decide_u = dmd.make_decide_core(1, cands, qindex, Sc, lamq, bd, nfl,
-                                    False, False, cfl_ok, False)
+                                    False, False, cfl_ok, False,
+                                    rdoq=rdoq)
     decide_v = dmd.make_decide_core(2, cands, qindex, Sc, lamq, bd, nfl,
-                                    False, True, cfl_ok, False)
+                                    False, True, cfl_ok, False,
+                                    rdoq=rdoq)
 
     def program(src_y, src_u, src_v, xsw, ysw, validw, htrw, hblw, idxw):
         recon_y = jnp.zeros((Hy + S, Wy), dtype=jnp.int32)
@@ -243,7 +246,7 @@ def tile_metadata(enc, cands):
     key = (S, tuple(map(tuple, cands)), int(enc.qp.qindex),
            md_mod.lam_to_q(enc.lam), cfg.bit_depth, cfg.nfl,
            bool(cfg.enable_tx_type_search and cfg.base_q_idx > 0),
-           n_waves, wmax, n, shapes, max_wh)
+           n_waves, wmax, n, shapes, max_wh, bool(cfg.enable_rdoq))
     args = (np.ascontiguousarray(enc.src[0]),
             np.ascontiguousarray(enc.src[1]),
             np.ascontiguousarray(enc.src[2]),
@@ -310,7 +313,8 @@ def _pow2(n: int, lo: int = 1) -> int:
 
 
 def _class_stage(shape: tuple, cands: tuple, qindex: int, lamq: int,
-                 bd: int, nfl: int, tx_search: bool, max_wh: tuple):
+                 bd: int, nfl: int, tx_search: bool, max_wh: tuple,
+                 rdoq: bool = False):
     """Per-wave processing step for one (bw, bh) shape class: the Y/U/V
     decide chain of make_tile_body factored for reuse across classes."""
     bw, bh = shape
@@ -324,11 +328,14 @@ def _class_stage(shape: tuple, cands: tuple, qindex: int, lamq: int,
     ysz = bw if bw == bh else (bw, bh)
     csz = cw_ if cw_ == ch_ else (cw_, ch_)
     decide_y = dmd.make_decide_core(0, cands, qindex, ysz, lamq, bd,
-                                    nfl, False, False, False, tx_search)
+                                    nfl, False, False, False, tx_search,
+                                    rdoq=rdoq)
     decide_u = dmd.make_decide_core(1, cands, qindex, csz, lamq, bd,
-                                    nfl, False, False, cfl_ok, False)
+                                    nfl, False, False, cfl_ok, False,
+                                    rdoq=rdoq)
     decide_v = dmd.make_decide_core(2, cands, qindex, csz, lamq, bd,
-                                    nfl, False, True, cfl_ok, False)
+                                    nfl, False, True, cfl_ok, False,
+                                    rdoq=rdoq)
 
     def out_zeros(n_cls: int):
         n1 = n_cls + 1
@@ -399,13 +406,14 @@ def _class_stage(shape: tuple, cands: tuple, qindex: int, lamq: int,
 @functools.lru_cache(maxsize=32)
 def make_mixed_tile_body(class_spec: tuple, n_waves: int, cands: tuple,
                          qindex: int, lamq: int, bd: int, nfl: int,
-                         tx_search: bool, shapes: tuple, max_wh: tuple):
+                         tx_search: bool, shapes: tuple, max_wh: tuple,
+                         rdoq: bool = False):
     """class_spec: (((bw, bh), wmax, n_cls), ...) active shape classes,
     descending area; wave count pre-quantized by the metadata builder."""
     (Hy, Wy), (Hc, Wc) = shapes
     stages = [(sh, wmax, n_cls)
               + _class_stage(sh, cands, qindex, lamq, bd, nfl,
-                             tx_search, max_wh)
+                             tx_search, max_wh, rdoq=rdoq)
               for (sh, wmax, n_cls) in class_spec]
 
     def program(src_y, src_u, src_v, nw_dyn, *arrs):
@@ -512,7 +520,7 @@ def mixed_tile_metadata(enc, cands):
            int(enc.qp.qindex), md_mod.lam_to_q(enc.lam), cfg.bit_depth,
            cfg.nfl,
            bool(cfg.enable_tx_type_search and cfg.base_q_idx > 0),
-           shapes, max_wh)
+           shapes, max_wh, bool(cfg.enable_rdoq))
     full_args = (np.ascontiguousarray(enc.src[0]),
                  np.ascontiguousarray(enc.src[1]),
                  np.ascontiguousarray(enc.src[2]),

@@ -315,7 +315,8 @@ class InterFrameEncoder:
             from svt_av1_tpu.ops import device_inter as di
             return di.ref_candidates_dev(self.ref_pyrs[ref],
                                          self.src_pyr, xs, ys, size, qp,
-                                         lam, bd=cfg.bit_depth)
+                                         lam, bd=cfg.bit_depth,
+                                         rdoq=cfg.enable_rdoq)
         int_mvs, _ = me.fullpel_search(refp[0], self.src[0], xs, ys, size,
                                        ref_pyr=self.ref_pyrs[ref],
                                        src_pyr=self.src_pyr)
@@ -327,13 +328,14 @@ class InterFrameEncoder:
         cands = [clamp_mvs_batch(c, xs, ys, bw, bh, plane_w, plane_h)
                  for c in (mvs, zero)]
         lamq = md.lam_to_q(lam)
+        rlq = lamq if (cfg.enable_rdoq and qp.qindex > 0) else None
         best = None
         for cand in cands:
             pred = mc.mc_block_batch(refp[0], xs, ys, cand, bw, bh,
                                      bd=cfg.bit_depth).astype(np.int64)
             qc, eo, rec, dist, rate = md._full_loop(
                 srcs, pred, np.zeros(b, dtype=np.int32), tx_size, size,
-                qp, cfg.bit_depth)
+                qp, cfg.bit_depth, rdoq_lam_q=rlq)
             # q9 MV-rate floor: 2 bits + 0.5 for a nonzero MV
             mv_bits = (2 << md.RATE_Q) \
                 + 256 * (np.abs(cand).sum(axis=1) > 0)
@@ -370,7 +372,8 @@ class InterFrameEncoder:
             sads, refined_a, best_all, cost, mv_arr, qc, eo, rec = \
                 di.me_rd_multi_dev([self.ref_pyrs[r] for r in refs_order],
                                    self.src_pyr, xs, ys, (bw, bh), qp,
-                                   lam, bd=cfg.bit_depth)
+                                   lam, bd=cfg.bit_depth,
+                                   rdoq=cfg.enable_rdoq)
             chosen_ref = np.asarray(refs_order,
                                     dtype=np.int32)[best_all]
             fsel = bsel = None
@@ -435,7 +438,9 @@ class InterFrameEncoder:
                     .astype(np.int64)
                 qs, es, rs, dist, rate = md._full_loop(
                     srcs[sel], pred, np.zeros(len(sel), dtype=np.int32),
-                    tx_size, (bw, bh), qp, cfg.bit_depth)
+                    tx_size, (bw, bh), qp, cfg.bit_depth,
+                    rdoq_lam_q=(lamq if (cfg.enable_rdoq
+                                         and qp.qindex > 0) else None))
                 mv_bits = (2 << md.RATE_Q) \
                     + 256 * (np.abs(cand).sum(axis=1) > 0)
                 cs = md.rdcost(dist, lamq, rate + mv_bits)
@@ -479,7 +484,7 @@ class InterFrameEncoder:
             qc_, eo_, rec_, cost_ = di.compound_multi_dev(
                 [[self.refs[r][0] for r in refs_order]], [self.src[0]],
                 xs, ys, mv0a, mv1a, fref, bref_i, (bw, bh), qp, lam,
-                bd=cfg.bit_depth, ss=0)
+                bd=cfg.bit_depth, ss=0, rdoq=cfg.enable_rdoq)
             cost[:] = cost_.astype(np.int64)
             qc[:] = qc_.astype(np.int32)
             eo[:] = eo_.astype(np.int32)
@@ -506,7 +511,10 @@ class InterFrameEncoder:
                 qs, es, rs, dist, rate = md._full_loop(
                     srcs[sub], pred_c,
                     np.zeros(len(sub), dtype=np.int32), tx_size,
-                    (bw, bh), qp, cfg.bit_depth)
+                    (bw, bh), qp, cfg.bit_depth,
+                    rdoq_lam_q=(md.lam_to_q(lam)
+                                if (cfg.enable_rdoq and qp.qindex > 0)
+                                else None))
                 mv_bits = (3 << md.RATE_Q) \
                     + 256 * ((np.abs(mv0).sum(axis=1) > 0)
                              .astype(np.int64)
@@ -621,7 +629,8 @@ class InterFrameEncoder:
                                            comp_b, self.mvs1[ids])
                 self.y_tx_type[ids] = md.inter_tx_search(
                     srcs, preds, chosen[0], chosen[2], chosen[3],
-                    chosen[4], tx_size, (bw, bh), qp, cfg.bit_depth, lam)
+                    chosen[4], tx_size, (bw, bh), qp, cfg.bit_depth, lam,
+                    rdoq=cfg.enable_rdoq)
         self.mvs[ids] = chosen[1]
         self.block_ref[ids] = chosen_ref
         self.eobs[0, ids] = chosen[3]
@@ -662,7 +671,8 @@ class InterFrameEncoder:
                 [self.refs[r][1] for r in refs_order],
                 [self.refs[r][2] for r in refs_order],
                 self.src[1], self.src[2], cxs, cys, chosen[1], ridx,
-                (cw, ch), qp, bd=cfg.bit_depth)
+                (cw, ch), qp, bd=cfg.bit_depth, lam=lam,
+                rdoq=cfg.enable_rdoq)
             outs = [o.copy() for o in outs]
             csel = np.nonzero(comp_sel)[0]
             if len(csel):
@@ -679,7 +689,8 @@ class InterFrameEncoder:
                     [self.src[1], self.src[2]],
                     cxs[csel], cys[csel], chosen[1][csel],
                     self.mvs1[ids][csel], idx0, idx1, (cw, ch), qp,
-                    lam, bd=cfg.bit_depth, ss=1)
+                    lam, bd=cfg.bit_depth, ss=1,
+                    rdoq=cfg.enable_rdoq)
                 for pi in range(2):
                     outs[3 * pi][csel] = comp[3 * pi]
                     outs[3 * pi + 1][csel] = comp[3 * pi + 1]
@@ -723,9 +734,14 @@ class InterFrameEncoder:
                     bd=cfg.bit_depth)
                 pred[csel] = mc.compound_average(cc0, cc1,
                                                  cfg.bit_depth)
+            # plane_type=1: the trim LUT must match the device chroma
+            # builders (dist/rate outputs are discarded here)
             qc, eo, rec, _, _ = md._full_loop(
                 srcs_c, pred, ctts, tx_uv, (cw, ch), qp,
-                cfg.bit_depth)
+                cfg.bit_depth, plane_type=1,
+                rdoq_lam_q=(md.lam_to_q(lam)
+                            if (cfg.enable_rdoq and qp.qindex > 0)
+                            else None))
             self.eobs[plane, ids] = eo
             for k, i in enumerate(ids):
                 self.qcoeff[plane][i] = qc[k]
@@ -876,7 +892,9 @@ class InterFrameEncoder:
                 bd=cfg.bit_depth).astype(np.int64)
             qc, eo, rec, _, _ = md._full_loop(
                 srcs, pred, np.zeros(b, dtype=np.int32), tx_y, (bw, bh),
-                qp, cfg.bit_depth)
+                qp, cfg.bit_depth,
+                rdoq_lam_q=(lamq if (cfg.enable_rdoq and qp.qindex > 0)
+                            else None))
             self.block_is_inter[lis] = False
             self.intra_mode[lis] = m
             self.eobs[0, lis] = eo
@@ -910,7 +928,9 @@ class InterFrameEncoder:
                 tt_u = common.chroma_tx_type(m, tx_uv, False)
                 qcp, eop, recp, dist, rate = md._full_loop(
                     srcs_c, predc, np.full(b, tt_u, dtype=np.int32),
-                    tx_uv, (cw2, ch2), qp, cfg.bit_depth)
+                    tx_uv, (cw2, ch2), qp, cfg.bit_depth,
+                    rdoq_lam_q=(lamq if (cfg.enable_rdoq
+                                         and qp.qindex > 0) else None))
                 res = {"mode": (qcp, eop, recp,
                                 md.rdcost(dist, lamq, rate))}
                 if cfl_ok:
@@ -923,7 +943,10 @@ class InterFrameEncoder:
                     qc2, eo2, rec2, dist2, rate2 = md._full_loop(
                         srcs_c, cpred.astype(np.int64),
                         np.zeros(b, dtype=np.int32), tx_uv, (cw2, ch2),
-                        qp, cfg.bit_depth)
+                        qp, cfg.bit_depth,
+                        rdoq_lam_q=(lamq if (cfg.enable_rdoq
+                                             and qp.qindex > 0)
+                                    else None))
                     res["cfl"] = (qc2, eo2, rec2,
                                   md.rdcost(dist2, lamq,
                                             rate2 + (4 << md.RATE_Q)),
@@ -1008,7 +1031,8 @@ class InterFrameEncoder:
                     for m in cand_modes]).astype(np.int32)
                 dist, rate = di.flip_rd_dev(
                     srcs.astype(np.int32), preds_all, (bw, bh), qp,
-                    bd=cfg.bit_depth)
+                    bd=cfg.bit_depth, lam=lam,
+                    rdoq=cfg.enable_rdoq)
                 for mi, m in enumerate(cand_modes):
                     cost_m = md.rdcost(dist[mi], lamq,
                                        rate[mi] + mode_bits)
@@ -1022,7 +1046,10 @@ class InterFrameEncoder:
                         bd=cfg.bit_depth).astype(np.int64)
                     _, _, _, dist, rate = md._full_loop(
                         srcs, preds, np.zeros(b, dtype=np.int32), tx_y,
-                        (bw, bh), qp, cfg.bit_depth)
+                        (bw, bh), qp, cfg.bit_depth,
+                        rdoq_lam_q=(lamq if (cfg.enable_rdoq
+                                             and qp.qindex > 0)
+                                    else None))
                     cost_m = md.rdcost(dist, lamq, rate + mode_bits)
                     bt = cost_m < best_cost
                     best_cost = np.where(bt, cost_m, best_cost)

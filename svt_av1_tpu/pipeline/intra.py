@@ -186,7 +186,8 @@ class IntraFrameEncoder:
             bd=self.cfg.bit_depth, nfl=self.cfg.nfl, forced=forced,
             cfl_luma=cfl_luma,
             tx_search=(plane == 0 and self.cfg.enable_tx_type_search
-                       and self.cfg.base_q_idx > 0))
+                       and self.cfg.base_q_idx > 0),
+            rdoq=self.cfg.enable_rdoq)
 
     def _code_block(self, mi_row: int, mi_col: int, size: int) -> None:
         x, y = mi_col * 4, mi_row * 4

@@ -162,12 +162,72 @@ def candidate_mode_bits(cands: tuple, plane: int,
     return np.array(out, dtype=np.int64)
 
 
-def _full_loop(srcs, preds, tts, tx_size, size, qp, bd, plane_type=0):
+def rdoq_trim(qcoeff, dqcoeff, eob, scan, tx_size, qindex: int,
+              plane_type: int, lam_q: int):
+    """Trailing-coefficient RD trim (RDOQ-lite).
+
+    Walks each block's scan tail and zeroes the suffix whose level+eob
+    rate (CDF LUT model, same one ``coeff_rate_cdf`` charges) costs more
+    than the pixel distortion it saves — the dominant win of the
+    reference ecosystem's av1_optimize_txb at coarse quantizers, without
+    the per-coefficient trellis. qcoeff/dqcoeff [B, n] raster; eob [B]
+    scan units. Returns updated (qcoeff, dqcoeff, eob); pure integer
+    math (exact device-twin semantics in ops.device_md.rdoq_trim_j).
+    """
+    from svt_av1_tpu.entropy import coeff_ctx as cc
+    from svt_av1_tpu.entropy.cdf import coef_qctx
+    from svt_av1_tpu.ops import quant as quant_ops
+    b, n = qcoeff.shape
+    qctx = coef_qctx(qindex)
+    lut = _level_cost_lut(qctx, plane_type, int(cc.txs_ctx(tx_size)))
+    ebl = _eob_bits_lut()
+    # pixel-SSE of zeroing one stored dq value: asymptotically
+    # dq^2 * 4^log_scale / 64 (impulse-response energy of the exact
+    # inverse transforms), inflated for the downshifted 32/64-point
+    # sizes where inverse-rounding noise adds a term at the small dq
+    # magnitudes the trim actually considers (measured Q12 multipliers)
+    gq12 = (64, 330, 2700)[quant_ops.tx_scale(tx_size)]
+
+    lv = np.minimum(np.abs(qcoeff[:, scan]), 255)            # [B, n]
+    dqs = dqcoeff[:, scan].astype(np.int64)
+    k = np.arange(n)
+    in_prefix = k[None, :] < eob[:, None]
+    dd = np.where(in_prefix, (dqs * dqs * gq12) >> 12, 0)    # dist of drop
+    dr = np.where(in_prefix, lut[lv], 0)                     # rate of keep
+    # suffix sums: suf[:, e] = sum over k >= e
+    sufd = np.cumsum(dd[:, ::-1], axis=1)[:, ::-1]
+    sufr = np.cumsum(dr[:, ::-1], axis=1)[:, ::-1]
+    sufd = np.concatenate([sufd, np.zeros((b, 1), np.int64)], axis=1)
+    sufr = np.concatenate([sufr, np.zeros((b, 1), np.int64)], axis=1)
+    # eob-position rate at each candidate e (0 -> txb-skip flag only)
+    e = np.arange(n + 1)
+    ebits = np.where(e > 0, (3 << RATE_Q) + ebl[e], 307)
+    cur_ebits = np.where(eob > 0, (3 << RATE_Q) + ebl[eob], 307)
+    # cost delta of trimming to e (vs keeping eob): added dist - saved rate
+    dcost = (sufd << RATE_Q) - ((int(lam_q) * (
+        sufr + cur_ebits[:, None] - ebits[None, :])) >> LAM_Q)
+    valid = e[None, :] <= eob[:, None]
+    dcost = np.where(valid, dcost, np.int64(1) << 62)
+    new_eob = np.argmin(dcost, axis=1).astype(np.int32)
+    changed = new_eob < eob
+    if not np.any(changed):
+        return qcoeff, dqcoeff, eob
+    keep = k[None, :] < new_eob[:, None]                     # scan-domain
+    keep_raster = np.empty_like(keep)
+    keep_raster[:, scan] = keep
+    qcoeff = np.where(keep_raster, qcoeff, 0)
+    dqcoeff = np.where(keep_raster, dqcoeff, 0)
+    return qcoeff.astype(np.int32), dqcoeff.astype(np.int32), new_eob
+
+
+def _full_loop(srcs, preds, tts, tx_size, size, qp, bd, plane_type=0,
+               rdoq_lam_q=None):
     """T/Q/IQ/recon for one candidate per block.
     srcs/preds [B,h,w]; tts [B]; size: int (square) or (w, h). Returns
     (qcoeff [B,ch,cw], eob [B], recon [B,h,w], dist [B] int64,
     rate [B] int64 q9). Rate uses the CDF-derived level-cost LUT
-    bucketed by qindex."""
+    bucketed by qindex. ``rdoq_lam_q``: when set, apply the RDOQ-lite
+    trailing trim at that integer lambda before reconstruction."""
     b = srcs.shape[0]
     w, h = common.leaf_wh(size)
     cw, ch = common.coded_dims(tx_size)
@@ -183,6 +243,9 @@ def _full_loop(srcs, preds, tts, tx_size, size, qp, bd, plane_type=0):
         coded = coeffs[:, :ch, :cw].reshape(len(sel), -1)
         scan = get_scan(tx_size, int(tt))
         qc, dq, eo = quant_ops.quantize(coded, scan, qp, log_scale)
+        if rdoq_lam_q is not None:
+            qc, dq, eo = rdoq_trim(qc, dq, eo, scan, tx_size,
+                                   qp.qindex, plane_type, rdoq_lam_q)
         qcoeff[sel] = qc.reshape(-1, ch, cw)
         eob[sel] = eo
         rate[sel] = coeff_rate_cdf(qc.reshape(-1, ch, cw), eo,
@@ -201,7 +264,8 @@ UV_CFL = 13
 def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
                        qp, size: int, lam: float, bd: int = 8, nfl: int = 3,
                        reduced_tx_set: bool = False, forced=None,
-                       cfl_luma=None, tx_search: bool = False):
+                       cfl_luma=None, tx_search: bool = False,
+                       rdoq: bool = False):
     """Full mode decision + coding for a batch of same-sized blocks.
 
     Returns (modes [B], deltas [B], qcoeff [B,ch,cw], eob [B],
@@ -217,6 +281,8 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
     bw, bh = common.leaf_wh(size)
     tx_size = common.tx_size_for_rect(bw, bh, plane)
     pix = np.uint16 if bd > 8 else np.uint8
+
+    rlq = lam_to_q(lam) if (rdoq and qp.qindex > 0) else None
 
     def tts_for(modes_arr):
         if plane == 0:
@@ -252,7 +318,8 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
         ftts = tts_for(fmodes)
         qc, eo, rec, dist, rate = _full_loop(srcs, preds, ftts,
                                              tx_size, size, qp, bd,
-                                             plane_type=int(plane > 0))
+                                             plane_type=int(plane > 0),
+                                             rdoq_lam_q=rlq)
         return (fmodes, fdeltas, qc, eo, rec.astype(pix),
                 rdcost(dist, lamq, rate), alphas, ftts)
 
@@ -287,7 +354,8 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
         qc, eo, rec, dist, rate = _full_loop(srcs, preds_k,
                                              tts_for(modes_k), tx_size,
                                              size, qp, bd,
-                                             plane_type=int(plane > 0))
+                                             plane_type=int(plane > 0),
+                                             rdoq_lam_q=rlq)
         cost = rdcost(dist, lamq, rate + mode_bits[idx])
         if best_cost is None:
             best_cost = cost
@@ -306,7 +374,7 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
     tts = tts_for(out[0])
     if tx_search and plane == 0:
         tts = _luma_tx_search(srcs, out_pred, out, tx_size, size, qp, bd,
-                              lam)
+                              lam, rdoq=rdoq)
     alphas = np.zeros(b, dtype=np.int64)
     if cand_alphas is not None:
         alphas = np.where(out[0] == UV_CFL, cand_alphas, 0)
@@ -314,7 +382,8 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
             alphas, tts)
 
 
-def _luma_tx_search(srcs, preds, out, tx_size, size, qp, bd, lam):
+def _luma_tx_search(srcs, preds, out, tx_size, size, qp, bd, lam,
+                    rdoq: bool = False):
     """Sweep the intra ext-tx set for the chosen mode of each block,
     updating qcoeff/eob/recon/cost in place; returns per-block tx types.
     Signaling rate uses default-CDF bit costs of the intra_ext_tx symbol
@@ -346,10 +415,11 @@ def _luma_tx_search(srcs, preds, out, tx_size, size, qp, bd, lam):
     allowed = [int(t) for t in np.nonzero(
         tx_sets.EXT_TX_USED[set_type])[0]]
     best_part = None
+    rlq = lamq if (rdoq and qp.qindex > 0) else None
     for tt in allowed:
         qc, eo, rec, dist, rate = _full_loop(
             srcs, preds, np.full(b, tt, dtype=np.int32), tx_size, size,
-            qp, bd)
+            qp, bd, rdoq_lam_q=rlq)
         part = rdcost(dist, lamq, rate + sig_bits(tt))
         if best_part is None:                 # DCT_DCT baseline (tt==0)
             best_part = part
@@ -367,7 +437,7 @@ def _luma_tx_search(srcs, preds, out, tx_size, size, qp, bd, lam):
 
 
 def inter_tx_search(srcs, preds, cost, qc, eo, rec, tx_size, size, qp,
-                    bd, lam):
+                    bd, lam, rdoq: bool = False):
     """Encode-pass TX-type sweep for decided inter blocks (the analogue
     of the reference's encode_pass_tx_search, EbCodingLoop.c:516): with
     the winning prediction fixed, try every type in the inter ext-tx set
@@ -398,10 +468,11 @@ def inter_tx_search(srcs, preds, cost, qc, eo, rec, tx_size, size, qp,
     allowed = [int(t) for t in np.nonzero(
         tx_sets.EXT_TX_USED[set_type])[0]]
     best_part = None
+    rlq = lamq if (rdoq and qp.qindex > 0) else None
     for tt in allowed:
         q2, e2, r2, dist, rate = _full_loop(
             srcs, preds, np.full(b, tt, dtype=np.int32), tx_size, size,
-            qp, bd)
+            qp, bd, rdoq_lam_q=rlq)
         part = rdcost(dist, lamq, rate + sig_bits(tt))
         if best_part is None:                 # DCT_DCT baseline (tt==0)
             best_part = part

@@ -104,7 +104,8 @@ class WavefrontIntraEncoder:
                 bd=cfg.bit_depth, nfl=cfg.nfl, forced=forced,
                 cfl_luma=cfl_luma,
                 tx_search=(plane == 0 and cfg.enable_tx_type_search
-                           and cfg.base_q_idx > 0))
+                           and cfg.base_q_idx > 0),
+                rdoq=cfg.enable_rdoq)
         for i, (x, y) in enumerate(zip(xs, ys)):
             recon[y:y + bh, x:x + bw] = recon_blocks[i]
         return best, deltas, qcoeff, eob, alphas, tts

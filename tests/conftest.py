@@ -2,13 +2,29 @@
 
 Multi-chip sharding logic is exercised in CI without TPUs via
 ``xla_force_host_platform_device_count`` (SURVEY.md §4); the driver's
-``dryrun_multichip`` does the same. Must run before jax import.
+``dryrun_multichip`` does the same.
+
+The environment may pin ``JAX_PLATFORMS=axon`` (a tunneled TPU) via
+sitecustomize before this file runs, and that pin wins over env-var
+edits made here — so the platform is forced through ``jax.config``,
+which takes effect as long as no device has been touched yet. Running
+the suite over the TPU tunnel is ~10x slower (every compile crosses the
+tunnel and processes serialize on the one chip) and flaky under
+contention; the tests are bit-exactness checks whose results are
+platform-independent by design, so CPU is the right CI target. Set
+SVT_TPU_TEST_DEVICE=1 to run on the real chip instead.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()
+
+if not os.environ.get("SVT_TPU_TEST_DEVICE"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
