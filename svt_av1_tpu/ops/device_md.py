@@ -199,8 +199,11 @@ def rdoq_trim_j(qc, dq, eob, scan, tx_size, qindex: int,
     in_prefix = k[None, :] < eob[:, None]
     dd = jnp.where(in_prefix, (dqs * dqs * gq12) >> 12, 0)
     dr = jnp.where(in_prefix, lut[lv], 0)
-    sufd = jnp.cumsum(dd[:, ::-1], axis=1)[:, ::-1]
-    sufr = jnp.cumsum(dr[:, ::-1], axis=1)[:, ::-1]
+    # associative_scan, not cumsum: XLA's reduce-window cumsum lowering
+    # blows the scoped-vmem budget inside the big fused inter programs
+    from jax import lax as _lax
+    sufd = _lax.associative_scan(jnp.add, dd[:, ::-1], axis=1)[:, ::-1]
+    sufr = _lax.associative_scan(jnp.add, dr[:, ::-1], axis=1)[:, ::-1]
     sufd = jnp.concatenate([sufd, jnp.zeros((b, 1), jnp.int64)], axis=1)
     sufr = jnp.concatenate([sufr, jnp.zeros((b, 1), jnp.int64)], axis=1)
     e = jnp.arange(n + 1)
