@@ -184,7 +184,9 @@ def _rate_cdf_j(qcoeff_flat, eob, qindex: int, plane_type: int,
 def rdoq_trim_j(qc, dq, eob, scan, tx_size, qindex: int,
                 plane_type: int, lam_q: int):
     """Device twin of md.rdoq_trim (identical integer math, so host and
-    device backends keep emitting byte-identical streams)."""
+    device backends keep emitting byte-identical streams). Like the host
+    twin, runs at HALF the mode-decision lambda (see md.rdoq_trim)."""
+    lam_q = lam_q >> 1
     from svt_av1_tpu.entropy import coeff_ctx as cc
     from svt_av1_tpu.entropy.cdf import coef_qctx
     b, n = qc.shape
