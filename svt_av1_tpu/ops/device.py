@@ -226,6 +226,67 @@ def quantize(coeff, scan: np.ndarray, qp: quant_host.QuantParams,
     return qcoeff, dqcoeff, eob
 
 
+@functools.lru_cache(maxsize=4)
+def _quant_tables_np(bd: int):
+    """Per-qindex quantizer parameter tables [256, 2] (DC, AC) —
+    the whole av1_build_quantizer parameter space as constants so the
+    quantizer can take qindex as a TRACED operand (one compiled program
+    serves every qindex instead of one per (shape, qindex) key)."""
+    zbin = np.zeros((256, 2), np.int64)
+    rnd = np.zeros((256, 2), np.int64)
+    quant = np.zeros((256, 2), np.int64)
+    qshift = np.zeros((256, 2), np.int64)
+    deq = np.zeros((256, 2), np.int64)
+    for q in range(256):
+        qp = quant_host.make_quant_params(q, bit_depth=bd)
+        zbin[q] = qp.zbin
+        rnd[q] = qp.round
+        quant[q] = qp.quant
+        qshift[q] = qp.quant_shift
+        deq[q] = qp.dequant
+    return zbin, rnd, quant, qshift, deq
+
+
+def quantize_qv(coeff, scan: np.ndarray, qv, log_scale: int, bd: int):
+    """``quantize`` with a traced per-block qindex vector ``qv`` [B].
+    Bit-identical to the static-qindex twin (same integer tables, same
+    expressions); per-block parameters come from device-side lookups.
+    Returns (qcoeff, dqcoeff, eob)."""
+    n = coeff.shape[1]
+    tz, tr, tq, ts, td = (jnp.asarray(t) for t in _quant_tables_np(bd))
+    qv = qv.astype(jnp.int32)
+    is_dc = np.zeros((1, n), dtype=bool)
+    is_dc[0, 0] = True
+    is_dc = jnp.asarray(is_dc)
+
+    def rpot(v):
+        return ((v + ((1 << log_scale) >> 1)) >> log_scale) if log_scale \
+            else v
+
+    def sel(tab):                      # [B, n] per-position parameter
+        row = tab[qv]                  # [B, 2]
+        return jnp.where(is_dc, row[:, 0:1], row[:, 1:2])
+
+    zbin = rpot(sel(tz))
+    rnd = rpot(sel(tr))
+    quant = sel(tq)
+    qshift = sel(ts)
+    deq = sel(td)
+
+    sign = jnp.where(coeff < 0, -1, 1)
+    abs_c = jnp.abs(coeff)
+    over = abs_c >= zbin
+    tmp = jnp.clip(abs_c + rnd, -32768, 32767)
+    tmp32 = ((((tmp * quant) >> 16) + tmp) * qshift) >> (16 - log_scale)
+    tmp32 = jnp.where(over, tmp32, 0)
+    qcoeff = sign * tmp32
+    dqcoeff = sign * ((tmp32 * deq) >> log_scale)
+    nz_scan = tmp32[:, scan] != 0
+    idx = jnp.arange(1, n + 1, dtype=jnp.int32)
+    eob = jnp.max(jnp.where(nz_scan, idx[None, :], 0), axis=1)
+    return qcoeff, dqcoeff, eob
+
+
 # --- intra predictors -------------------------------------------------------------
 def _sm_weights(n: int):
     return jnp.asarray(intra_sm_weights(n), dtype=jnp.int32)

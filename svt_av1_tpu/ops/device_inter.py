@@ -1,13 +1,15 @@
 """Device (JAX/XLA) twin of the inter-frame compute core.
 
-One jitted program per (block shape, qindex, lambda) evaluates, for every
-block of a shape group at once: hierarchical full-pel ME over the
-decimated pyramid (exact twin of ``ops.me.fullpel_search`` — same
-row-major offset order, same first-min tie-breaks), quarter-pel
-refinement, 8-tap MC, the transform/quant full loop with integer CDF
-rates, and the {best-MV, zero-MV} candidate fold. A second program codes
-chroma with the chosen MVs, and a third evaluates the compound
-(LAST+ALT) average candidate. Because every op is integer, streams are
+One jitted program per block shape evaluates, for every block of a shape
+group at once: hierarchical full-pel ME over the decimated pyramid
+(exact twin of ``ops.me.fullpel_search`` — same row-major offset order,
+same first-min tie-breaks), quarter-pel refinement, 8-tap MC, the
+transform/quant full loop with integer CDF rates, and the {best-MV,
+zero-MV} candidate fold. A second program codes chroma with the chosen
+MVs, and a third evaluates the compound (LAST+ALT) average candidate.
+qindex and lambda are traced [B] operands (``qv``/``lamqv``), never jit
+keys — one compiled program serves the whole qp-scaling ladder, rate
+control, and per-SB AQ. Because every op is integer, streams are
 byte-identical to the host backend.
 
 Reference equivalents: MotionEstimateLcu ``EbMotionEstimation.c:6152``,
@@ -272,15 +274,15 @@ def compound_average_j(res0, res1, bd=8):
 
 
 @functools.lru_cache(maxsize=256)
-def _build_ref_candidates(size, qindex: int, lamq: int, bd: int,
-                          rdoq: bool = False):
+def _build_ref_candidates(size, bd: int, rdoq: bool = False):
     bw, bh = common.leaf_wh(size)
     tx_size = common.tx_size_for_rect(bw, bh, 0)
-    rlq = lamq if (rdoq and qindex > 0) else None
 
-    def fn(ref_full, ref_h, ref_q, src_full, src_h, src_q, xs, ys):
+    def fn(ref_full, ref_h, ref_q, src_full, src_h, src_q, xs, ys, qv,
+           lamqv):
         xs = xs.astype(jnp.int64)
         ys = ys.astype(jnp.int64)
+        rlq = lamqv if rdoq else None
         H, W = src_full.shape
         int_mvs, _ = fullpel_search_j((ref_full, ref_h, ref_q),
                                       (src_full, src_h, src_q), xs, ys,
@@ -298,10 +300,10 @@ def _build_ref_candidates(size, qindex: int, lamq: int, bd: int,
                                         ss=0, bd=bd).astype(jnp.int64)
             qc, eo, rec, dist, rate = _full_loop_j(
                 srcs, pred, jnp.zeros(xs.shape[0], dtype=jnp.int32),
-                (0,), tx_size, size, qindex, bd, 0, rdoq_lam_q=rlq)
+                (0,), tx_size, size, qv, bd, 0, rdoq_lam_qv=rlq)
             mv_bits = (2 << md.RATE_Q) \
                 + 256 * (jnp.abs(cand).sum(axis=1) > 0)
-            cost = _rdcost_j(dist, lamq, rate + mv_bits)
+            cost = _rdcost_j(dist, lamqv, rate + mv_bits)
             if best is None:
                 best = [cost, cand, qc, eo, rec]
             else:
@@ -317,13 +319,12 @@ def _build_ref_candidates(size, qindex: int, lamq: int, bd: int,
 
 
 @functools.lru_cache(maxsize=256)
-def _build_chroma_code(size, qindex: int, bd: int, ss: int,
-                       lamq: int = 0, rdoq: bool = False):
+def _build_chroma_code(size, bd: int, ss: int, rdoq: bool = False):
     cw, ch = common.leaf_wh(size)
     tx_uv = common.tx_size_for_rect(cw, ch, 1)
-    rlq = lamq if (rdoq and qindex > 0) else None
 
-    def fn(refp, xs, ys, mvs, src_plane):
+    def fn(refp, xs, ys, mvs, src_plane, qv, lamqv):
+        rlq = lamqv if rdoq else None
         srcs, _, _ = _gather_curs(src_plane.astype(jnp.int32),
                                   xs.astype(jnp.int64),
                                   ys.astype(jnp.int64), cw, ch)
@@ -332,28 +333,28 @@ def _build_chroma_code(size, qindex: int, bd: int, ss: int,
         qc, eo, rec, _, _ = _full_loop_j(
             srcs.astype(jnp.int64), pred,
             jnp.zeros(xs.shape[0], dtype=jnp.int32), (0,), tx_uv,
-            (cw, ch), qindex, bd, 1, rdoq_lam_q=rlq)
+            (cw, ch), qv, bd, 1, rdoq_lam_qv=rlq)
         return qc, eo, rec
 
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=256)
-def _build_chroma_multi(size, n_refs: int, qindex: int, bd: int,
-                        lamq: int = 0, rdoq: bool = False):
+def _build_chroma_multi(size, n_refs: int, bd: int, rdoq: bool = False):
     """Both chroma planes' single-ref coding in ONE program: the chosen
     reference per block selects from a stacked plane bank (was 2 planes x
     R refs separate round trips)."""
     cw, ch = common.leaf_wh(size)
     tx_uv = common.tx_size_for_rect(cw, ch, 1)
-    rlq = lamq if (rdoq and qindex > 0) else None
 
     def fn(*args):
-        # args: R u-planes, R v-planes, src_u, src_v, xs, ys, mvs, ridx
+        # args: R u-planes, R v-planes, src_u, src_v, xs, ys, mvs, ridx,
+        # qv, lamqv
         uplanes = args[:n_refs]
         vplanes = args[n_refs:2 * n_refs]
         src_u, src_v = args[2 * n_refs], args[2 * n_refs + 1]
-        xs, ys, mvs, ridx = args[2 * n_refs + 2:]
+        xs, ys, mvs, ridx, qv, lamqv = args[2 * n_refs + 2:]
+        rlq = lamqv if rdoq else None
         outs = []
         for bank_planes, srcp in ((uplanes, src_u), (vplanes, src_v)):
             bank = jnp.stack(bank_planes)
@@ -366,41 +367,49 @@ def _build_chroma_multi(size, n_refs: int, qindex: int, bd: int,
             qc, eo, rec, _, _ = _full_loop_j(
                 srcs.astype(jnp.int64), pred,
                 jnp.zeros(xs.shape[0], dtype=jnp.int32), (0,), tx_uv,
-                (cw, ch), qindex, bd, 1, rdoq_lam_q=rlq)
-            outs += [qc, eo.astype(jnp.int16), rec.astype(jnp.uint16)]
+                (cw, ch), qv, bd, 1, rdoq_lam_qv=rlq)
+            pix = jnp.uint8 if bd <= 8 else jnp.uint16
+            outs += [qc.astype(jnp.int16), eo.astype(jnp.int16),
+                     rec.astype(pix)]
         return tuple(outs)
 
     return jax.jit(fn)
 
 
 def chroma_multi_dev(refs_u, refs_v, src_u, src_v, xs, ys, mvs, ridx,
-                     size, qp, bd=8, lam=0.0, rdoq=False):
+                     size, qp, bd=8, lam=0.0, rdoq=False, qv=None,
+                     lamv=None):
     """U+V single-ref chroma coding across the whole ref set, one call.
     Returns (qc_u, eo_u, rec_u, qc_v, eo_v, rec_v), numpy."""
+    from svt_av1_tpu.ops.device_md import quant_vectors
     b = len(xs)
     nb = _bucket(b)
     fn = _build_chroma_multi(
         size if isinstance(size, int) else tuple(size), len(refs_u),
-        int(qp.qindex), bd, lamq=md.lam_to_q(lam), rdoq=rdoq)
-    args = [_dput(p) for p in refs_u] + [_dput(p) for p in refs_v]
-    args += [_dput(src_u), _dput(src_v),
+        bd, rdoq=rdoq)
+    qvec, lamqv = quant_vectors(qp, lam, b, qv, lamv)
+    pdt = _pix_dt(bd)
+    args = [_dput(p, pdt) for p in refs_u] + [_dput(p, pdt)
+                                              for p in refs_v]
+    args += [_dput(src_u, pdt), _dput(src_v, pdt),
              _pad(np.asarray(xs, np.int64), nb, b),
              _pad(np.asarray(ys, np.int64), nb, b),
              _pad(np.asarray(mvs, np.int64), nb, b),
-             _pad(np.asarray(ridx, np.int64), nb, b)]
+             _pad(np.asarray(ridx, np.int64), nb, b),
+             _pad(qvec, nb, b), _pad(lamqv, nb, b)]
     outs = jax.device_get(fn(*args))
     return tuple(o[:b].astype(np.int32 if i % 3 != 2 else np.int64)
                  for i, o in enumerate(outs))
 
 
 @functools.lru_cache(maxsize=256)
-def _build_compound(size, qindex: int, lamq: int, bd: int, ss: int,
-                    plane_type: int, rdoq: bool = False):
+def _build_compound(size, bd: int, ss: int, plane_type: int,
+                    rdoq: bool = False):
     bw, bh = common.leaf_wh(size)
     tx = common.tx_size_for_rect(bw, bh, plane_type)
-    rlq = lamq if (rdoq and qindex > 0) else None
 
-    def fn(ref0, ref1, xs, ys, mv0, mv1, src_plane):
+    def fn(ref0, ref1, xs, ys, mv0, mv1, src_plane, qv, lamqv):
+        rlq = lamqv if rdoq else None
         srcs, _, _ = _gather_curs(src_plane.astype(jnp.int32),
                                   xs.astype(jnp.int64),
                                   ys.astype(jnp.int64), bw, bh)
@@ -412,32 +421,32 @@ def _build_compound(size, qindex: int, lamq: int, bd: int, ss: int,
         qc, eo, rec, dist, rate = _full_loop_j(
             srcs.astype(jnp.int64), pred,
             jnp.zeros(xs.shape[0], dtype=jnp.int32), (0,), tx,
-            (bw, bh), qindex, bd, plane_type, rdoq_lam_q=rlq)
+            (bw, bh), qv, bd, plane_type, rdoq_lam_qv=rlq)
         mv_bits = (3 << md.RATE_Q) \
             + 256 * ((jnp.abs(mv0).sum(axis=1) > 0).astype(jnp.int64)
                      + (jnp.abs(mv1).sum(axis=1) > 0))
-        cost = _rdcost_j(dist, lamq, rate + mv_bits)
+        cost = _rdcost_j(dist, lamqv, rate + mv_bits)
         return cost, qc, eo, rec
 
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=256)
-def _build_compound_multi(size, n_refs: int, qindex: int, lamq: int,
-                          bd: int, ss: int, planes: int,
-                          rdoq: bool = False):
+def _build_compound_multi(size, n_refs: int, bd: int, ss: int,
+                          planes: int, rdoq: bool = False):
     """Compound coding for every block's own (fwd, bwd) pair in one
     program: per-block pair indices gather from a stacked ref bank (was
     one round trip per distinct pair per plane). planes=1: luma
     (returns cost too); planes=2: U+V."""
     bw, bh = common.leaf_wh(size)
-    rlq = lamq if (rdoq and qindex > 0) else None
 
     def fn(*args):
         banks = [jnp.stack(args[p * n_refs:(p + 1) * n_refs])
                  for p in range(planes)]
         srcs_pl = args[planes * n_refs:planes * n_refs + planes]
-        xs, ys, mv0, mv1, idx0, idx1 = args[planes * n_refs + planes:]
+        xs, ys, mv0, mv1, idx0, idx1, qv, lamqv = \
+            args[planes * n_refs + planes:]
+        rlq = lamqv if rdoq else None
         outs = []
         for bank, srcp in zip(banks, srcs_pl):
             tx = common.tx_size_for_rect(bw, bh, 1 if ss else 0)
@@ -452,14 +461,16 @@ def _build_compound_multi(size, n_refs: int, qindex: int, lamq: int,
             qc, eo, rec, dist, rate = _full_loop_j(
                 srcs.astype(jnp.int64), pred,
                 jnp.zeros(xs.shape[0], dtype=jnp.int32), (0,), tx,
-                (bw, bh), qindex, bd, 1 if ss else 0, rdoq_lam_q=rlq)
-            outs += [qc, eo.astype(jnp.int16), rec.astype(jnp.uint16)]
+                (bw, bh), qv, bd, 1 if ss else 0, rdoq_lam_qv=rlq)
+            pix = jnp.uint8 if bd <= 8 else jnp.uint16
+            outs += [qc.astype(jnp.int16), eo.astype(jnp.int16),
+                     rec.astype(pix)]
             if ss == 0:
                 mv_bits = (3 << md.RATE_Q) \
                     + 256 * ((jnp.abs(mv0).sum(axis=1) > 0)
                              .astype(jnp.int64)
                              + (jnp.abs(mv1).sum(axis=1) > 0))
-                outs.append(_rdcost_j(dist, lamq, rate + mv_bits))
+                outs.append(_rdcost_j(dist, lamqv, rate + mv_bits))
         return tuple(outs)
 
     return jax.jit(fn)
@@ -467,30 +478,33 @@ def _build_compound_multi(size, n_refs: int, qindex: int, lamq: int,
 
 def compound_multi_dev(ref_planes_list, src_planes, xs, ys, mv0, mv1,
                        idx0, idx1, size, qp, lam, bd=8, ss=0,
-                       rdoq=False):
+                       rdoq=False, qv=None, lamv=None):
     """All blocks' compound coding with per-block ref pairs, one call.
     ref_planes_list: [plane][ref] padded planes; src_planes: [plane].
     Luma (ss=0, 1 plane): returns (qc, eo, rec, cost).
     Chroma (ss=1, 2 planes): returns (qc_u, eo_u, rec_u, qc_v, eo_v,
     rec_v)."""
+    from svt_av1_tpu.ops.device_md import quant_vectors
     b = len(xs)
     nb = _bucket(b)
     planes = len(src_planes)
     fn = _build_compound_multi(
         size if isinstance(size, int) else tuple(size),
-        len(ref_planes_list[0]), int(qp.qindex), md.lam_to_q(lam), bd,
-        ss, planes, rdoq=rdoq)
+        len(ref_planes_list[0]), bd, ss, planes, rdoq=rdoq)
+    qvec, lamqv = quant_vectors(qp, lam, b, qv, lamv)
+    pdt = _pix_dt(bd)
     args = []
     for pl in ref_planes_list:
-        args.extend(_dput(p) for p in pl)
+        args.extend(_dput(p, pdt) for p in pl)
     for sp in src_planes:
-        args.append(_dput(sp))
+        args.append(_dput(sp, pdt))
     args += [_pad(np.asarray(xs, np.int64), nb, b),
              _pad(np.asarray(ys, np.int64), nb, b),
              _pad(np.asarray(mv0, np.int64), nb, b),
              _pad(np.asarray(mv1, np.int64), nb, b),
              _pad(np.asarray(idx0, np.int64), nb, b),
-             _pad(np.asarray(idx1, np.int64), nb, b)]
+             _pad(np.asarray(idx1, np.int64), nb, b),
+             _pad(qvec, nb, b), _pad(lamqv, nb, b)]
     outs = jax.device_get(fn(*args))
     return tuple(o[:b] for o in outs)
 
@@ -498,24 +512,36 @@ def compound_multi_dev(ref_planes_list, src_planes, xs, ys, mv0, mv1,
 _dput_cache = {}
 
 
-def _dput(a):
+def _dput(a, dt=None):
     """Upload-once cache for big per-frame arrays (ref planes, source
     planes, pyramids): re-uploads cost ~0.1s+ through the tunnel, and the
     same numpy object is passed to many device calls per frame. Entries
-    hold a strong ref so id() stays valid; FIFO-capped."""
-    ent = _dput_cache.get(id(a))
+    hold a strong ref so id() stays valid; FIFO-capped.
+
+    ``dt``: upload as this dtype (the tunnel moves ~30 MB/s, so pixel
+    planes go over the wire at their narrow storage width and are cast
+    back on device — int32 source planes cost 4x their information)."""
+    if isinstance(a, jax.Array):
+        return a                      # already device-resident
+    key = (id(a), dt)
+    ent = _dput_cache.get(key)
     if ent is not None and ent[0] is a:
         return ent[1]
-    d = jax.device_put(a)
-    if len(_dput_cache) >= 48:
+    d = jax.device_put(a if dt is None or a.dtype == np.dtype(dt)
+                       else a.astype(dt))
+    if len(_dput_cache) >= 64:
         for k in list(_dput_cache)[:16]:
             del _dput_cache[k]
-    _dput_cache[id(a)] = (a, d)
+    _dput_cache[key] = (a, d)
     return d
 
 
-def _dput_seq(seq):
-    return tuple(_dput(a) for a in seq)
+def _pix_dt(bd: int):
+    return np.uint8 if bd <= 8 else np.uint16
+
+
+def _dput_seq(seq, dt=None):
+    return tuple(_dput(a, dt) for a in seq)
 
 
 def _bucket(b: int) -> int:
@@ -530,17 +556,20 @@ def _pad(a, nb, b):
 
 
 def ref_candidates_dev(ref_pyr, src_pyr, xs, ys, size, qp, lam, bd=8,
-                       rdoq=False):
+                       rdoq=False, qv=None, lamv=None):
     """Twin of inter.InterFrameEncoder._ref_candidates for one reference
     (numpy in/out; jitted device compute)."""
+    from svt_av1_tpu.ops.device_md import quant_vectors
     b = len(xs)
     nb = _bucket(b)
     fn = _build_ref_candidates(
-        size if isinstance(size, int) else tuple(size), int(qp.qindex),
-        md.lam_to_q(lam), bd, rdoq=rdoq)
+        size if isinstance(size, int) else tuple(size), bd, rdoq=rdoq)
+    qvec, lamqv = quant_vectors(qp, lam, b, qv, lamv)
     xs_p = _pad(np.asarray(xs, dtype=np.int64), nb, b)
     ys_p = _pad(np.asarray(ys, dtype=np.int64), nb, b)
-    outs = fn(*_dput_seq(ref_pyr), *_dput_seq(src_pyr), xs_p, ys_p)
+    pdt = _pix_dt(bd)
+    outs = fn(*_dput_seq(ref_pyr, pdt), *_dput_seq(src_pyr, pdt), xs_p,
+              ys_p, _pad(qvec, nb, b), _pad(lamqv, nb, b))
     cost, mv, qc, eo, rec = [np.asarray(o)[:b] for o in outs]
     pix = np.uint16 if bd > 8 else np.uint8
     return [cost.astype(np.int64), mv.astype(np.int64),
@@ -548,36 +577,45 @@ def ref_candidates_dev(ref_pyr, src_pyr, xs, ys, size, qp, lam, bd=8,
 
 
 def chroma_code_dev(refp, src_plane, xs, ys, mvs, size, qp, bd=8, ss=1,
-                    lam=0.0, rdoq=False):
+                    lam=0.0, rdoq=False, qv=None, lamv=None):
     """Twin of the chroma MC + full loop in inter._encode_blocks."""
+    from svt_av1_tpu.ops.device_md import quant_vectors
     b = len(xs)
     nb = _bucket(b)
     fn = _build_chroma_code(
-        size if isinstance(size, int) else tuple(size), int(qp.qindex),
-        bd, ss, lamq=md.lam_to_q(lam), rdoq=rdoq)
+        size if isinstance(size, int) else tuple(size), bd, ss,
+        rdoq=rdoq)
+    qvec, lamqv = quant_vectors(qp, lam, b, qv, lamv)
+    pdt = _pix_dt(bd)
     outs = jax.device_get(fn(
-        _dput(refp), _pad(np.asarray(xs, np.int64), nb, b),
+        _dput(refp, pdt), _pad(np.asarray(xs, np.int64), nb, b),
         _pad(np.asarray(ys, np.int64), nb, b),
-        _pad(np.asarray(mvs, np.int64), nb, b), _dput(src_plane)))
+        _pad(np.asarray(mvs, np.int64), nb, b), _dput(src_plane, pdt),
+        _pad(qvec, nb, b), _pad(lamqv, nb, b)))
     qc, eo, rec = [o[:b] for o in outs]
     return qc.astype(np.int32), eo.astype(np.int32), rec.astype(np.int64)
 
 
 def compound_code_dev(ref0, ref1, src_plane, xs, ys, mv0, mv1, size, qp,
-                      lam, bd=8, ss=0, plane_type=0, rdoq=False):
+                      lam, bd=8, ss=0, plane_type=0, rdoq=False,
+                      qv=None, lamv=None):
     """Twin of the compound (LAST+ALT) candidate in
     inter._encode_blocks."""
+    from svt_av1_tpu.ops.device_md import quant_vectors
     b = len(xs)
     nb = _bucket(b)
     fn = _build_compound(
-        size if isinstance(size, int) else tuple(size), int(qp.qindex),
-        md.lam_to_q(lam), bd, ss, plane_type, rdoq=rdoq)
+        size if isinstance(size, int) else tuple(size), bd, ss,
+        plane_type, rdoq=rdoq)
+    qvec, lamqv = quant_vectors(qp, lam, b, qv, lamv)
+    pdt = _pix_dt(bd)
     outs = jax.device_get(fn(
-        _dput(ref0), _dput(ref1),
+        _dput(ref0, pdt), _dput(ref1, pdt),
         _pad(np.asarray(xs, np.int64), nb, b),
         _pad(np.asarray(ys, np.int64), nb, b),
         _pad(np.asarray(mv0, np.int64), nb, b),
-        _pad(np.asarray(mv1, np.int64), nb, b), _dput(src_plane)))
+        _pad(np.asarray(mv1, np.int64), nb, b), _dput(src_plane, pdt),
+        _pad(qvec, nb, b), _pad(lamqv, nb, b)))
     cost, qc, eo, rec = [o[:b] for o in outs]
     return (cost.astype(np.int64), qc.astype(np.int32),
             eo.astype(np.int32), rec.astype(np.int64))
@@ -605,17 +643,16 @@ def _build_subpel(size, bd: int):
 
 
 @functools.lru_cache(maxsize=256)
-def _build_single_rd(size, qindex: int, lamq: int, bd: int,
-                     rdoq: bool = False):
+def _build_single_rd(size, bd: int, rdoq: bool = False):
     """RD of {given (pre-clamped) MV, zero MV} against one reference —
     the tail of _build_ref_candidates with ME factored out."""
     bw, bh = common.leaf_wh(size)
     tx_size = common.tx_size_for_rect(bw, bh, 0)
-    rlq = lamq if (rdoq and qindex > 0) else None
 
-    def fn(ref_full, src_full, xs, ys, mvs):
+    def fn(ref_full, src_full, xs, ys, mvs, qv, lamqv):
         xs = xs.astype(jnp.int64)
         ys = ys.astype(jnp.int64)
+        rlq = lamqv if rdoq else None
         srcs, _, _ = _gather_curs(src_full.astype(jnp.int32), xs, ys,
                                   bw, bh)
         srcs = srcs.astype(jnp.int64)
@@ -626,10 +663,10 @@ def _build_single_rd(size, qindex: int, lamq: int, bd: int,
                                         ss=0, bd=bd).astype(jnp.int64)
             qc, eo, rec, dist, rate = _full_loop_j(
                 srcs, pred, jnp.zeros(xs.shape[0], dtype=jnp.int32),
-                (0,), tx_size, size, qindex, bd, 0, rdoq_lam_q=rlq)
+                (0,), tx_size, size, qv, bd, 0, rdoq_lam_qv=rlq)
             mv_bits = (2 << md.RATE_Q) \
                 + 256 * (jnp.abs(cand).sum(axis=1) > 0)
-            cost = _rdcost_j(dist, lamq, rate + mv_bits)
+            cost = _rdcost_j(dist, lamqv, rate + mv_bits)
             if best is None:
                 best = [cost, cand, qc, eo, rec]
             else:
@@ -645,8 +682,7 @@ def _build_single_rd(size, qindex: int, lamq: int, bd: int,
 
 
 @functools.lru_cache(maxsize=256)
-def _build_me_rd_multi(size, n_refs: int, qindex: int, lamq: int,
-                       bd: int, rdoq: bool = False):
+def _build_me_rd_multi(size, n_refs: int, bd: int, rdoq: bool = False):
     """Fused multi-reference ME + RD: full-pel HME over every ref,
     quarter-pel refinement, clamp, and the {refined, zero} full-loop RD
     on the per-block winning ref — ONE program where the per-ref loops
@@ -655,15 +691,16 @@ def _build_me_rd_multi(size, n_refs: int, qindex: int, lamq: int,
     tie-breaks, same clamp, same integer RD."""
     bw, bh = common.leaf_wh(size)
     tx_size = common.tx_size_for_rect(bw, bh, 0)
-    rlq = lamq if (rdoq and qindex > 0) else None
 
     def fn(*args):
         # args: R pyramids (full, half, quarter each), then src pyramid
-        # (3), xs, ys
+        # (3), xs, ys, qv, lamqv
         pyrs = [args[3 * i:3 * i + 3] for i in range(n_refs)]
         src_pyr = args[3 * n_refs:3 * n_refs + 3]
-        xs = args[-2].astype(jnp.int64)
-        ys = args[-1].astype(jnp.int64)
+        xs = args[-4].astype(jnp.int64)
+        ys = args[-3].astype(jnp.int64)
+        qv, lamqv = args[-2], args[-1]
+        rlq = lamqv if rdoq else None
         src_full = src_pyr[0]
         H, W = src_full.shape
         fulls, sads = [], []
@@ -693,10 +730,10 @@ def _build_me_rd_multi(size, n_refs: int, qindex: int, lamq: int,
                                         ref_idx=best_all).astype(jnp.int64)
             qc, eo, rec, dist, rate = _full_loop_j(
                 srcs, pred, jnp.zeros(xs.shape[0], dtype=jnp.int32),
-                (0,), tx_size, size, qindex, bd, 0, rdoq_lam_q=rlq)
+                (0,), tx_size, size, qv, bd, 0, rdoq_lam_qv=rlq)
             mv_bits = (2 << md.RATE_Q) \
                 + 256 * (jnp.abs(cand).sum(axis=1) > 0)
-            cost = _rdcost_j(dist, lamq, rate + mv_bits)
+            cost = _rdcost_j(dist, lamqv, rate + mv_bits)
             if best is None:
                 best = [cost, cand, qc, eo, rec]
             else:
@@ -712,30 +749,36 @@ def _build_me_rd_multi(size, n_refs: int, qindex: int, lamq: int,
         # narrow type exactly (recon is clipped to bd, MVs are 1/8-pel
         # within the clamp window, SADs < 2^23)
         cost, mv, qc, eo, rec = best
+        pix = jnp.uint8 if bd <= 8 else jnp.uint16
         return (sads.astype(jnp.int32), refined.astype(jnp.int16),
                 best_all.astype(jnp.int8), cost, mv.astype(jnp.int16),
-                qc, eo.astype(jnp.int16), rec.astype(jnp.uint16))
+                qc.astype(jnp.int16), eo.astype(jnp.int16),
+                rec.astype(pix))
 
     return jax.jit(fn)
 
 
 def me_rd_multi_dev(ref_pyrs_list, src_pyr, xs, ys, size, qp, lam, bd=8,
-                    rdoq=False):
+                    rdoq=False, qv=None, lamv=None):
     """One call for the whole multi-ref ME+RD stage. Returns
     (sads [R,B], refined_mvs [R,B,2], best_all [B], cost [B], mv [B,2],
     qc, eob, rec), numpy."""
+    from svt_av1_tpu.ops.device_md import quant_vectors
     b = len(xs)
     nb = _bucket(b)
     fn = _build_me_rd_multi(
         size if isinstance(size, int) else tuple(size),
-        len(ref_pyrs_list), int(qp.qindex), md.lam_to_q(lam), bd,
-        rdoq=rdoq)
+        len(ref_pyrs_list), bd, rdoq=rdoq)
+    qvec, lamqv = quant_vectors(qp, lam, b, qv, lamv)
+    pdt = _pix_dt(bd)
     args = []
     for pyr in ref_pyrs_list:
-        args.extend(_dput_seq(pyr[:3]))
-    args.extend(_dput_seq(src_pyr[:3]))
+        args.extend(_dput_seq(pyr[:3], pdt))
+    args.extend(_dput_seq(src_pyr[:3], pdt))
     args.append(_pad(np.asarray(xs, np.int64), nb, b))
     args.append(_pad(np.asarray(ys, np.int64), nb, b))
+    args.append(_pad(qvec, nb, b))
+    args.append(_pad(lamqv, nb, b))
     outs = jax.device_get(fn(*args))
     sads, refined, best_all, cost, mv, qc, eo, rec = outs
     return (sads[:, :b].astype(np.int64),
@@ -746,45 +789,233 @@ def me_rd_multi_dev(ref_pyrs_list, src_pyr, xs, ys, size, qp, lam, bd=8,
             rec[:b].astype(np.int64))
 
 
+# --- whole-shape-group fused program -------------------------------------------
+# me_rd + compound + winner fold + both chroma planes in ONE dispatch:
+# the tunnel costs ~28 ms per blocking fetch, so the former 3-call chain
+# (me_rd -> host argmin -> compound -> host fold -> chroma) is collapsed
+# by moving the between-call host logic (direction argmins, cost fold,
+# ref gather) into the program. Decisions are bit-identical to the
+# 3-call path: same argmin tie-breaks, same integer RD, same fold order.
+
+@functools.lru_cache(maxsize=64)
+def _build_shape_group(size, n_refs: int, fwd_pos: tuple, bwd_pos: tuple,
+                       bd: int, rdoq: bool = False):
+    """fwd_pos/bwd_pos: positions of the forward/backward references in
+    the sorted ref bank (empty bwd_pos = no compound search)."""
+    bw, bh = common.leaf_wh(size)
+    cw, ch = bw >> 1, bh >> 1
+    tx_size = common.tx_size_for_rect(bw, bh, 0)
+    tx_uv = common.tx_size_for_rect(cw, ch, 1)
+    ref_sel = bool(fwd_pos) and bool(bwd_pos)
+    pix = jnp.uint8 if bd <= 8 else jnp.uint16
+
+    def fn(*args):
+        # args: R luma pyramids (3 each), R u-planes, R v-planes,
+        # src pyramid (3), src_u, src_v, xs, ys, qv, lamqv
+        k = 0
+        pyrs = [args[3 * i:3 * i + 3] for i in range(n_refs)]
+        k = 3 * n_refs
+        ubank = jnp.stack(args[k:k + n_refs])
+        vbank = jnp.stack(args[k + n_refs:k + 2 * n_refs])
+        k += 2 * n_refs
+        src_pyr = args[k:k + 3]
+        src_u, src_v = args[k + 3], args[k + 4]
+        xs = args[k + 5].astype(jnp.int64)
+        ys = args[k + 6].astype(jnp.int64)
+        qv, lamqv = args[k + 7], args[k + 8]
+        rlq = lamqv if rdoq else None
+        b = xs.shape[0]
+        src_full = src_pyr[0]
+        H, W = src_full.shape
+
+        # --- multi-ref ME (twin of _build_me_rd_multi) ---
+        fulls, sads = [], []
+        for pyr in pyrs:
+            mv, sad = fullpel_search_j(pyr, src_pyr, xs, ys, size)
+            fulls.append(mv)
+            sads.append(sad)
+        sads = jnp.stack(sads)                    # [R, B]
+        best_all = jnp.argmin(sads, axis=0)
+        refined = []
+        for i, pyr in enumerate(pyrs):
+            mv8 = subpel_refine_j(pyr[0], src_full, xs, ys, size,
+                                  fulls[i], bd=bd)
+            refined.append(_clamp_mvs_j(mv8, xs, ys, bw, bh, W, H))
+        refined = jnp.stack(refined)              # [R, B, 2]
+        refs_bank = jnp.stack([pyr[0] for pyr in pyrs])
+        mv_win = jnp.take_along_axis(
+            refined, best_all[None, :, None], axis=0)[0]
+        srcs, _, _ = _gather_curs(src_full.astype(jnp.int32), xs, ys,
+                                  bw, bh)
+        srcs = srcs.astype(jnp.int64)
+        best = None
+        for cand in (mv_win, jnp.zeros_like(mv_win)):
+            pred = dev.mc_block_batch_j(
+                refs_bank, xs, ys, cand, bw, bh, ss=0, bd=bd,
+                ref_idx=best_all).astype(jnp.int64)
+            qc, eo, rec, dist, rate = _full_loop_j(
+                srcs, pred, jnp.zeros(b, dtype=jnp.int32),
+                (0,), tx_size, size, qv, bd, 0, rdoq_lam_qv=rlq)
+            mv_bits = (2 << md.RATE_Q) \
+                + 256 * (jnp.abs(cand).sum(axis=1) > 0)
+            cost = _rdcost_j(dist, lamqv, rate + mv_bits)
+            if best is None:
+                best = [cost, cand, qc, eo, rec]
+            else:
+                bt = cost < best[0]
+                best[0] = jnp.where(bt, cost, best[0])
+                best[1] = jnp.where(bt[:, None], cand, best[1])
+                best[2] = jnp.where(bt[:, None, None], qc, best[2])
+                best[3] = jnp.where(bt, eo, best[3])
+                best[4] = jnp.where(bt[:, None, None], rec, best[4])
+        cost_s, mv_s, qc_s, eo_s, rec_s = best
+
+        # --- compound fold (twin of inter._compound_pairs device path) ---
+        comp = jnp.zeros(b, dtype=bool)
+        fsel = jnp.zeros(b, dtype=jnp.int32)
+        bsel = jnp.zeros(b, dtype=jnp.int32)
+        mv1 = jnp.zeros_like(mv_s)
+        pos_chosen = best_all
+        if ref_sel:
+            fidx = jnp.asarray(fwd_pos)
+            bidx = jnp.asarray(bwd_pos)
+            fsel = jnp.argmin(sads[fidx], axis=0).astype(jnp.int32)
+            bsel = jnp.argmin(sads[bidx], axis=0).astype(jnp.int32)
+            fref = fidx[fsel]                       # [B] bank positions
+            bref = bidx[bsel]
+            ar = jnp.arange(b)
+            mv0a = refined[fref, ar]
+            mv1a = refined[bref, ar]
+            c0 = mc_block_batch_conv_j(refs_bank, xs, ys, mv0a, bw, bh,
+                                       ss=0, bd=bd, ref_idx=fref)
+            c1 = mc_block_batch_conv_j(refs_bank, xs, ys, mv1a, bw, bh,
+                                       ss=0, bd=bd, ref_idx=bref)
+            pred_c = compound_average_j(c0, c1, bd).astype(jnp.int64)
+            qc_c, eo_c, rec_c, dist_c, rate_c = _full_loop_j(
+                srcs, pred_c, jnp.zeros(b, dtype=jnp.int32), (0,),
+                tx_size, size, qv, bd, 0, rdoq_lam_qv=rlq)
+            mv_bits_c = (3 << md.RATE_Q) \
+                + 256 * ((jnp.abs(mv0a).sum(axis=1) > 0)
+                         .astype(jnp.int64)
+                         + (jnp.abs(mv1a).sum(axis=1) > 0))
+            cost_c = _rdcost_j(dist_c, lamqv, rate_c + mv_bits_c)
+            comp = cost_c < cost_s
+            cost_s = jnp.where(comp, cost_c, cost_s)
+            mv_s = jnp.where(comp[:, None], mv0a, mv_s)
+            qc_s = jnp.where(comp[:, None, None], qc_c, qc_s)
+            eo_s = jnp.where(comp, eo_c, eo_s)
+            rec_s = jnp.where(comp[:, None, None], rec_c, rec_s)
+            mv1 = jnp.where(comp[:, None], mv1a, mv1)
+            pos_chosen = jnp.where(comp, fref, best_all)
+
+        # --- chroma, both planes (twin of chroma_multi + compound uv) ---
+        cxs, cys = xs >> 1, ys >> 1
+        uv_out = []
+        for bank, srcp in ((ubank, src_u), (vbank, src_v)):
+            csrc, _, _ = _gather_curs(srcp.astype(jnp.int32), cxs, cys,
+                                      cw, ch)
+            pred = dev.mc_block_batch_j(
+                bank, cxs, cys, mv_s, cw, ch, ss=1, bd=bd,
+                ref_idx=pos_chosen).astype(jnp.int64)
+            if ref_sel:
+                u0 = mc_block_batch_conv_j(bank, cxs, cys, mv_s, cw, ch,
+                                           ss=1, bd=bd, ref_idx=fref)
+                u1 = mc_block_batch_conv_j(bank, cxs, cys, mv1, cw, ch,
+                                           ss=1, bd=bd, ref_idx=bref)
+                pred = jnp.where(
+                    comp[:, None, None],
+                    compound_average_j(u0, u1, bd).astype(jnp.int64),
+                    pred)
+            qcuv, eouv, recuv, _, _ = _full_loop_j(
+                csrc.astype(jnp.int64), pred,
+                jnp.zeros(b, dtype=jnp.int32), (0,), tx_uv, (cw, ch),
+                qv, bd, 1, rdoq_lam_qv=rlq)
+            uv_out += [qcuv.astype(jnp.int16), eouv.astype(jnp.int16),
+                       recuv.astype(pix)]
+
+        return (cost_s, mv_s.astype(jnp.int16), mv1.astype(jnp.int16),
+                pos_chosen.astype(jnp.int8), comp,
+                fsel.astype(jnp.int8), bsel.astype(jnp.int8),
+                qc_s.astype(jnp.int16), eo_s.astype(jnp.int16),
+                rec_s.astype(pix)) + tuple(uv_out)
+
+    return jax.jit(fn)
+
+
+def shape_group_issue(ref_pyrs_list, refs_u, refs_v, src_pyr, src_u,
+                      src_v, xs, ys, size, qp, lam, fwd_pos, bwd_pos,
+                      bd=8, rdoq=False, qv=None, lamv=None):
+    """Dispatch the fused shape-group program WITHOUT fetching: returns
+    (device_outputs, b). Callers issue every shape group first, then
+    gather all results in one batched jax.device_get — round trips
+    overlap instead of serializing."""
+    from svt_av1_tpu.ops.device_md import quant_vectors
+    b = len(xs)
+    nb = _bucket(b)
+    fn = _build_shape_group(
+        size if isinstance(size, int) else tuple(size),
+        len(ref_pyrs_list), tuple(fwd_pos), tuple(bwd_pos), bd,
+        rdoq=rdoq)
+    qvec, lamqv = quant_vectors(qp, lam, b, qv, lamv)
+    pdt = _pix_dt(bd)
+    args = []
+    for pyr in ref_pyrs_list:
+        args.extend(_dput_seq(pyr[:3], pdt))
+    args.extend(_dput(p, pdt) for p in refs_u)
+    args.extend(_dput(p, pdt) for p in refs_v)
+    args.extend(_dput_seq(src_pyr[:3], pdt))
+    args.append(_dput(src_u, pdt))
+    args.append(_dput(src_v, pdt))
+    args.append(_pad(np.asarray(xs, np.int64), nb, b))
+    args.append(_pad(np.asarray(ys, np.int64), nb, b))
+    args.append(_pad(qvec, nb, b))
+    args.append(_pad(lamqv, nb, b))
+    return fn(*args), b
+
+
 @functools.lru_cache(maxsize=256)
-def _build_flip_rd(size, n_modes: int, qindex: int, bd: int,
-                   lamq: int = 0, rdoq: bool = False):
+def _build_flip_rd(size, n_modes: int, bd: int, rdoq: bool = False):
     """Full-loop dist+rate for M intra candidate predictions per block
     in one dispatch (the intra-flip decision pass; predictions are
     cheap host numpy, the transform/quant/rate loop is not)."""
     bw, bh = common.leaf_wh(size)
     tx_size = common.tx_size_for_rect(bw, bh, 0)
-    rlq = lamq if (rdoq and qindex > 0) else None
 
-    def fn(srcs, preds):
-        # srcs [B,h,w]; preds [M,B,h,w]
+    def fn(srcs, preds, qv, lamqv):
+        # srcs [B,h,w]; preds [M,B,h,w]; qv/lamqv [B]
         b = srcs.shape[0]
         s2 = jnp.broadcast_to(srcs[None], preds.shape).reshape(
             n_modes * b, bh, bw).astype(jnp.int64)
         p2 = preds.reshape(n_modes * b, bh, bw).astype(jnp.int64)
+        qv2 = jnp.broadcast_to(qv[None], (n_modes, b)).reshape(-1)
+        lam2 = jnp.broadcast_to(lamqv[None], (n_modes, b)).reshape(-1)
+        rlq = lam2 if rdoq else None
         _, _, _, dist, rate = _full_loop_j(
             s2, p2, jnp.zeros(n_modes * b, dtype=jnp.int32), (0,),
-            tx_size, size, qindex, bd, 0, rdoq_lam_q=rlq)
+            tx_size, size, qv2, bd, 0, rdoq_lam_qv=rlq)
         return (dist.reshape(n_modes, b),
                 rate.reshape(n_modes, b).astype(jnp.int32))
 
     return jax.jit(fn)
 
 
-def flip_rd_dev(srcs, preds, size, qp, bd=8, lam=0.0, rdoq=False):
+def flip_rd_dev(srcs, preds, size, qp, bd=8, lam=0.0, rdoq=False,
+                qv=None, lamv=None):
     """dist [M,B] int64, rate [M,B] int64 for stacked candidate
     predictions (numpy in/out)."""
+    from svt_av1_tpu.ops.device_md import quant_vectors
     m, b = preds.shape[0], srcs.shape[0]
     nb = _bucket(b)
     fn = _build_flip_rd(size if isinstance(size, int) else tuple(size),
-                        m, int(qp.qindex), bd, lamq=md.lam_to_q(lam),
-                        rdoq=rdoq)
+                        m, bd, rdoq=rdoq)
     bw, bh = common.leaf_wh(size)
-    sp = np.zeros((nb, bh, bw), np.int32)
+    sp = np.zeros((nb, bh, bw), np.int16)   # pixels fit int16 wire width
     sp[:b] = srcs
-    pp = np.zeros((m, nb, bh, bw), np.int32)
+    pp = np.zeros((m, nb, bh, bw), np.int16)
     pp[:, :b] = preds
-    dist, rate = jax.device_get(fn(sp, pp))
+    qvec, lamqv = quant_vectors(qp, lam, b, qv, lamv)
+    dist, rate = jax.device_get(fn(sp, pp, _pad(qvec, nb, b),
+                                   _pad(lamqv, nb, b)))
     return (dist[:, :b].astype(np.int64), rate[:, :b].astype(np.int64))
 
 
@@ -793,8 +1024,9 @@ def fullpel_dev(ref_pyr, src_pyr, xs, ys, size):
     b = len(xs)
     nb = _bucket(b)
     fn = _build_fullpel(size if isinstance(size, int) else tuple(size))
+    pdt = np.uint16   # pixels for either bit depth, half the int32 wire
     mv, sad = jax.device_get(fn(
-        *_dput_seq(ref_pyr), *_dput_seq(src_pyr),
+        *_dput_seq(ref_pyr, pdt), *_dput_seq(src_pyr, pdt),
         _pad(np.asarray(xs, np.int64), nb, b),
         _pad(np.asarray(ys, np.int64), nb, b)))
     return (mv[:b].astype(np.int64), sad[:b].astype(np.int64))
@@ -805,8 +1037,9 @@ def subpel_dev(ref_full, src_full, xs, ys, int_mvs, size, bd=8):
     b = len(xs)
     nb = _bucket(b)
     fn = _build_subpel(size if isinstance(size, int) else tuple(size), bd)
+    pdt = _pix_dt(bd)
     mv = jax.device_get(fn(
-        _dput(ref_full), _dput(src_full),
+        _dput(ref_full, pdt), _dput(src_full, pdt),
         _pad(np.asarray(xs, np.int64), nb, b),
         _pad(np.asarray(ys, np.int64), nb, b),
         _pad(np.asarray(int_mvs, np.int64), nb, b)))
@@ -814,18 +1047,21 @@ def subpel_dev(ref_full, src_full, xs, ys, int_mvs, size, bd=8):
 
 
 def single_rd_dev(ref_full, src_full, xs, ys, mvs, size, qp, lam, bd=8,
-                  rdoq=False):
+                  rdoq=False, qv=None, lamv=None):
     """RD of {refined MV, zero} for one reference subset."""
+    from svt_av1_tpu.ops.device_md import quant_vectors
     b = len(xs)
     nb = _bucket(b)
     fn = _build_single_rd(
-        size if isinstance(size, int) else tuple(size), int(qp.qindex),
-        md.lam_to_q(lam), bd, rdoq=rdoq)
+        size if isinstance(size, int) else tuple(size), bd, rdoq=rdoq)
+    qvec, lamqv = quant_vectors(qp, lam, b, qv, lamv)
+    pdt = _pix_dt(bd)
     outs = jax.device_get(fn(
-        _dput(ref_full), _dput(src_full),
+        _dput(ref_full, pdt), _dput(src_full, pdt),
         _pad(np.asarray(xs, np.int64), nb, b),
         _pad(np.asarray(ys, np.int64), nb, b),
-        _pad(np.asarray(mvs, np.int64), nb, b)))
+        _pad(np.asarray(mvs, np.int64), nb, b),
+        _pad(qvec, nb, b), _pad(lamqv, nb, b)))
     cost, mv, qc, eo, rec = [o[:b] for o in outs]
     return [cost.astype(np.int64), mv.astype(np.int64),
             qc.astype(np.int32), eo.astype(np.int32),
@@ -957,8 +1193,9 @@ def dp_all_dev(ref_pyr, src_pyr, w_eff: int, h_eff: int, sizes,
     fn, _ = _build_dp_all(w_eff, h_eff, tuple(sizes),
                           tuple((s, tuple(wh), tuple(offs))
                                 for s, wh, offs in arm_spec))
-    outs = jax.device_get(fn(*_dput_seq(ref_pyr[:3]),
-                             *_dput_seq(src_pyr[:3])))
+    pdt = np.uint16   # pixels for either bit depth, half the int32 wire
+    outs = jax.device_get(fn(*_dput_seq(ref_pyr[:3], pdt),
+                             *_dput_seq(src_pyr[:3], pdt)))
     res = {}
     k = 0
     for size in sizes:
@@ -981,14 +1218,15 @@ def dp_depth_dev(ref_pyr, src_pyr, xs, ys, size, seeds=None):
     key = size if isinstance(size, int) else tuple(size)
     xs_p = _pad(np.asarray(xs, np.int64), nb, b)
     ys_p = _pad(np.asarray(ys, np.int64), nb, b)
+    pdt = np.uint16   # pixels for either bit depth, half the int32 wire
     if seeds is None:
         fn = _build_dp_root(key)
         mv, sse = jax.device_get(fn(
-            *_dput_seq(ref_pyr[:3]), *_dput_seq(src_pyr[:3]),
+            *_dput_seq(ref_pyr[:3], pdt), *_dput_seq(src_pyr[:3], pdt),
             xs_p, ys_p))
     else:
         fn = _build_dp_refine(key)
         mv, sse = jax.device_get(fn(
-            _dput(ref_pyr[0]), _dput(src_pyr[0]), xs_p, ys_p,
+            _dput(ref_pyr[0], pdt), _dput(src_pyr[0], pdt), xs_p, ys_p,
             _pad(np.asarray(seeds, np.int64), nb, b)))
     return (mv[:b].astype(np.int64), sse[:b].astype(np.int64))

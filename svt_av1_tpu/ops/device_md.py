@@ -162,36 +162,56 @@ def cfl_fit_alpha_j(ac, src, dc_pred):
 
 
 # --- full loop (T/Q/IQ/recon + integer rate) ------------------------------------
-def _rate_cdf_j(qcoeff_flat, eob, qindex: int, plane_type: int,
-                tx_size: int):
-    """Device twin of md.coeff_rate_cdf: [B, n] raster levels -> q9
-    rate [B] int64."""
-    from svt_av1_tpu.entropy import coeff_ctx as cc
+#
+# qindex and lambda are TRACED OPERANDS throughout ([B] vectors), never
+# static jit keys: one compiled program serves every quantizer the
+# qp-scaling ladder / rate control / per-SB AQ can produce (round-2
+# VERDICT item 1 — the per-(shape, qindex, lambda) key space needed 100+
+# compiles per config and minutes per compile through the tunnel).
+
+@functools.lru_cache(maxsize=32)
+def _level_cost_tab(plane_type: int, txs_ctx: int) -> np.ndarray:
+    """md._level_cost_lut stacked over the 4 coef_qctx buckets [4, 256]."""
+    return np.stack([md._level_cost_lut(q, plane_type, txs_ctx)
+                     for q in range(4)])
+
+
+@functools.lru_cache(maxsize=1)
+def _qctx_tab() -> np.ndarray:
     from svt_av1_tpu.entropy.cdf import coef_qctx
-    lut = md._level_cost_lut(coef_qctx(qindex), plane_type,
-                             int(cc.txs_ctx(tx_size)))
+    return np.array([coef_qctx(q) for q in range(256)], dtype=np.int32)
+
+
+def _rate_cdf_j(qcoeff_flat, eob, qv, plane_type: int, tx_size: int):
+    """Device twin of md.coeff_rate_cdf: [B, n] raster levels -> q9
+    rate [B] int64. qv: traced [B] qindex vector."""
+    from svt_av1_tpu.entropy import coeff_ctx as cc
+    tab = jnp.asarray(_level_cost_tab(plane_type, int(cc.txs_ctx(tx_size))))
+    lut = tab[jnp.asarray(_qctx_tab())[qv]]                  # [B, 256]
     ebl = md._eob_bits_lut()
     n = qcoeff_flat.shape[1]
     aq = jnp.minimum(jnp.abs(qcoeff_flat), 255)
     eobi = eob.astype(jnp.int64)
-    rate = jnp.asarray(lut)[aq].sum(axis=1) - (n - eobi) * int(lut[0])
+    rate = jnp.take_along_axis(lut, aq, axis=1).sum(axis=1) \
+        - (n - eobi) * lut[:, 0]
     rate = jnp.maximum(rate, 0)
     rate = rate + jnp.where(eobi > 0,
                             (3 << md.RATE_Q) + jnp.asarray(ebl)[eobi], 307)
     return rate
 
 
-def rdoq_trim_j(qc, dq, eob, scan, tx_size, qindex: int,
-                plane_type: int, lam_q: int):
+def rdoq_trim_j(qc, dq, eob, scan, tx_size, qv, plane_type: int, lam_qv):
     """Device twin of md.rdoq_trim (identical integer math, so host and
     device backends keep emitting byte-identical streams). Like the host
-    twin, runs at HALF the mode-decision lambda (see md.rdoq_trim)."""
-    lam_q = lam_q >> 1
+    twin, runs at HALF the mode-decision lambda (see md.rdoq_trim).
+    qv/lam_qv: traced [B] vectors; blocks with qindex 0 are left
+    untouched (the host gates the trim off at lossless)."""
     from svt_av1_tpu.entropy import coeff_ctx as cc
-    from svt_av1_tpu.entropy.cdf import coef_qctx
     b, n = qc.shape
-    lut = jnp.asarray(md._level_cost_lut(
-        coef_qctx(qindex), plane_type, int(cc.txs_ctx(tx_size))))
+    qv = jnp.broadcast_to(jnp.asarray(qv, jnp.int32), (b,))
+    lam_qv = jnp.broadcast_to(jnp.asarray(lam_qv, jnp.int64), (b,)) >> 1
+    tab = jnp.asarray(_level_cost_tab(plane_type, int(cc.txs_ctx(tx_size))))
+    lut = tab[jnp.asarray(_qctx_tab())[qv]]                  # [B, 256]
     ebl = jnp.asarray(md._eob_bits_lut())
     gq12 = (64, 330, 2700)[quant_host.tx_scale(tx_size)]
 
@@ -200,7 +220,7 @@ def rdoq_trim_j(qc, dq, eob, scan, tx_size, qindex: int,
     k = jnp.arange(n)
     in_prefix = k[None, :] < eob[:, None]
     dd = jnp.where(in_prefix, (dqs * dqs * gq12) >> 12, 0)
-    dr = jnp.where(in_prefix, lut[lv], 0)
+    dr = jnp.where(in_prefix, jnp.take_along_axis(lut, lv, axis=1), 0)
     # associative_scan, not cumsum: XLA's reduce-window cumsum lowering
     # blows the scoped-vmem budget inside the big fused inter programs
     from jax import lax as _lax
@@ -211,29 +231,29 @@ def rdoq_trim_j(qc, dq, eob, scan, tx_size, qindex: int,
     e = jnp.arange(n + 1)
     ebits = jnp.where(e > 0, (3 << md.RATE_Q) + ebl[e], 307)
     cur_ebits = jnp.where(eob > 0, (3 << md.RATE_Q) + ebl[eob], 307)
-    dcost = (sufd << md.RATE_Q) - ((int(lam_q) * (
+    dcost = (sufd << md.RATE_Q) - ((lam_qv[:, None] * (
         sufr + cur_ebits[:, None] - ebits[None, :])) >> md.LAM_Q)
     valid = e[None, :] <= eob[:, None]
     dcost = jnp.where(valid, dcost, jnp.int64(1) << 62)
     new_eob = jnp.argmin(dcost, axis=1).astype(eob.dtype)
+    new_eob = jnp.where(qv > 0, new_eob, eob)
     keep = k[None, :] < new_eob[:, None]
     keep_raster = jnp.zeros((b, n), dtype=bool).at[:, scan].set(keep)
     return (jnp.where(keep_raster, qc, 0),
             jnp.where(keep_raster, dq, 0), new_eob)
 
 
-def _full_loop_j(srcs, preds, tts, tt_set, tx_size, size, qindex, bd,
-                 plane_type, rdoq_lam_q=None):
+def _full_loop_j(srcs, preds, tts, tt_set, tx_size, size, qv, bd,
+                 plane_type, rdoq_lam_qv=None):
     """Device twin of md._full_loop. tts [B] dynamic; tt_set: static
     tuple of the tx types tts can take (computed from the candidate
-    set). Returns (qcoeff [B,ch,cw], eob, recon, dist, rate).
-    ``rdoq_lam_q``: static int lambda for the RDOQ-lite trailing trim
-    (None = off)."""
+    set). qv: traced [B] qindex vector. Returns (qcoeff [B,ch,cw], eob,
+    recon, dist, rate). ``rdoq_lam_qv``: traced [B] lambda vector for
+    the RDOQ-lite trailing trim (None = off, decided at trace time)."""
     b = srcs.shape[0]
     w, h = common.leaf_wh(size)
     cw, ch = common.coded_dims(tx_size)
     log_scale = quant_host.tx_scale(tx_size)
-    qp = quant_host.make_quant_params(qindex, bit_depth=bd)
     resid = (srcs - preds).astype(jnp.int32)
 
     qcoeff = jnp.zeros((b, ch, cw), dtype=jnp.int32)
@@ -245,11 +265,11 @@ def _full_loop_j(srcs, preds, tts, tt_set, tx_size, size, qindex, bd,
         coeffs = dev.fwd_tx2d(resid, int(tt), w, h)
         coded = coeffs[:, :ch, :cw].reshape(b, -1)
         scan = get_scan(tx_size, int(tt))
-        qc, dq, eo = dev.quantize(coded, scan, qp, log_scale)
-        if rdoq_lam_q is not None:
+        qc, dq, eo = dev.quantize_qv(coded, scan, qv, log_scale, bd)
+        if rdoq_lam_qv is not None:
             qc, dq, eo = rdoq_trim_j(qc, dq, eo, scan, tx_size,
-                                     qindex, plane_type, rdoq_lam_q)
-        rt = _rate_cdf_j(qc, eo, qindex, plane_type, tx_size)
+                                     qv, plane_type, rdoq_lam_qv)
+        rt = _rate_cdf_j(qc, eo, qv, plane_type, tx_size)
         full = jnp.zeros((b, h, w), dtype=jnp.int32)
         full = full.at[:, :ch, :cw].set(
             dq.reshape(-1, ch, cw).astype(jnp.int32))
@@ -264,9 +284,12 @@ def _full_loop_j(srcs, preds, tts, tt_set, tx_size, size, qindex, bd,
     return qcoeff, eob, recon, dist, rate
 
 
-def _rdcost_j(dist, lamq: int, rate):
+def _rdcost_j(dist, lamqv, rate):
+    """Integer RD cost; lamqv: traced [B] vector (or a python int)."""
+    if not isinstance(lamqv, (int, np.integer)):
+        lamqv = lamqv.astype(jnp.int64)
     return (dist.astype(jnp.int64) << md.RATE_Q) \
-        + ((int(lamq) * rate.astype(jnp.int64)) >> md.LAM_Q)
+        + ((lamqv * rate.astype(jnp.int64)) >> md.LAM_Q)
 
 
 # --- the decide twin ------------------------------------------------------------
@@ -283,12 +306,14 @@ def _tt_for_lut(all_cands, plane, tx_size, reduced_tx_set):
 
 
 @functools.lru_cache(maxsize=256)
-def make_decide_core(plane: int, cands: tuple, qindex: int, size,
-                     lamq: int, bd: int, nfl: int, reduced_tx_set: bool,
+def make_decide_core(plane: int, cands: tuple, size,
+                     bd: int, nfl: int, reduced_tx_set: bool,
                      has_forced: bool, has_cfl: bool, tx_search: bool,
                      rdoq: bool = False):
     """Build the traceable decide function for a static configuration
-    (jitted by _build_decide; also inlined into fused tile programs)."""
+    (jitted by _build_decide; also inlined into fused tile programs).
+    The returned function takes trailing traced ``qv``/``lamqv`` [B]
+    quantizer vectors — qindex/lambda are NOT part of the program key."""
     bw, bh = common.leaf_wh(size)
     tx_size = common.tx_size_for_rect(bw, bh, plane)
     all_cands = list(cands)
@@ -304,7 +329,6 @@ def make_decide_core(plane: int, cands: tuple, qindex: int, size,
                                        plane, has_cfl)
     carr = np.asarray(all_cands, dtype=np.int64)
     plane_type = int(plane > 0)
-    rlq = lamq if (rdoq and qindex > 0) else None
 
     def tts_of(modes):
         if plane == 0:
@@ -319,8 +343,18 @@ def make_decide_core(plane: int, cands: tuple, qindex: int, size,
         return cfl_predict_j(dc, ac, alpha, bd), alpha
 
     def forced_fn(srcs, above1, left1, ha, hl, fmodes, fdeltas,
-                  cfl_luma):
+                  cfl_luma, qv, lamqv):
         b = srcs.shape[0]
+        # inputs may arrive at narrow wire dtypes (uint8/int16) — the
+        # tunnel moves ~30 MB/s, so pixels travel at storage width
+        srcs = srcs.astype(jnp.int64)
+        above1 = above1.astype(jnp.int32)
+        left1 = left1.astype(jnp.int32)
+        fmodes = fmodes.astype(jnp.int64)
+        fdeltas = fdeltas.astype(jnp.int64)
+        if cfl_luma is not None:
+            cfl_luma = cfl_luma.astype(jnp.int64)
+        rlq = lamqv if rdoq else None
         pair_set = list(dict.fromkeys(
             [(int(m), int(d)) for m, d in all_cands] + [(UV_CFL, 0)]))
         preds = jnp.zeros((b, bh, bw), dtype=jnp.int64)
@@ -339,13 +373,19 @@ def make_decide_core(plane: int, cands: tuple, qindex: int, size,
                               p.astype(jnp.int64), preds)
         ftts = tts_of(fmodes)
         qc, eo, rec, dist, rate = _full_loop_j(
-            srcs, preds, ftts, tt_set, tx_size, size, qindex, bd,
-            plane_type, rdoq_lam_q=rlq)
-        cost = _rdcost_j(dist, lamq, rate)
+            srcs, preds, ftts, tt_set, tx_size, size, qv, bd,
+            plane_type, rdoq_lam_qv=rlq)
+        cost = _rdcost_j(dist, lamqv, rate)
         return (fmodes, fdeltas, qc, eo, rec, cost, alphas, ftts)
 
-    def decide_fn(srcs, above1, left1, ha, hl, cfl_luma):
+    def decide_fn(srcs, above1, left1, ha, hl, cfl_luma, qv, lamqv):
         b = srcs.shape[0]
+        srcs = srcs.astype(jnp.int64)
+        above1 = above1.astype(jnp.int32)
+        left1 = left1.astype(jnp.int32)
+        if cfl_luma is not None:
+            cfl_luma = cfl_luma.astype(jnp.int64)
+        rlq = lamqv if rdoq else None
         pred_list = []
         cand_alphas = None
         for i, (m, d) in enumerate(all_cands):
@@ -362,7 +402,8 @@ def make_decide_core(plane: int, cands: tuple, qindex: int, size,
         k = min(nfl, len(all_cands))
         mb = jnp.asarray(mode_bits)[:, None]
         fast_cost = (sse << md.RATE_Q) \
-            + ((int(lamq) * jnp.broadcast_to(mb, sse.shape)) >> md.LAM_Q)
+            + ((lamqv[None, :].astype(jnp.int64)
+                * jnp.broadcast_to(mb, sse.shape)) >> md.LAM_Q)
         order = jnp.argsort(fast_cost, axis=0, stable=True)[:k]
         best_cost = None
         out = None
@@ -375,8 +416,8 @@ def make_decide_core(plane: int, cands: tuple, qindex: int, size,
                 preds, idx[None, :, None, None], axis=0)[0]
             qc, eo, rec, dist, rate = _full_loop_j(
                 srcs, preds_k, tts_of(modes_k), tt_set, tx_size, size,
-                qindex, bd, plane_type, rdoq_lam_q=rlq)
-            cost = _rdcost_j(dist, lamq,
+                qv, bd, plane_type, rdoq_lam_qv=rlq)
+            cost = _rdcost_j(dist, lamqv,
                              rate + jnp.asarray(mode_bits)[idx])
             if best_cost is None:
                 best_cost = cost
@@ -396,7 +437,7 @@ def make_decide_core(plane: int, cands: tuple, qindex: int, size,
         tts = tts_of(out[0])
         if tx_search and plane == 0:
             tts = _tx_search_j(srcs, out_pred, out, tx_size, size,
-                               qindex, bd, lamq, rdoq=rdoq)
+                               qv, bd, lamqv, rdoq=rdoq)
         alphas = jnp.zeros(b, dtype=jnp.int64)
         if cand_alphas is not None:
             alphas = jnp.where(out[0] == UV_CFL, cand_alphas, 0)
@@ -408,10 +449,24 @@ def make_decide_core(plane: int, cands: tuple, qindex: int, size,
 
 @functools.lru_cache(maxsize=256)
 def _build_decide(*key):
-    return jax.jit(make_decide_core(*key))
+    core = make_decide_core(*key)
+    bd = key[3]
+    pix = jnp.uint8 if bd <= 8 else jnp.uint16
+
+    def wrapped(*args):
+        m, d, qc, eo, rec, cost, al, tts = core(*args)
+        # narrow the wire: |level| <= 32767 (quantize clips tmp to
+        # int16 before the reciprocal multiply), modes/deltas/alphas/
+        # tx types are tiny enums, recon is bd-wide pixels
+        return (m.astype(jnp.int8), d.astype(jnp.int8),
+                qc.astype(jnp.int16), eo.astype(jnp.int16),
+                rec.astype(pix), cost, al.astype(jnp.int8),
+                tts.astype(jnp.int8))
+
+    return jax.jit(wrapped)
 
 
-def _tx_search_j(srcs, preds, out, tx_size, size, qindex, bd, lamq,
+def _tx_search_j(srcs, preds, out, tx_size, size, qv, bd, lamqv,
                  rdoq: bool = False):
     """Device twin of md._luma_tx_search (in-place update of out)."""
     from svt_av1_tpu.entropy import tx_sets
@@ -438,13 +493,13 @@ def _tx_search_j(srcs, preds, out, tx_size, size, qindex, bd, lamq,
 
     allowed = [int(t) for t in np.nonzero(
         tx_sets.EXT_TX_USED[set_type])[0]]
-    rlq = lamq if (rdoq and qindex > 0) else None
+    rlq = lamqv if rdoq else None
     best_part = None
     for tt in allowed:
         qc, eo, rec, dist, rate = _full_loop_j(
             srcs, preds, jnp.full(b, tt, dtype=jnp.int32), (tt,),
-            tx_size, size, qindex, bd, 0, rdoq_lam_q=rlq)
-        part = _rdcost_j(dist, lamq, rate + sig_bits(tt))
+            tx_size, size, qv, bd, 0, rdoq_lam_qv=rlq)
+        part = _rdcost_j(dist, lamqv, rate + sig_bits(tt))
         if best_part is None:
             best_part = part
             continue
@@ -471,15 +526,32 @@ def _bucket(b: int) -> int:
     return b
 
 
+def quant_vectors(qp, lam, b: int, qv=None, lamv=None):
+    """Per-block qindex/lambda operand vectors: scalar broadcast of
+    (qp, lam), or the given per-block arrays (AQ)."""
+    if qv is None:
+        qv = np.full(b, int(qp.qindex), dtype=np.int32)
+    else:
+        qv = np.asarray(qv, dtype=np.int32)
+    if lamv is None:
+        lamqv = np.full(b, md.lam_to_q(lam), dtype=np.int64)
+    else:
+        lamqv = np.asarray([md.lam_to_q(lv) for lv in lamv],
+                           dtype=np.int64)
+    return qv, lamqv
+
+
 def decide_block_batch_dev(plane, srcs, above1, left1, ha, hl, cands, qp,
                            size, lam, bd=8, nfl=3, reduced_tx_set=False,
                            forced=None, cfl_luma=None, tx_search=False,
-                           rdoq=False):
+                           rdoq=False, qv=None, lamv=None):
     """Drop-in twin of md.decide_block_batch running the compute as one
-    jitted device program (same integer decisions, same return types)."""
+    jitted device program (same integer decisions, same return types).
+    ``qv``/``lamv``: optional per-block qindex / float-lambda arrays —
+    one dispatch covers every AQ group (qindex is a traced operand, not
+    a program key)."""
     b = srcs.shape[0]
     nb = _bucket(b)
-    lamq = md.lam_to_q(lam)
     bw, bh = common.leaf_wh(size)
     pix = np.uint16 if bd > 8 else np.uint8
 
@@ -489,22 +561,27 @@ def decide_block_batch_dev(plane, srcs, above1, left1, ha, hl, cands, qp,
         return np.concatenate([a, np.repeat(a[fill_from:fill_from + 1],
                                             nb - b, axis=0)], axis=0)
 
-    srcs_p = pad(np.ascontiguousarray(srcs))
-    above_p = pad(np.ascontiguousarray(above1))
-    left_p = pad(np.ascontiguousarray(left1))
+    # pixels/edges travel at narrow wire widths; programs re-widen
+    srcs_p = pad(np.ascontiguousarray(srcs, dtype=pix))
+    above_p = pad(np.ascontiguousarray(above1, dtype=np.int16))
+    left_p = pad(np.ascontiguousarray(left1, dtype=np.int16))
     ha_p, hl_p = pad(np.asarray(ha)), pad(np.asarray(hl))
     cfl_p = pad(None if cfl_luma is None
-                else np.ascontiguousarray(cfl_luma))
-    fn = _build_decide(plane, tuple(map(tuple, cands)), int(qp.qindex),
+                else np.ascontiguousarray(cfl_luma, dtype=pix))
+    qvec, lamqv = quant_vectors(qp, lam, b, qv, lamv)
+    qvec, lamqv = pad(qvec), pad(lamqv)
+    fn = _build_decide(plane, tuple(map(tuple, cands)),
                        size if isinstance(size, int) else tuple(size),
-                       lamq, bd, nfl, reduced_tx_set, forced is not None,
+                       bd, nfl, reduced_tx_set, forced is not None,
                        cfl_luma is not None, tx_search, rdoq)
     if forced is not None:
-        fm = pad(np.asarray(forced[0], dtype=np.int64))
-        fd = pad(np.asarray(forced[1], dtype=np.int64))
-        outs = fn(srcs_p, above_p, left_p, ha_p, hl_p, fm, fd, cfl_p)
+        fm = pad(np.asarray(forced[0], dtype=np.int8))
+        fd = pad(np.asarray(forced[1], dtype=np.int8))
+        outs = fn(srcs_p, above_p, left_p, ha_p, hl_p, fm, fd, cfl_p,
+                  qvec, lamqv)
     else:
-        outs = fn(srcs_p, above_p, left_p, ha_p, hl_p, cfl_p)
+        outs = fn(srcs_p, above_p, left_p, ha_p, hl_p, cfl_p, qvec,
+                  lamqv)
     modes, deltas, qc, eo, rec, cost, alphas, tts = \
         [np.asarray(o)[:b] for o in outs]
     return (modes.astype(np.int64), deltas.astype(np.int64),

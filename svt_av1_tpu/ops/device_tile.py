@@ -70,6 +70,22 @@ def _edges_j(recon, xs, ys, bw: int, bh: int, ha, hl, htr, hbl,
     return above1, left1
 
 
+def _narrow_out(out: dict) -> dict:
+    """Wire-narrow the per-leaf output dict: enum fields to int8,
+    eob/levels to int16 (|level| <= 32767 by the quantizer's int16
+    clamp) — the tunnel downloads at ~30 MB/s, so dtype width is
+    latency."""
+    n8 = ("y_mode", "y_delta", "uv_mode", "uv_delta", "alpha_u",
+          "alpha_v", "y_tt")
+    n16 = ("eob_y", "eob_u", "eob_v", "qc_y", "qc_u", "qc_v")
+    out = dict(out)
+    for k in n8:
+        out[k] = out[k].astype(jnp.int8)
+    for k in n16:
+        out[k] = out[k].astype(jnp.int16)
+    return out
+
+
 def _gather(plane, xs, ys, bw: int, bh: int):
     iy = ys[:, None, None] + jnp.arange(bh)[None, :, None]
     ix = xs[:, None, None] + jnp.arange(bw)[None, None, :]
@@ -86,13 +102,14 @@ def _scatter(plane, xs, ys, blocks, valid, bw: int, bh: int):
 
 
 @functools.lru_cache(maxsize=64)
-def make_tile_body(size: int, cands: tuple, qindex: int, lamq: int,
+def make_tile_body(size: int, cands: tuple,
                    bd: int, nfl: int, tx_search: bool,
                    n_waves: int, wmax: int, n_leaves: int,
                    shapes: tuple, max_wh: tuple, rdoq: bool = False):
     """The traceable full-tile intra analysis function (jitted by
     _build_tile_program; also the per-device body of the tile-sharded
-    multi-chip program in parallel/tiles.py).
+    multi-chip program in parallel/tiles.py). qindex/lambda arrive as
+    traced scalar operands (``qv``/``lamqv``), not program keys.
 
     shapes: ((Hy, Wy), (Hc, Wc)) padded plane dims; max_wh: mi-area
     [(wy, hy), (wc, hc)] clamp bounds."""
@@ -106,17 +123,22 @@ def make_tile_body(size: int, cands: tuple, qindex: int, lamq: int,
     cwy, chy = common.coded_dims(tx_y)
     cwc, chc = common.coded_dims(tx_uv)
 
-    decide_y = dmd.make_decide_core(0, cands, qindex, S, lamq, bd, nfl,
+    decide_y = dmd.make_decide_core(0, cands, S, bd, nfl,
                                     False, False, False, tx_search,
                                     rdoq=rdoq)
-    decide_u = dmd.make_decide_core(1, cands, qindex, Sc, lamq, bd, nfl,
+    decide_u = dmd.make_decide_core(1, cands, Sc, bd, nfl,
                                     False, False, cfl_ok, False,
                                     rdoq=rdoq)
-    decide_v = dmd.make_decide_core(2, cands, qindex, Sc, lamq, bd, nfl,
+    decide_v = dmd.make_decide_core(2, cands, Sc, bd, nfl,
                                     False, True, cfl_ok, False,
                                     rdoq=rdoq)
 
-    def program(src_y, src_u, src_v, xsw, ysw, validw, htrw, hblw, idxw):
+    pix = jnp.uint8 if bd <= 8 else jnp.uint16
+
+    def program(src_y, src_u, src_v, xsw, ysw, validw, htrw, hblw, idxw,
+                qv, lamqv):
+        qvw = jnp.broadcast_to(qv.astype(jnp.int32), (wmax,))
+        lamw = jnp.broadcast_to(lamqv.astype(jnp.int64), (wmax,))
         recon_y = jnp.zeros((Hy + S, Wy), dtype=jnp.int32)
         recon_u = jnp.zeros((Hc + Sc, Wc), dtype=jnp.int32)
         recon_v = jnp.zeros((Hc + Sc, Wc), dtype=jnp.int32)
@@ -151,7 +173,7 @@ def make_tile_body(size: int, cands: tuple, qindex: int, lamq: int,
                               bd, mwy, mhy)
             srcs = _gather(src_y, xs, ys, S, S).astype(jnp.int64)
             ym, yd, qcy, eoy, recy, _, _, ytt = decide_y(
-                srcs, a1, l1, ha, hl, None)
+                srcs, a1, l1, ha, hl, None, qvw, lamw)
             recon_y = _scatter(recon_y, xs, ys, recy, valid, S, S)
             # --- chroma U (CfL reads this wave's luma recon) ---
             cxs, cys = xs >> 1, ys >> 1
@@ -162,14 +184,14 @@ def make_tile_body(size: int, cands: tuple, qindex: int, lamq: int,
                                 hbl, bd, mwc, mhc)
             srcs_u = _gather(src_u, cxs, cys, Sc, Sc).astype(jnp.int64)
             um, ud, qcu, eou, recu, _, au, _ = decide_u(
-                srcs_u, a1u, l1u, ha, hl, cfl)
+                srcs_u, a1u, l1u, ha, hl, cfl, qvw, lamw)
             recon_u = _scatter(recon_u, cxs, cys, recu, valid, Sc, Sc)
             # --- chroma V (forced to U's choice) ---
             a1v, l1v = _edges_j(recon_v, cxs, cys, Sc, Sc, ha, hl, htr,
                                 hbl, bd, mwc, mhc)
             srcs_v = _gather(src_v, cxs, cys, Sc, Sc).astype(jnp.int64)
             vm, vd, qcv, eov, recv, _, av, _ = decide_v(
-                srcs_v, a1v, l1v, ha, hl, um, ud, cfl)
+                srcs_v, a1v, l1v, ha, hl, um, ud, cfl, qvw, lamw)
             recon_v = _scatter(recon_v, cxs, cys, recv, valid, Sc, Sc)
 
             out = dict(out)
@@ -191,7 +213,8 @@ def make_tile_body(size: int, cands: tuple, qindex: int, lamq: int,
 
         recon_y, recon_u, recon_v, out = lax.fori_loop(
             0, n_waves, body, (recon_y, recon_u, recon_v, out))
-        return (recon_y[:Hy], recon_u[:Hc], recon_v[:Hc], out)
+        return (recon_y[:Hy].astype(pix), recon_u[:Hc].astype(pix),
+                recon_v[:Hc].astype(pix), _narrow_out(out))
 
     return program
 
@@ -243,14 +266,16 @@ def tile_metadata(enc, cands):
     shapes = (tuple(enc.recon[0].shape), tuple(enc.recon[1].shape))
     max_wh = (tuple(enc.max_wh[0]), tuple(enc.max_wh[1]))
     from svt_av1_tpu.pipeline import md as md_mod
-    key = (S, tuple(map(tuple, cands)), int(enc.qp.qindex),
-           md_mod.lam_to_q(enc.lam), cfg.bit_depth, cfg.nfl,
+    key = (S, tuple(map(tuple, cands)), cfg.bit_depth, cfg.nfl,
            bool(cfg.enable_tx_type_search and cfg.base_q_idx > 0),
            n_waves, wmax, n, shapes, max_wh, bool(cfg.enable_rdoq))
-    args = (np.ascontiguousarray(enc.src[0]),
-            np.ascontiguousarray(enc.src[1]),
-            np.ascontiguousarray(enc.src[2]),
-            xsw, ysw, validw, htrw, hblw, idxw)
+    npix = np.uint8 if cfg.bit_depth <= 8 else np.uint16
+    args = (np.ascontiguousarray(enc.src[0], dtype=npix),
+            np.ascontiguousarray(enc.src[1], dtype=npix),
+            np.ascontiguousarray(enc.src[2], dtype=npix),
+            xsw, ysw, validw, htrw, hblw, idxw,
+            np.full((), int(enc.qp.qindex), np.int32),
+            np.full((), md_mod.lam_to_q(enc.lam), np.int64))
     return key, args
 
 
@@ -265,7 +290,7 @@ def analyze_tile_fused(enc, cands) -> bool:
     key, args = meta
     prog = _build_tile_program(*key)
     ry, ru, rv, out = prog(*args)
-    inject_results(enc, key[9], ry, ru, rv, out)
+    inject_results(enc, key[7], ry, ru, rv, out)
     return True
 
 
@@ -312,7 +337,7 @@ def _pow2(n: int, lo: int = 1) -> int:
     return v
 
 
-def _class_stage(shape: tuple, cands: tuple, qindex: int, lamq: int,
+def _class_stage(shape: tuple, cands: tuple,
                  bd: int, nfl: int, tx_search: bool, max_wh: tuple,
                  rdoq: bool = False):
     """Per-wave processing step for one (bw, bh) shape class: the Y/U/V
@@ -327,13 +352,13 @@ def _class_stage(shape: tuple, cands: tuple, qindex: int, lamq: int,
     cwc, chc = common.coded_dims(tx_uv)
     ysz = bw if bw == bh else (bw, bh)
     csz = cw_ if cw_ == ch_ else (cw_, ch_)
-    decide_y = dmd.make_decide_core(0, cands, qindex, ysz, lamq, bd,
+    decide_y = dmd.make_decide_core(0, cands, ysz, bd,
                                     nfl, False, False, False, tx_search,
                                     rdoq=rdoq)
-    decide_u = dmd.make_decide_core(1, cands, qindex, csz, lamq, bd,
+    decide_u = dmd.make_decide_core(1, cands, csz, bd,
                                     nfl, False, False, cfl_ok, False,
                                     rdoq=rdoq)
-    decide_v = dmd.make_decide_core(2, cands, qindex, csz, lamq, bd,
+    decide_v = dmd.make_decide_core(2, cands, csz, bd,
                                     nfl, False, True, cfl_ok, False,
                                     rdoq=rdoq)
 
@@ -356,14 +381,16 @@ def _class_stage(shape: tuple, cands: tuple, qindex: int, lamq: int,
         )
 
     def step(recon_y, recon_u, recon_v, out, src_y, src_u, src_v, xs,
-             ys, valid, htr, hbl, idx, n_cls):
+             ys, valid, htr, hbl, idx, n_cls, qv, lamqv):
+        qvw = jnp.broadcast_to(qv.astype(jnp.int32), xs.shape)
+        lamw = jnp.broadcast_to(lamqv.astype(jnp.int64), xs.shape)
         idx = jnp.where(valid, idx, n_cls)
         ha, hl = ys > 0, xs > 0
         a1, l1 = _edges_j(recon_y, xs, ys, bw, bh, ha, hl, htr, hbl,
                           bd, mwy, mhy)
         srcs = _gather(src_y, xs, ys, bw, bh).astype(jnp.int64)
         ym, yd, qcy, eoy, recy, _, _, ytt = decide_y(
-            srcs, a1, l1, ha, hl, None)
+            srcs, a1, l1, ha, hl, None, qvw, lamw)
         recon_y = _scatter(recon_y, xs, ys, recy, valid, bw, bh)
         cxs, cys = xs >> 1, ys >> 1
         cfl = None
@@ -373,13 +400,13 @@ def _class_stage(shape: tuple, cands: tuple, qindex: int, lamq: int,
                             hbl, bd, mwc, mhc)
         srcs_u = _gather(src_u, cxs, cys, cw_, ch_).astype(jnp.int64)
         um, ud, qcu, eou, recu, _, au, _ = decide_u(
-            srcs_u, a1u, l1u, ha, hl, cfl)
+            srcs_u, a1u, l1u, ha, hl, cfl, qvw, lamw)
         recon_u = _scatter(recon_u, cxs, cys, recu, valid, cw_, ch_)
         a1v, l1v = _edges_j(recon_v, cxs, cys, cw_, ch_, ha, hl, htr,
                             hbl, bd, mwc, mhc)
         srcs_v = _gather(src_v, cxs, cys, cw_, ch_).astype(jnp.int64)
         vm, vd, qcv, eov, recv, _, av, _ = decide_v(
-            srcs_v, a1v, l1v, ha, hl, um, ud, cfl)
+            srcs_v, a1v, l1v, ha, hl, um, ud, cfl, qvw, lamw)
         recon_v = _scatter(recon_v, cxs, cys, recv, valid, cw_, ch_)
         out = dict(out)
         out["y_mode"] = out["y_mode"].at[idx].set(ym, mode="drop")
@@ -405,18 +432,19 @@ def _class_stage(shape: tuple, cands: tuple, qindex: int, lamq: int,
 
 @functools.lru_cache(maxsize=32)
 def make_mixed_tile_body(class_spec: tuple, n_waves: int, cands: tuple,
-                         qindex: int, lamq: int, bd: int, nfl: int,
+                         bd: int, nfl: int,
                          tx_search: bool, shapes: tuple, max_wh: tuple,
                          rdoq: bool = False):
     """class_spec: (((bw, bh), wmax, n_cls), ...) active shape classes,
-    descending area; wave count pre-quantized by the metadata builder."""
+    descending area; wave count pre-quantized by the metadata builder.
+    qindex/lambda are traced scalar operands (qv/lamqv)."""
     (Hy, Wy), (Hc, Wc) = shapes
     stages = [(sh, wmax, n_cls)
-              + _class_stage(sh, cands, qindex, lamq, bd, nfl,
+              + _class_stage(sh, cands, bd, nfl,
                              tx_search, max_wh, rdoq=rdoq)
               for (sh, wmax, n_cls) in class_spec]
 
-    def program(src_y, src_u, src_v, nw_dyn, *arrs):
+    def program(src_y, src_u, src_v, nw_dyn, qv, lamqv, *arrs):
         recon_y = jnp.zeros((Hy + 64, Wy), dtype=jnp.int32)
         recon_u = jnp.zeros((Hc + 32, Wc), dtype=jnp.int32)
         recon_v = jnp.zeros((Hc + 32, Wc), dtype=jnp.int32)
@@ -430,13 +458,16 @@ def make_mixed_tile_body(class_spec: tuple, n_waves: int, cands: tuple,
                 recon_y, recon_u, recon_v, outs[ci] = step(
                     recon_y, recon_u, recon_v, outs[ci], src_y, src_u,
                     src_v, a[0][w], a[1][w], a[2][w], a[3][w], a[4][w],
-                    a[5][w], n_cls)
+                    a[5][w], n_cls, qv, lamqv)
             return recon_y, recon_u, recon_v, tuple(outs)
 
         recon_y, recon_u, recon_v, outs = lax.fori_loop(
             0, jnp.minimum(nw_dyn, n_waves), body,
             (recon_y, recon_u, recon_v, outs))
-        return (recon_y[:Hy], recon_u[:Hc], recon_v[:Hc]) + outs
+        pix = jnp.uint8 if bd <= 8 else jnp.uint16
+        return (recon_y[:Hy].astype(pix), recon_u[:Hc].astype(pix),
+                recon_v[:Hc].astype(pix)) \
+            + tuple(_narrow_out(o) for o in outs)
 
     return program
 
@@ -517,14 +548,17 @@ def mixed_tile_metadata(enc, cands):
     max_wh = (tuple(enc.max_wh[0]), tuple(enc.max_wh[1]))
     from svt_av1_tpu.pipeline import md as md_mod
     key = (tuple(class_spec), nwq, tuple(map(tuple, cands)),
-           int(enc.qp.qindex), md_mod.lam_to_q(enc.lam), cfg.bit_depth,
-           cfg.nfl,
+           cfg.bit_depth, cfg.nfl,
            bool(cfg.enable_tx_type_search and cfg.base_q_idx > 0),
            shapes, max_wh, bool(cfg.enable_rdoq))
-    full_args = (np.ascontiguousarray(enc.src[0]),
-                 np.ascontiguousarray(enc.src[1]),
-                 np.ascontiguousarray(enc.src[2]),
-                 np.int32(n_waves)) + tuple(args)
+    npix = np.uint8 if cfg.bit_depth <= 8 else np.uint16
+    full_args = (np.ascontiguousarray(enc.src[0], dtype=npix),
+                 np.ascontiguousarray(enc.src[1], dtype=npix),
+                 np.ascontiguousarray(enc.src[2], dtype=npix),
+                 np.int32(n_waves),
+                 np.full((), int(enc.qp.qindex), np.int32),
+                 np.full((), md_mod.lam_to_q(enc.lam), np.int64)) \
+        + tuple(args)
     return key, full_args, cls_ids
 
 

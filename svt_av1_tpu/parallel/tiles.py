@@ -138,7 +138,7 @@ def encode_keyframe_tiles_sharded(y, u, v, cfg: EncoderConfig, mesh):
         meta = device_tile.tile_metadata(enc2, cands2)
         assert meta is not None
         r = next(it)
-        device_tile.inject_results(enc2, meta[0][9], *r)
+        device_tile.inject_results(enc2, meta[0][7], *r)
         return True
 
     orig = device_tile.analyze_tile_fused

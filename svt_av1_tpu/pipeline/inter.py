@@ -37,6 +37,29 @@ from svt_av1_tpu.utils.blocks import (DC_PRED, DCT_DCT, PARTITION_NONE,
                                       PARTITION_SPLIT, get_scan)
 
 
+_ref_cache: dict = {}
+
+
+def _padded_ref(planes):
+    """Padded reference planes + HME pyramid, cached per recon object:
+    a slot's recon is padded/decimated once when written, not once per
+    frame that reads it — and the device upload cache (device_inter.
+    _dput) keys on these stable arrays, so each reference crosses the
+    host->device tunnel exactly once per slot write instead of once per
+    frame per reference."""
+    key = id(planes[0])
+    ent = _ref_cache.get(key)
+    if ent is not None and ent[0] is planes[0]:
+        return ent[1], ent[2]
+    padded = [mc.pad_reference(p) for p in planes]
+    pyr = me.build_pyramid(padded[0])
+    if len(_ref_cache) >= 24:
+        for k in list(_ref_cache)[:8]:
+            del _ref_cache[k]
+    _ref_cache[key] = (planes[0], padded, pyr)
+    return padded, pyr
+
+
 def clamp_mvs_batch(mvs, xs, ys, bw, bh, plane_w, plane_h, ss: int = 0):
     """Vectorized mc.clamp_mv_for_padding over a batch (1/8-pel units)."""
     margin = (mc.REF_PAD - 5) << (2 + ss)
@@ -106,18 +129,18 @@ class InterFrameEncoder:
                       for p in self.src]
         from svt_av1_tpu.entropy.inter_modes import (ALTREF_FRAME,
                                                      BWDREF_FRAME)
-        self.refs = {LAST_FRAME: [mc.pad_reference(p) for p in ref_planes]}
+        self.refs = {}
+        self.ref_pyrs = {}
+        self.refs[LAST_FRAME], self.ref_pyrs[LAST_FRAME] = \
+            _padded_ref(ref_planes)
         if alt_planes is not None:
-            self.refs[ALTREF_FRAME] = [mc.pad_reference(p)
-                                       for p in alt_planes]
+            self.refs[ALTREF_FRAME], self.ref_pyrs[ALTREF_FRAME] = \
+                _padded_ref(alt_planes)
         for rid, planes in (extra_refs or {}).items():
             if rid not in self.refs and planes is not None:
-                self.refs[rid] = [mc.pad_reference(p) for p in planes]
+                self.refs[rid], self.ref_pyrs[rid] = _padded_ref(planes)
         self.fwd_refs = sorted(r for r in self.refs if r < BWDREF_FRAME)
         self.bwd_refs = sorted(r for r in self.refs if r >= BWDREF_FRAME)
-        # HME pyramids once per frame (shared by every shape group)
-        self.ref_pyrs = {r: me.build_pyramid(p[0])
-                         for r, p in self.refs.items()}
         self.src_pyr = me.src_pyramid(self.src[0])
 
         if cfg.fixed_partition_size is None:
@@ -164,19 +187,39 @@ class InterFrameEncoder:
         larr = np.array([(r, c, wh[0], wh[1]) for r, c, wh in leaves],
                         dtype=np.int64)
         shape_key = larr[:, 2] * 1000 + larr[:, 3]
-        for sk in np.unique(shape_key):
-            sids = np.nonzero(shape_key == sk)[0]
-            wh = (int(sk) // 1000, int(sk) % 1000)
-            if self.qmap is None:
-                qgroups = [(None, sids)]
-            else:
-                qv = self.qmap[larr[sids, 0] // 16, larr[sids, 1] // 16]
-                qgroups = [(int(q), sids[qv == q])
-                           for q in np.unique(qv)]
-            for qidx, ids in qgroups:
-                if len(ids):
-                    with span("inter_blocks"):
-                        self._encode_blocks(larr[ids], ids, wh, qidx=qidx)
+        # device backend: ONE fused dispatch per shape group (ME + RD +
+        # compound + both chroma planes, per-block traced qindex), every
+        # group issued before any result is fetched so the tunnel round
+        # trips overlap. Host _full_loop takes scalar quantizer params,
+        # so the host backend keeps the per-(shape, AQ-group) loop.
+        fused = (cfg.backend == "device"
+                 and not cfg.enable_tx_type_search)
+        if fused:
+            batches = []
+            for sk in np.unique(shape_key):
+                sids = np.nonzero(shape_key == sk)[0]
+                wh = (int(sk) // 1000, int(sk) % 1000)
+                qvec = None if self.qmap is None else \
+                    self.qmap[larr[sids, 0] // 16, larr[sids, 1] // 16]
+                batches.append((larr[sids], sids, wh, qvec))
+            with span("inter_blocks"):
+                self._encode_blocks_fused(batches)
+        else:
+            for sk in np.unique(shape_key):
+                sids = np.nonzero(shape_key == sk)[0]
+                wh = (int(sk) // 1000, int(sk) % 1000)
+                if self.qmap is None:
+                    qgroups = [(None, sids)]
+                else:
+                    qv = self.qmap[larr[sids, 0] // 16,
+                                   larr[sids, 1] // 16]
+                    qgroups = [(int(q), sids[qv == q])
+                               for q in np.unique(qv)]
+                for qidx, ids in qgroups:
+                    if len(ids):
+                        with span("inter_blocks"):
+                            self._encode_blocks(larr[ids], ids, wh,
+                                                qidx=qidx)
         if cfg.intra_in_inter:
             with span("intra_flip"):
                 self._intra_flip_pass(leaves)
@@ -352,7 +395,7 @@ class InterFrameEncoder:
         return best
 
     def _me_rd_pruned(self, xs, ys, srcs, size, tx_size, qp, lam,
-                      refs_order):
+                      refs_order, qv=None, lamv=None):
         """Host ME+RD with SAD-based reference preselection (the
         reference's ME candidate pruning): full-pel HME runs on every
         ref, but sub-pel refinement and the full RD loop run only on the
@@ -373,7 +416,8 @@ class InterFrameEncoder:
                 di.me_rd_multi_dev([self.ref_pyrs[r] for r in refs_order],
                                    self.src_pyr, xs, ys, (bw, bh), qp,
                                    lam, bd=cfg.bit_depth,
-                                   rdoq=cfg.enable_rdoq)
+                                   rdoq=cfg.enable_rdoq, qv=qv,
+                                   lamv=lamv)
             chosen_ref = np.asarray(refs_order,
                                     dtype=np.int32)[best_all]
             fsel = bsel = None
@@ -453,7 +497,8 @@ class InterFrameEncoder:
         return chosen_ref, chosen, refined, fsel, bsel
 
     def _compound_pairs(self, fsel, bsel, pmvs, xs, ys, srcs, size,
-                        tx_size, qp, lam, comp_f, comp_b):
+                        tx_size, qp, lam, comp_f, comp_b, qv=None,
+                        lamv=None):
         """Batched bidirectional compound coding, grouped by the distinct
         (fwd, bwd) ref pairs the per-block direction winners form.
         pmvs: {ref: [B, 2] refined MVs}. Fills comp_f/comp_b in place;
@@ -484,7 +529,8 @@ class InterFrameEncoder:
             qc_, eo_, rec_, cost_ = di.compound_multi_dev(
                 [[self.refs[r][0] for r in refs_order]], [self.src[0]],
                 xs, ys, mv0a, mv1a, fref, bref_i, (bw, bh), qp, lam,
-                bd=cfg.bit_depth, ss=0, rdoq=cfg.enable_rdoq)
+                bd=cfg.bit_depth, ss=0, rdoq=cfg.enable_rdoq, qv=qv,
+                lamv=lamv)
             cost[:] = cost_.astype(np.int64)
             qc[:] = qc_.astype(np.int32)
             eo[:] = eo_.astype(np.int32)
@@ -582,9 +628,85 @@ class InterFrameEncoder:
                 rd.rd_lambda(qidx, self.cfg.bit_depth))
         return self._qp_cache[qidx]
 
-    def _encode_blocks(self, blocks, ids, size, qidx=None) -> None:
+    def _encode_blocks_fused(self, batches) -> None:
+        """Device path: one fused program per shape group covers the
+        whole multi-ref ME+RD+compound+chroma chain (twin of
+        _encode_blocks' device branch — same integer decisions, same
+        fold order, byte-identical streams). All groups are dispatched
+        before any result is fetched; one batched device_get drains the
+        tunnel once instead of 3x per shape.
+
+        batches: [(blocks larr, ids, (bw, bh), qvec-or-None)]."""
+        import jax
+        from svt_av1_tpu.ops import device_inter as di
+        cfg = self.cfg
+        refs_order = sorted(self.refs)
+        pos = {r: i for i, r in enumerate(refs_order)}
+        fwd_pos = tuple(pos[r] for r in self.fwd_refs) \
+            if self.reference_select else ()
+        bwd_pos = tuple(pos[r] for r in self.bwd_refs) \
+            if self.reference_select else ()
+        fwd_ids = np.asarray(self.fwd_refs or [LAST_FRAME])
+        bwd_ids = np.asarray(self.bwd_refs or [0])
+        issued = []
+        for blocks, ids, wh, qvec in batches:
+            qp, lam = self._qp_for(None)
+            lamv = None
+            if qvec is not None:
+                lamv = np.array([self._qp_for(int(q))[1] for q in qvec])
+            xs = blocks[:, 1] * 4
+            ys = blocks[:, 0] * 4
+            outs, b = di.shape_group_issue(
+                [self.ref_pyrs[r] for r in refs_order],
+                [self.refs[r][1] for r in refs_order],
+                [self.refs[r][2] for r in refs_order],
+                self.src_pyr, self.src[1], self.src[2], xs, ys, wh,
+                qp, lam, fwd_pos, bwd_pos, bd=cfg.bit_depth,
+                rdoq=cfg.enable_rdoq, qv=qvec, lamv=lamv)
+            issued.append((outs, b, ids, wh, xs, ys))
+        fetched = jax.device_get([e[0] for e in issued])
+        for outs, (_, b, ids, wh, xs, ys) in zip(fetched, issued):
+            (cost, mv0, mv1, pos_c, comp, fsel, bsel, qc, eo, rec,
+             qcu, eou, recu, qcv, eov, recv) = \
+                [np.asarray(o)[:b] for o in outs]
+            bw, bh = wh
+            cw, ch = bw >> 1, bh >> 1
+            chosen_ref = np.asarray(refs_order)[pos_c.astype(np.int64)]
+            self.mvs[ids] = mv0.astype(np.int64)
+            self.block_ref[ids] = chosen_ref
+            self.eobs[0, ids] = eo
+            self.inter_cost[ids] = cost
+            if self.reference_select:
+                self.mvs1[ids] = np.where(comp[:, None],
+                                          mv1.astype(np.int64), 0)
+                self.block_comp[ids] = comp
+                self.comp_ref0[ids] = np.where(
+                    comp, fwd_ids[fsel.astype(np.int64)], LAST_FRAME)
+                self.comp_ref1[ids] = np.where(
+                    comp, bwd_ids[bsel.astype(np.int64)], 0)
+            for k, i in enumerate(ids):
+                self.qcoeff[0][i] = qc[k].astype(np.int32)
+                yy, xx = int(ys[k]), int(xs[k])
+                self.recon[0][yy:yy + bh, xx:xx + bw] = rec[k]
+            for plane, (qcp, eop, recp) in ((1, (qcu, eou, recu)),
+                                            (2, (qcv, eov, recv))):
+                self.eobs[plane, ids] = eop
+                cxs, cys = xs >> 1, ys >> 1
+                for k, i in enumerate(ids):
+                    self.qcoeff[plane][i] = qcp[k].astype(np.int32)
+                    yy, xx = int(cys[k]), int(cxs[k])
+                    self.recon[plane][yy:yy + ch, xx:xx + cw] = recp[k]
+
+    def _encode_blocks(self, blocks, ids, size, qidx=None,
+                       qvec=None) -> None:
+        """qidx: scalar AQ qindex for the whole batch (host groups);
+        qvec: per-block qindex array (device path — one dispatch covers
+        every AQ group, quantizer params are traced operands)."""
         cfg = self.cfg
         qp, lam = self._qp_for(qidx)
+        lamv = None
+        if qvec is not None:
+            lamv = np.array([self._qp_for(int(q))[1] for q in qvec])
         bw, bh = common.leaf_wh(size)
         xs = blocks[:, 1] * 4
         ys = blocks[:, 0] * 4
@@ -598,7 +720,7 @@ class InterFrameEncoder:
         with span("me_rd"):
             chosen_ref, chosen, pmvs, fsel, bsel = \
                 self._me_rd_pruned(xs, ys, srcs, (bw, bh), tx_size, qp,
-                                   lam, refs_order)
+                                   lam, refs_order, qv=qvec, lamv=lamv)
 
         comp_sel = np.zeros(b, dtype=bool)
         comp_f = np.full(b, LAST_FRAME, dtype=np.int32)
@@ -607,7 +729,7 @@ class InterFrameEncoder:
             with span("compound"):
                 cost, qc, eo, rec, mv0a, mv1a = self._compound_pairs(
                     fsel, bsel, pmvs, xs, ys, srcs, (bw, bh), tx_size,
-                    qp, lam, comp_f, comp_b)
+                    qp, lam, comp_f, comp_b, qv=qvec, lamv=lamv)
             comp_sel = cost < chosen[0]
             chosen[0] = np.where(comp_sel, cost, chosen[0])
             chosen[1] = np.where(comp_sel[:, None], mv0a, chosen[1])
@@ -672,7 +794,7 @@ class InterFrameEncoder:
                 [self.refs[r][2] for r in refs_order],
                 self.src[1], self.src[2], cxs, cys, chosen[1], ridx,
                 (cw, ch), qp, bd=cfg.bit_depth, lam=lam,
-                rdoq=cfg.enable_rdoq)
+                rdoq=cfg.enable_rdoq, qv=qvec, lamv=lamv)
             outs = [o.copy() for o in outs]
             csel = np.nonzero(comp_sel)[0]
             if len(csel):
@@ -690,7 +812,9 @@ class InterFrameEncoder:
                     cxs[csel], cys[csel], chosen[1][csel],
                     self.mvs1[ids][csel], idx0, idx1, (cw, ch), qp,
                     lam, bd=cfg.bit_depth, ss=1,
-                    rdoq=cfg.enable_rdoq)
+                    rdoq=cfg.enable_rdoq,
+                    qv=None if qvec is None else qvec[csel],
+                    lamv=None if lamv is None else lamv[csel])
                 for pi in range(2):
                     outs[3 * pi][csel] = comp[3 * pi]
                     outs[3 * pi + 1][csel] = comp[3 * pi + 1]

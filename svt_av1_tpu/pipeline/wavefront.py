@@ -71,7 +71,7 @@ class WavefrontIntraEncoder:
     # --- batched wave compute (host numpy backend) ----------------------------
     def _wave_compute(self, plane: int, xs, ys, size: int, cands,
                       htr, hbl, forced=None, cfl_luma=None, qp=None,
-                      lam=None):
+                      lam=None, qv=None, lamv=None):
         """All blocks of one wave: mode decision + T/Q/IQ/recon.
         cands: [(mode, angle_delta)] candidate list; htr/hbl: [B]
         above-right / bottom-left availability. ``forced``: (modes [B],
@@ -91,9 +91,11 @@ class WavefrontIntraEncoder:
             bd=cfg.bit_depth, max_w=max_w, max_h=max_h)
         srcs = np.stack([src[y:y + bh, x:x + bw]
                          for x, y in zip(xs, ys)]).astype(np.int64)
+        kw = {}
         if cfg.backend == "device":
             from svt_av1_tpu.ops.device_md import decide_block_batch_dev
             decide = decide_block_batch_dev
+            kw = dict(qv=qv, lamv=lamv)
         else:
             decide = md.decide_block_batch
         best, deltas, qcoeff, eob, recon_blocks, _, alphas, tts = \
@@ -105,7 +107,7 @@ class WavefrontIntraEncoder:
                 cfl_luma=cfl_luma,
                 tx_search=(plane == 0 and cfg.enable_tx_type_search
                            and cfg.base_q_idx > 0),
-                rdoq=cfg.enable_rdoq)
+                rdoq=cfg.enable_rdoq, **kw)
         for i, (x, y) in enumerate(zip(xs, ys)):
             recon[y:y + bh, x:x + bw] = recon_blocks[i]
         return best, deltas, qcoeff, eob, alphas, tts
@@ -338,6 +340,9 @@ class WavefrontIntraEncoder:
             r, c, wh[0] >> 2, wh[1] >> 2, self.mi_rows, vert_ab=vab)
             for (r, c, wh), vab in zip(leaves, vab_all)])
         shape_key = larr[:, 2] * 1000 + larr[:, 3]
+        # device path: per-block qindex is a traced operand, so one
+        # dispatch per (wave, shape) covers every AQ group
+        aq_collapse = cfg.backend == "device" and self.qmap_t is not None
         for wv in range(int(waves.max()) + 1 if n else 0):
             in_wave = np.nonzero(waves == wv)[0]
             for sk in np.unique(shape_key[in_wave]):
@@ -345,6 +350,8 @@ class WavefrontIntraEncoder:
                 bw, bh = int(sk) // 1000, int(sk) % 1000
                 if self.qmap_t is None:
                     qgroups = [(None, sids)]
+                elif aq_collapse:
+                    qgroups = [("vec", sids)]
                 else:
                     qv = self.qmap_t[larr[sids, 0] // 16,
                                      larr[sids, 1] // 16]
@@ -353,14 +360,22 @@ class WavefrontIntraEncoder:
                 for qidx, ids in qgroups:
                     if len(ids) == 0:
                         continue
-                    qp, lam = (None, None) if qidx is None \
-                        else self._qp_for(qidx)
+                    qvec = lamv = None
+                    if qidx == "vec":
+                        qp, lam = None, None
+                        qvec = self.qmap_t[larr[ids, 0] // 16,
+                                           larr[ids, 1] // 16]
+                        lamv = np.array([self._qp_for(int(q))[1]
+                                         for q in qvec])
+                    else:
+                        qp, lam = (None, None) if qidx is None \
+                            else self._qp_for(qidx)
                     xs = larr[ids, 1] * 4
                     ys = larr[ids, 0] * 4
                     htr, hbl = htr_all[ids], hbl_all[ids]
                     best, bdel, qc, eo, _, ytt = self._wave_compute(
                         0, xs, ys, (bw, bh), cands, htr, hbl, qp=qp,
-                        lam=lam)
+                        lam=lam, qv=qvec, lamv=lamv)
                     self.y_mode[ids] = best
                     self.y_delta[ids] = bdel
                     self.eobs[0, ids] = eo
@@ -372,7 +387,8 @@ class WavefrontIntraEncoder:
                             for x, y in zip(xs, ys)])
                     bestc, cdel, qcc, eoc, au, _ = self._wave_compute(
                         1, xs >> 1, ys >> 1, (bw >> 1, bh >> 1), cands,
-                        htr, hbl, cfl_luma=cfl_luma, qp=qp, lam=lam)
+                        htr, hbl, cfl_luma=cfl_luma, qp=qp, lam=lam,
+                        qv=qvec, lamv=lamv)
                     self.uv_mode[ids] = bestc
                     self.uv_delta[ids] = cdel
                     self.alpha_u[ids] = au
@@ -380,7 +396,7 @@ class WavefrontIntraEncoder:
                     _, _, qcv, eov, av, _ = self._wave_compute(
                         2, xs >> 1, ys >> 1, (bw >> 1, bh >> 1), cands,
                         htr, hbl, forced=(bestc, cdel), cfl_luma=cfl_luma,
-                        qp=qp, lam=lam)
+                        qp=qp, lam=lam, qv=qvec, lamv=lamv)
                     self.alpha_v[ids] = av
                     self.eobs[2, ids] = eov
                     for k, i in enumerate(ids):

@@ -195,3 +195,28 @@ def test_backend_inter_streams_byte_identical():
                           hierarchical_levels=2)
     cfg_d = dataclasses.replace(cfg_h, backend="device")
     assert run(cfg_h) == run(cfg_d)
+
+
+def test_backend_aq_streams_byte_identical():
+    """Adaptive quantization on both backends: the device path codes
+    every AQ group in one dispatch with per-block traced qindex vectors
+    (intra wavefront + inter shape groups) and must still match the
+    host's per-group scalar path byte-exactly."""
+    from svt_av1_tpu.pipeline.encoder import encode_ivf
+    rng = np.random.default_rng(11)
+    h, w = 128, 192
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = []
+    for t in range(3):
+        y = np.clip(110 + 60 * np.sin((xx + 3 * t) / 11.0)
+                    + rng.normal(0, 8, (h, w)), 0, 255).astype(np.uint8)
+        y[h // 2:, :w // 2] = 90  # flat region for the variance AQ
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        v = np.full((h // 2, w // 2), 136, np.uint8)
+        frames.append((y, u, v))
+    cfg_h = EncoderConfig(width=w, height=h, qp=40,
+                          adaptive_quantization=1, intra_period=-1)
+    cfg_d = dataclasses.replace(cfg_h, backend="device")
+    ivf_h = encode_ivf(frames, cfg_h)
+    ivf_d = encode_ivf(frames, cfg_d)
+    assert ivf_h == ivf_d
