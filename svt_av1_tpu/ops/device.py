@@ -1027,3 +1027,172 @@ def inter_core_subpel_step(cur, ref_mc_padded, size: int = 16,
     recon = jnp.clip(pred + r, 0, (1 << bd) - 1)
     sse = jnp.sum((srcs - recon) ** 2, axis=(1, 2))
     return mv8, qcoeff, eob, sse
+
+
+# --- full-frame DLF on device ----------------------------------------------------
+# The host pick_levels filters the whole frame at up to 4 candidate
+# levels per plane group (3.9 s/frame at 1080p on this machine); this
+# runs the complete search + apply as ONE jitted program with the
+# candidate levels as traced operands. Dense formulation: every 4px
+# boundary column maps to strided slices plane[:, k::4] (no gathers);
+# writes are provably disjoint across boundaries (filter span is
+# bounded by the minimum tx dim — spec 7.14), so masked strided stores
+# reproduce the host's sequential edge writes exactly.
+
+def _dlf_thresholds_j(level):
+    """thresholds() with a traced level (sharpness 0)."""
+    limit = jnp.maximum(level, 1)
+    return 2 * (level + 2) + limit, limit, level >> 4
+
+
+def _dlf_dir_pass_j(plane, txd_map, start, level, is_luma: bool,
+                    w_eff: int, h_eff: int, bd: int):
+    """One direction pass (vertical edges) over ``plane`` [H, W] int32.
+    txd_map/start: [uh, uw] per-4px-unit tx dim along this direction and
+    block-start flags (host dlf.build_tx_maps). level: traced scalar.
+    Horizontal edges run this on the transposed plane/maps."""
+    H, W = plane.shape
+    uh, uw = txd_map.shape
+    uh = min(uh, h_eff // 4)
+    uw = min(uw, w_eff // 4)
+    blimit, limit, thresh = _dlf_thresholds_j(level)
+
+    # per-unit filter length from the tx dims across each boundary
+    cur = txd_map[:uh, 1:uw]
+    prev = txd_map[:uh, :uw - 1]
+    mn = jnp.minimum(cur, prev)
+    if is_luma:
+        lens = jnp.where(mn <= 4, 4, jnp.where(mn == 8, 8, 14))
+    else:
+        lens = jnp.where(mn <= 4, 4, 6)
+    active = start[:uh, 1:uw] & (level > 0)           # [uh, uw-1]
+
+    # sample lines for every boundary: s[y, c, k] = plane[y, 4(c+1)+k-7]
+    # = padded[y, 4c+4+k] — strided slices of a 7-padded plane, zero
+    # gather ops
+    padded = jnp.pad(plane, ((0, 0), (7, 7)), mode="edge")
+    nb = uw - 1
+    cols = [padded[:uh * 4, 4 + k:4 + k + 4 * nb:4]
+            for k in range(14)]
+    s = jnp.stack(cols, axis=-1).astype(jnp.int32)    # [4uh, nb, 14]
+    n = 4 * uh * nb
+    s = s.reshape(n, 14)
+    mask = jnp.repeat(active, 4, axis=0).reshape(n)
+    lens_r = jnp.repeat(lens, 4, axis=0).reshape(n)
+
+    out = s
+    for L in ((4, 8, 14) if is_luma else (4, 6)):
+        f = dlf_apply_len_batch(s, L, blimit, limit, thresh, bd)
+        out = jnp.where((mask & (lens_r == L))[:, None], f, out)
+
+    # scatter back only genuinely-changed samples (equal-value skips are
+    # no-ops, so `changed` is an exact write mask; disjointness makes
+    # the per-offset stores race-free)
+    out2 = out.reshape(4 * uh, nb, 14)
+    s2 = s.reshape(4 * uh, nb, 14)
+    changed = out2 != s2
+    for k in range(1, 13):
+        cur_slice = padded[:uh * 4, 4 + k:4 + k + 4 * nb:4]
+        newv = jnp.where(changed[:, :, k], out2[:, :, k], cur_slice)
+        padded = padded.at[:uh * 4, 4 + k:4 + k + 4 * nb:4].set(newv)
+    return padded[:, 7:-7]
+
+
+def _dlf_filter_plane_j(plane, maps, level, is_luma: bool, w_eff: int,
+                        h_eff: int, bd: int):
+    """Both direction passes (vertical first, as spec 7.14 orders)."""
+    (txw, txh), sx, sy = maps
+    work = plane.astype(jnp.int32)
+    work = _dlf_dir_pass_j(work, txw, sx, level, is_luma, w_eff, h_eff,
+                           bd)
+    work = _dlf_dir_pass_j(work.T, txh.T, sy.T, level, is_luma, h_eff,
+                           w_eff, bd).T
+    return jnp.clip(work, 0, (1 << bd) - 1)
+
+
+def make_dlf_search_apply(shapes, map_shapes, eff, bd: int):
+    """Traceable whole-frame DLF: pick luma + chroma levels by filtered
+    SSE over 4 traced candidate levels (host pick_levels twin: first-min
+    over an ascending candidate vector reproduces its dedup+sorted scan)
+    and apply the winners. Returns (y, u, v, ly, luv)."""
+    (wy, hy), (wc, hc) = eff
+    pix = jnp.uint8 if bd <= 8 else jnp.uint16
+
+    def program(y, u, v, sy_, su, sv, ytxw, ytxh, ysx, ysy,
+                ctxw, ctxh, csx, csy, cands):
+        ymaps = ((ytxw, ytxh), ysx, ysy)
+        cmaps = ((ctxw, ctxh), csx, csy)
+
+        def sse(a, b, w_e, h_e):
+            d = (a[:h_e, :w_e].astype(jnp.int64)
+                 - b[:h_e, :w_e].astype(jnp.int64))
+            return jnp.sum(d * d)
+
+        sy64 = sy_.astype(jnp.int32)
+        su64 = su.astype(jnp.int32)
+        sv64 = sv.astype(jnp.int32)
+        y32 = y.astype(jnp.int32)
+        u32 = u.astype(jnp.int32)
+        v32 = v.astype(jnp.int32)
+        ysses, csses = [], []
+        for k in range(cands.shape[0]):
+            lvl = cands[k]
+            fy = _dlf_filter_plane_j(y32, ymaps, lvl, True, wy, hy, bd)
+            ysses.append(sse(fy, sy64, wy, hy))
+            fu = _dlf_filter_plane_j(u32, cmaps, lvl, False, wc, hc, bd)
+            fv = _dlf_filter_plane_j(v32, cmaps, lvl, False, wc, hc, bd)
+            csses.append(sse(fu, su64, wc, hc)
+                         + sse(fv, sv64, wc, hc))
+        ly = cands[jnp.argmin(jnp.stack(ysses))]
+        luv = cands[jnp.argmin(jnp.stack(csses))]
+        # spec: chroma filters/codes only when the luma level is nonzero
+        luv = jnp.where(ly > 0, luv, 0)
+        oy = _dlf_filter_plane_j(y32, ymaps, ly, True, wy, hy, bd)
+        ou = _dlf_filter_plane_j(u32, cmaps, luv, False, wc, hc, bd)
+        ov = _dlf_filter_plane_j(v32, cmaps, luv, False, wc, hc, bd)
+        return (oy.astype(pix), ou.astype(pix), ov.astype(pix),
+                ly.astype(jnp.int32), luv.astype(jnp.int32))
+
+    return program
+
+
+@functools.lru_cache(maxsize=16)
+def _build_dlf(shapes, map_shapes, eff, bd: int):
+    return jax.jit(make_dlf_search_apply(shapes, map_shapes, eff, bd))
+
+
+def dlf_search_apply_dev(recon_planes, src_planes, leaf_sizes, mi_rows,
+                         mi_cols, qindex: int, bd: int = 8):
+    """Device DLF level search + apply (host pick_levels +
+    loop_filter_frame twin, one dispatch). Mutates recon_planes in
+    place; returns (y, y, u, v) levels — identical integers to the host
+    pair by construction."""
+    from svt_av1_tpu.ops import dlf
+    from svt_av1_tpu.ops.device_inter import _dput, _pix_dt
+    g = dlf.level_guess(qindex, bd)
+    cl = sorted({0, max(0, g // 2), g, min(63, (3 * g) // 2)})
+    cands = np.asarray((cl + [cl[-1]] * 4)[:4], np.int32)
+    ymaps = dlf.build_tx_maps(leaf_sizes, mi_rows, mi_cols, 0)
+    cmaps = dlf.build_tx_maps(leaf_sizes, mi_rows, mi_cols, 1)
+    shapes = (recon_planes[0].shape, recon_planes[1].shape)
+    map_shapes = (ymaps[0][0].shape, cmaps[0][0].shape)
+    eff = ((mi_cols * 4, mi_rows * 4), (mi_cols * 2, mi_rows * 2))
+    fn = _build_dlf(shapes, map_shapes, eff, bd)
+    pdt = _pix_dt(bd)
+    outs = jax.device_get(fn(
+        recon_planes[0].astype(pdt), recon_planes[1].astype(pdt),
+        recon_planes[2].astype(pdt),
+        _dput(src_planes[0], pdt), _dput(src_planes[1], pdt),
+        _dput(src_planes[2], pdt),
+        ymaps[0][0].astype(np.int8), ymaps[0][1].astype(np.int8),
+        ymaps[1], ymaps[2],
+        cmaps[0][0].astype(np.int8), cmaps[0][1].astype(np.int8),
+        cmaps[1], cmaps[2], cands))
+    oy, ou, ov, ly, luv = outs
+    recon_planes[0][...] = oy.astype(recon_planes[0].dtype)
+    recon_planes[1][...] = ou.astype(recon_planes[1].dtype)
+    recon_planes[2][...] = ov.astype(recon_planes[2].dtype)
+    ly, luv = int(ly), int(luv)
+    if ly == 0:
+        return (0, 0, 0, 0)
+    return (ly, ly, luv, luv)

@@ -229,13 +229,20 @@ class InterFrameEncoder:
         if cfg.enable_dlf:
             from svt_av1_tpu.ops import dlf
             with span("dlf"):
-                lf_levels = dlf.pick_levels(self.recon, self.src,
-                                            self.leaf_sizes, self.mi_rows,
-                                            self.mi_cols, cfg.base_q_idx,
-                                            cfg.bit_depth)
-                dlf.loop_filter_frame(self.recon, self.leaf_sizes,
-                                      self.mi_rows, self.mi_cols, lf_levels,
-                                      bd=cfg.bit_depth)
+                if cfg.backend == "device":
+                    from svt_av1_tpu.ops import device as dev_ops
+                    lf_levels = dev_ops.dlf_search_apply_dev(
+                        self.recon, self.src, self.leaf_sizes,
+                        self.mi_rows, self.mi_cols, cfg.base_q_idx,
+                        cfg.bit_depth)
+                else:
+                    lf_levels = dlf.pick_levels(
+                        self.recon, self.src, self.leaf_sizes,
+                        self.mi_rows, self.mi_cols, cfg.base_q_idx,
+                        cfg.bit_depth)
+                    dlf.loop_filter_frame(self.recon, self.leaf_sizes,
+                                          self.mi_rows, self.mi_cols,
+                                          lf_levels, bd=cfg.bit_depth)
         self.lr_rinfos = None
         lr_bounds = None
         if cfg.enable_restoration:

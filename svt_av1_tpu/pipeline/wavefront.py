@@ -414,13 +414,20 @@ class WavefrontIntraEncoder:
         if cfg.enable_dlf:
             from svt_av1_tpu.ops import dlf
             with span("dlf"):
-                lf_levels = dlf.pick_levels(frame_recon, frame_src,
-                                            frame_leaves, self.mi_rows,
-                                            self.mi_cols, cfg.base_q_idx,
-                                            cfg.bit_depth)
-                dlf.loop_filter_frame(frame_recon, frame_leaves,
-                                      self.mi_rows, self.mi_cols,
-                                      lf_levels, bd=cfg.bit_depth)
+                if cfg.backend == "device":
+                    from svt_av1_tpu.ops import device as dev_ops
+                    lf_levels = dev_ops.dlf_search_apply_dev(
+                        frame_recon, frame_src, frame_leaves,
+                        self.mi_rows, self.mi_cols, cfg.base_q_idx,
+                        cfg.bit_depth)
+                else:
+                    lf_levels = dlf.pick_levels(
+                        frame_recon, frame_src, frame_leaves,
+                        self.mi_rows, self.mi_cols, cfg.base_q_idx,
+                        cfg.bit_depth)
+                    dlf.loop_filter_frame(frame_recon, frame_leaves,
+                                          self.mi_rows, self.mi_cols,
+                                          lf_levels, bd=cfg.bit_depth)
         lr_bounds = None
         if cfg.enable_restoration:
             from svt_av1_tpu.ops import restoration as rst_ops
