@@ -34,6 +34,15 @@ _SKIP_CONTEXTS = np.array([[1, 2, 2, 2, 3],
 
 PARTITION_PLOFFSET = 4
 
+# python-int twins of the size tables: the per-txb context math runs
+# hundreds of thousands of times per frame on <=16-element slices, where
+# numpy scalar/ufunc overhead dominates — plain ints are ~10x faster
+_TXW = tuple(int(v) for v in TX_WIDTH)
+_TXH = tuple(int(v) for v in TX_HEIGHT)
+_BW = tuple(int(v) for v in BLOCK_WIDTH)
+_BH = tuple(int(v) for v in BLOCK_HEIGHT)
+_SKIP_CTX = tuple(tuple(int(v) for v in row) for row in _SKIP_CONTEXTS)
+
 
 def _part_ctx_value(size_px: int) -> int:
     """partition_context_lookup (reference EbDefinitions.h:1233): bit k set
@@ -50,10 +59,11 @@ class TileContexts:
         self.mi_rows = mi_rows
         ss_x, ss_y = subsampling
         self.ss = [(0, 0), (ss_x, ss_y), (ss_x, ss_y)][:num_planes]
-        # entropy-context bytes per plane (cul_level | dc-sign<<6)
-        self.ectx_above = [np.zeros((mi_cols + 1) >> sx, dtype=np.int32)
+        # entropy-context bytes per plane (cul_level | dc-sign<<6) —
+        # python lists: the slices read/written per txb are tiny
+        self.ectx_above = [[0] * ((mi_cols + 1) >> sx)
                            for sx, _ in self.ss]
-        self.ectx_left = [np.zeros((mi_rows + 1) >> sy, dtype=np.int32)
+        self.ectx_left = [[0] * ((mi_rows + 1) >> sy)
                           for _, sy in self.ss]
         # partition contexts (one byte per mi col / mi row)
         self.part_above = np.zeros(mi_cols, dtype=np.int32)
@@ -69,44 +79,60 @@ class TileContexts:
 
         Mirrors GetTxbCtx (EbEntropyCoding.c:327): dc_sign from the sign
         bits of neighbor context bytes; skip ctx from cul_level bytes.
-        """
-        tw = int(TX_WIDTH[tx_size]) >> 2
-        th = int(TX_HEIGHT[tx_size]) >> 2
+        Pure-int hot path (called once per txb)."""
+        tw = _TXW[tx_size] >> 2
+        th = _TXH[tx_size] >> 2
         above = self.ectx_above[plane][x4:x4 + tw] if y4 != 0 else None
         left = self.ectx_left[plane][y4:y4 + th] if x4 != 0 else None
 
         dc_sign = 0
         for arr in (above, left):
             if arr is not None:
-                signs = arr >> COEFF_CONTEXT_BITS
-                dc_sign += int(np.sum(signs == 2)) - int(np.sum(signs == 1))
+                for v in arr:
+                    s = v >> COEFF_CONTEXT_BITS
+                    if s == 2:
+                        dc_sign += 1
+                    elif s == 1:
+                        dc_sign -= 1
         dc_sign_ctx = 2 if dc_sign > 0 else (1 if dc_sign < 0 else 0)
 
         if plane == 0:
-            if (int(BLOCK_WIDTH[plane_bsize]) == int(TX_WIDTH[tx_size]) and
-                    int(BLOCK_HEIGHT[plane_bsize]) == int(TX_HEIGHT[tx_size])):
+            if (_BW[plane_bsize] == _TXW[tx_size]
+                    and _BH[plane_bsize] == _TXH[tx_size]):
                 return 0, dc_sign_ctx
-            top = int(np.bitwise_or.reduce(above)) & COEFF_CONTEXT_MASK \
-                if above is not None else 0
-            lft = int(np.bitwise_or.reduce(left)) & COEFF_CONTEXT_MASK \
-                if left is not None else 0
+            top = 0
+            if above is not None:
+                for v in above:
+                    top |= v
+                top &= COEFF_CONTEXT_MASK
+            lft = 0
+            if left is not None:
+                for v in left:
+                    lft |= v
+                lft &= COEFF_CONTEXT_MASK
             mx = min(top | lft, 4)
-            mn = min(min(top, lft), 4)
-            return int(_SKIP_CONTEXTS[mn][mx]), dc_sign_ctx
+            mn = min(top, lft)
+            if mn > 4:
+                mn = 4
+            return _SKIP_CTX[mn][mx], dc_sign_ctx
         # chroma: 7/10 offset + (above any nonzero) + (left any nonzero)
-        ctx_base = int(above is not None and np.any(above != 0)) + \
-            int(left is not None and np.any(left != 0))
-        tx_pels = int(TX_WIDTH[tx_size]) * int(TX_HEIGHT[tx_size])
-        blk_pels = int(BLOCK_WIDTH[plane_bsize]) * int(BLOCK_HEIGHT[plane_bsize])
+        ctx_base = int(above is not None and any(above)) \
+            + int(left is not None and any(left))
+        tx_pels = _TXW[tx_size] * _TXH[tx_size]
+        blk_pels = _BW[plane_bsize] * _BH[plane_bsize]
         ctx_offset = 10 if blk_pels > tx_pels else 7
         return ctx_base + ctx_offset, dc_sign_ctx
 
     def update_txb_ctx(self, plane: int, x4: int, y4: int, tx_size: int,
                        cul_level: int) -> None:
-        tw = int(TX_WIDTH[tx_size]) >> 2
-        th = int(TX_HEIGHT[tx_size]) >> 2
-        self.ectx_above[plane][x4:x4 + tw] = cul_level
-        self.ectx_left[plane][y4:y4 + th] = cul_level
+        cul = int(cul_level)
+        ea = self.ectx_above[plane]
+        el = self.ectx_left[plane]
+        # clamp like the numpy slice-assign did (lists would extend)
+        ew = min(x4 + (_TXW[tx_size] >> 2), len(ea))
+        eh = min(y4 + (_TXH[tx_size] >> 2), len(el))
+        ea[x4:ew] = [cul] * (ew - x4)
+        el[y4:eh] = [cul] * (eh - y4)
 
     # --- partition contexts -----------------------------------------------------
     def partition_ctx(self, mi_row: int, mi_col: int, bsize: int) -> int:

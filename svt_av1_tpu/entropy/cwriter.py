@@ -14,15 +14,16 @@ import functools
 import numpy as np
 
 from svt_av1_tpu import native
-from svt_av1_tpu.native import c_i16p, c_i32p, c_u8p
+from svt_av1_tpu.native import c_u8p
 from svt_av1_tpu.entropy import coeff_ctx as cc
 from svt_av1_tpu.utils.blocks import (TX_32X32, TX_TYPE_CLASS, TX_CLASS_2D,
                                       get_scan)
 
 
 def _p32(arr: np.ndarray):
-    assert arr.dtype == np.int32 and arr.flags.c_contiguous
-    return arr.ctypes.data_as(c_i32p)
+    """Raw address of a contiguous int32 array (hot path: the ctypes
+    data_as/cast pair costs ~1.5 us/call; .ctypes.data is ~0.2 us)."""
+    return arr.ctypes.data
 
 
 @functools.lru_cache(maxsize=None)
@@ -94,8 +95,8 @@ class NativeSymbolWriter:
         q = np.ascontiguousarray(qcoeff, dtype=np.int32)
         return int(self._lib.svt_write_coeffs_txb(
             self._h, self._update, _p32(q), cw, ch,
-            _scan16(tx_size, tx_type).ctypes.data_as(c_i16p), tx_class,
-            _off2d(cw, ch).ctypes.data_as(c_u8p),
+            _scan16(tx_size, tx_type).ctypes.data, tx_class,
+            _off2d(cw, ch).ctypes.data,
             _p32(fc.txb_skip[tsc][txb_skip_ctx]),
             _p32(eob_cdf[plane_type][emc]), 5 + ems,
             _p32(fc.eob_extra[tsc][plane_type]),

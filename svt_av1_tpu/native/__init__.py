@@ -51,8 +51,12 @@ def lib() -> ctypes.CDLL:
     L.svt_ec_free.argtypes = [ctypes.c_void_p]
     L.svt_ec_tell_bits.restype = ctypes.c_int
     L.svt_ec_tell_bits.argtypes = [ctypes.c_void_p]
-    L.svt_ec_symbol.argtypes = [ctypes.c_void_p, ctypes.c_int, c_i32p,
-                                ctypes.c_int, ctypes.c_int]
+    # hot entry points take raw address ints (arr.ctypes.data): the
+    # data_as/cast pair costs ~1.5 us per call and the syntax pass makes
+    # hundreds of thousands of them per frame
+    L.svt_ec_symbol.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                ctypes.c_void_p, ctypes.c_int,
+                                ctypes.c_int]
     L.svt_ec_bool.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     L.svt_ec_literal.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     L.svt_ec_done.restype = ctypes.c_int
@@ -63,13 +67,14 @@ def lib() -> ctypes.CDLL:
                                 c_i64p, c_i8p, ctypes.c_int, ctypes.c_int]
     L.svt_ec_done.argtypes = [ctypes.c_void_p, c_u8p, ctypes.c_int]
     L.svt_write_coeffs_txb.restype = ctypes.c_int32
+    vp = ctypes.c_void_p
     L.svt_write_coeffs_txb.argtypes = [
-        ctypes.c_void_p, ctypes.c_int, c_i32p, ctypes.c_int, ctypes.c_int,
-        c_i16p, ctypes.c_int, c_u8p,
-        c_i32p,                       # txb_skip row
-        c_i32p, ctypes.c_int,         # eob_pt row, nsyms
-        c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
-        c_i32p, ctypes.c_int, ctypes.c_int,
+        vp, ctypes.c_int, vp, ctypes.c_int, ctypes.c_int,
+        vp, ctypes.c_int, vp,
+        vp,                           # txb_skip row
+        vp, ctypes.c_int,             # eob_pt row, nsyms
+        vp, vp, vp, vp, vp,
+        vp, ctypes.c_int, ctypes.c_int,
     ]
     L.svt_quantize_b.restype = ctypes.c_int
     L.svt_quantize_b.argtypes = [

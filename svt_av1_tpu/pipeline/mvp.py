@@ -74,6 +74,35 @@ class MvpState:
         self.rel_dist = None
         self.sign_bias = [0] * 8
 
+    def tpl_proj(self, ref: int):
+        """(valid [gh, gw] bool, mv [gh, gw, 2] int32): the projected +
+        precision-lowered TPL MV grid for ``ref``, cached per frame.
+        The normative mv_projection runs over the whole field in one
+        vectorized pass instead of once per scanned sample (the scan is
+        on the per-block syntax hot path)."""
+        from svt_av1_tpu.pipeline import tmvp
+        cache = getattr(self, "_tpl_proj", None)
+        if cache is None:
+            cache = self._tpl_proj = {}
+        e = cache.get(ref)
+        if e is None:
+            t = self.tpl
+            dist = t[..., 2].astype(np.int64)
+            valid = dist > 0
+            den = np.minimum(np.maximum(dist, 1),
+                             tmvp.MAX_FRAME_DISTANCE)
+            num = self.rel_dist[ref]
+            num = min(num, tmvp.MAX_FRAME_DISTANCE) if num > 0 \
+                else max(num, -tmvp.MAX_FRAME_DISTANCE)
+            s = t[..., :2].astype(np.int64) * num \
+                * tmvp.DIV_MULT[den][..., None]
+            r = np.where(s >= 0, (s + 8192) >> 14, -((-s + 8192) >> 14))
+            r = np.clip(r, -(1 << 15) + 1, (1 << 15) - 1)
+            r = np.where(r & 1, r - np.sign(r), r)  # lower_precision
+            e = (valid, r.astype(np.int32))
+            cache[ref] = e
+        return e
+
     def set_block(self, mi_row: int, mi_col: int, s4: int, ref: int,
                   mv, mode: int, ref1: int = NONE_FRAME,
                   mv1=(0, 0), h4: int = None) -> None:
@@ -331,15 +360,13 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
     # bit when the co-located projection is absent or far from gm)
     tpl_zeromv_bit = [False]
     if state.tpl is not None:
+        tpl_valid, tpl_mv = state.tpl_proj(ref_frame)
 
         def scan_tpl(br, bc, center):
-            e = state.tpl[(mi_row + br) >> 1, (mi_col + bc) >> 1]
-            if e[2] <= 0:
+            gr, gc = (mi_row + br) >> 1, (mi_col + bc) >> 1
+            if not tpl_valid[gr, gc]:
                 return False
-            from svt_av1_tpu.pipeline import tmvp
-            mv = tmvp.lower_precision(tmvp.mv_projection(
-                (int(e[0]), int(e[1])), state.rel_dist[ref_frame],
-                int(e[2])))
+            mv = (int(tpl_mv[gr, gc, 0]), int(tpl_mv[gr, gc, 1]))
             if center and (abs(mv[0] - gm_mv[0]) >= 16
                            or abs(mv[1] - gm_mv[1]) >= 16):
                 tpl_zeromv_bit[0] = True
@@ -566,17 +593,15 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
     # co-located entry (spec add_tpl_ref_mv compound arm)
     tpl_zeromv_bit = [False]
     if state.tpl is not None:
+        v0, p0 = state.tpl_proj(rf0)
+        v1, p1 = state.tpl_proj(rf1)
 
         def scan_tpl(br, bc, center):
-            e = state.tpl[(mi_row + br) >> 1, (mi_col + bc) >> 1]
-            if e[2] <= 0:
+            gr, gc = (mi_row + br) >> 1, (mi_col + bc) >> 1
+            if not v0[gr, gc]:
                 return False
-            from svt_av1_tpu.pipeline import tmvp
-            fwd = (int(e[0]), int(e[1]))
-            mv0 = tmvp.lower_precision(tmvp.mv_projection(
-                fwd, state.rel_dist[rf0], int(e[2])))
-            mv1 = tmvp.lower_precision(tmvp.mv_projection(
-                fwd, state.rel_dist[rf1], int(e[2])))
+            mv0 = (int(p0[gr, gc, 0]), int(p0[gr, gc, 1]))
+            mv1 = (int(p1[gr, gc, 0]), int(p1[gr, gc, 1]))
             if center and (abs(mv0[0] - gm[0][0]) >= 16
                            or abs(mv0[1] - gm[0][1]) >= 16
                            or abs(mv1[0] - gm[1][0]) >= 16
