@@ -973,6 +973,66 @@ def shape_group_issue(ref_pyrs_list, refs_u, refs_v, src_pyr, src_u,
     return fn(*args), b
 
 
+@functools.lru_cache(maxsize=64)
+def _build_flip_decision(size, modes: tuple, bd: int,
+                         rdoq: bool = False):
+    """Intra-flip DECISION pass fully on device: sources are gathered
+    from the (cached) device source plane and the candidate intra
+    predictions are formed by the device predictors — the former path
+    uploaded [M, B, bh, bw] host predictions per call (~12 MB per shape
+    at 1080p through a ~30 MB/s tunnel). Returns per-mode (dist, rate),
+    integer-identical to the host predict_any + _full_loop pair."""
+    from svt_av1_tpu.ops.device_md import predict_any_j
+    bw, bh = common.leaf_wh(size)
+    tx_size = common.tx_size_for_rect(bw, bh, 0)
+
+    def fn(src_full, xs, ys, above1, left1, ha, hl, qv, lamqv):
+        xs = xs.astype(jnp.int64)
+        ys = ys.astype(jnp.int64)
+        a1 = above1.astype(jnp.int32)
+        l1 = left1.astype(jnp.int32)
+        rlq = lamqv if rdoq else None
+        srcs, _, _ = _gather_curs(src_full.astype(jnp.int32), xs, ys,
+                                  bw, bh)
+        srcs = srcs.astype(jnp.int64)
+        b = xs.shape[0]
+        outs = []
+        for m in modes:
+            pred = predict_any_j(int(m), 0, a1, l1, bw, bh, ha, hl,
+                                 bd).astype(jnp.int64)
+            _, _, _, dist, rate = _full_loop_j(
+                srcs, pred, jnp.zeros(b, dtype=jnp.int32), (0,),
+                tx_size, size, qv, bd, 0, rdoq_lam_qv=rlq)
+            outs += [dist, rate.astype(jnp.int32)]
+        return tuple(outs)
+
+    return jax.jit(fn)
+
+
+def flip_decision_issue(src_full, xs, ys, above1, left1, ha, hl, modes,
+                        size, qp, lam, bd=8, rdoq=False, qv=None,
+                        lamv=None):
+    """Dispatch (no fetch) the on-device flip decision for one shape
+    group; returns (device_outs, b). Gather with jax.device_get, then
+    reshape pairs: outs[2i], outs[2i+1] = (dist, rate) of modes[i]."""
+    from svt_av1_tpu.ops.device_md import quant_vectors
+    b = len(xs)
+    nb = _bucket(b)
+    fn = _build_flip_decision(
+        size if isinstance(size, int) else tuple(size), tuple(modes),
+        bd, rdoq=rdoq)
+    qvec, lamqv = quant_vectors(qp, lam, b, qv, lamv)
+    pdt = _pix_dt(bd)
+    outs = fn(_dput(src_full, pdt),
+              _pad(np.asarray(xs, np.int64), nb, b),
+              _pad(np.asarray(ys, np.int64), nb, b),
+              _pad(np.ascontiguousarray(above1, dtype=np.int16), nb, b),
+              _pad(np.ascontiguousarray(left1, dtype=np.int16), nb, b),
+              _pad(np.asarray(ha), nb, b), _pad(np.asarray(hl), nb, b),
+              _pad(qvec, nb, b), _pad(lamqv, nb, b))
+    return outs, b
+
+
 @functools.lru_cache(maxsize=256)
 def _build_flip_rd(size, n_modes: int, bd: int, rdoq: bool = False):
     """Full-loop dist+rate for M intra candidate predictions per block

@@ -289,7 +289,9 @@ def analyze_tile_fused(enc, cands) -> bool:
         return False
     key, args = meta
     prog = _build_tile_program(*key)
-    ry, ru, rv, out = prog(*args)
+    # one batched fetch: per-array np.asarray costs a ~28 ms tunnel
+    # round trip each
+    ry, ru, rv, out = jax.device_get(prog(*args))
     inject_results(enc, key[7], ry, ru, rv, out)
     return True
 
@@ -568,7 +570,7 @@ def analyze_tile_fused_mixed(enc, cands) -> bool:
         return False
     key, args, cls_ids = meta
     prog = _build_mixed_program(*key)
-    res = prog(*args)
+    res = jax.device_get(prog(*args))
     ry, ru, rv = res[0], res[1], res[2]
     cfg = enc.cfg
     pix = np.uint16 if cfg.bit_depth > 8 else np.uint8
@@ -595,4 +597,319 @@ def analyze_tile_fused_mixed(enc, cands) -> bool:
             enc.qcoeff[0][i] = qc_y[li]
             enc.qcoeff[1][i] = qc_u[li]
             enc.qcoeff[2][i] = qc_v[li]
+    return True
+
+
+# --- fused intra-flip APPLY (inter frames) ---------------------------------------
+# The exact re-code of accepted intra flips is wavefront-sequential
+# (each flip's prediction edges may read earlier flips' recon). The
+# former host path re-coded every (wave x shape x qindex x mode) group
+# with host NumPy full loops — ~500 tiny dispatch groups and ~2.5 s per
+# 1080p frame. This runs the whole pass as ONE device program: a
+# lax.fori_loop over dependency waves carrying the frame recon, with
+# per-lane forced modes and traced per-lane quantizers. Integer math is
+# identical to inter._flip_apply_wave by construction.
+
+def _flip_stage(shape: tuple, cands: tuple, bd: int, max_wh: tuple,
+                rdoq: bool = False):
+    from svt_av1_tpu.ops import device as dev
+    from svt_av1_tpu.ops.device_md import (_full_loop_j, _rdcost_j,
+                                           cfl_fit_alpha_j,
+                                           cfl_predict_j, luma_ac_420_j,
+                                           predict_any_j)
+    from svt_av1_tpu.pipeline import md as md_mod
+    bw, bh = shape
+    cw_, ch_ = bw >> 1, bh >> 1
+    cfl_ok = bw <= 32 and bh <= 32
+    (mwy, mhy), (mwc, mhc) = max_wh
+    tx_y = common.tx_size_for_rect(bw, bh, 0)
+    tx_uv = common.tx_size_for_rect(cw_, ch_, 1)
+    cwy, chy = common.coded_dims(tx_y)
+    cwc, chc = common.coded_dims(tx_uv)
+    modes = tuple(int(m) for m, _ in cands)
+    tt_lut = np.zeros(16, np.int32)
+    for m in modes:
+        tt_lut[m] = common.chroma_tx_type(m, tx_uv, False)
+    tt_set = tuple(sorted({int(tt_lut[m]) for m in modes}))
+
+    def out_zeros(n_cls: int):
+        n1 = n_cls + 1
+        return dict(
+            qc_y=jnp.zeros((n1, chy, cwy), jnp.int32),
+            qc_u=jnp.zeros((n1, chc, cwc), jnp.int32),
+            qc_v=jnp.zeros((n1, chc, cwc), jnp.int32),
+            eob_y=jnp.zeros(n1, jnp.int64),
+            eob_u=jnp.zeros(n1, jnp.int64),
+            eob_v=jnp.zeros(n1, jnp.int64),
+            use_cfl=jnp.zeros(n1, bool),
+            alpha_u=jnp.zeros(n1, jnp.int64),
+            alpha_v=jnp.zeros(n1, jnp.int64),
+        )
+
+    def step(recon_y, recon_u, recon_v, out, src_y, src_u, src_v, xs,
+             ys, valid, htr, hbl, fm, idx, n_cls, qv, lamqv):
+        b = xs.shape[0]
+        idx = jnp.where(valid, idx, n_cls)
+        ha, hl = ys > 0, xs > 0
+        rlq = lamqv if rdoq else None
+        zeros_tt = jnp.zeros(b, dtype=jnp.int32)
+        # --- luma (forced mode per lane) ---
+        a1, l1 = _edges_j(recon_y, xs, ys, bw, bh, ha, hl, htr, hbl,
+                          bd, mwy, mhy)
+        srcs = _gather(src_y, xs, ys, bw, bh).astype(jnp.int64)
+        pred = jnp.zeros((b, bh, bw), dtype=jnp.int64)
+        for m in modes:
+            p = predict_any_j(m, 0, a1, l1, bw, bh, ha, hl, bd)
+            pred = jnp.where((fm == m)[:, None, None],
+                             p.astype(jnp.int64), pred)
+        qcy, eoy, recy, _, _ = _full_loop_j(
+            srcs, pred, zeros_tt, (0,), tx_y, (bw, bh), qv, bd, 0,
+            rdoq_lam_qv=rlq)
+        recon_y = _scatter(recon_y, xs, ys, recy, valid, bw, bh)
+        # --- chroma: per-lane {luma mode, CfL} joint pick ---
+        cxs, cys = xs >> 1, ys >> 1
+        ac = None
+        if cfl_ok:
+            luma = _gather(recon_y, xs, ys, bw, bh).astype(jnp.int64)
+            ac = luma_ac_420_j(luma)
+        res = {}
+        for plane, (rc, sp) in ((1, (recon_u, src_u)),
+                                (2, (recon_v, src_v))):
+            a1c, l1c = _edges_j(rc, cxs, cys, cw_, ch_, ha, hl, htr,
+                                hbl, bd, mwc, mhc)
+            srcs_c = _gather(sp, cxs, cys, cw_, ch_).astype(jnp.int64)
+            predc = jnp.zeros((b, ch_, cw_), dtype=jnp.int64)
+            for m in modes:
+                p = predict_any_j(m, 0, a1c, l1c, cw_, ch_, ha, hl, bd)
+                predc = jnp.where((fm == m)[:, None, None],
+                                  p.astype(jnp.int64), predc)
+            tts = jnp.asarray(tt_lut)[fm.astype(jnp.int32)]
+            qcp, eop, recp, dist, rate = _full_loop_j(
+                srcs_c, predc, tts, tt_set, tx_uv, (cw_, ch_), qv, bd,
+                1, rdoq_lam_qv=rlq)
+            cost_m = _rdcost_j(dist, lamqv, rate)
+            if cfl_ok:
+                dc = dev.predict_modes((0,), a1c[:, 1:], l1c[:, 1:],
+                                       a1c[:, 0], ha, hl, cw_, ch_,
+                                       bd)[0]
+                alpha = cfl_fit_alpha_j(ac, srcs_c, dc)
+                cpred = cfl_predict_j(dc, ac, alpha,
+                                      bd).astype(jnp.int64)
+                qc2, eo2, rec2, dist2, rate2 = _full_loop_j(
+                    srcs_c, cpred, zeros_tt, (0,), tx_uv, (cw_, ch_),
+                    qv, bd, 1, rdoq_lam_qv=rlq)
+                cost_c = _rdcost_j(
+                    dist2, lamqv, rate2 + (4 << md_mod.RATE_Q))
+            else:
+                qc2 = eo2 = rec2 = cost_c = alpha = None
+            res[plane] = (qcp, eop, recp, cost_m, qc2, eo2, rec2,
+                          cost_c, alpha)
+        if cfl_ok:
+            use = (res[1][7] + res[2][7] < res[1][3] + res[2][3]) \
+                & ~((res[1][8] == 0) & (res[2][8] == 0))
+        else:
+            use = jnp.zeros(b, dtype=bool)
+        out = dict(out)
+        for plane, (rc, qk, ek, ak) in ((1, ("u", "qc_u", "eob_u",
+                                             "alpha_u")),
+                                        (2, ("v", "qc_v", "eob_v",
+                                             "alpha_v"))):
+            qcp, eop, recp, _, qc2, eo2, rec2, _, alpha = res[plane]
+            if cfl_ok:
+                qsel = jnp.where(use[:, None, None], qc2, qcp)
+                esel = jnp.where(use, eo2, eop)
+                rsel = jnp.where(use[:, None, None], rec2, recp)
+                asel = jnp.where(use, alpha, 0)
+            else:
+                qsel, esel, rsel = qcp, eop, recp
+                asel = jnp.zeros(b, dtype=jnp.int64)
+            target = recon_u if plane == 1 else recon_v
+            target = _scatter(target, cxs, cys, rsel, valid, cw_, ch_)
+            if plane == 1:
+                recon_u = target
+            else:
+                recon_v = target
+            out[qk] = out[qk].at[idx].set(qsel.astype(jnp.int32),
+                                          mode="drop")
+            out[ek] = out[ek].at[idx].set(esel, mode="drop")
+            out[ak] = out[ak].at[idx].set(asel, mode="drop")
+        out["qc_y"] = out["qc_y"].at[idx].set(qcy.astype(jnp.int32),
+                                              mode="drop")
+        out["eob_y"] = out["eob_y"].at[idx].set(eoy, mode="drop")
+        out["use_cfl"] = out["use_cfl"].at[idx].set(use, mode="drop")
+        return recon_y, recon_u, recon_v, out
+
+    return step, out_zeros
+
+
+def make_flip_body(class_spec: tuple, n_waves: int, cands: tuple,
+                   bd: int, shapes: tuple, max_wh: tuple,
+                   rdoq: bool = False):
+    """class_spec: (((bw, bh), wq, n_cls), ...). The program takes the
+    CURRENT inter recon planes (this pass repairs poorly-predicted
+    blocks in place) and per-class per-wave lane arrays."""
+    (Hy, Wy), (Hc, Wc) = shapes
+    stages = [(sh, wq, n_cls)
+              + _flip_stage(sh, cands, bd, max_wh, rdoq=rdoq)
+              for (sh, wq, n_cls) in class_spec]
+    pix = jnp.uint8 if bd <= 8 else jnp.uint16
+
+    def program(ry, ru, rv, src_y, src_u, src_v, nw_dyn, *arrs):
+        recon_y = ry.astype(jnp.int32)
+        recon_u = ru.astype(jnp.int32)
+        recon_v = rv.astype(jnp.int32)
+        outs = tuple(oz(n_cls) for (_, _, n_cls, _, oz) in stages)
+
+        def body(w, carry):
+            recon_y, recon_u, recon_v, outs = carry
+            outs = list(outs)
+            for ci, (sh, wq, n_cls, step, _) in enumerate(stages):
+                a = arrs[9 * ci:9 * ci + 9]
+                recon_y, recon_u, recon_v, outs[ci] = step(
+                    recon_y, recon_u, recon_v, outs[ci], src_y, src_u,
+                    src_v, a[0][w], a[1][w], a[2][w], a[3][w], a[4][w],
+                    a[5][w], a[6][w], n_cls, a[7][w], a[8][w])
+            return recon_y, recon_u, recon_v, tuple(outs)
+
+        recon_y, recon_u, recon_v, outs = lax.fori_loop(
+            0, jnp.minimum(nw_dyn, n_waves), body,
+            (recon_y, recon_u, recon_v, outs))
+        narrow = []
+        for o in outs:
+            o = dict(o)
+            for k in ("qc_y", "qc_u", "qc_v"):
+                o[k] = o[k].astype(jnp.int16)
+            for k in ("eob_y", "eob_u", "eob_v"):
+                o[k] = o[k].astype(jnp.int16)
+            for k in ("alpha_u", "alpha_v"):
+                o[k] = o[k].astype(jnp.int8)
+            narrow.append(o)
+        return (recon_y.astype(pix), recon_u.astype(pix),
+                recon_v.astype(pix)) + tuple(narrow)
+
+    return program
+
+
+@functools.lru_cache(maxsize=32)
+def _build_flip_program(*key):
+    return jax.jit(make_flip_body(*key))
+
+
+_WAVE_BUCKETS = (4, 8, 16, 32, 64, 128, 512)
+
+
+def _wbucket(n: int, ladder=_WAVE_BUCKETS) -> int:
+    for v in ladder:
+        if n <= v:
+            return v
+    return n
+
+
+def flip_apply_fused(enc, waves) -> bool:
+    """Run the whole intra-flip apply pass (inter.InterFrameEncoder.
+    _flip_apply_wave over every wave) as ONE device program; returns
+    False to request the host fallback. ``waves``: output of
+    enc._flip_waves — lists of (r, c, size, li, mode) in coding order."""
+    from svt_av1_tpu.ops.device_inter import _dput, _pix_dt
+    from svt_av1_tpu.pipeline import avail, md
+    cfg = enc.cfg
+    if not waves:
+        return True
+    qcache = {}
+
+    def lane_q(r, c):
+        qidx = None if enc.qmap is None \
+            else int(enc.qmap[r // 16, c // 16])
+        ent = qcache.get(qidx)
+        if ent is None:
+            qp, lam = enc._qp_for(qidx)
+            ent = (int(qp.qindex), md.lam_to_q(lam))
+            qcache[qidx] = ent
+        return ent
+
+    # group by shape class; remember each flip's (wave, lane) placement
+    classes = {}
+    for w, wave in enumerate(waves):
+        for (r, c, size, li, m) in wave:
+            qi, lamq = lane_q(r, c)
+            if cfg.enable_rdoq and qi == 0:
+                return False       # host path gates RDOQ per qindex
+            classes.setdefault(common.leaf_wh(size), []) \
+                .append((w, r, c, li, m, qi, lamq))
+    rdoq = bool(cfg.enable_rdoq)
+    nwb = _wbucket(len(waves))
+    cands = tuple((int(m), 0) for m in cfg.intra_modes) or ((0, 0),)
+    shapes = (tuple(enc.recon[0].shape), tuple(enc.recon[1].shape))
+    max_wh = ((enc.mi_cols * 4, enc.mi_rows * 4),
+              (enc.mi_cols * 2, enc.mi_rows * 2))
+    class_spec = []
+    arrs = []
+    order = sorted(classes)
+    for sh in order:
+        entries = classes[sh]
+        occ = np.zeros(len(waves), np.int64)
+        for (w, *_rest) in entries:
+            occ[w] += 1
+        wq = _wbucket(int(occ.max()), (8, 32, 128, 512, 2048))
+        n_cls = _wbucket(len(entries), (8, 32, 128, 512, 2048, 8192))
+        class_spec.append((sh, wq, n_cls))
+        xs = np.zeros((nwb, wq), np.int32)
+        ys = np.zeros((nwb, wq), np.int32)
+        valid = np.zeros((nwb, wq), bool)
+        htr = np.zeros((nwb, wq), bool)
+        hbl = np.zeros((nwb, wq), bool)
+        fm = np.zeros((nwb, wq), np.int32)
+        idx = np.full((nwb, wq), n_cls, np.int32)
+        qv = np.ones((nwb, wq), np.int32)
+        lamqv = np.ones((nwb, wq), np.int64)
+        slot = np.zeros(len(waves), np.int64)
+        w4, h4 = sh[0] >> 2, sh[1] >> 2
+        by_wave = {}
+        for j, (w, r, c, li, m, qi, lamq) in enumerate(entries):
+            k = int(slot[w])
+            slot[w] += 1
+            xs[w, k], ys[w, k] = c * 4, r * 4
+            valid[w, k] = True
+            fm[w, k] = m
+            idx[w, k] = j
+            qv[w, k] = qi
+            lamqv[w, k] = lamq
+            by_wave.setdefault(w, []).append((k, r, c))
+        for w, lanes in by_wave.items():
+            rs = np.array([r for _, r, _ in lanes])
+            cs = np.array([c for _, _, c in lanes])
+            kk = np.array([k for k, _, _ in lanes])
+            vab = avail.leaf_vert_ab_flags(enc.leaf_sizes, rs, cs, w4,
+                                           h4, enc.mi_rows, enc.mi_cols)
+            htr[w, kk] = avail.has_top_right_wh_vec(
+                rs, cs, w4, h4, enc.mi_cols, vert_ab=vab)
+            hbl[w, kk] = avail.has_bottom_left_wh_vec(
+                rs, cs, w4, h4, enc.mi_rows, vert_ab=vab)
+        arrs += [xs, ys, valid, htr, hbl, fm, idx, qv, lamqv]
+    prog = _build_flip_program(tuple(class_spec), nwb, cands,
+                               cfg.bit_depth, shapes, max_wh, rdoq)
+    pdt = _pix_dt(cfg.bit_depth)
+    res = jax.device_get(prog(
+        jax.device_put(enc.recon[0]), jax.device_put(enc.recon[1]),
+        jax.device_put(enc.recon[2]), _dput(enc.src[0], pdt),
+        _dput(enc.src[1], pdt), _dput(enc.src[2], pdt),
+        np.int32(len(waves)), *arrs))
+    enc.recon[0][...] = res[0]
+    enc.recon[1][...] = res[1]
+    enc.recon[2][...] = res[2]
+    for ci, sh in enumerate(order):
+        o = res[3 + ci]
+        entries = classes[sh]
+        for j, (w, r, c, li, m, qi, lamq) in enumerate(entries):
+            enc.block_is_inter[li] = False
+            enc.intra_mode[li] = m
+            enc.qcoeff[0][li] = o["qc_y"][j]
+            enc.qcoeff[1][li] = o["qc_u"][j]
+            enc.qcoeff[2][li] = o["qc_v"][j]
+            enc.eobs[0, li] = o["eob_y"][j]
+            enc.eobs[1, li] = o["eob_u"][j]
+            enc.eobs[2, li] = o["eob_v"][j]
+            enc.intra_uv_cfl[li] = o["use_cfl"][j]
+            enc.intra_alpha_u[li] = o["alpha_u"][j]
+            enc.intra_alpha_v[li] = o["alpha_v"][j]
     return True

@@ -939,7 +939,14 @@ class InterFrameEncoder:
         if not cand:
             return
         flips = self._flip_decision_batch(cand, mode_bits)
-        for wave in self._flip_waves(flips):
+        if not flips:
+            return
+        waves = self._flip_waves(flips)
+        if cfg.backend == "device":
+            from svt_av1_tpu.ops import device_tile as dt
+            if dt.flip_apply_fused(self, waves):
+                return
+        for wave in waves:
             self._flip_apply_wave(wave)
 
     def _flip_waves(self, flips):
@@ -1116,17 +1123,34 @@ class InterFrameEncoder:
         from svt_av1_tpu.pipeline import avail, md
         cfg = self.cfg
         cand_modes = tuple(cfg.intra_modes) or (0,)
-        m_arr = np.asarray(cand_modes)
+        lane_qidx = [None if self.qmap is None
+                     else int(self.qmap[r // 16, c // 16])
+                     for (r, c, size, li) in cand]
+        qps = {qi: self._qp_for(qi)
+               for qi in set(lane_qidx)}
+        dev_ok = cfg.backend == "device"
+        if dev_ok and cfg.enable_rdoq and any(
+                qps[qi][0].qindex == 0 for qi in set(lane_qidx)):
+            dev_ok = False  # host path gates RDOQ per-lane at qindex 0
         groups = {}
         for k, (r, c, size, li) in enumerate(cand):
-            qidx = None if self.qmap is None \
-                else int(self.qmap[r // 16, c // 16])
-            groups.setdefault((common.leaf_wh(size), qidx),
-                              []).append(k)
+            gk = common.leaf_wh(size) if dev_ok \
+                else (common.leaf_wh(size), lane_qidx[k])
+            groups.setdefault(gk, []).append(k)
         flips = [None] * len(cand)
-        for ((bw, bh), qidx), ks in groups.items():
-            qp, lam = self._qp_for(qidx)
-            lamq = md.lam_to_q(lam)
+        pending = []
+        for gk, ks in groups.items():
+            (bw, bh) = gk if dev_ok else gk[0]
+            if dev_ok:
+                qv = np.array([qps[lane_qidx[k]][0].qindex for k in ks],
+                              np.int32)
+                lams = [qps[lane_qidx[k]][1] for k in ks]
+                lamqs = np.array([md.lam_to_q(lv) for lv in lams],
+                                 np.int64)
+                qp, lam = qps[lane_qidx[ks[0]]]
+            else:
+                qp, lam = qps[gk[1]]
+                lamqs = np.int64(md.lam_to_q(lam))
             tx_y = common.tx_size_for_rect(bw, bh, 0)
             rs = np.array([cand[k][0] for k in ks])
             cs = np.array([cand[k][1] for k in ks])
@@ -1144,52 +1168,60 @@ class InterFrameEncoder:
                 self.recon[0], xs, ys, bw, bh, ha, hl, htr, hbl,
                 bd=cfg.bit_depth, max_w=self.mi_cols * 4,
                 max_h=self.mi_rows * 4)
+            b = len(ks)
+            if dev_ok:
+                # dispatch-only: sources gathered and candidate modes
+                # predicted ON device (no [M,B,bh,bw] pred upload);
+                # fetch after every group is in flight
+                from svt_av1_tpu.ops import device_inter as di
+                outs, _ = di.flip_decision_issue(
+                    self.src[0], xs, ys, above1, left1, ha, hl,
+                    cand_modes, (bw, bh), qp, lam, bd=cfg.bit_depth,
+                    rdoq=cfg.enable_rdoq, qv=qv, lamv=lams)
+                pending.append((outs, b, ks, lamqs))
+                continue
             iy = np.asarray(ys)[:, None, None] \
                 + np.arange(bh)[None, :, None]
             ix = np.asarray(xs)[:, None, None] \
                 + np.arange(bw)[None, None, :]
             srcs = self.src[0][iy, ix].astype(np.int64)
-            b = len(ks)
             best_cost = np.full(b, np.iinfo(np.int64).max)
             best_mode = np.zeros(b, dtype=np.int64)
-            if cfg.backend == "device":
-                # predictions are cheap host numpy; the M x B full loop
-                # runs as one device dispatch (exact _full_loop twin)
-                from svt_av1_tpu.ops import device_inter as di
-                preds_all = np.stack([
-                    intra_ops.predict_any(m, 0, above1, left1, bw, bh,
-                                          ha, hl, bd=cfg.bit_depth)
-                    for m in cand_modes]).astype(np.int32)
-                dist, rate = di.flip_rd_dev(
-                    srcs.astype(np.int32), preds_all, (bw, bh), qp,
-                    bd=cfg.bit_depth, lam=lam,
-                    rdoq=cfg.enable_rdoq)
-                for mi, m in enumerate(cand_modes):
-                    cost_m = md.rdcost(dist[mi], lamq,
-                                       rate[mi] + mode_bits)
-                    bt = cost_m < best_cost
-                    best_cost = np.where(bt, cost_m, best_cost)
-                    best_mode = np.where(bt, m, best_mode)
-            else:
-                for m in cand_modes:
-                    preds = intra_ops.predict_any(
-                        m, 0, above1, left1, bw, bh, ha, hl,
-                        bd=cfg.bit_depth).astype(np.int64)
-                    _, _, _, dist, rate = md._full_loop(
-                        srcs, preds, np.zeros(b, dtype=np.int32), tx_y,
-                        (bw, bh), qp, cfg.bit_depth,
-                        rdoq_lam_q=(lamq if (cfg.enable_rdoq
-                                             and qp.qindex > 0)
-                                    else None))
-                    cost_m = md.rdcost(dist, lamq, rate + mode_bits)
-                    bt = cost_m < best_cost
-                    best_cost = np.where(bt, cost_m, best_cost)
-                    best_mode = np.where(bt, m, best_mode)
-            for j, k in enumerate(ks):
-                li = cand[k][3]
-                if best_cost[j] < self.inter_cost[li]:
-                    flips[k] = cand[k] + (int(best_mode[j]),)
+            for m in cand_modes:
+                preds = intra_ops.predict_any(
+                    m, 0, above1, left1, bw, bh, ha, hl,
+                    bd=cfg.bit_depth).astype(np.int64)
+                _, _, _, dist, rate = md._full_loop(
+                    srcs, preds, np.zeros(b, dtype=np.int32), tx_y,
+                    (bw, bh), qp, cfg.bit_depth,
+                    rdoq_lam_q=(int(lamqs) if (cfg.enable_rdoq
+                                               and qp.qindex > 0)
+                                else None))
+                cost_m = md.rdcost(dist, lamqs, rate + mode_bits)
+                bt = cost_m < best_cost
+                best_cost = np.where(bt, cost_m, best_cost)
+                best_mode = np.where(bt, m, best_mode)
+            self._flip_accept(cand, ks, best_cost, best_mode, flips)
+        for outs, b, ks, lamqs in pending:
+            import jax
+            vals = jax.device_get(outs)
+            best_cost = np.full(b, np.iinfo(np.int64).max)
+            best_mode = np.zeros(b, dtype=np.int64)
+            for mi, m in enumerate(cand_modes):
+                dist = np.asarray(vals[2 * mi][:b], np.int64)
+                rate = np.asarray(vals[2 * mi + 1][:b], np.int64)
+                cost_m = md.rdcost(dist, lamqs, rate + mode_bits)
+                bt = cost_m < best_cost
+                best_cost = np.where(bt, cost_m, best_cost)
+                best_mode = np.where(bt, m, best_mode)
+            self._flip_accept(cand, ks, best_cost, best_mode, flips)
         return [f for f in flips if f is not None]
+
+    def _flip_accept(self, cand, ks, best_cost, best_mode, flips):
+        for j, k in enumerate(ks):
+            li = cand[k][3]
+            if best_cost[j] < self.inter_cost[li]:
+                flips[k] = cand[k] + (int(best_mode[j]),)
 
     # --- sequential syntax pass ----------------------------------------------
     def _syntax_pass(self) -> bytes:

@@ -37,10 +37,12 @@ def lam_to_q(lam: float) -> int:
 
 
 def rdcost(dist, lam_q, rate_q9):
-    """Integer RD cost (int64-safe for 64x64 10-bit blocks)."""
+    """Integer RD cost (int64-safe for 64x64 10-bit blocks).
+    ``lam_q`` may be a scalar or a per-block array."""
     d = np.asarray(dist, dtype=np.int64)
     r = np.asarray(rate_q9, dtype=np.int64)
-    return (d << RATE_Q) + ((int(lam_q) * r) >> LAM_Q)
+    lq = np.asarray(lam_q, dtype=np.int64)
+    return (d << RATE_Q) + ((lq * r) >> LAM_Q)
 
 
 @functools.lru_cache(maxsize=1)

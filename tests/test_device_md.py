@@ -220,3 +220,37 @@ def test_backend_aq_streams_byte_identical():
     ivf_h = encode_ivf(frames, cfg_h)
     ivf_d = encode_ivf(frames, cfg_d)
     assert ivf_h == ivf_d
+
+
+def test_backend_flip_streams_byte_identical():
+    """Intra-in-inter flips on the device backend run as ONE fused
+    wave-loop program (device_tile.flip_apply_fused: lax.fori_loop over
+    dependency waves carrying the frame recon) plus a dispatch-only
+    decision pass (device_inter.flip_decision_issue); both must match
+    the host wave-by-wave recode byte-exactly. Content is a half-frame
+    scene change so the flip pass actually fires (many waves, mixed
+    shapes)."""
+    from svt_av1_tpu.pipeline.encoder import encode_ivf
+    from svt_av1_tpu.pipeline.inter import InterFrameEncoder
+    from svt_av1_tpu.pipeline.wavefront import WavefrontIntraEncoder
+    rng = np.random.default_rng(21)
+    h, w = 128, 192
+    y0 = rng.integers(30, 220, (h, w)).astype(np.uint8)
+    y1 = y0.copy()
+    yy, xx = np.mgrid[0:h, 0:w // 2]
+    y1[:, :w // 2] = np.clip(128 + 90 * np.sin(yy / 5.0) *
+                             np.cos(xx / 4.0), 0, 255).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 110, np.uint8)
+    v = np.full((h // 2, w // 2), 150, np.uint8)
+    frames = [(y0, u, v), (y1, u, v)]
+    cfg_h = EncoderConfig(width=w, height=h, qp=40, intra_period=16,
+                          scene_change_detection=False)
+    cfg_d = dataclasses.replace(cfg_h, backend="device")
+    # the device run must actually flip blocks (else this test silently
+    # stops covering the fused program)
+    kf = WavefrontIntraEncoder(cfg_d)
+    kf.encode(y0, u, v)
+    ie = InterFrameEncoder(cfg_d, kf.seq)
+    ie.encode(y1, u, v, kf.recon)
+    assert (~ie.block_is_inter).sum() > 0
+    assert encode_ivf(frames, cfg_h) == encode_ivf(frames, cfg_d)
