@@ -444,12 +444,20 @@ class WavefrontIntraEncoder:
             from svt_av1_tpu.ops import cdef as cdef_ops
             skip8 = frame_skip[0::2, 0::2] & frame_skip[0::2, 1::2] \
                 & frame_skip[1::2, 0::2] & frame_skip[1::2, 1::2]
-            idx_map, y_str, uv_str, damping = cdef_ops.cdef_search(
-                frame_recon, frame_src, skip8, self.mi_rows, self.mi_cols,
-                cfg.base_q_idx, cfg.bit_depth)
-            cdef_ops.cdef_frame(frame_recon, skip8, idx_map, y_str, uv_str,
-                                damping, self.mi_rows, self.mi_cols,
-                                cfg.bit_depth)
+            with span("cdef"):
+                if cfg.backend == "device":
+                    from svt_av1_tpu.ops import device_cdef
+                    idx_map, y_str, uv_str, damping = \
+                        device_cdef.cdef_search_apply_dev(
+                            frame_recon, frame_src, skip8, self.mi_rows,
+                            self.mi_cols, cfg.base_q_idx, cfg.bit_depth)
+                else:
+                    idx_map, y_str, uv_str, damping = cdef_ops.cdef_search(
+                        frame_recon, frame_src, skip8, self.mi_rows,
+                        self.mi_cols, cfg.base_q_idx, cfg.bit_depth)
+                    cdef_ops.cdef_frame(frame_recon, skip8, idx_map, y_str,
+                                        uv_str, damping, self.mi_rows,
+                                        self.mi_cols, cfg.bit_depth)
             self.cdef_idx_map = idx_map
             cdef_kw = dict(cdef_damping=damping, cdef_bits=2,
                            cdef_y_strengths=y_str, cdef_uv_strengths=uv_str)
