@@ -1,0 +1,504 @@
+"""Device (JAX/XLA) loop-restoration search: stats + exact SSEs + apply.
+
+The host search (`pipeline.lr_search`) costs ~8s of NumPy per 1080p
+frame, nearly all of it SGR box filtering and Wiener statistics. The
+device path runs the same work as three dispatches per frame:
+
+  A. ``lr_stats_dev`` — per-unit integer statistics: the Wiener
+     autocorrelation/cross Gram (H, M), the SGR projection stats
+     (ata, atb) for every swept ep, and the unfiltered SSE.
+  B. ``lr_sse_dev`` — exact SSEs of the quantized candidates (Wiener
+     taps + each swept ep's xqd) via the real stripe filters.
+  C. ``lr_apply_dev`` — the final filter pass with the chosen per-unit
+     parameters.
+
+Between dispatches the (cheap, float) solves and the RD decision run on
+host — on *both* backends, from the *same integers* — so the chosen
+parameters and the output stream are bit-identical to the host path.
+
+TPU shape: the plane is tiled into (stripe x unit-column) pieces, padded
+to one static [P, mh+6, mw+6] window tensor assembled by two static
+gathers (rows from plane+boundary-line stack, then columns with edge
+clamping). Every filter then runs batched over pieces; per-unit sums are
+one one-hot matmul. The Wiener Gram runs on the MXU as int8 x int8
+matmuls via a hi/lo 5-bit split (exact: partial sums < 2^24).
+
+Reference: av1_compute_stats / get_proj_subspace / search_wiener_unit /
+search_sgrproj_unit (EbRestorationPick.c:340,580,1100-1500),
+av1_loop_restoration_filter_unit (EbRestoration.c:1173).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from svt_av1_tpu.ops import restoration as rst
+from svt_av1_tpu.ops import device as dev
+from svt_av1_tpu.ops.device_inter import _dput, _pix_dt
+
+EP_SWEEP = (0, 3, 6, 9, 11, 14)
+
+
+# --- static geometry ----------------------------------------------------------
+
+class _Geom:
+    __slots__ = ("lims", "hn", "vn", "nu", "P", "mh", "mw", "S",
+                 "row_idx", "col_idx", "org_row", "org_col", "mask",
+                 "unit_of", "piece_h", "unit_onehot", "flat_map", "H",
+                 "W")
+
+
+@functools.lru_cache(maxsize=32)
+def _plane_geom(W: int, H: int, size: int, ss: int) -> _Geom:
+    g = _Geom()
+    g.H, g.W = H, W
+    g.lims, g.hn, g.vn = rst.unit_limits(W, H, size, ss)
+    g.nu = len(g.lims)
+    stripe_h = rst.RESTORATION_PROC_UNIT_SIZE >> ss
+    off = rst.RESTORATION_UNIT_OFFSET >> ss
+    nstripes = 0
+    while max(0, nstripes * stripe_h - off) < H:
+        nstripes += 1
+    g.S = nstripes
+    pieces = []   # (unit_id, y, h, h0, w, stripe)
+    for ui, lim in enumerate(g.lims):
+        v0, v1, h0, h1 = lim
+        for (y, h) in rst.unit_stripe_pieces(lim, ss):
+            s = (y + off) // stripe_h
+            pieces.append((ui, y, h, h0, h1 - h0, s))
+    g.P = len(pieces)
+    g.mh = max(p[2] for p in pieces)
+    g.mw = max(p[4] for p in pieces)
+    R = H + 4 * g.S   # combined rows: plane + 2S above + 2S below
+    row_idx = np.zeros((g.P, g.mh + 6), dtype=np.int32)
+    org_row = np.zeros((g.P, g.mh), dtype=np.int32)
+    col_idx = np.zeros((g.P, g.mw + 6), dtype=np.int32)
+    org_col = np.zeros((g.P, g.mw), dtype=np.int32)
+    mask = np.zeros((g.P, g.mh, g.mw), dtype=bool)
+    unit_of = np.zeros(g.P, dtype=np.int32)
+    piece_h = np.zeros(g.P, dtype=np.int32)
+    for i, (ui, y, h, h0, w, s) in enumerate(pieces):
+        unit_of[i] = ui
+        piece_h[i] = h
+        if y == 0:
+            top = [0, 0, 0]
+        else:
+            a = H + 2 * s
+            top = [a, a, a + 1]
+        if y + h >= H:
+            bot = [H - 1, H - 1, H - 1]
+        else:
+            b = H + 2 * g.S + 2 * s
+            bot = [b, b + 1, b + 1]
+        rows = top + list(range(y, y + h)) + bot
+        rows += [rows[-1]] * (g.mh - h)
+        row_idx[i] = rows
+        org_row[i] = list(range(y, y + h)) + [y + h - 1] * (g.mh - h)
+        cols = np.clip(np.arange(h0 - 3, h0 - 3 + g.mw + 6), 0, W - 1)
+        # edge clamp at the right unit boundary only happens at frame
+        # edge; interior pieces read real neighbor pixels
+        cols = np.minimum(cols, np.where(
+            np.arange(g.mw + 6) < w + 6, W - 1, h0 + w - 1))
+        col_idx[i] = cols
+        org_col[i] = np.clip(np.arange(h0, h0 + g.mw), 0, W - 1)
+        mask[i, :h, :w] = True
+    g.row_idx = row_idx
+    g.col_idx = col_idx
+    g.org_row = org_row
+    g.org_col = org_col
+    g.mask = mask
+    g.unit_of = unit_of
+    g.piece_h = piece_h
+    onehot = np.zeros((g.nu, g.P), dtype=np.int32)
+    onehot[unit_of, np.arange(g.P)] = 1
+    g.unit_onehot = onehot
+    # apply-scatter: plane pixel -> flat index into [P, mh, mw]
+    flat_map = np.zeros((H, W), dtype=np.int32)
+    for i, (ui, y, h, h0, w, s) in enumerate(pieces):
+        yy = np.arange(y, y + h)[:, None]
+        xx = np.arange(h0, h0 + w)[None, :]
+        flat_map[y:y + h, h0:h0 + w] = (i * g.mh + (yy - y)) * g.mw \
+            + (xx - h0)
+    g.flat_map = flat_map
+    return g
+
+
+def _bounds_arrays(bounds: dict, S: int, W: int):
+    """dict {s: (above2, below2)} -> stacked [2S, W] above + [2S, W]
+    below rows (zeros where the stripe has no saved lines)."""
+    ab = np.zeros((2 * S, W), dtype=np.int32)
+    be = np.zeros((2 * S, W), dtype=np.int32)
+    for s in range(S):
+        a, b = bounds.get(s, (None, None))
+        if a is not None:
+            ab[2 * s:2 * s + 2] = a
+        if b is not None:
+            be[2 * s:2 * s + 2] = b
+    return ab, be
+
+
+def _windows(plane, above, below, geom: _Geom):
+    """[P, mh+6, mw+6] int32 stripe-piece filter windows."""
+    combined = jnp.concatenate([
+        plane[:geom.H, :geom.W].astype(jnp.int32), above, below], axis=0)
+    rows = jnp.take(combined, jnp.asarray(geom.row_idx).reshape(-1),
+                    axis=0).reshape(geom.P, geom.mh + 6, geom.W)
+    ci = jnp.asarray(geom.col_idx)[:, None, :]
+    return jnp.take_along_axis(
+        rows, jnp.broadcast_to(ci, (geom.P, geom.mh + 6, geom.mw + 6)),
+        axis=2)
+
+
+def _org_tiles(src, geom: _Geom):
+    rows = jnp.take(src[:geom.H, :geom.W].astype(jnp.int32),
+                    jnp.asarray(geom.org_row).reshape(-1), axis=0) \
+        .reshape(geom.P, geom.mh, geom.W)
+    ci = jnp.asarray(geom.org_col)[:, None, :]
+    return jnp.take_along_axis(
+        rows, jnp.broadcast_to(ci, (geom.P, geom.mh, geom.mw)), axis=2)
+
+
+def _unit_sum(x, geom: _Geom):
+    """[P, ...] int64 piece values -> per-unit sums [nu, ...]."""
+    oh = jnp.asarray(geom.unit_onehot, dtype=jnp.int64)
+    return jnp.tensordot(oh, x, axes=1)
+
+
+def _gram_int8(win, mask, offs, geom: _Geom):
+    """Exact Wiener Gram via MXU: H[u, k1, k2] = sum d_k1 d_k2 over unit
+    pixels, using a 5-bit hi/lo split (d <= 1023 -> hi, lo <= 31; each
+    int8 x int8 partial sum <= 31^2 * mh * mw < 2^24)."""
+    K2 = len(offs)
+    mh, mw = geom.mh, geom.mw
+    sl = [win[:, 3 + dy:3 + dy + mh, 3 + dx:3 + dx + mw]
+          for (dy, dx) in offs]
+    D = jnp.stack(sl, axis=1).reshape(geom.P, K2, mh * mw)
+    hi = (D >> 5).astype(jnp.int8)
+    lo = (D & 31).astype(jnp.int8)
+    m = mask.reshape(geom.P, 1, mh * mw)
+    hi_m = (hi * m).astype(jnp.int8)
+    lo_m = (lo * m).astype(jnp.int8)
+
+    def bdot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32).astype(jnp.int64)
+
+    G = (bdot(hi_m, hi) << 10) + ((bdot(hi_m, lo) + bdot(lo_m, hi)) << 5) \
+        + bdot(lo_m, lo)
+    return _unit_sum(G, geom), D, m
+
+
+def _sgr_parts(win, ep: int, bd: int, geom: _Geom):
+    """(f0 - u, f1 - u) for one ep over the piece batch (int64; None for
+    absent radii). Mirrors rst._sgr_flt_fast/_sgr_flt_full."""
+    (r0, r1), (s0, s1) = rst.SGR_PARAMS[ep]
+    mh, mw = geom.mh, geom.mw
+    d = win[:, 3:3 + mh, 3:3 + mw].astype(jnp.int64)
+    u = d << rst.SGRPROJ_RST_BITS
+    f0 = f1 = None
+    m = slice(1, mw + 1)
+    lf, rt = slice(0, mw), slice(2, mw + 2)
+    if r0 > 0:
+        A, B = dev._sgr_ab_j(win, r0, s0, mh, mw, bd)
+        out = jnp.zeros((geom.P, mh, mw), dtype=jnp.int64)
+        ev = np.arange(0, mh, 2)
+        a = (A[:, ev][:, :, m] + A[:, ev + 2][:, :, m]) * 6 + \
+            (A[:, ev][:, :, lf] + A[:, ev][:, :, rt]
+             + A[:, ev + 2][:, :, lf] + A[:, ev + 2][:, :, rt]) * 5
+        bb = (B[:, ev][:, :, m] + B[:, ev + 2][:, :, m]) * 6 + \
+            (B[:, ev][:, :, lf] + B[:, ev][:, :, rt]
+             + B[:, ev + 2][:, :, lf] + B[:, ev + 2][:, :, rt]) * 5
+        out = out.at[:, 0::2].set(dev._round2j(
+            a * d[:, 0::2] + bb,
+            rst.SGRPROJ_SGR_BITS + 5 - rst.SGRPROJ_RST_BITS))
+        od = np.arange(1, mh, 2) + 1
+        a = A[:, od][:, :, m] * 6 + (A[:, od][:, :, lf]
+                                     + A[:, od][:, :, rt]) * 5
+        bb = B[:, od][:, :, m] * 6 + (B[:, od][:, :, lf]
+                                      + B[:, od][:, :, rt]) * 5
+        out = out.at[:, 1::2].set(dev._round2j(
+            a * d[:, 1::2] + bb,
+            rst.SGRPROJ_SGR_BITS + 4 - rst.SGRPROJ_RST_BITS))
+        f0 = out - u
+    if r1 > 0:
+        A, B = dev._sgr_ab_j(win, r1, s1, mh, mw, bd)
+        c = slice(1, mh + 1)
+        up, dn = slice(0, mh), slice(2, mh + 2)
+        a = (A[:, c, m] + A[:, c, lf] + A[:, c, rt] + A[:, up, m]
+             + A[:, dn, m]) * 4 + \
+            (A[:, up, lf] + A[:, up, rt] + A[:, dn, lf]
+             + A[:, dn, rt]) * 3
+        bb = (B[:, c, m] + B[:, c, lf] + B[:, c, rt] + B[:, up, m]
+              + B[:, dn, m]) * 4 + \
+            (B[:, up, lf] + B[:, up, rt] + B[:, dn, lf]
+             + B[:, dn, rt]) * 3
+        f1 = dev._round2j(a * d + bb,
+                          rst.SGRPROJ_SGR_BITS + 5
+                          - rst.SGRPROJ_RST_BITS) - u
+    return f0, f1, d, u
+
+
+def _wiener_traced(win, fv, fh, bd: int, geom: _Geom):
+    """wiener_filter with per-piece traced 7-tap vectors [P, 7]."""
+    mh, mw = geom.mh, geom.mw
+    r0 = 3 if bd < 12 else 5
+    r1 = 2 * rst.WIENER_FILT_PREC_BITS - r0
+    s = win.astype(jnp.int64)
+    hsum = jnp.full((geom.P, mh + 6, mw),
+                    1 << (bd + rst.WIENER_FILT_PREC_BITS - 1),
+                    dtype=jnp.int64)
+    for k in range(7):
+        hsum = hsum + fh[:, k, None, None] * s[:, :, k:k + mw]
+    mid = jnp.clip(dev._round2j(hsum, r0), 0,
+                   (1 << (bd + 1 + rst.WIENER_FILT_PREC_BITS - r0)) - 1)
+    vsum = jnp.zeros((geom.P, mh, mw), dtype=jnp.int64)
+    for k in range(7):
+        vsum = vsum + fv[:, k, None, None] * mid[:, k:k + mh]
+    vsum = vsum - (1 << (bd + r1 - 1))
+    return jnp.clip(dev._round2j(vsum, r1), 0, (1 << bd) - 1)
+
+
+def _offs(K: int):
+    hw = K // 2
+    return tuple((dy, dx) for dy in range(-hw, hw + 1)
+                 for dx in range(-hw, hw + 1))
+
+
+# --- the three programs (all planes in one dispatch each) ---------------------
+
+def _plane_params(width, height, size_y):
+    out = []
+    for p in range(3):
+        ss = 1 if p else 0
+        W = (width + ss) >> ss
+        H = (height + ss) >> ss
+        out.append((W, H, max(64, size_y >> ss), ss, 7 if p == 0 else 5))
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _build_stats(width: int, height: int, size_y: int, bd: int, shapes):
+    params = _plane_params(width, height, size_y)
+
+    def fn(*args):
+        planes = args[0:3]
+        srcs = args[3:6]
+        aboves = args[6:9]
+        belows = args[9:12]
+        outs = []
+        for p, (W, H, size, ss, K) in enumerate(params):
+            geom = _plane_geom(W, H, size, ss)
+            win = _windows(planes[p], aboves[p], belows[p], geom)
+            org = _org_tiles(srcs[p], geom)
+            mask = jnp.asarray(geom.mask)
+            Hm, D, m = _gram_int8(win, mask, _offs(K), geom)
+            # M: cross stats, same hi/lo trick with org as rhs
+            o = org.reshape(geom.P, geom.mh * geom.mw, 1)
+            ohi = (o >> 5).astype(jnp.int8)
+            olo = (o & 31).astype(jnp.int8)
+            Dm = (D * m).astype(jnp.int32)
+            dhi = (Dm >> 5).astype(jnp.int8)
+            dlo = (Dm & 31).astype(jnp.int8)
+
+            def bdot(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32).astype(jnp.int64)
+
+            Mv = (bdot(dhi, ohi) << 10) \
+                + ((bdot(dhi, olo) + bdot(dlo, ohi)) << 5) \
+                + bdot(dlo, olo)
+            Mv = _unit_sum(Mv[..., 0], geom)
+            mask64 = mask.astype(jnp.int64)
+            d0 = win[:, 3:3 + geom.mh, 3:3 + geom.mw].astype(jnp.int64)
+            sse_none = _unit_sum(
+                (((d0 - org) * mask64) ** 2).sum(axis=(1, 2)), geom)
+            atas, atbs = [], []
+            for ep in EP_SWEEP:
+                f0, f1, d, u = _sgr_parts(win, ep, bd, geom)
+                b = ((org - d) * mask64) \
+                    << (rst.SGRPROJ_RST_BITS + rst.SGRPROJ_PRJ_BITS)
+                fs = [f0 if f0 is not None else jnp.zeros_like(d),
+                      f1 if f1 is not None else jnp.zeros_like(d)]
+                a00 = ((fs[0] * mask64) * fs[0]).sum(axis=(1, 2))
+                a01 = ((fs[0] * mask64) * fs[1]).sum(axis=(1, 2))
+                a11 = ((fs[1] * mask64) * fs[1]).sum(axis=(1, 2))
+                b0 = (fs[0] * b).sum(axis=(1, 2))
+                b1 = (fs[1] * b).sum(axis=(1, 2))
+                atas.append(jnp.stack([a00, a01, a01, a11], axis=-1))
+                atbs.append(jnp.stack([b0, b1], axis=-1))
+            outs += [Hm, Mv, sse_none,
+                     _unit_sum(jnp.stack(atas, axis=1), geom),
+                     _unit_sum(jnp.stack(atbs, axis=1), geom)]
+        return tuple(outs)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=8)
+def _build_sse(width: int, height: int, size_y: int, bd: int, shapes):
+    params = _plane_params(width, height, size_y)
+    peak = (1 << bd) - 1
+
+    def fn(*args):
+        planes = args[0:3]
+        srcs = args[3:6]
+        aboves = args[6:9]
+        belows = args[9:12]
+        fvs = args[12:15]       # [nu, 7] per plane
+        fhs = args[15:18]
+        xqs = args[18:21]       # [nu, 6, 2] decoded xq pairs
+        outs = []
+        for p, (W, H, size, ss, K) in enumerate(params):
+            geom = _plane_geom(W, H, size, ss)
+            win = _windows(planes[p], aboves[p], belows[p], geom)
+            org = _org_tiles(srcs[p], geom)
+            mask64 = jnp.asarray(geom.mask).astype(jnp.int64)
+            uof = jnp.asarray(geom.unit_of)
+            wout = _wiener_traced(win, fvs[p][uof], fhs[p][uof], bd,
+                                  geom)
+            sse_w = _unit_sum((((wout - org) * mask64) ** 2)
+                              .sum(axis=(1, 2)), geom)
+            sses = []
+            for ie, ep in enumerate(EP_SWEEP):
+                f0, f1, d, u = _sgr_parts(win, ep, bd, geom)
+                v = u << rst.SGRPROJ_PRJ_BITS
+                xq = xqs[p][uof, ie]          # [P, 2]
+                if f0 is not None:
+                    v = v + xq[:, 0, None, None] * f0
+                if f1 is not None:
+                    v = v + xq[:, 1, None, None] * f1
+                out = jnp.clip(dev._round2j(
+                    v, rst.SGRPROJ_PRJ_BITS + rst.SGRPROJ_RST_BITS),
+                    0, peak)
+                sses.append(_unit_sum((((out - org) * mask64) ** 2)
+                                      .sum(axis=(1, 2)), geom))
+            outs += [sse_w, jnp.stack(sses, axis=1)]
+        return tuple(outs)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=8)
+def _build_apply(width: int, height: int, size_y: int, bd: int, shapes):
+    params = _plane_params(width, height, size_y)
+    peak = (1 << bd) - 1
+
+    def fn(*args):
+        planes = args[0:3]
+        aboves = args[3:6]
+        belows = args[6:9]
+        rtypes = args[9:12]      # [nu] per plane (0/1/2)
+        fvs = args[12:15]
+        fhs = args[15:18]
+        epsel = args[18:21]      # [nu] index into EP_SWEEP
+        xqs = args[21:24]        # [nu, 2] decoded xq of the chosen ep
+        outs = []
+        for p, (W, H, size, ss, K) in enumerate(params):
+            geom = _plane_geom(W, H, size, ss)
+            win = _windows(planes[p], aboves[p], belows[p], geom)
+            uof = jnp.asarray(geom.unit_of)
+            rt = rtypes[p][uof]
+            d0 = win[:, 3:3 + geom.mh, 3:3 + geom.mw].astype(jnp.int64)
+            wout = _wiener_traced(win, fvs[p][uof], fhs[p][uof], bd,
+                                  geom)
+            xq = xqs[p][uof]
+            sout = d0
+            esel = epsel[p][uof]
+            for ie, ep in enumerate(EP_SWEEP):
+                f0, f1, d, u = _sgr_parts(win, ep, bd, geom)
+                v = u << rst.SGRPROJ_PRJ_BITS
+                if f0 is not None:
+                    v = v + xq[:, 0, None, None] * f0
+                if f1 is not None:
+                    v = v + xq[:, 1, None, None] * f1
+                out = jnp.clip(dev._round2j(
+                    v, rst.SGRPROJ_PRJ_BITS + rst.SGRPROJ_RST_BITS),
+                    0, peak)
+                sout = jnp.where((esel == ie)[:, None, None], out, sout)
+            piece = jnp.where((rt == rst.RESTORE_WIENER)[:, None, None],
+                              wout, jnp.where(
+                                  (rt == rst.RESTORE_SGRPROJ)
+                                  [:, None, None], sout, d0))
+            flat = piece.reshape(-1)
+            outs.append(jnp.take(flat, jnp.asarray(geom.flat_map)))
+        return tuple(outs)
+
+    return jax.jit(fn)
+
+
+# --- numpy-facing wrappers ----------------------------------------------------
+
+def _upload(recon, src, bounds, width, height, size_y, bd):
+    params = _plane_params(width, height, size_y)
+    pdt = _pix_dt(bd)
+    planes, srcs, abv, blw = [], [], [], []
+    for p, (W, H, size, ss, K) in enumerate(params):
+        geom = _plane_geom(W, H, size, ss)
+        planes.append(np.ascontiguousarray(recon[p][:H, :W]).astype(pdt))
+        srcs.append(_dput(src[p], pdt))
+        a, b = _bounds_arrays(bounds[p], geom.S, W)
+        abv.append(a)
+        blw.append(b)
+    return planes, srcs, abv, blw
+
+
+def lr_stats_dev(recon, src, bounds, width, height, bd, size_y=256):
+    """Program A: per-plane per-unit integer stats. Returns a list of
+    (H [nu, K^2, K^2], M [nu, K^2], sse_none [nu], ata [nu, 6, 4],
+    atb [nu, 6, 2]) numpy int64 tuples, one per plane."""
+    shapes = tuple(p.shape for p in recon)
+    fn = _build_stats(width, height, size_y, bd, shapes)
+    planes, srcs, abv, blw = _upload(recon, src, bounds, width, height,
+                                     size_y, bd)
+    outs = jax.device_get(fn(*planes, *srcs, *abv, *blw))
+    return [tuple(np.asarray(o) for o in outs[5 * p:5 * p + 5])
+            for p in range(3)]
+
+
+def lr_sse_dev(recon, src, bounds, width, height, bd, fvs, fhs, xqs,
+               size_y=256):
+    """Program B: exact candidate SSEs. fvs/fhs: per plane [nu, 7]
+    int64 full Wiener taps; xqs: per plane [nu, 6, 2] decoded xq.
+    Returns per plane (sse_wiener [nu], sse_sgr [nu, 6]) int64."""
+    shapes = tuple(p.shape for p in recon)
+    fn = _build_sse(width, height, size_y, bd, shapes)
+    planes, srcs, abv, blw = _upload(recon, src, bounds, width, height,
+                                     size_y, bd)
+    outs = jax.device_get(fn(*planes, *srcs, *abv, *blw,
+                             *[np.asarray(f, np.int64) for f in fvs],
+                             *[np.asarray(f, np.int64) for f in fhs],
+                             *[np.asarray(x, np.int64) for x in xqs]))
+    return [tuple(np.asarray(o) for o in outs[2 * p:2 * p + 2])
+            for p in range(3)]
+
+
+def lr_apply_dev(recon, bounds, width, height, bd, rtypes, fvs, fhs,
+                 epsel, xqs, size_y=256):
+    """Program C: final filter pass; writes planes in place."""
+    shapes = tuple(p.shape for p in recon)
+    fn = _build_apply(width, height, size_y, bd, shapes)
+    params = _plane_params(width, height, size_y)
+    pdt = _pix_dt(bd)
+    planes, abv, blw = [], [], []
+    for p, (W, H, size, ss, K) in enumerate(params):
+        geom = _plane_geom(W, H, size, ss)
+        planes.append(np.ascontiguousarray(recon[p][:H, :W]).astype(pdt))
+        a, b = _bounds_arrays(bounds[p], geom.S, W)
+        abv.append(a)
+        blw.append(b)
+    outs = jax.device_get(fn(
+        *planes, *abv, *blw,
+        *[np.asarray(r, np.int64) for r in rtypes],
+        *[np.asarray(f, np.int64) for f in fvs],
+        *[np.asarray(f, np.int64) for f in fhs],
+        *[np.asarray(e, np.int64) for e in epsel],
+        *[np.asarray(x, np.int64) for x in xqs]))
+    for p, (W, H, size, ss, K) in enumerate(params):
+        recon[p][:H, :W] = np.asarray(outs[p]).astype(recon[p].dtype)

@@ -375,6 +375,23 @@ def _stripe_window(plane: np.ndarray, bounds: dict, v0: int, v1: int,
     return wslice
 
 
+def unit_stripe_pieces(limits, ss_y: int):
+    """Stripe pieces [(y, h)] covering a unit's rows [v0, v1) — the
+    vertical spans filter_unit processes independently (each gets its own
+    boundary-line window)."""
+    v0, v1, _, _ = limits
+    stripe_h = RESTORATION_PROC_UNIT_SIZE >> ss_y
+    off = RESTORATION_UNIT_OFFSET >> ss_y
+    out = []
+    y = v0
+    while y < v1:
+        next_boundary = ((y + off) // stripe_h + 1) * stripe_h - off
+        h = min(next_boundary, v1) - y
+        out.append((y, h))
+        y += h
+    return out
+
+
 def filter_unit(plane: np.ndarray, bounds: dict, rui: RestorationUnitInfo,
                 limits, ss_y: int, bd: int, dst: np.ndarray) -> None:
     """Filter one restoration unit stripe by stripe into dst

@@ -288,12 +288,19 @@ class InterFrameEncoder:
             from svt_av1_tpu.ops import restoration as rst_ops
             from svt_av1_tpu.pipeline import lr_search
             with span("lr"):
-                self.lr_rinfos = lr_search.search_restoration(
-                    self.recon, self.src, lr_bounds, cfg.width, cfg.height,
-                    cfg.bit_depth, cfg.base_q_idx, self.lam)
-                rst_ops.loop_restoration_filter_frame(
-                    self.recon, self.lr_rinfos, lr_bounds, cfg.width,
-                    cfg.height, cfg.bit_depth)
+                if cfg.backend == "device":
+                    self.lr_rinfos = lr_search.search_restoration_dev(
+                        self.recon, self.src, lr_bounds, cfg.width,
+                        cfg.height, cfg.bit_depth, cfg.base_q_idx,
+                        self.lam)
+                else:
+                    self.lr_rinfos = lr_search.search_restoration(
+                        self.recon, self.src, lr_bounds, cfg.width,
+                        cfg.height, cfg.bit_depth, cfg.base_q_idx,
+                        self.lam)
+                    rst_ops.loop_restoration_filter_frame(
+                        self.recon, self.lr_rinfos, lr_bounds, cfg.width,
+                        cfg.height, cfg.bit_depth)
             lr_kw = dict(lr_params=(
                 tuple(ri.frame_restoration_type for ri in self.lr_rinfos),
                 self.lr_rinfos[0].unit_size, self.lr_rinfos[1].unit_size))

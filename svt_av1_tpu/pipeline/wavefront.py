@@ -465,12 +465,20 @@ class WavefrontIntraEncoder:
         if cfg.enable_restoration:
             from svt_av1_tpu.ops import restoration as rst_ops
             from svt_av1_tpu.pipeline import lr_search
-            self.lr_rinfos = lr_search.search_restoration(
-                frame_recon, frame_src, lr_bounds, cfg.width, cfg.height,
-                cfg.bit_depth, cfg.base_q_idx, self.lam)
-            rst_ops.loop_restoration_filter_frame(
-                frame_recon, self.lr_rinfos, lr_bounds, cfg.width,
-                cfg.height, cfg.bit_depth)
+            with span("lr"):
+                if cfg.backend == "device":
+                    self.lr_rinfos = lr_search.search_restoration_dev(
+                        frame_recon, frame_src, lr_bounds, cfg.width,
+                        cfg.height, cfg.bit_depth, cfg.base_q_idx,
+                        self.lam)
+                else:
+                    self.lr_rinfos = lr_search.search_restoration(
+                        frame_recon, frame_src, lr_bounds, cfg.width,
+                        cfg.height, cfg.bit_depth, cfg.base_q_idx,
+                        self.lam)
+                    rst_ops.loop_restoration_filter_frame(
+                        frame_recon, self.lr_rinfos, lr_bounds, cfg.width,
+                        cfg.height, cfg.bit_depth)
             lr_kw = dict(lr_params=(
                 tuple(ri.frame_restoration_type for ri in self.lr_rinfos),
                 self.lr_rinfos[0].unit_size, self.lr_rinfos[1].unit_size))
