@@ -1179,7 +1179,7 @@ def dlf_search_apply_dev(recon_planes, src_planes, leaf_sizes, mi_rows,
     eff = ((mi_cols * 4, mi_rows * 4), (mi_cols * 2, mi_rows * 2))
     fn = _build_dlf(shapes, map_shapes, eff, bd)
     pdt = _pix_dt(bd)
-    outs = jax.device_get(fn(
+    outs = fn(
         recon_planes[0].astype(pdt), recon_planes[1].astype(pdt),
         recon_planes[2].astype(pdt),
         _dput(src_planes[0], pdt), _dput(src_planes[1], pdt),
@@ -1187,11 +1187,19 @@ def dlf_search_apply_dev(recon_planes, src_planes, leaf_sizes, mi_rows,
         ymaps[0][0].astype(np.int8), ymaps[0][1].astype(np.int8),
         ymaps[1], ymaps[2],
         cmaps[0][0].astype(np.int8), cmaps[0][1].astype(np.int8),
-        cmaps[1], cmaps[2], cands))
-    oy, ou, ov, ly, luv = outs
-    recon_planes[0][...] = oy.astype(recon_planes[0].dtype)
-    recon_planes[1][...] = ou.astype(recon_planes[1].dtype)
-    recon_planes[2][...] = ov.astype(recon_planes[2].dtype)
+        cmaps[1], cmaps[2], cands)
+    oy, ou, ov, lyd, luvd = outs
+    if isinstance(recon_planes[0], jax.Array):
+        # device-resident chain: planes never cross the tunnel
+        recon_planes[0] = oy
+        recon_planes[1] = ou
+        recon_planes[2] = ov
+        ly, luv = jax.device_get((lyd, luvd))
+    else:
+        oy, ou, ov, ly, luv = jax.device_get(outs)
+        recon_planes[0][...] = oy.astype(recon_planes[0].dtype)
+        recon_planes[1][...] = ou.astype(recon_planes[1].dtype)
+        recon_planes[2][...] = ov.astype(recon_planes[2].dtype)
     ly, luv = int(ly), int(luv)
     if ly == 0:
         return (0, 0, 0, 0)

@@ -298,14 +298,24 @@ def cdef_search_apply_dev(recon_planes, src_planes, skip8, mi_rows: int,
     pdt = _pix_dt(bd)
     sk = np.zeros((h8, w8), dtype=bool)
     sk[:skip8.shape[0], :skip8.shape[1]] = skip8[:h8, :w8]
-    oy, ou, ov, idx = jax.device_get(fn(
+    outs = fn(
         recon_planes[0].astype(pdt), recon_planes[1].astype(pdt),
         recon_planes[2].astype(pdt),
         _dput(src_planes[0], pdt), _dput(src_planes[1], pdt),
         _dput(src_planes[2], pdt),
         sk, np.asarray(y_str, np.int32), np.asarray(uv_str, np.int32),
-        np.int32(damping)))
-    recon_planes[0][:Hd, :Wd] = oy.astype(recon_planes[0].dtype)
-    recon_planes[1][:Hd // 2, :Wd // 2] = ou.astype(recon_planes[1].dtype)
-    recon_planes[2][:Hd // 2, :Wd // 2] = ov.astype(recon_planes[2].dtype)
+        np.int32(damping))
+    if isinstance(recon_planes[0], jax.Array):
+        oy, ou, ov, idxd = outs
+        recon_planes[0] = recon_planes[0].at[:Hd, :Wd].set(oy)
+        recon_planes[1] = recon_planes[1].at[:Hd // 2, :Wd // 2].set(ou)
+        recon_planes[2] = recon_planes[2].at[:Hd // 2, :Wd // 2].set(ov)
+        idx = jax.device_get(idxd)
+    else:
+        oy, ou, ov, idx = jax.device_get(outs)
+        recon_planes[0][:Hd, :Wd] = oy.astype(recon_planes[0].dtype)
+        recon_planes[1][:Hd // 2, :Wd // 2] = \
+            ou.astype(recon_planes[1].dtype)
+        recon_planes[2][:Hd // 2, :Wd // 2] = \
+            ov.astype(recon_planes[2].dtype)
     return np.asarray(idx, np.int32), y_str, uv_str, damping

@@ -810,8 +810,10 @@ def _build_shape_group(size, n_refs: int, fwd_pos: tuple, bwd_pos: tuple,
     pix = jnp.uint8 if bd <= 8 else jnp.uint16
 
     def fn(*args):
-        # args: R luma pyramids (3 each), R u-planes, R v-planes,
-        # src pyramid (3), src_u, src_v, xs, ys, qv, lamqv
+        # args: recon y/u/v planes, R luma pyramids (3 each), R u-planes,
+        # R v-planes, src pyramid (3), src_u, src_v, xs, ys, qv, lamqv
+        rec_y, rec_u, rec_v = args[0:3]
+        args = args[3:]
         k = 0
         pyrs = [args[3 * i:3 * i + 3] for i in range(n_refs)]
         k = 3 * n_refs
@@ -823,6 +825,8 @@ def _build_shape_group(size, n_refs: int, fwd_pos: tuple, bwd_pos: tuple,
         xs = args[k + 5].astype(jnp.int64)
         ys = args[k + 6].astype(jnp.int64)
         qv, lamqv = args[k + 7], args[k + 8]
+        # (padded lanes replicate lane 0, so their recon scatter writes
+        # lane 0's own values — harmless duplicates)
         rlq = lamqv if rdoq else None
         b = xs.shape[0]
         src_full = src_pyr[0]
@@ -933,22 +937,36 @@ def _build_shape_group(size, n_refs: int, fwd_pos: tuple, bwd_pos: tuple,
             uv_out += [qcuv.astype(jnp.int16), eouv.astype(jnp.int16),
                        recuv.astype(pix)]
 
-        return (cost_s, mv_s.astype(jnp.int16), mv1.astype(jnp.int16),
+        # scatter the block reconstructions into the frame planes: the
+        # recon stays device-resident across shape groups and stages
+        # (downloads through the tunnel run ~15 MB/s — the round-2
+        # architecture fetched every block's pixels per group)
+        iy = ys[:, None, None] + jnp.arange(bh)[None, :, None]
+        ix = xs[:, None, None] + jnp.arange(bw)[None, None, :]
+        rec_y = rec_y.at[iy, ix].set(rec_s.astype(pix))
+        ciy = (ys >> 1)[:, None, None] + jnp.arange(ch)[None, :, None]
+        cix = (xs >> 1)[:, None, None] + jnp.arange(cw)[None, None, :]
+        rec_u = rec_u.at[ciy, cix].set(uv_out[2])
+        rec_v = rec_v.at[ciy, cix].set(uv_out[5])
+        return (rec_y, rec_u, rec_v,
+                cost_s, mv_s.astype(jnp.int16), mv1.astype(jnp.int16),
                 pos_chosen.astype(jnp.int8), comp,
                 fsel.astype(jnp.int8), bsel.astype(jnp.int8),
-                qc_s.astype(jnp.int16), eo_s.astype(jnp.int16),
-                rec_s.astype(pix)) + tuple(uv_out)
+                qc_s.astype(jnp.int16), eo_s.astype(jnp.int16)) \
+            + tuple(uv_out[:2] + uv_out[3:5])
 
     return jax.jit(fn)
 
 
-def shape_group_issue(ref_pyrs_list, refs_u, refs_v, src_pyr, src_u,
-                      src_v, xs, ys, size, qp, lam, fwd_pos, bwd_pos,
-                      bd=8, rdoq=False, qv=None, lamv=None):
+def shape_group_issue(recon_planes, ref_pyrs_list, refs_u, refs_v,
+                      src_pyr, src_u, src_v, xs, ys, size, qp, lam,
+                      fwd_pos, bwd_pos, bd=8, rdoq=False, qv=None,
+                      lamv=None):
     """Dispatch the fused shape-group program WITHOUT fetching: returns
-    (device_outputs, b). Callers issue every shape group first, then
-    gather all results in one batched jax.device_get — round trips
-    overlap instead of serializing."""
+    ((rec_y, rec_u, rec_v), device_outputs, b). The updated recon planes
+    chain into the next group's dispatch (device-resident — the frame's
+    pixels never cross the tunnel); callers fetch only the small
+    decision outputs, batched across groups."""
     from svt_av1_tpu.ops.device_md import quant_vectors
     b = len(xs)
     nb = _bucket(b)
@@ -958,7 +976,7 @@ def shape_group_issue(ref_pyrs_list, refs_u, refs_v, src_pyr, src_u,
         rdoq=rdoq)
     qvec, lamqv = quant_vectors(qp, lam, b, qv, lamv)
     pdt = _pix_dt(bd)
-    args = []
+    args = [recon_planes[0], recon_planes[1], recon_planes[2]]
     for pyr in ref_pyrs_list:
         args.extend(_dput_seq(pyr[:3], pdt))
     args.extend(_dput(p, pdt) for p in refs_u)
@@ -970,27 +988,66 @@ def shape_group_issue(ref_pyrs_list, refs_u, refs_v, src_pyr, src_u,
     args.append(_pad(np.asarray(ys, np.int64), nb, b))
     args.append(_pad(qvec, nb, b))
     args.append(_pad(lamqv, nb, b))
-    return fn(*args), b
+    outs = fn(*args)
+    return outs[0:3], outs[3:], b
+
+
+@functools.lru_cache(maxsize=8)
+def _build_ref_prep(shape_y, shape_c, pad: int, bd: int):
+    """Slot-write reference prep fully on device: edge-replicate padding
+    of all three planes + the 1/2 and 1/4 HME pyramid levels (twin of
+    mc.pad_reference + me.build_pyramid — same average-4 decimation, so
+    device ME results are unchanged)."""
+    def fn(y, u, v):
+        def dec(p):
+            h, w = p.shape
+            h2, w2 = h & ~1, w & ~1
+            q = p[:h2, :w2].astype(jnp.int32)
+            return ((q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2]
+                     + q[1::2, 1::2] + 2) >> 2).astype(p.dtype)
+
+        d1 = dec(y)
+        d2 = dec(d1)
+        return (jnp.pad(y, pad, mode="edge"),
+                jnp.pad(u, pad, mode="edge"),
+                jnp.pad(v, pad, mode="edge"),
+                jnp.pad(d1, pad, mode="edge"),
+                jnp.pad(d2, pad, mode="edge"))
+
+    return jax.jit(fn)
+
+
+def ref_prep_dev(planes, bd: int = 8):
+    """Device twin of inter._padded_ref's body for device-resident slot
+    planes. Returns (padded [y, u, v], luma pyramid (full, 1/2, 1/4))."""
+    fn = _build_ref_prep(tuple(planes[0].shape), tuple(planes[1].shape),
+                         mc.REF_PAD, bd)
+    py, pu, pv, ph, pq = fn(planes[0], planes[1], planes[2])
+    return [py, pu, pv], (py, ph, pq)
 
 
 @functools.lru_cache(maxsize=64)
-def _build_flip_decision(size, modes: tuple, bd: int,
+def _build_flip_decision(size, modes: tuple, bd: int, max_wh,
                          rdoq: bool = False):
     """Intra-flip DECISION pass fully on device: sources are gathered
-    from the (cached) device source plane and the candidate intra
-    predictions are formed by the device predictors — the former path
-    uploaded [M, B, bh, bw] host predictions per call (~12 MB per shape
-    at 1080p through a ~30 MB/s tunnel). Returns per-mode (dist, rate),
-    integer-identical to the host predict_any + _full_loop pair."""
+    from the (cached) device source plane, the prediction edges are
+    gathered from the device-resident recon (the former path prepared
+    them on host, which forced the recon across the tunnel), and the
+    candidate intra predictions are formed by the device predictors.
+    Returns per-mode (dist, rate), integer-identical to the host
+    predict_any + _full_loop pair."""
     from svt_av1_tpu.ops.device_md import predict_any_j
+    from svt_av1_tpu.ops.device_tile import _edges_j
     bw, bh = common.leaf_wh(size)
     tx_size = common.tx_size_for_rect(bw, bh, 0)
 
-    def fn(src_full, xs, ys, above1, left1, ha, hl, qv, lamqv):
+    max_w, max_h = max_wh
+
+    def fn(src_full, recon_y, xs, ys, ha, hl, htr, hbl, qv, lamqv):
         xs = xs.astype(jnp.int64)
         ys = ys.astype(jnp.int64)
-        a1 = above1.astype(jnp.int32)
-        l1 = left1.astype(jnp.int32)
+        a1, l1 = _edges_j(recon_y, xs, ys, bw, bh, ha, hl, htr, hbl,
+                          bd, max_w, max_h)
         rlq = lamqv if rdoq else None
         srcs, _, _ = _gather_curs(src_full.astype(jnp.int32), xs, ys,
                                   bw, bh)
@@ -1009,26 +1066,27 @@ def _build_flip_decision(size, modes: tuple, bd: int,
     return jax.jit(fn)
 
 
-def flip_decision_issue(src_full, xs, ys, above1, left1, ha, hl, modes,
-                        size, qp, lam, bd=8, rdoq=False, qv=None,
-                        lamv=None):
+def flip_decision_issue(src_full, recon_y, xs, ys, ha, hl, htr, hbl,
+                        modes, size, qp, lam, max_wh, bd=8, rdoq=False,
+                        qv=None, lamv=None):
     """Dispatch (no fetch) the on-device flip decision for one shape
-    group; returns (device_outs, b). Gather with jax.device_get, then
+    group; returns (device_outs, b). recon_y: device-resident luma recon
+    (edges are gathered on device). Gather with jax.device_get, then
     reshape pairs: outs[2i], outs[2i+1] = (dist, rate) of modes[i]."""
     from svt_av1_tpu.ops.device_md import quant_vectors
     b = len(xs)
     nb = _bucket(b)
     fn = _build_flip_decision(
         size if isinstance(size, int) else tuple(size), tuple(modes),
-        bd, rdoq=rdoq)
+        bd, tuple(max_wh), rdoq=rdoq)
     qvec, lamqv = quant_vectors(qp, lam, b, qv, lamv)
     pdt = _pix_dt(bd)
-    outs = fn(_dput(src_full, pdt),
+    outs = fn(_dput(src_full, pdt), recon_y,
               _pad(np.asarray(xs, np.int64), nb, b),
               _pad(np.asarray(ys, np.int64), nb, b),
-              _pad(np.ascontiguousarray(above1, dtype=np.int16), nb, b),
-              _pad(np.ascontiguousarray(left1, dtype=np.int16), nb, b),
               _pad(np.asarray(ha), nb, b), _pad(np.asarray(hl), nb, b),
+              _pad(np.asarray(htr), nb, b),
+              _pad(np.asarray(hbl), nb, b),
               _pad(qvec, nb, b), _pad(lamqv, nb, b))
     return outs, b
 

@@ -128,6 +128,35 @@ def _plane_geom(W: int, H: int, size: int, ss: int) -> _Geom:
     return g
 
 
+def deblock_bounds_dev(plane, H: int, W: int, ss_y: int):
+    """Device twin of rst.save_deblock_boundary_lines for a
+    device-resident plane: gathers every stripe's 2+2 saved rows in ONE
+    small fetch instead of per-stripe host slicing."""
+    stripe_h = rst.RESTORATION_PROC_UNIT_SIZE >> ss_y
+    off = rst.RESTORATION_UNIT_OFFSET >> ss_y
+    spans = []
+    s = 0
+    while True:
+        y0 = max(0, s * stripe_h - off)
+        if y0 >= H:
+            break
+        y1 = min((s + 1) * stripe_h - off, H)
+        spans.append((s, y0, y1))
+        s += 1
+    rows = []
+    for s, y0, y1 in spans:
+        rows += [max(y0 - 2, 0), max(y0 - 1, 0),
+                 min(y1, H - 1), min(y1 + 1, H - 1)]
+    got = np.asarray(jnp.take(plane[:H, :W],
+                              jnp.asarray(rows, jnp.int32), axis=0))
+    out = {}
+    for i, (s, y0, y1) in enumerate(spans):
+        above = got[4 * i:4 * i + 2].copy() if s > 0 else None
+        below = got[4 * i + 2:4 * i + 4].copy() if y1 < H else None
+        out[s] = (above, below)
+    return out
+
+
 def _bounds_arrays(bounds: dict, S: int, W: int):
     """dict {s: (above2, below2)} -> stacked [2S, W] above + [2S, W]
     below rows (zeros where the stripe has no saved lines)."""
@@ -435,13 +464,19 @@ def _build_apply(width: int, height: int, size_y: int, bd: int, shapes):
 
 # --- numpy-facing wrappers ----------------------------------------------------
 
+def _plane_in(recon_p, H, W, pdt):
+    if isinstance(recon_p, jax.Array):
+        return recon_p[:H, :W].astype(pdt)
+    return np.ascontiguousarray(recon_p[:H, :W]).astype(pdt)
+
+
 def _upload(recon, src, bounds, width, height, size_y, bd):
     params = _plane_params(width, height, size_y)
     pdt = _pix_dt(bd)
     planes, srcs, abv, blw = [], [], [], []
     for p, (W, H, size, ss, K) in enumerate(params):
         geom = _plane_geom(W, H, size, ss)
-        planes.append(np.ascontiguousarray(recon[p][:H, :W]).astype(pdt))
+        planes.append(_plane_in(recon[p], H, W, pdt))
         srcs.append(_dput(src[p], pdt))
         a, b = _bounds_arrays(bounds[p], geom.S, W)
         abv.append(a)
@@ -489,16 +524,20 @@ def lr_apply_dev(recon, bounds, width, height, bd, rtypes, fvs, fhs,
     planes, abv, blw = [], [], []
     for p, (W, H, size, ss, K) in enumerate(params):
         geom = _plane_geom(W, H, size, ss)
-        planes.append(np.ascontiguousarray(recon[p][:H, :W]).astype(pdt))
+        planes.append(_plane_in(recon[p], H, W, pdt))
         a, b = _bounds_arrays(bounds[p], geom.S, W)
         abv.append(a)
         blw.append(b)
-    outs = jax.device_get(fn(
+    outs = fn(
         *planes, *abv, *blw,
         *[np.asarray(r, np.int64) for r in rtypes],
         *[np.asarray(f, np.int64) for f in fvs],
         *[np.asarray(f, np.int64) for f in fhs],
         *[np.asarray(e, np.int64) for e in epsel],
-        *[np.asarray(x, np.int64) for x in xqs]))
+        *[np.asarray(x, np.int64) for x in xqs])
     for p, (W, H, size, ss, K) in enumerate(params):
-        recon[p][:H, :W] = np.asarray(outs[p]).astype(recon[p].dtype)
+        if isinstance(recon[p], jax.Array):
+            recon[p] = recon[p].at[:H, :W].set(
+                outs[p].astype(recon[p].dtype))
+        else:
+            recon[p][:H, :W] = np.asarray(outs[p]).astype(recon[p].dtype)

@@ -289,20 +289,36 @@ def analyze_tile_fused(enc, cands) -> bool:
         return False
     key, args = meta
     prog = _build_tile_program(*key)
-    # one batched fetch: per-array np.asarray costs a ~28 ms tunnel
-    # round trip each
-    ry, ru, rv, out = jax.device_get(prog(*args))
+    res = prog(*args)
+    if getattr(enc, "_tile_count", 1) == 1:
+        # device-resident: planes stay on device for the filter chain
+        # and the reference slots; coefficients resolve lazily on the
+        # entropy thread (one async-prefetched fetch)
+        ry, ru, rv, out = res
+        for o in jax.tree_util.tree_leaves(out):
+            o.copy_to_host_async()
+        enc.recon[0] = ry
+        enc.recon[1] = ru
+        enc.recon[2] = rv
+        inject_results(enc, key[7], None, None, None,
+                       jax.device_get({k: v for k, v in out.items()
+                                       if not k.startswith("qc_")}),
+                       qc_dev=(out["qc_y"], out["qc_u"], out["qc_v"]))
+        return True
+    ry, ru, rv, out = jax.device_get(res)
     inject_results(enc, key[7], ry, ru, rv, out)
     return True
 
 
-def inject_results(enc, n, ry, ru, rv, out) -> None:
+def inject_results(enc, n, ry, ru, rv, out, qc_dev=None) -> None:
     """Write fused-program outputs back into the encoder state."""
+    from svt_av1_tpu.pipeline.common import PendingQC
     cfg = enc.cfg
     pix = np.uint16 if cfg.bit_depth > 8 else np.uint8
-    enc.recon[0][...] = np.asarray(ry).astype(pix)
-    enc.recon[1][...] = np.asarray(ru).astype(pix)
-    enc.recon[2][...] = np.asarray(rv).astype(pix)
+    if ry is not None:
+        enc.recon[0][...] = np.asarray(ry).astype(pix)
+        enc.recon[1][...] = np.asarray(ru).astype(pix)
+        enc.recon[2][...] = np.asarray(rv).astype(pix)
     enc.y_mode[:] = np.asarray(out["y_mode"])[:n]
     enc.y_delta[:] = np.asarray(out["y_delta"])[:n]
     enc.uv_mode[:] = np.asarray(out["uv_mode"])[:n]
@@ -313,6 +329,12 @@ def inject_results(enc, n, ry, ru, rv, out) -> None:
     enc.eobs[0, :] = np.asarray(out["eob_y"])[:n]
     enc.eobs[1, :] = np.asarray(out["eob_u"])[:n]
     enc.eobs[2, :] = np.asarray(out["eob_v"])[:n]
+    if qc_dev is not None:
+        for p in range(3):
+            pend = PendingQC(qc_dev[p])
+            for i in range(n):
+                enc.qcoeff[p][i] = (pend, i)
+        return
     qc_y = np.asarray(out["qc_y"])
     qc_u = np.asarray(out["qc_u"])
     qc_v = np.asarray(out["qc_v"])
@@ -570,15 +592,28 @@ def analyze_tile_fused_mixed(enc, cands) -> bool:
         return False
     key, args, cls_ids = meta
     prog = _build_mixed_program(*key)
-    res = jax.device_get(prog(*args))
-    ry, ru, rv = res[0], res[1], res[2]
+    res = prog(*args)
     cfg = enc.cfg
     pix = np.uint16 if cfg.bit_depth > 8 else np.uint8
-    enc.recon[0][...] = np.asarray(ry).astype(pix)
-    enc.recon[1][...] = np.asarray(ru).astype(pix)
-    enc.recon[2][...] = np.asarray(rv).astype(pix)
+    resident = getattr(enc, "_tile_count", 1) == 1
+    if resident:
+        from svt_av1_tpu.pipeline.common import PendingQC
+        enc.recon[0], enc.recon[1], enc.recon[2] = res[0], res[1], res[2]
+        for o in jax.tree_util.tree_leaves(res[3:]):
+            o.copy_to_host_async()
+        smalls = jax.device_get([
+            {k: v for k, v in res[3 + ci].items()
+             if not k.startswith("qc_")}
+            for ci in range(len(cls_ids))])
+    else:
+        res = jax.device_get(res)
+        ry, ru, rv = res[0], res[1], res[2]
+        enc.recon[0][...] = np.asarray(ry).astype(pix)
+        enc.recon[1][...] = np.asarray(ru).astype(pix)
+        enc.recon[2][...] = np.asarray(rv).astype(pix)
+        smalls = [res[3 + ci] for ci in range(len(cls_ids))]
     for ci, ids in enumerate(cls_ids):
-        out = res[3 + ci]
+        out = smalls[ci]
         ids = np.asarray(ids)
         enc.y_mode[ids] = np.asarray(out["y_mode"])[:len(ids)]
         enc.y_delta[ids] = np.asarray(out["y_delta"])[:len(ids)]
@@ -590,6 +625,14 @@ def analyze_tile_fused_mixed(enc, cands) -> bool:
         enc.eobs[0, ids] = np.asarray(out["eob_y"])[:len(ids)]
         enc.eobs[1, ids] = np.asarray(out["eob_u"])[:len(ids)]
         enc.eobs[2, ids] = np.asarray(out["eob_v"])[:len(ids)]
+        if resident:
+            pends = [PendingQC(res[3 + ci][f"qc_{pl}"])
+                     for pl in ("y", "u", "v")]
+            for li, i in enumerate(ids):
+                enc.qcoeff[0][i] = (pends[0], li)
+                enc.qcoeff[1][i] = (pends[1], li)
+                enc.qcoeff[2][i] = (pends[2], li)
+            continue
         qc_y = np.asarray(out["qc_y"])
         qc_u = np.asarray(out["qc_u"])
         qc_v = np.asarray(out["qc_v"])
@@ -889,16 +932,19 @@ def flip_apply_fused(enc, waves) -> bool:
     prog = _build_flip_program(tuple(class_spec), nwb, cands,
                                cfg.bit_depth, shapes, max_wh, rdoq)
     pdt = _pix_dt(cfg.bit_depth)
-    res = jax.device_get(prog(
+    res = prog(
         jax.device_put(enc.recon[0]), jax.device_put(enc.recon[1]),
         jax.device_put(enc.recon[2]), _dput(enc.src[0], pdt),
         _dput(enc.src[1], pdt), _dput(enc.src[2], pdt),
-        np.int32(len(waves)), *arrs))
-    enc.recon[0][...] = res[0]
-    enc.recon[1][...] = res[1]
-    enc.recon[2][...] = res[2]
+        np.int32(len(waves)), *arrs)
+    # planes stay device-resident; only the per-flip syntax outputs
+    # (coeffs, modes) cross the tunnel
+    enc.recon[0] = res[0]
+    enc.recon[1] = res[1]
+    enc.recon[2] = res[2]
+    res = jax.device_get(res[3:])
     for ci, sh in enumerate(order):
-        o = res[3 + ci]
+        o = res[ci]
         entries = classes[sh]
         for j, (w, r, c, li, m, qi, lamq) in enumerate(entries):
             enc.block_is_inter[li] = False

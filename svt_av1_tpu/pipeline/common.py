@@ -262,3 +262,34 @@ def chroma_tx_type_inter(luma_tt: int, tx_size: int,
     if not tx_sets.EXT_TX_USED[set_type][luma_tt]:
         return DCT_DCT
     return int(luma_tt)
+
+
+class PendingQC:
+    """Device-resident coefficient group awaiting its one batched fetch.
+
+    ``qcoeff[p][i] = (PendingQC, lane)`` markers defer the ~MBs of
+    quantized coefficients until the syntax pass (which runs on the
+    entropy worker thread, overlapped with the next frame's device
+    compute). The copy was already started with copy_to_host_async at
+    dispatch time, so resolving is usually a wait, not a transfer."""
+
+    __slots__ = ("dev", "host")
+
+    def __init__(self, dev):
+        self.dev = dev
+        self.host = None
+
+    def get(self, lane: int):
+        import numpy as _np
+        if self.host is None:
+            self.host = _np.asarray(self.dev)
+            self.dev = None
+        return self.host[lane].astype(_np.int32)
+
+
+def resolve_qc(entry):
+    """qcoeff[p][i] -> np.ndarray (resolving a pending marker)."""
+    if type(entry) is tuple:
+        pend, lane = entry
+        return pend.get(lane)
+    return entry

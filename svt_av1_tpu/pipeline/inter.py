@@ -39,20 +39,28 @@ from svt_av1_tpu.utils.blocks import (DC_PRED, DCT_DCT, PARTITION_NONE,
 
 _ref_cache: dict = {}
 
+_PendingQC = common.PendingQC
+resolve_qc = common.resolve_qc
+
 
 def _padded_ref(planes):
     """Padded reference planes + HME pyramid, cached per recon object:
     a slot's recon is padded/decimated once when written, not once per
-    frame that reads it — and the device upload cache (device_inter.
-    _dput) keys on these stable arrays, so each reference crosses the
-    host->device tunnel exactly once per slot write instead of once per
-    frame per reference."""
+    frame that reads it. Device-resident slots (jax planes) are prepared
+    by one on-device program (device_inter.ref_prep_dev) — the reference
+    pixels never cross the tunnel at all; host slots keep the NumPy
+    path + upload-once cache."""
+    import jax
     key = id(planes[0])
     ent = _ref_cache.get(key)
     if ent is not None and ent[0] is planes[0]:
         return ent[1], ent[2]
-    padded = [mc.pad_reference(p) for p in planes]
-    pyr = me.build_pyramid(padded[0])
+    if isinstance(planes[0], jax.Array):
+        from svt_av1_tpu.ops import device_inter as di
+        padded, pyr = di.ref_prep_dev(planes)
+    else:
+        padded = [mc.pad_reference(p) for p in planes]
+        pyr = me.build_pyramid(padded[0])
     if len(_ref_cache) >= 24:
         for k in list(_ref_cache)[:8]:
             del _ref_cache[k]
@@ -246,14 +254,20 @@ class InterFrameEncoder:
         self.lr_rinfos = None
         lr_bounds = None
         if cfg.enable_restoration:
+            import jax
             from svt_av1_tpu.ops import restoration as rst_ops
             lr_bounds = []
             for p in range(3):
                 ss = 1 if p else 0
                 Hp = (cfg.height + ss) >> ss
                 Wp = (cfg.width + ss) >> ss
-                lr_bounds.append(rst_ops.save_deblock_boundary_lines(
-                    self.recon[p][:Hp, :Wp], Hp, ss))
+                if isinstance(self.recon[p], jax.Array):
+                    from svt_av1_tpu.ops import device_lr
+                    lr_bounds.append(device_lr.deblock_bounds_dev(
+                        self.recon[p], Hp, Wp, ss))
+                else:
+                    lr_bounds.append(rst_ops.save_deblock_boundary_lines(
+                        self.recon[p][:Hp, :Wp], Hp, ss))
         cdef_kw = {}
         self.cdef_idx_map = None
         if cfg.enable_cdef:
@@ -669,6 +683,9 @@ class InterFrameEncoder:
             if self.reference_select else ()
         fwd_ids = np.asarray(self.fwd_refs or [LAST_FRAME])
         bwd_ids = np.asarray(self.bwd_refs or [0])
+        pdt = common.pixel_dtype(cfg.bit_depth)
+        rec_dev = tuple(jax.device_put(p.astype(pdt))
+                        for p in self.recon)
         issued = []
         for blocks, ids, wh, qvec in batches:
             qp, lam = self._qp_for(None)
@@ -677,7 +694,8 @@ class InterFrameEncoder:
                 lamv = np.array([self._qp_for(int(q))[1] for q in qvec])
             xs = blocks[:, 1] * 4
             ys = blocks[:, 0] * 4
-            outs, b = di.shape_group_issue(
+            rec_dev, outs, b = di.shape_group_issue(
+                rec_dev,
                 [self.ref_pyrs[r] for r in refs_order],
                 [self.refs[r][1] for r in refs_order],
                 [self.refs[r][2] for r in refs_order],
@@ -685,13 +703,21 @@ class InterFrameEncoder:
                 qp, lam, fwd_pos, bwd_pos, bd=cfg.bit_depth,
                 rdoq=cfg.enable_rdoq, qv=qvec, lamv=lamv)
             issued.append((outs, b, ids, wh, xs, ys))
-        fetched = jax.device_get([e[0] for e in issued])
-        for outs, (_, b, ids, wh, xs, ys) in zip(fetched, issued):
-            (cost, mv0, mv1, pos_c, comp, fsel, bsel, qc, eo, rec,
-             qcu, eou, recu, qcv, eov, recv) = \
-                [np.asarray(o)[:b] for o in outs]
-            bw, bh = wh
-            cw, ch = bw >> 1, bh >> 1
+        # the frame recon stays on device (flip/DLF/refs consume it
+        # there); only the small decision outputs cross the tunnel now.
+        # The (big) coefficient tensors are async-prefetched and resolved
+        # lazily on the entropy thread (_PendingQC), overlapping their
+        # download with the next frame's compute.
+        self.recon = list(rec_dev)
+        for outs, *_ in issued:
+            for o in outs:
+                o.copy_to_host_async()
+        small = jax.device_get([
+            [outs[i] for i in (0, 1, 2, 3, 4, 5, 6, 8, 10, 12)]
+            for outs, *_ in issued])
+        for sm, (outs, b, ids, wh, xs, ys) in zip(small, issued):
+            (cost, mv0, mv1, pos_c, comp, fsel, bsel, eo, eou, eov) = \
+                [np.asarray(o)[:b] for o in sm]
             chosen_ref = np.asarray(refs_order)[pos_c.astype(np.int64)]
             self.mvs[ids] = mv0.astype(np.int64)
             self.block_ref[ids] = chosen_ref
@@ -705,18 +731,12 @@ class InterFrameEncoder:
                     comp, fwd_ids[fsel.astype(np.int64)], LAST_FRAME)
                 self.comp_ref1[ids] = np.where(
                     comp, bwd_ids[bsel.astype(np.int64)], 0)
-            for k, i in enumerate(ids):
-                self.qcoeff[0][i] = qc[k].astype(np.int32)
-                yy, xx = int(ys[k]), int(xs[k])
-                self.recon[0][yy:yy + bh, xx:xx + bw] = rec[k]
-            for plane, (qcp, eop, recp) in ((1, (qcu, eou, recu)),
-                                            (2, (qcv, eov, recv))):
-                self.eobs[plane, ids] = eop
-                cxs, cys = xs >> 1, ys >> 1
+            self.eobs[1, ids] = eou
+            self.eobs[2, ids] = eov
+            for plane, oi in ((0, 7), (1, 9), (2, 11)):
+                pend = _PendingQC(outs[oi])
                 for k, i in enumerate(ids):
-                    self.qcoeff[plane][i] = qcp[k].astype(np.int32)
-                    yy, xx = int(cys[k]), int(cxs[k])
-                    self.recon[plane][yy:yy + ch, xx:xx + cw] = recp[k]
+                    self.qcoeff[plane][i] = (pend, k)
 
     def _encode_blocks(self, blocks, ids, size, qidx=None,
                        qvec=None) -> None:
@@ -952,16 +972,26 @@ class InterFrameEncoder:
             cand.append((r, c, size, li))
         if not cand:
             return
-        flips = self._flip_decision_batch(cand, mode_bits)
+        with span("flip_decision", n=len(cand)):
+            flips = self._flip_decision_batch(cand, mode_bits)
         if not flips:
             return
         waves = self._flip_waves(flips)
-        if cfg.backend == "device":
-            from svt_av1_tpu.ops import device_tile as dt
-            if dt.flip_apply_fused(self, waves):
-                return
-        for wave in waves:
-            self._flip_apply_wave(wave)
+        with span("flip_apply", n=len(flips), waves=len(waves)):
+            if cfg.backend == "device":
+                from svt_av1_tpu.ops import device_tile as dt
+                if dt.flip_apply_fused(self, waves):
+                    return
+            self._materialize_recon()
+            for wave in waves:
+                self._flip_apply_wave(wave)
+
+    def _materialize_recon(self) -> None:
+        """Fetch device-resident recon planes to host numpy (rare
+        fallback paths only — the device pipeline keeps them resident)."""
+        import jax
+        if any(isinstance(p, jax.Array) for p in self.recon):
+            self.recon = [np.asarray(p) for p in self.recon]
 
     def _flip_waves(self, flips):
         """Dependency waves over accepted flips: a flip depends on any
@@ -1178,22 +1208,30 @@ class InterFrameEncoder:
                                              self.mi_cols, vert_ab=vab)
             hbl = avail.has_bottom_left_wh_vec(rs, cs, bw >> 2, bh >> 2,
                                                self.mi_rows, vert_ab=vab)
+            b = len(ks)
+            if dev_ok:
+                # dispatch-only: sources, edges (from the device-resident
+                # recon) and candidate-mode predictions all form ON
+                # device; fetch after every group is in flight
+                import jax
+                from svt_av1_tpu.ops import device_inter as di
+                rec_y = self.recon[0]
+                if not isinstance(rec_y, jax.Array):
+                    rec_y = jax.device_put(rec_y)
+                    self.recon[0] = rec_y
+                outs, _ = di.flip_decision_issue(
+                    self.src[0], rec_y, xs, ys, ha, hl, htr, hbl,
+                    cand_modes, (bw, bh), qp, lam,
+                    (self.mi_cols * 4, self.mi_rows * 4),
+                    bd=cfg.bit_depth,
+                    rdoq=cfg.enable_rdoq, qv=qv, lamv=lams)
+                pending.append((outs, b, ks, lamqs))
+                continue
+            self._materialize_recon()
             above1, left1 = intra_ops.prepare_edges_av1(
                 self.recon[0], xs, ys, bw, bh, ha, hl, htr, hbl,
                 bd=cfg.bit_depth, max_w=self.mi_cols * 4,
                 max_h=self.mi_rows * 4)
-            b = len(ks)
-            if dev_ok:
-                # dispatch-only: sources gathered and candidate modes
-                # predicted ON device (no [M,B,bh,bw] pred upload);
-                # fetch after every group is in flight
-                from svt_av1_tpu.ops import device_inter as di
-                outs, _ = di.flip_decision_issue(
-                    self.src[0], xs, ys, above1, left1, ha, hl,
-                    cand_modes, (bw, bh), qp, lam, bd=cfg.bit_depth,
-                    rdoq=cfg.enable_rdoq, qv=qv, lamv=lams)
-                pending.append((outs, b, ks, lamqs))
-                continue
             iy = np.asarray(ys)[:, None, None] \
                 + np.arange(bh)[None, :, None]
             ix = np.asarray(xs)[:, None, None] \
@@ -1387,7 +1425,7 @@ class InterFrameEncoder:
                 continue
             skip_ctx, sign_ctx = self.ctxs.txb_ctx(p, pb, ts, x4, y4)
             cul = coeff_syntax.write_coeffs_txb(
-                self.w, self.fc, self.qcoeff[p][li], ts,
+                self.w, self.fc, resolve_qc(self.qcoeff[p][li]), ts,
                 ltt if p == 0 else ctt,
                 plane_type=int(p > 0), txb_skip_ctx=skip_ctx,
                 dc_sign_ctx=sign_ctx, is_inter=True,
@@ -1467,7 +1505,7 @@ class InterFrameEncoder:
                 continue
             skip_ctx, sign_ctx = self.ctxs.txb_ctx(p, pb, ts, x4, y4)
             cul = coeff_syntax.write_coeffs_txb(
-                self.w, self.fc, self.qcoeff[p][li], ts,
+                self.w, self.fc, resolve_qc(self.qcoeff[p][li]), ts,
                 ltt if p == 0 else ctt,
                 plane_type=int(p > 0), txb_skip_ctx=skip_ctx,
                 dc_sign_ctx=sign_ctx, is_inter=True,
@@ -1520,7 +1558,7 @@ class InterFrameEncoder:
                 continue
             skip_ctx, sign_ctx = self.ctxs.txb_ctx(p, pb, ts, x4, y4)
             cul = coeff_syntax.write_coeffs_txb(
-                self.w, self.fc, self.qcoeff[p][li], ts, tt,
+                self.w, self.fc, resolve_qc(self.qcoeff[p][li]), ts, tt,
                 plane_type=int(p > 0), txb_skip_ctx=skip_ctx,
                 dc_sign_ctx=sign_ctx, intra_dir=m if p == 0 else uv_mode,
                 base_qindex=cfg.base_q_idx)

@@ -241,6 +241,7 @@ class WavefrontIntraEncoder:
         tile_states = []
         frame_leaves = {}
         frame_skip = np.zeros((frame_mi_rows, frame_mi_cols), dtype=bool)
+        self._tile_count = len(rects)
         for rect in rects:
             mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs = rect
             self._enter_tile(frame_src, frame_recon, rect)
@@ -262,6 +263,11 @@ class WavefrontIntraEncoder:
                                c + mi_c0:c + mi_c0 + (lw >> 2)] = True
 
         self.mi_rows, self.mi_cols = frame_mi_rows, frame_mi_cols
+        import jax
+        if len(rects) == 1 and isinstance(self.recon[0], jax.Array):
+            # single-tile device path: the fused tile program kept the
+            # recon on device — the filters chain consumes it there
+            frame_recon = self.recon
         self.src, self.recon = frame_src, frame_recon
         self.leaf_sizes = frame_leaves
         out = self._package(frame_src, frame_recon, frame_leaves,
@@ -299,14 +305,17 @@ class WavefrontIntraEncoder:
                        (self.mi_cols * 2, self.mi_rows * 2)]
 
         cands = common.intra_candidates(cfg)
+        from svt_av1_tpu.utils.trace import span
         if cfg.fixed_partition_size is not None:
             self.leaf_sizes = self._fixed_leaf_sizes(cfg.fixed_partition_size)
         else:
             from svt_av1_tpu.pipeline import rd
-            self.leaf_sizes = rd.choose_partition(
-                np.asarray(self.src[0], dtype=common.pixel_dtype(cfg.bit_depth)),
-                cfg, self.mi_cols,
-                self.mi_rows)
+            with span("intra_partition_dp"):
+                self.leaf_sizes = rd.choose_partition(
+                    np.asarray(self.src[0],
+                               dtype=common.pixel_dtype(cfg.bit_depth)),
+                    cfg, self.mi_cols,
+                    self.mi_rows)
         leaves = self._leaves()
         waves = self._dependency_waves(leaves, self.mi_cols, self.mi_rows)
         n = len(leaves)
@@ -323,10 +332,11 @@ class WavefrontIntraEncoder:
 
         if cfg.backend == "device":
             from svt_av1_tpu.ops import device_tile
-            if device_tile.analyze_tile_fused(self, cands):
-                return None  # whole tile ran as one fused device program
-            if device_tile.analyze_tile_fused_mixed(self, cands):
-                return None  # mixed-size leaf map, still one program
+            with span("intra_tile_fused"):
+                if device_tile.analyze_tile_fused(self, cands):
+                    return None  # whole tile as one fused device program
+                if device_tile.analyze_tile_fused_mixed(self, cands):
+                    return None  # mixed-size leaf map, still one program
 
         larr = np.array([(r, c, wh[0], wh[1]) for r, c, wh in leaves],
                         dtype=np.int64)
@@ -652,7 +662,8 @@ class WavefrontIntraEncoder:
                 continue
             skip_ctx, sign_ctx = self.ctxs.txb_ctx(p, pb, ts, x4, y4)
             cul = coeff_syntax.write_coeffs_txb(
-                self.w, self.fc, self.qcoeff[p][li], ts, tt,
+                self.w, self.fc, common.resolve_qc(self.qcoeff[p][li]),
+                ts, tt,
                 plane_type=int(p > 0), txb_skip_ctx=skip_ctx,
                 dc_sign_ctx=sign_ctx, intra_dir=m,
                 base_qindex=cfg.base_q_idx)
