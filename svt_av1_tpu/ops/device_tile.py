@@ -295,14 +295,16 @@ def analyze_tile_fused(enc, cands) -> bool:
         # and the reference slots; coefficients resolve lazily on the
         # entropy thread (one async-prefetched fetch)
         ry, ru, rv, out = res
-        for o in jax.tree_util.tree_leaves(out):
-            o.copy_to_host_async()
         enc.recon[0] = ry
         enc.recon[1] = ru
         enc.recon[2] = rv
-        inject_results(enc, key[7], None, None, None,
-                       jax.device_get({k: v for k, v in out.items()
-                                       if not k.startswith("qc_")}),
+        small = jax.device_get({k: v for k, v in out.items()
+                                if not k.startswith("qc_")})
+        n_leaf = key[7]
+        for pl in ("qc_y", "qc_u", "qc_v"):
+            out[pl] = out[pl][:n_leaf]
+            out[pl].copy_to_host_async()
+        inject_results(enc, n_leaf, None, None, None, small,
                        qc_dev=(out["qc_y"], out["qc_u"], out["qc_v"]))
         return True
     ry, ru, rv, out = jax.device_get(res)
@@ -599,12 +601,14 @@ def analyze_tile_fused_mixed(enc, cands) -> bool:
     if resident:
         from svt_av1_tpu.pipeline.common import PendingQC
         enc.recon[0], enc.recon[1], enc.recon[2] = res[0], res[1], res[2]
-        for o in jax.tree_util.tree_leaves(res[3:]):
-            o.copy_to_host_async()
         smalls = jax.device_get([
             {k: v for k, v in res[3 + ci].items()
              if not k.startswith("qc_")}
             for ci in range(len(cls_ids))])
+        for ci in range(len(cls_ids)):
+            for pl in ("qc_y", "qc_u", "qc_v"):
+                res[3 + ci][pl] = res[3 + ci][pl][:len(cls_ids[ci])]
+                res[3 + ci][pl].copy_to_host_async()
     else:
         res = jax.device_get(res)
         ry, ru, rv = res[0], res[1], res[2]
@@ -937,21 +941,31 @@ def flip_apply_fused(enc, waves) -> bool:
         jax.device_put(enc.recon[2]), _dput(enc.src[0], pdt),
         _dput(enc.src[1], pdt), _dput(enc.src[2], pdt),
         np.int32(len(waves)), *arrs)
-    # planes stay device-resident; only the per-flip syntax outputs
-    # (coeffs, modes) cross the tunnel
+    # planes stay device-resident; the big (bucket-padded) coefficient
+    # tensors defer to PendingQC markers resolved on the entropy thread
+    from svt_av1_tpu.pipeline.common import PendingQC
     enc.recon[0] = res[0]
     enc.recon[1] = res[1]
     enc.recon[2] = res[2]
-    res = jax.device_get(res[3:])
+    smalls = jax.device_get([
+        {k: v for k, v in res[3 + ci].items()
+         if not k.startswith("qc_")} for ci in range(len(order))])
     for ci, sh in enumerate(order):
-        o = res[ci]
+        nent = len(classes[sh])
+        for pl in ("qc_y", "qc_u", "qc_v"):
+            res[3 + ci][pl] = res[3 + ci][pl][:nent]
+            res[3 + ci][pl].copy_to_host_async()
+    for ci, sh in enumerate(order):
+        o = smalls[ci]
+        pends = [PendingQC(res[3 + ci][f"qc_{pl}"])
+                 for pl in ("y", "u", "v")]
         entries = classes[sh]
         for j, (w, r, c, li, m, qi, lamq) in enumerate(entries):
             enc.block_is_inter[li] = False
             enc.intra_mode[li] = m
-            enc.qcoeff[0][li] = o["qc_y"][j]
-            enc.qcoeff[1][li] = o["qc_u"][j]
-            enc.qcoeff[2][li] = o["qc_v"][j]
+            enc.qcoeff[0][li] = (pends[0], j)
+            enc.qcoeff[1][li] = (pends[1], j)
+            enc.qcoeff[2][li] = (pends[2], j)
             enc.eobs[0, li] = o["eob_y"][j]
             enc.eobs[1, li] = o["eob_u"][j]
             enc.eobs[2, li] = o["eob_v"][j]

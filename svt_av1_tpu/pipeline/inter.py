@@ -709,12 +709,18 @@ class InterFrameEncoder:
         # lazily on the entropy thread (_PendingQC), overlapping their
         # download with the next frame's compute.
         self.recon = list(rec_dev)
-        for outs, *_ in issued:
-            for o in outs:
-                o.copy_to_host_async()
         small = jax.device_get([
             [outs[i] for i in (0, 1, 2, 3, 4, 5, 6, 8, 10, 12)]
             for outs, *_ in issued])
+        # start the big coefficient copies only AFTER the small fetch —
+        # the tunnel serves transfers in order, so queueing MBs of
+        # coefficients first would stall the decision outputs behind them
+        for j, (outs, b, *_rest) in enumerate(issued):
+            outs = list(outs)
+            issued[j] = (outs, b) + tuple(_rest)
+            for i in (7, 9, 11):
+                outs[i] = outs[i][:b]
+                outs[i].copy_to_host_async()
         for sm, (outs, b, ids, wh, xs, ys) in zip(small, issued):
             (cost, mv0, mv1, pos_c, comp, fsel, bsel, eo, eou, eov) = \
                 [np.asarray(o)[:b] for o in sm]

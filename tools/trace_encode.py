@@ -62,6 +62,9 @@ def main():
     run("timed")
     import json
     print(json.dumps(TRACER.summary(), indent=1))
+    for s in TRACER.spans:
+        if len(s) > 3:   # spans with meta (counts)
+            print(json.dumps(s))
 
 
 if __name__ == "__main__":
