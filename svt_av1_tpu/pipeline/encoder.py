@@ -79,11 +79,7 @@ class Encoder:
         # the controller needs frame N's actual bits before choosing
         # frame N+1's qindex.
         self._syntax_pool = None
-        self._syntax_pending: List = []
-        # True while an in-flight syntax job will write slot state
-        # (slot_info/entropy/gm for its refresh slot) — the next
-        # frame's compute must join before reading those stores
-        self._slot_writes_pending = False
+        self._syntax_pending: List = []  # [(future, is_key, layer)]
         self._base_slot = 0        # slot of the most recent past anchor
         self._golden_slot = 7      # slot of the last keyframe (GOLDEN)
         self._ld_last2 = None      # low-delay: slot of the frame before LAST
@@ -176,13 +172,30 @@ class Encoder:
         self._prev_luma = cur
         return prev
 
+    # how many frames of host entropy may trail the compute front. CQP
+    # qindex choices don't depend on coded bits, so the only bound is
+    # memory (each in-flight frame holds its coefficient downloads);
+    # under RC the depth is 1 so the controller's actual-bits feedback
+    # is exactly one frame late — the reference's own latency
+    # (packetization -> RC feedback task, EbPacketizationProcess.c:177)
+    # — and, crucially, DETERMINISTIC: frame N+1's qindex always sees
+    # bits through frame N-1 no matter how fast the worker runs.
+    SYNTAX_DEPTH = 4
+    SYNTAX_DEPTH_RC = 1
+
+    def _reap_one(self) -> None:
+        """Join the oldest in-flight entropy job and apply its RC
+        feedback (join order == submit order keeps rc.update in coding
+        order)."""
+        fut, is_key, layer = self._syntax_pending.pop(0)
+        tu = fut.result()
+        if self._rc is not None:
+            self._rc.update(len(tu) * 8, is_key, layer)
+
     def _join_syntax(self) -> None:
-        """Wait for all in-flight entropy jobs (their slot-state writes
-        must land before anything else mutates the slot stores)."""
-        for fut in self._syntax_pending:
-            fut.result()
-        self._syntax_pending.clear()
-        self._slot_writes_pending = False
+        """Wait for all in-flight entropy jobs."""
+        while self._syntax_pending:
+            self._reap_one()
 
     def _encode_key(self, y, u, v, disp_idx=None) -> None:
         from svt_av1_tpu.utils.trace import span
@@ -256,12 +269,11 @@ class Encoder:
         rff = 0 if refresh_slot is None else 1 << refresh_slot
         # temporal MV context: current hint, per-slot hints, projected
         # field from the slot stores (decoder rebuilds the same from its
-        # own slots — spec 7.9). A still-running reference-frame syntax
-        # job owns pending slot_info writes that feed this context, so
-        # join first; leaf-B syntax (refresh None, no slot writes) keeps
-        # overlapping with this frame's compute.
-        if self._slot_writes_pending:
-            self._join_syntax()
+        # own slots — spec 7.9). Slot TMVP/gm stores are refreshed on
+        # the main thread right after each frame's compute
+        # (field_state_from_decisions), so no in-flight syntax job is
+        # ever waited on here — compute streams frame after frame with
+        # host entropy trailing up to SYNTAX_DEPTH frames behind.
         from svt_av1_tpu.bitstream.obu import get_relative_dist
         from svt_av1_tpu.pipeline import tmvp
         hint = ((disp_idx or 0) - self._key_disp) & 127
@@ -294,36 +306,48 @@ class Encoder:
                 refresh_frame_flags=rff, ref_frame_idx=idx,
                 show_frame=show, extra_refs=extra)
         if refresh_slot is not None:
+            # all slot stores a LATER frame's COMPUTE may read are
+            # refreshed here, on the main thread, straight from the
+            # decisions — syntax owns only the entropy store (read
+            # exclusively by later syntax jobs, which the single ordered
+            # worker serializes after this frame's job)
             self._slots[refresh_slot] = padded
+            self._slot_gm[refresh_slot] = tuple(
+                enc.gm_mv.get(ref, (0, 0)) for ref in range(1, 8))
+            fr, fm = tmvp.save_motion_field(
+                tmvp.field_state_from_decisions(enc),
+                [-d for d in rel_dist])
+            self._slot_info[refresh_slot] = tmvp.SlotInfo(
+                order_hint=hint,
+                ref_order_hints=tuple(named_hints),
+                is_intra=False, field_ref=fr, field_mv=fm)
+        # gm prediction base for the frame header: captured NOW — a
+        # later frame may refresh this slot's gm store before the
+        # worker runs this frame's job
+        prev_gm_val = self._slot_gm[last_slot]
 
-        def syntax_job(enc=enc, last=last_slot, refresh=refresh_slot):
-            tu = enc.encode_syntax(self._slot_entropy[last],
-                                   self._slot_gm[last])
+        def syntax_job(enc=enc, last=last_slot, refresh=refresh_slot,
+                       prev_gm=prev_gm_val):
+            tu = enc.encode_syntax(self._slot_entropy[last], prev_gm)
             if refresh is not None:
                 self._slot_entropy[refresh] = enc.final_entropy
-                self._slot_gm[refresh] = tuple(
-                    enc.gm_mv.get(ref, (0, 0)) for ref in range(1, 8))
-                fr, fm = tmvp.save_motion_field(
-                    enc.mvp_state, [-d for d in rel_dist])
-                self._slot_info[refresh] = tmvp.SlotInfo(
-                    order_hint=hint,
-                    ref_order_hints=tuple(named_hints),
-                    is_intra=False, field_ref=fr, field_mv=fm)
             return tu
 
         recon_out = self._crop(padded) if show else None
         # overlap pays on the device backend (compute blocks on the TPU
         # with the GIL released); on the host backend the two stages
         # would fight over the GIL
-        if self._rc is None and self.cfg.backend == "device":
+        if self.cfg.backend == "device":
             if self._syntax_pool is None:
                 from concurrent.futures import ThreadPoolExecutor
                 self._syntax_pool = ThreadPoolExecutor(
                     max_workers=1, thread_name_prefix="entropy")
+            depth = self.SYNTAX_DEPTH if self._rc is None \
+                else self.SYNTAX_DEPTH_RC
             fut = self._syntax_pool.submit(syntax_job)
-            self._syntax_pending.append(fut)
-            if refresh_slot is not None:
-                self._slot_writes_pending = True
+            self._syntax_pending.append((fut, False, layer))
+            while len(self._syntax_pending) > depth:
+                self._reap_one()
             self._out.append((fut, recon_out))
         else:
             tu = syntax_job()
@@ -500,6 +524,7 @@ class Encoder:
         """Encode any buffered frames (end of stream)."""
         self._drain_lookahead(all_frames=True)
         self._flush_group()
+        self._join_syntax()
 
     # --- state serialization (checkpoint/resume) -------------------------------
     def save_state(self) -> dict:

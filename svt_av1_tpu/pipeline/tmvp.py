@@ -111,6 +111,49 @@ def save_motion_field(state, rel_dist) -> tuple:
     return ref8, mv8
 
 
+class _FieldState:
+    """Minimal ref/mv mi-maps duck-typing MvpState for
+    save_motion_field."""
+
+    def __init__(self, mi_rows, mi_cols):
+        self.mi_rows = mi_rows
+        self.mi_cols = mi_cols
+        self.ref = np.zeros((mi_rows, mi_cols), dtype=np.int32)
+        self.mv = np.zeros((mi_rows, mi_cols, 2), dtype=np.int32)
+        self.ref1 = np.full((mi_rows, mi_cols), -1, dtype=np.int32)
+        self.mv1 = np.zeros((mi_rows, mi_cols, 2), dtype=np.int32)
+
+
+def field_state_from_decisions(enc) -> _FieldState:
+    """Build the frame's final mi-granularity motion maps straight from
+    an InterFrameEncoder's post-compute decisions (leaf_sizes /
+    block_ref / mvs / compound arrays) — exactly the maps MvpState holds
+    after the syntax walk, but available WITHOUT running syntax. This is
+    what lets the encoder refresh a slot's TMVP store right after
+    compute, so the next frame's compute never waits on this frame's
+    host entropy (the reference's multi-picture pipeline achieves the
+    same decoupling with its EC process pool, EbEncHandle.c:1056)."""
+    from svt_av1_tpu.pipeline import common
+
+    st = _FieldState(enc.mi_rows, enc.mi_cols)
+    for (r, c), size in enc.leaf_sizes.items():
+        li = enc.leaf_index[(r, c)]
+        bw, bh = common.leaf_wh(size)
+        w4, h4 = bw >> 2, bh >> 2
+        if not enc.block_is_inter[li]:
+            # set_block(..., INTRA_FRAME=0, (0,0)) — already the init
+            continue
+        if enc.block_comp[li]:
+            st.ref[r:r + h4, c:c + w4] = enc.comp_ref0[li]
+            st.ref1[r:r + h4, c:c + w4] = enc.comp_ref1[li]
+            st.mv[r:r + h4, c:c + w4] = enc.mvs[li]
+            st.mv1[r:r + h4, c:c + w4] = enc.mvs1[li]
+        else:
+            st.ref[r:r + h4, c:c + w4] = enc.block_ref[li]
+            st.mv[r:r + h4, c:c + w4] = enc.mvs[li]
+    return st
+
+
 def _project_one(tpl, start: SlotInfo, dir_: int, cur_hint: int,
                  bits: int, mi_rows: int, mi_cols: int) -> bool:
     """motion_field_projection for one start frame (spec 7.9.2 body).

@@ -115,3 +115,42 @@ def test_motion_field_save_rules():
     assert ref8[1, 0] == -1                      # magnitude cap
     assert ref8[1, 1] == mvp.LAST_FRAME          # compound: ref1 is
     assert tuple(mv8[1, 1]) == (2, 2)            # future -> ref0 stored
+
+
+def test_field_from_decisions_matches_syntax_walk():
+    """The post-compute motion-field extraction (what lets compute run
+    ahead of host entropy) must equal the MvpState the syntax walk
+    builds — same mi maps, same saved field."""
+    import numpy as np
+    from svt_av1_tpu.bitstream import obu
+    from svt_av1_tpu.pipeline.inter import InterFrameEncoder
+
+    rng = np.random.default_rng(7)
+    w, h = 128, 96
+    base = rng.integers(0, 255, (h + 32, w + 32)).astype(np.uint8)
+    f0 = (base[:h, :w], np.full(((h + 1) // 2, (w + 1) // 2), 128,
+                                np.uint8),
+          np.full(((h + 1) // 2, (w + 1) // 2), 128, np.uint8))
+    f1 = (base[3:3 + h, 2:2 + w], f0[1], f0[2])
+    cfg = EncoderConfig(width=w, height=h, qp=40,
+                        fixed_partition_size=None)
+    seq = obu.SequenceHeader(width=w, height=h,
+                             **obu.order_hint_fields(True))
+    from svt_av1_tpu.pipeline.wavefront import WavefrontIntraEncoder
+    kenc = WavefrontIntraEncoder(cfg)
+    kenc.order_hint = 0
+    kenc.encode(*f0)
+    enc = InterFrameEncoder(cfg, seq)
+    enc.encode_compute(*f1, kenc.recon)
+    st_dec = tmvp.field_state_from_decisions(enc)
+    enc.encode_syntax(kenc.final_entropy, ((0, 0),) * 7)
+    st_syn = enc.mvp_state
+    np.testing.assert_array_equal(st_dec.ref, st_syn.ref)
+    np.testing.assert_array_equal(st_dec.ref1, st_syn.ref1)
+    np.testing.assert_array_equal(st_dec.mv, st_syn.mv)
+    np.testing.assert_array_equal(st_dec.mv1, st_syn.mv1)
+    rel = [0, -1, 0, 0, 0, 0, 0, 2]
+    a = tmvp.save_motion_field(st_dec, rel)
+    b = tmvp.save_motion_field(st_syn, rel)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
