@@ -1275,6 +1275,12 @@ def _build_dp_all(w_eff: int, h_eff: int, sizes: tuple, arm_spec: tuple):
                 mvs = jnp.where(better[:, None], mv_z, mv_s)
             sse = _sse_at_j(ref_full, src_full, xs, ys, mvs, bw, bh)
             outs += [mvs.astype(jnp.int16), sse]
+            # children of the next depth refine around THIS depth's MVs
+            # (the host path's parent_mvs seeding — omitting this carry
+            # made every depth below the root re-run full HME, which
+            # silently diverged from the host DP; round-4 fix)
+            parent_mvs = mvs
+            parent_size = size
             for (asize, wh, offs) in arm_spec:
                 if asize != size:
                     continue

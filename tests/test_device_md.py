@@ -254,3 +254,29 @@ def test_backend_flip_streams_byte_identical():
     ie.encode(y1, u, v, kf.recon)
     assert (~ie.block_is_inter).sum() > 0
     assert encode_ivf(frames, cfg_h) == encode_ivf(frames, cfg_d)
+
+
+def test_backend_partition_dp_streams_byte_identical():
+    """Partition-DP inter coding (fixed_partition_size=None — the
+    production preset shape) on both backends. Round 4 regression: the
+    fused device DP program dropped the parent-MV seeding carry, so
+    child depths re-ran full HME and silently diverged from the host
+    DP decisions (caught by the verify drive, not the suite — this
+    combo had no byte-identity coverage)."""
+    from svt_av1_tpu.pipeline.encoder import encode_ivf
+    rng = np.random.default_rng(5)
+    h, w = 64, 128
+    base = rng.integers(0, 255, (h + 32, w + 32)).astype(np.uint8)
+    frames = []
+    for t in range(4):
+        y = base[2 * t:2 * t + h, 3 * t:3 * t + w]
+        u = np.full((h // 2, w // 2), 110 + t, np.uint8)
+        v = np.full((h // 2, w // 2), 140, np.uint8)
+        frames.append((y, u, v))
+    for hier in (0, 3):
+        cfg_h = EncoderConfig(width=w, height=h, qp=40,
+                              hierarchical_levels=hier,
+                              fixed_partition_size=None)
+        cfg_d = dataclasses.replace(cfg_h, backend="device")
+        assert encode_ivf(frames, cfg_h) == encode_ivf(frames, cfg_d), \
+            f"hier={hier}"
