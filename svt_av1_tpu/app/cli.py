@@ -131,10 +131,12 @@ def preset_config(args) -> EncoderConfig:
         kw.update(fixed_partition_size=None, nfl=4,
                   angle_deltas=(-3, -2, -1, 0, 1, 2, 3),
                   enable_cdef=True, enable_restoration=True,
-                  enable_tx_type_search=True)
+                  enable_tx_type_search=True,
+                  enable_interp_filter_search=True)
     elif args.preset == 1:     # M1
         kw.update(fixed_partition_size=None, nfl=3,
-                  angle_deltas=(-2, 0, 2), enable_cdef=True)
+                  angle_deltas=(-2, 0, 2), enable_cdef=True,
+                  enable_interp_filter_search=True)
     elif args.preset == 2:     # M2
         kw.update(fixed_partition_size=None, nfl=2, angle_deltas=(0,))
     # M3+ keep partition RD at every preset — like the reference's

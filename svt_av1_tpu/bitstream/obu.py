@@ -153,6 +153,10 @@ class FrameHeader:
     # per-ref (LAST..ALTREF) global translation MV, 1/8-pel (row, col);
     # components must be even (allow_high_precision_mv = 0)
     gm_trans: tuple = ((0, 0),) * 7
+    # per-block switchable interpolation filter (spec is_filter_switchable;
+    # blocks code REGULAR/SMOOTH/SHARP — reference write_mb_interp_filter,
+    # EbEntropyCoding.c:2024)
+    interp_filter_switchable: bool = False
 
 
 def order_hint_fields(enable: bool) -> dict:
@@ -463,8 +467,9 @@ def _write_uncompressed_header(w: BitWriter, seq: SequenceHeader,
         # superres disabled -> no bits. render_size():
         w.write_bit(0)                   # render_and_frame_size_different
         w.write_bit(0)                   # allow_high_precision_mv
-        w.write_bit(0)                   # is_filter_switchable
-        w.write(0, 2)                    # interpolation_filter (REGULAR)
+        w.write_bit(int(fh.interp_filter_switchable))
+        if not fh.interp_filter_switchable:
+            w.write(0, 2)                # interpolation_filter (REGULAR)
         w.write_bit(0)                   # is_motion_mode_switchable
         if not fh.error_resilient and seq.enable_ref_frame_mvs:
             w.write_bit(int(fh.use_ref_frame_mvs))
@@ -733,6 +738,7 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader, slot_gm=None,
     refresh_frame_flags = 0xFF
     ref_frame_idx = (0,) * 7
     use_ref_frame_mvs = False
+    interp_switchable = False
     ref_order_hints = tuple(slot_hints) if slot_hints is not None \
         else (0,) * 8
     if is_key:
@@ -748,8 +754,9 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader, slot_gm=None,
         # !override || error_resilient -> frame_size() + render_size()
         assert r.read_bit() == 0  # render_and_frame_size_different
         assert r.read_bit() == 0  # allow_high_precision_mv
-        assert r.read_bit() == 0  # is_filter_switchable
-        assert r.read(2) == 0     # interpolation_filter REGULAR
+        interp_switchable = bool(r.read_bit())
+        if not interp_switchable:
+            assert r.read(2) == 0  # interpolation_filter REGULAR
         assert r.read_bit() == 0  # is_motion_mode_switchable
         if not error_resilient and seq.enable_ref_frame_mvs:
             use_ref_frame_mvs = bool(r.read_bit())
@@ -837,6 +844,7 @@ def parse_frame_obu(payload: bytes, seq: SequenceHeader, slot_gm=None,
                      film_grain=film_grain, lr_params=lr_params,
                      reference_select=reference_select,
                      gm_trans=gm_trans,
+                     interp_filter_switchable=interp_switchable,
                      delta_q_present=delta_q_present,
                      delta_q_res=delta_q_res,
                      base_q_idx=base_q_idx,

@@ -142,6 +142,11 @@ class EncoderConfig:
     # enable_ref_frame_mvs + per-frame use_ref_frame_mvs; spec 7.9)
     enable_tmvp: bool = True
     enable_rect_partitions: bool = True  # HORZ/VERT arms in partition RD
+    # per-block switchable interpolation filter RD search (REGULAR/
+    # SMOOTH/SHARP; reference av1_is_interp_needed +
+    # write_mb_interp_filter, EbInterPrediction.c:3523,
+    # EbEntropyCoding.c:2024)
+    enable_interp_filter_search: bool = False
     adaptive_quantization: int = 0  # 0 off; 1 = variance AQ (per-SB
                                     # delta qindex, reference QPM)
 

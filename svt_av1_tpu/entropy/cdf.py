@@ -70,6 +70,7 @@ class FrameContext:
         ("comp_ref", "comp_ref", False),
         ("comp_bwdref", "comp_bwdref", False),
         ("inter_compound_mode", "inter_compound_mode", False),
+        ("switchable_interp", "switchable_interp", False),
         ("switchable_restore", "switchable_restore", False),
         ("wiener_restore", "wiener_restore", False),
         ("sgrproj_restore", "sgrproj_restore", False),

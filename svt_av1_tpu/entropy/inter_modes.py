@@ -352,3 +352,59 @@ def write_inter_compound_mode(w, fc, mode: int, res: MvStackResult) -> None:
 def read_inter_compound_mode(r, fc, res: MvStackResult) -> int:
     return NEAREST_NEARESTMV + r.read_symbol(
         fc.inter_compound_mode[compound_mode_ctx(res)], 8)
+
+
+# --- switchable interpolation filter (spec 5.11.26 read_interp_filter) --------
+
+def needs_interp_filter(mode, bw: int, bh: int, gm0_is_trans: bool,
+                        gm1_is_trans: bool = False) -> bool:
+    """Spec needs_interp_filter(): large GLOBALMV blocks whose global
+    model is IDENTITY skip the filter symbol (their MV is (0,0) —
+    phase-0 MC is filter-independent). skip_mode / warped motion are
+    not coded by this encoder."""
+    large = min(bw, bh) >= 8
+    if large and mode == GLOBALMV:
+        return gm0_is_trans
+    if large and mode == GLOBAL_GLOBALMV:
+        return gm0_is_trans or gm1_is_trans
+    return True
+
+
+def interp_filter_ctx(state, mi_row: int, mi_col: int, ref_frame: int,
+                      is_comp: bool) -> int:
+    """Context for the interp_filter symbol (dir 0, dual_filter off;
+    reference av1_get_pred_context_switchable_interp,
+    EbEntropyCoding.c:1904): 4*is_comp plus the left/above neighbor
+    filter types, counted only when the neighbor shares ref_frame."""
+    SW = 3  # SWITCHABLE_FILTERS
+    ctx = 4 if is_comp else 0
+    left_type = above_type = SW
+    if mi_col > 0:
+        if state.ref[mi_row, mi_col - 1] == ref_frame \
+                or state.ref1[mi_row, mi_col - 1] == ref_frame:
+            left_type = int(state.interp[mi_row, mi_col - 1])
+    if mi_row > 0:
+        if state.ref[mi_row - 1, mi_col] == ref_frame \
+                or state.ref1[mi_row - 1, mi_col] == ref_frame:
+            above_type = int(state.interp[mi_row - 1, mi_col])
+    if left_type == above_type:
+        ctx += left_type
+    elif left_type == SW:
+        ctx += above_type
+    elif above_type == SW:
+        ctx += left_type
+    else:
+        ctx += SW
+    return ctx
+
+
+def write_interp_filter(w, fc, state, mi_row, mi_col, ref_frame: int,
+                        is_comp: bool, f: int) -> None:
+    ctx = interp_filter_ctx(state, mi_row, mi_col, ref_frame, is_comp)
+    w.write_symbol(f, fc.switchable_interp[ctx], 3)
+
+
+def read_interp_filter(r, fc, state, mi_row, mi_col, ref_frame: int,
+                       is_comp: bool) -> int:
+    ctx = interp_filter_ctx(state, mi_row, mi_col, ref_frame, is_comp)
+    return r.read_symbol(fc.switchable_interp[ctx], 3)

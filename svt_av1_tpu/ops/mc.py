@@ -44,28 +44,98 @@ SUBPEL_FILTERS_4 = np.array([
     [0, 0, -4, 18, 122, -8, 0, 0], [0, 0, -2, 8, 126, -4, 0, 0],
 ], dtype=np.int32)
 
+# EIGHTTAP_SMOOTH (normative spec constants; reference
+# sub_pel_filters_8smooth, EbInterPrediction.c:930)
+SUBPEL_FILTERS_8SMOOTH = np.array([
+    [0, 0, 0, 128, 0, 0, 0, 0], [0, 2, 28, 62, 34, 2, 0, 0],
+    [0, 0, 26, 62, 36, 4, 0, 0], [0, 0, 22, 62, 40, 4, 0, 0],
+    [0, 0, 20, 60, 42, 6, 0, 0], [0, 0, 18, 58, 44, 8, 0, 0],
+    [0, 0, 16, 56, 46, 10, 0, 0], [0, -2, 16, 54, 48, 12, 0, 0],
+    [0, -2, 14, 52, 52, 14, -2, 0], [0, 0, 12, 48, 54, 16, -2, 0],
+    [0, 0, 10, 46, 56, 16, 0, 0], [0, 0, 8, 44, 58, 18, 0, 0],
+    [0, 0, 6, 42, 60, 20, 0, 0], [0, 0, 4, 40, 62, 22, 0, 0],
+    [0, 0, 4, 36, 62, 26, 0, 0], [0, 0, 2, 34, 62, 28, 2, 0],
+], dtype=np.int32)
+
+# MULTITAP_SHARP (reference sub_pel_filters_8sharp,
+# EbInterPrediction.c:918)
+SUBPEL_FILTERS_8SHARP = np.array([
+    [0, 0, 0, 128, 0, 0, 0, 0], [-2, 2, -6, 126, 8, -2, 2, 0],
+    [-2, 6, -12, 124, 16, -6, 4, -2], [-2, 8, -18, 120, 26, -10, 6, -2],
+    [-4, 10, -22, 116, 38, -14, 6, -2],
+    [-4, 10, -22, 108, 48, -18, 8, -2],
+    [-4, 10, -24, 100, 60, -20, 8, -2],
+    [-4, 10, -24, 90, 70, -22, 10, -2],
+    [-4, 12, -24, 80, 80, -24, 12, -4],
+    [-2, 10, -22, 70, 90, -24, 10, -4],
+    [-2, 8, -20, 60, 100, -24, 10, -4],
+    [-2, 8, -18, 48, 108, -22, 10, -4],
+    [-2, 6, -14, 38, 116, -22, 10, -4],
+    [-2, 6, -10, 26, 120, -18, 8, -2],
+    [-2, 4, -6, 16, 124, -12, 6, -2], [0, 2, -2, 8, 126, -6, 2, -2],
+], dtype=np.int32)
+
+# 4-tap smooth (reference sub_pel_filters_4smooth,
+# EbInterPrediction.c:952)
+SUBPEL_FILTERS_4SMOOTH = np.array([
+    [0, 0, 0, 128, 0, 0, 0, 0], [0, 0, 30, 62, 34, 2, 0, 0],
+    [0, 0, 26, 62, 36, 4, 0, 0], [0, 0, 22, 62, 40, 4, 0, 0],
+    [0, 0, 20, 60, 42, 6, 0, 0], [0, 0, 18, 58, 44, 8, 0, 0],
+    [0, 0, 16, 56, 46, 10, 0, 0], [0, 0, 14, 54, 48, 12, 0, 0],
+    [0, 0, 12, 52, 52, 12, 0, 0], [0, 0, 12, 48, 54, 14, 0, 0],
+    [0, 0, 10, 46, 56, 16, 0, 0], [0, 0, 8, 44, 58, 18, 0, 0],
+    [0, 0, 6, 42, 60, 20, 0, 0], [0, 0, 4, 40, 62, 22, 0, 0],
+    [0, 0, 4, 36, 62, 26, 0, 0], [0, 0, 2, 34, 62, 30, 0, 0],
+], dtype=np.int32)
+
+# switchable filter ids (spec interp_filter)
+EIGHTTAP_REGULAR, EIGHTTAP_SMOOTH, MULTITAP_SHARP = 0, 1, 2
+SWITCHABLE_FILTERS = 3
+
+# filter banks indexed [ftype, phase, tap]: >4px dims and <=4px dims
+# (spec av1_get_interp_filter_params_with_block_size: a <=4 dim maps
+# REGULAR and SHARP to the 4-tap regular set, SMOOTH to 4-tap smooth —
+# reference EbInterPrediction.c:979)
+FILTER_BANK_8 = np.stack([SUBPEL_FILTERS_8, SUBPEL_FILTERS_8SMOOTH,
+                          SUBPEL_FILTERS_8SHARP])
+FILTER_BANK_4 = np.stack([SUBPEL_FILTERS_4, SUBPEL_FILTERS_4SMOOTH,
+                          SUBPEL_FILTERS_4])
+
 
 def pad_reference(plane: np.ndarray, pad: int = REF_PAD) -> np.ndarray:
     """Edge-replicate pad (reference PadRefAndSetFlags semantics)."""
     return np.pad(plane, pad, mode="edge")
 
 
-def _filters(dim: int):
-    return SUBPEL_FILTERS_4 if dim <= 4 else SUBPEL_FILTERS_8
+def _filters(dim: int, ftype=0):
+    """Phase table(s) for one block dimension. ``ftype``: scalar filter
+    id or [B] per-block ids — returns [16, 8] or [B, 16, 8]."""
+    bank = FILTER_BANK_4 if dim <= 4 else FILTER_BANK_8
+    return bank[ftype]
+
+
+def _filter_rows(dim: int, ftype, frac):
+    """Per-block filter taps [B, 8] for one direction."""
+    bank = FILTER_BANK_4 if dim <= 4 else FILTER_BANK_8
+    if np.ndim(ftype) == 0:
+        return bank[int(ftype)][frac]
+    return bank[np.asarray(ftype, dtype=np.int64), frac]
 
 
 def mc_block_batch(ref_padded: np.ndarray, xs, ys, mvs, w: int, h: int,
-                   ss: int = 0, bd: int = 8) -> np.ndarray:
+                   ss: int = 0, bd: int = 8, ftype=0) -> np.ndarray:
     """Motion-compensated prediction for a batch of same-sized blocks.
 
     ref_padded: padded reference plane (REF_PAD border). xs/ys: [B]
     block positions in *plane* pixels (unpadded coords). mvs: [B, 2]
     (row, col) in 1/8-pel luma units. ss: plane subsampling (0 luma,
-    1 chroma 4:2:0). Returns [B, h, w] pixel-dtype predictions.
+    1 chroma 4:2:0). ftype: interp filter id (scalar or [B] per block).
+    Returns [B, h, w] pixel-dtype predictions.
     """
     b = len(xs)
     mvs = np.asarray(mvs, dtype=np.int64)
-    win, fxv, fyv = _gather_windows(ref_padded, xs, ys, mvs, w, h, ss)
+    win, fxv, fyv = _gather_windows(ref_padded, xs, ys, mvs, w, h, ss,
+                                    ftype)
     offset_bits = bd + 2 * FILTER_BITS - ROUND0
     final_bits = 2 * FILTER_BITS - ROUND0 - ROUND1
     sub = (1 << (offset_bits - ROUND1)) + (1 << (offset_bits - ROUND1 - 1))
@@ -84,7 +154,7 @@ def mc_block_batch(ref_padded: np.ndarray, xs, ys, mvs, w: int, h: int,
         .astype(np.uint16 if bd > 8 else np.uint8)
 
 
-def _gather_windows(ref_padded, xs, ys, mvs, w, h, ss):
+def _gather_windows(ref_padded, xs, ys, mvs, w, h, ss, ftype=0):
     """Batched (h+7, w+7) filter windows + per-block x/y filter rows."""
     scaled_r = mvs[:, 0] << (1 - ss)
     scaled_c = mvs[:, 1] << (1 - ss)
@@ -97,7 +167,8 @@ def _gather_windows(ref_padded, xs, ys, mvs, w, h, ss):
     iy = y0[:, None, None] + np.arange(h + 7)[None, :, None]
     ix = x0[:, None, None] + np.arange(w + 7)[None, None, :]
     win = ref_padded[iy, ix].astype(np.int64)
-    return win, _filters(w)[frac_c], _filters(h)[frac_r]
+    return win, _filter_rows(w, ftype, frac_c), \
+        _filter_rows(h, ftype, frac_r)
 
 
 def clamp_mv_for_padding(mv, x: int, y: int, w: int, h: int,
@@ -117,14 +188,16 @@ ROUND1_COMP = 7  # COMPOUND_ROUND1_BITS
 
 
 def mc_block_batch_conv(ref_padded: np.ndarray, xs, ys, mvs, w: int,
-                        h: int, ss: int = 0, bd: int = 8) -> np.ndarray:
+                        h: int, ss: int = 0, bd: int = 8,
+                        ftype=0) -> np.ndarray:
     """Compound-path convolve returning CONV-domain values (round_1 = 7,
     offset retained) — one side of a compound prediction (reference
     av1_jnt_convolve_2d_c, EbInterPrediction.c:290, do_average = 0).
     Returns [B, h, w] int32."""
     b = len(xs)
     mvs = np.asarray(mvs, dtype=np.int64)
-    win, fxv, fyv = _gather_windows(ref_padded, xs, ys, mvs, w, h, ss)
+    win, fxv, fyv = _gather_windows(ref_padded, xs, ys, mvs, w, h, ss,
+                                    ftype)
     offset_bits = bd + 2 * FILTER_BITS - ROUND0
     horiz = np.full((b, h + 7, w), 1 << (bd + FILTER_BITS - 1),
                     dtype=np.int64)

@@ -370,9 +370,18 @@ class FrameDecoder:
             pred = res.stack[drl][0] if res.count > 1 else res.ref_list[0]
             dr, dc = mv_syntax.read_mv(self.r, self.nmv)
             mv = (pred[0] + dr, pred[1] + dc)
+        ftype = 0
+        if self.fh.interp_filter_switchable \
+                and inter_modes.needs_interp_filter(mode, bw, bh,
+                                                    gm_mv != (0, 0)):
+            ftype = inter_modes.read_interp_filter(
+                self.r, self.fc, self.mvp_state, mi_row, mi_col, ref,
+                False)
         self.ctxs.set_mi(mi_row, mi_col, bsize, 0, skip)
         self.mvp_state.set_block(mi_row, mi_col, s4, ref, mv, mode,
                                  h4=h4)
+        self.mvp_state.interp[mi_row:mi_row + h4,
+                              mi_col:mi_col + s4] = ftype
 
         cw, ch = bw >> 1, bh >> 1
         tx_y = common.tx_size_for_rect(bw, bh, 0)
@@ -387,7 +396,7 @@ class FrameDecoder:
         for p, px, py, psz, ts, pb, ss in plane_info:
             pw, ph = psz
             pred = self._single_pred(ref_planes[p], px, py, mv, pw, ph,
-                                     ss)
+                                     ss, ftype)
             x4, y4 = px >> 2, py >> 2
             if skip:
                 self.recon[p][py:py + ph, px:px + pw] = pred
@@ -418,20 +427,22 @@ class FrameDecoder:
                 pred[None].astype(np.int64), resid[None], bd=self.bd)[0]
 
     # prediction seams (overridden by verify.indep's checking decoder) ---------
-    def _single_pred(self, ref_plane, px, py, mv, pw, ph, ss):
+    def _single_pred(self, ref_plane, px, py, mv, pw, ph, ss,
+                     ftype=0):
         from svt_av1_tpu.ops import mc
         return mc.mc_block_batch(ref_plane, np.array([px]),
                                  np.array([py]), np.array([mv]), pw, ph,
-                                 ss=ss, bd=self.bd)[0]
+                                 ss=ss, bd=self.bd, ftype=ftype)[0]
 
-    def _compound_pred(self, rp0, rp1, px, py, mv0, mv1, pw, ph, ss):
+    def _compound_pred(self, rp0, rp1, px, py, mv0, mv1, pw, ph, ss,
+                       ftype=0):
         from svt_av1_tpu.ops import mc
         c0 = mc.mc_block_batch_conv(rp0, np.array([px]), np.array([py]),
                                     np.array([mv0]), pw, ph, ss=ss,
-                                    bd=self.bd)
+                                    bd=self.bd, ftype=ftype)
         c1 = mc.mc_block_batch_conv(rp1, np.array([px]), np.array([py]),
                                     np.array([mv1]), pw, ph, ss=ss,
-                                    bd=self.bd)
+                                    bd=self.bd, ftype=ftype)
         return mc.compound_average(c0, c1, self.bd)[0]
 
     def _decode_compound_tail(self, mi_row: int, mi_col: int, size: int,
@@ -481,9 +492,19 @@ class FrameDecoder:
                 mv1 = res.ref_list[0][1]
         else:
             raise NotImplementedError(f"compound mode {mode}")
+        ftype = 0
+        if self.fh.interp_filter_switchable \
+                and inter_modes.needs_interp_filter(
+                    mode, bw, bh, gm_pair[0] != (0, 0),
+                    gm_pair[1] != (0, 0)):
+            ftype = inter_modes.read_interp_filter(
+                self.r, self.fc, self.mvp_state, mi_row, mi_col, fwd,
+                True)
         self.ctxs.set_mi(mi_row, mi_col, bsize, 0, skip)
         self.mvp_state.set_block(mi_row, mi_col, s4, fwd, mv0, mode,
                                  ref1=bwd, mv1=mv1, h4=h4)
+        self.mvp_state.interp[mi_row:mi_row + h4,
+                              mi_col:mi_col + s4] = ftype
         cw, ch = bw >> 1, bh >> 1
         tx_y = common.tx_size_for_rect(bw, bh, 0)
         tx_uv = common.tx_size_for_rect(cw, ch, 1)
@@ -498,7 +519,7 @@ class FrameDecoder:
         for p, px, py, psz, ts, pb, ss in plane_info:
             pw, ph = psz
             pred = self._compound_pred(rp0[p], rp1[p], px, py, mv0, mv1,
-                                       pw, ph, ss)
+                                       pw, ph, ss, ftype)
             x4, y4 = px >> 2, py >> 2
             if skip:
                 self.recon[p][py:py + ph, px:px + pw] = pred

@@ -182,6 +182,7 @@ class InterFrameEncoder:
         self.intra_alpha_v = np.zeros(n, dtype=np.int64)
         self.comp_ref0 = np.full(n, LAST_FRAME, dtype=np.int32)
         self.comp_ref1 = np.zeros(n, dtype=np.int32)
+        self.interp_f = np.zeros(n, dtype=np.int32)
         self.reference_select = bool(self.fwd_refs and self.bwd_refs)
 
         self.qmap = None
@@ -201,7 +202,8 @@ class InterFrameEncoder:
         # trips overlap. Host _full_loop takes scalar quantizer params,
         # so the host backend keeps the per-(shape, AQ-group) loop.
         fused = (cfg.backend == "device"
-                 and not cfg.enable_tx_type_search)
+                 and not cfg.enable_tx_type_search
+                 and not cfg.enable_interp_filter_search)
         if fused:
             batches = []
             for sk in np.unique(shape_key):
@@ -357,6 +359,8 @@ class InterFrameEncoder:
                              disable_frame_end_update_cdf=no_end_update,
                              reference_select=self.reference_select,
                              delta_q_present=(self.qmap is not None),
+                             interp_filter_switchable=(
+                                 cfg.enable_interp_filter_search),
                              delta_q_res=self.DELTA_Q_RES,
                              film_grain=fg,
                              base_q_idx=cfg.base_q_idx,
@@ -608,13 +612,14 @@ class InterFrameEncoder:
         return cost, qc, eo, rec, mv0a, mv1a
 
     def _winner_preds(self, xs, ys, size, mvs, refs_arr, comp_sel,
-                      comp_f, comp_b, mvs1):
+                      comp_f, comp_b, mvs1, ftype=0):
         """Recompute the winning MC prediction per block (single ref or
         compound average) — the exact pred a decoder forms, needed by
-        the encode-pass tx sweep."""
+        the encode-pass tx sweep. ftype: scalar or [B] interp filter."""
         cfg = self.cfg
         bw, bh = common.leaf_wh(size)
         b = len(xs)
+        ftv = np.broadcast_to(np.asarray(ftype), (b,))
         preds = np.zeros((b, bh, bw), dtype=np.int64)
         singles = ~comp_sel
         for ref in np.unique(np.asarray(refs_arr)[singles]) \
@@ -622,7 +627,7 @@ class InterFrameEncoder:
             m = singles & (refs_arr == ref)
             preds[m] = mc.mc_block_batch(
                 self.refs[int(ref)][0], xs[m], ys[m], mvs[m], bw, bh,
-                ss=0, bd=cfg.bit_depth).astype(np.int64)
+                ss=0, bd=cfg.bit_depth, ftype=ftv[m]).astype(np.int64)
         if comp_sel.any():
             pairs = {(int(f), int(bb)) for f, bb in
                      zip(comp_f[comp_sel], comp_b[comp_sel])}
@@ -630,10 +635,10 @@ class InterFrameEncoder:
                 m = comp_sel & (comp_f == f) & (comp_b == bb)
                 c0 = mc.mc_block_batch_conv(
                     self.refs[f][0], xs[m], ys[m], mvs[m], bw, bh,
-                    bd=cfg.bit_depth)
+                    bd=cfg.bit_depth, ftype=ftv[m])
                 c1 = mc.mc_block_batch_conv(
                     self.refs[bb][0], xs[m], ys[m], mvs1[m], bw, bh,
-                    bd=cfg.bit_depth)
+                    bd=cfg.bit_depth, ftype=ftv[m])
                 preds[m] = mc.compound_average(
                     c0, c1, cfg.bit_depth).astype(np.int64)
         return preds
@@ -788,6 +793,18 @@ class InterFrameEncoder:
             self.block_comp[ids] = comp_sel
             self.comp_ref0[ids] = np.where(comp_sel, comp_f, LAST_FRAME)
             self.comp_ref1[ids] = np.where(comp_sel, comp_b, 0)
+        if cfg.enable_interp_filter_search:
+            # per-block REGULAR/SMOOTH/SHARP selection on the winner
+            # (reference interpolation filter search in the inter MD
+            # loop, EbInterPrediction.c:3523): SSE argmin over the 3
+            # filter sets, then an exact full-loop recode of the blocks
+            # that left REGULAR. Host math for both backends — the
+            # streams stay byte-identical across them.
+            with span("interp_filter_search"):
+                self._interp_filter_select(
+                    ids, xs, ys, srcs, (bw, bh), tx_size, chosen,
+                    chosen_ref, comp_sel, comp_f, comp_b, qp, lam,
+                    qvec, lamv)
         if cfg.enable_tx_type_search:
             # encode-pass TX-type sweep on the winning prediction
             # (ref: encode_pass_tx_search EbCodingLoop.c:516); runs on
@@ -795,7 +812,8 @@ class InterFrameEncoder:
             with span("inter_tx_search"):
                 preds = self._winner_preds(xs, ys, (bw, bh), chosen[1],
                                            chosen_ref, comp_sel, comp_f,
-                                           comp_b, self.mvs1[ids])
+                                           comp_b, self.mvs1[ids],
+                                           ftype=self.interp_f[ids])
                 self.y_tx_type[ids] = md.inter_tx_search(
                     srcs, preds, chosen[0], chosen[2], chosen[3],
                     chosen[4], tx_size, (bw, bh), qp, cfg.bit_depth, lam,
@@ -826,7 +844,8 @@ class InterFrameEncoder:
             ctts = np.array([common.chroma_tx_type_inter(
                 int(t), tx_uv, False) for t in luma_tt], dtype=np.int32)
         dev_chroma = cfg.backend == "device" \
-            and not cfg.enable_tx_type_search
+            and not cfg.enable_tx_type_search \
+            and not cfg.enable_interp_filter_search
         if dev_chroma:
             # one fused call codes U+V for every single-ref block; the
             # (rare) compound pairs follow per pair
@@ -881,6 +900,7 @@ class InterFrameEncoder:
                 self.src[plane][yy:yy + ch, xx:xx + cw]
                 for xx, yy in zip(cxs, cys)]).astype(np.int64)
             pred = np.empty((b, ch, cw), dtype=np.int64)
+            ftv = self.interp_f[ids]
             for ref in refs_order:
                 sel = np.nonzero((chosen_ref == ref) & ~comp_sel)[0]
                 if len(sel) == 0:
@@ -888,7 +908,7 @@ class InterFrameEncoder:
                 pred[sel] = mc.mc_block_batch(
                     self.refs[ref][plane], cxs[sel], cys[sel],
                     chosen[1][sel], cw, ch, ss=1,
-                    bd=cfg.bit_depth).astype(np.int64)
+                    bd=cfg.bit_depth, ftype=ftv[sel]).astype(np.int64)
             for f, bref in cpairs:
                 csel = np.nonzero(comp_sel
                                   & (self.comp_ref0[ids] == f)
@@ -898,11 +918,11 @@ class InterFrameEncoder:
                 cc0 = mc.mc_block_batch_conv(
                     self.refs[f][plane], cxs[csel],
                     cys[csel], chosen[1][csel], cw, ch, ss=1,
-                    bd=cfg.bit_depth)
+                    bd=cfg.bit_depth, ftype=ftv[csel])
                 cc1 = mc.mc_block_batch_conv(
                     self.refs[bref][plane], cxs[csel], cys[csel],
                     self.mvs1[ids][csel], cw, ch, ss=1,
-                    bd=cfg.bit_depth)
+                    bd=cfg.bit_depth, ftype=ftv[csel])
                 pred[csel] = mc.compound_average(cc0, cc1,
                                                  cfg.bit_depth)
             # plane_type=1: the trim LUT must match the device chroma
@@ -918,6 +938,88 @@ class InterFrameEncoder:
                 self.qcoeff[plane][i] = qc[k]
                 yy, xx = int(cys[k]), int(cxs[k])
                 self.recon[plane][yy:yy + ch, xx:xx + cw] = rec[k]
+
+
+    def _interp_filter_select(self, ids, xs, ys, srcs, size, tx_size,
+                              chosen, chosen_ref, comp_sel, comp_f,
+                              comp_b, qp, lam, qvec=None, lamv=None):
+        """Per-block switchable-filter decision on the ME/compound
+        winner: form the 3 candidate predictions (single-ref MC or
+        compound average), pick the luma-SSE argmin (first-min — REGULAR
+        wins ties, and integer MVs cost nothing since phase-0 taps are
+        identical across sets), then re-run the exact full loop for the
+        sparse set of blocks that switched so qc/eob/recon/cost match
+        what the decoder reconstructs."""
+        cfg = self.cfg
+        bw, bh = size
+        b = len(xs)
+        mvs0 = chosen[1]
+        mvs1 = self.mvs1[ids]
+        preds = []
+        sses = []
+        for f in range(mc.SWITCHABLE_FILTERS):
+            pred = np.zeros((b, bh, bw), dtype=np.int64)
+            singles = ~comp_sel
+            if singles.any():
+                for ref in np.unique(np.asarray(chosen_ref)[singles]):
+                    m = singles & (chosen_ref == ref)
+                    pred[m] = mc.mc_block_batch(
+                        self.refs[int(ref)][0], xs[m], ys[m], mvs0[m],
+                        bw, bh, bd=cfg.bit_depth,
+                        ftype=f).astype(np.int64)
+            if comp_sel.any():
+                pairs = {(int(ff), int(bb)) for ff, bb in
+                         zip(comp_f[comp_sel], comp_b[comp_sel])}
+                for ff, bb in pairs:
+                    m = comp_sel & (comp_f == ff) & (comp_b == bb)
+                    c0 = mc.mc_block_batch_conv(
+                        self.refs[ff][0], xs[m], ys[m], mvs0[m], bw, bh,
+                        bd=cfg.bit_depth, ftype=f)
+                    c1 = mc.mc_block_batch_conv(
+                        self.refs[bb][0], xs[m], ys[m], mvs1[m], bw, bh,
+                        bd=cfg.bit_depth, ftype=f)
+                    pred[m] = mc.compound_average(
+                        c0, c1, cfg.bit_depth).astype(np.int64)
+            preds.append(pred)
+            sses.append(((srcs - pred) ** 2).sum(axis=(1, 2)))
+        # rate-aware pick: leaving REGULAR must buy ~2 bits of SSE (the
+        # adapted symbol's typical cost) — pure SSE argmin overspends on
+        # filter flips that die after quantization
+        lamq_vec = np.full(b, md.lam_to_q(lam), dtype=np.int64) \
+            if lamv is None else np.asarray(
+                [md.lam_to_q(lv) for lv in lamv], dtype=np.int64)
+        costs = [md.rdcost(sse_f, lamq_vec,
+                           0 if f == 0 else (2 << md.RATE_Q))
+                 for f, sse_f in enumerate(sses)]
+        ftype = np.argmin(np.stack(costs), axis=0).astype(np.int32)
+        self.interp_f[ids] = ftype
+        redo = np.nonzero(ftype != 0)[0]
+        if len(redo) == 0:
+            return
+        pred_stack = np.stack(preds)
+        qgroups = [(None, redo)] if qvec is None else \
+            [(int(q), redo[qvec[redo] == q])
+             for q in np.unique(qvec[redo])]
+        for qi, sel in qgroups:
+            if len(sel) == 0:
+                continue
+            qp_i, lam_i = (qp, lam) if qi is None else self._qp_for(qi)
+            lamq = md.lam_to_q(lam_i)
+            pred_sel = pred_stack[ftype[sel], sel]
+            qc, eo, rec, dist, rate = md._full_loop(
+                srcs[sel], pred_sel, np.zeros(len(sel), dtype=np.int32),
+                tx_size, size, qp_i, cfg.bit_depth,
+                rdoq_lam_q=(lamq if (cfg.enable_rdoq
+                                     and qp_i.qindex > 0) else None))
+            nz0 = (np.abs(mvs0[sel]).sum(axis=1) > 0).astype(np.int64)
+            nz1 = (np.abs(mvs1[sel]).sum(axis=1) > 0).astype(np.int64)
+            mv_bits = np.where(comp_sel[sel],
+                               (3 << md.RATE_Q) + 256 * (nz0 + nz1),
+                               (2 << md.RATE_Q) + 256 * nz0)
+            chosen[0][sel] = md.rdcost(dist, lamq, rate + mv_bits)
+            chosen[2][sel] = qc
+            chosen[3][sel] = eo
+            chosen[4][sel] = rec
 
     # --- global motion estimation ---------------------------------------------
     def _estimate_gm(self) -> None:
@@ -1407,10 +1509,22 @@ class InterFrameEncoder:
             pred = res.stack[0][0] if res.count > 1 else res.ref_list[0]
             mv_syntax.write_mv(self.w, self.nmv, mv[0] - pred[0],
                                mv[1] - pred[1])
+        f_coded = 0
+        if cfg.enable_interp_filter_search:
+            if inter_modes.needs_interp_filter(mode, bw, bh,
+                                               gm_mv != (0, 0)):
+                f_coded = int(self.interp_f[li])
+                inter_modes.write_interp_filter(
+                    self.w, self.fc, self.mvp_state, mi_row, mi_col,
+                    ref, False, f_coded)
+            # else the decoder assumes REGULAR — only reachable with a
+            # zero gm MV, where phase-0 MC is filter-independent
 
         self.ctxs.set_mi(mi_row, mi_col, bsize, DC_PRED, skip)
         self.mvp_state.set_block(mi_row, mi_col, s4, ref, mv, mode,
                                  h4=h4)
+        self.mvp_state.interp[mi_row:mi_row + h4,
+                              mi_col:mi_col + s4] = f_coded
 
         cw, ch = bw >> 1, bh >> 1
         x, y = mi_col * 4, mi_row * 4
@@ -1489,9 +1603,20 @@ class InterFrameEncoder:
         if mode in (NEW_NEWMV, NEAREST_NEWMV):
             mv_syntax.write_mv(self.w, self.nmv, mv1[0] - pred[1][0],
                                mv1[1] - pred[1][1])
+        f_coded = 0
+        if cfg.enable_interp_filter_search:
+            if inter_modes.needs_interp_filter(
+                    mode, bw, bh, gm_pair[0] != (0, 0),
+                    gm_pair[1] != (0, 0)):
+                f_coded = int(self.interp_f[li])
+                inter_modes.write_interp_filter(
+                    self.w, self.fc, self.mvp_state, mi_row, mi_col,
+                    ref0, True, f_coded)
         self.ctxs.set_mi(mi_row, mi_col, bsize, DC_PRED, skip)
         self.mvp_state.set_block(mi_row, mi_col, s4, ref0, mv0,
                                  mode, ref1=ref1, mv1=mv1, h4=h4)
+        self.mvp_state.interp[mi_row:mi_row + h4,
+                              mi_col:mi_col + s4] = f_coded
         cw, ch = bw >> 1, bh >> 1
         x, y = mi_col * 4, mi_row * 4
         tx_y = common.tx_size_for_rect(bw, bh, 0)

@@ -64,6 +64,9 @@ class MvpState:
         self.ref1 = np.full((mi_rows, mi_cols), NONE_FRAME, dtype=np.int32)
         self.mv1 = np.zeros((mi_rows, mi_cols, 2), dtype=np.int32)
         self.mode = np.zeros((mi_rows, mi_cols), dtype=np.int32)
+        # per-mi interp filter of coded inter blocks (switchable-filter
+        # neighbor context; 0 = REGULAR)
+        self.interp = np.zeros((mi_rows, mi_cols), dtype=np.int32)
         self.n8w = np.ones((mi_rows, mi_cols), dtype=np.int32)
         self.n8h = np.ones((mi_rows, mi_cols), dtype=np.int32)
         # temporal MV projection context (use_ref_frame_mvs frames):

@@ -249,11 +249,17 @@ def _mc_window(refp, pad, px, py, mv, w, h, ss):
     return win, sr & 15, sc & 15
 
 
-def _mc_filters(w, h, fr, fc):
+def _mc_filters(w, h, fr, fc, ftype=0):
     t = _tables()
-    fx = (t["sub_pel_filters_4"] if w <= 4 else t["sub_pel_filters_8"])
-    fy = (t["sub_pel_filters_4"] if h <= 4 else t["sub_pel_filters_8"])
-    return [int(v) for v in fx[fc]], [int(v) for v in fy[fr]]
+
+    def pick(dim):
+        if dim <= 4:
+            return t["sub_pel_filters_4smooth"] if ftype == 1 \
+                else t["sub_pel_filters_4"]
+        return [t["sub_pel_filters_8"], t["sub_pel_filters_8smooth"],
+                t["sub_pel_filters_8sharp"]][ftype]
+
+    return [int(v) for v in pick(w)[fc]], [int(v) for v in pick(h)[fr]]
 
 
 def _mc_vert_pass(win, fx, fy, w, h, round1):
@@ -273,14 +279,15 @@ def _mc_vert_pass(win, fx, fy, w, h, round1):
     return out
 
 
-def mc_single_indep(refp, pad, px, py, mv, w, h, ss, bd):
+def mc_single_indep(refp, pad, px, py, mv, w, h, ss, bd, ftype=0):
     win, fr, fc = _mc_window(refp, pad, px, py, mv, w, h, ss)
-    fx, fy = _mc_filters(w, h, fr, fc)
+    fx, fy = _mc_filters(w, h, fr, fc, ftype)
     return np.clip(_mc_vert_pass(win, fx, fy, w, h, 11), 0,
                    (1 << bd) - 1)
 
 
-def mc_compound_indep(rp0, rp1, pad, px, py, mv0, mv1, w, h, ss, bd):
+def mc_compound_indep(rp0, rp1, pad, px, py, mv0, mv1, w, h, ss, bd,
+                      ftype=0):
     """Compound average, offset-free: each side convolved with the
     compound round (7), floor-halved, then Round2 by the remaining 4
     bits (equal-weight distance compound; jnt weights disabled
@@ -288,7 +295,7 @@ def mc_compound_indep(rp0, rp1, pad, px, py, mv0, mv1, w, h, ss, bd):
     sides = []
     for refp, mv in ((rp0, mv0), (rp1, mv1)):
         win, fr, fc = _mc_window(refp, pad, px, py, mv, w, h, ss)
-        fx, fy = _mc_filters(w, h, fr, fc)
+        fx, fy = _mc_filters(w, h, fr, fc, ftype)
         sides.append(_mc_vert_pass(win, fx, fy, w, h, 7))
     avg = (sides[0] + sides[1]) >> 1
     return np.clip(_round2_arr(avg, 4), 0, (1 << bd) - 1)
@@ -350,10 +357,12 @@ class IndepFrameDecoder(FrameDecoder):
     def _ref_pad(self, ref_plane, ss):
         return (ref_plane.shape[0] - ((self.seq.sb_rows * 64) >> ss)) // 2
 
-    def _single_pred(self, ref_plane, px, py, mv, pw, ph, ss):
-        pred = super()._single_pred(ref_plane, px, py, mv, pw, ph, ss)
+    def _single_pred(self, ref_plane, px, py, mv, pw, ph, ss,
+                     ftype=0):
+        pred = super()._single_pred(ref_plane, px, py, mv, pw, ph, ss,
+                                    ftype)
         mine = mc_single_indep(ref_plane, self._ref_pad(ref_plane, ss),
-                               px, py, mv, pw, ph, ss, self.bd)
+                               px, py, mv, pw, ph, ss, self.bd, ftype)
         got = np.asarray(pred, dtype=np.int64)
         if not np.array_equal(got, mine):
             d = np.abs(got - mine)
@@ -364,11 +373,13 @@ class IndepFrameDecoder(FrameDecoder):
         self.checked_blocks += 1
         return pred
 
-    def _compound_pred(self, rp0, rp1, px, py, mv0, mv1, pw, ph, ss):
+    def _compound_pred(self, rp0, rp1, px, py, mv0, mv1, pw, ph, ss,
+                       ftype=0):
         pred = super()._compound_pred(rp0, rp1, px, py, mv0, mv1, pw,
-                                      ph, ss)
+                                      ph, ss, ftype)
         mine = mc_compound_indep(rp0, rp1, self._ref_pad(rp0, ss), px,
-                                 py, mv0, mv1, pw, ph, ss, self.bd)
+                                 py, mv0, mv1, pw, ph, ss, self.bd,
+                                 ftype)
         got = np.asarray(pred, dtype=np.int64)
         if not np.array_equal(got, mine):
             d = np.abs(got - mine)

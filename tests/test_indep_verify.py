@@ -65,8 +65,9 @@ def test_injected_mc_bug_caught(monkeypatch):
 
     real = mc_ops.mc_block_batch
 
-    def buggy(ref_padded, xs, ys, mvs, w, h, ss=0, bd=8):
-        out = real(ref_padded, xs, ys, mvs, w, h, ss=ss, bd=bd)
+    def buggy(ref_padded, xs, ys, mvs, w, h, ss=0, bd=8, ftype=0):
+        out = real(ref_padded, xs, ys, mvs, w, h, ss=ss, bd=bd,
+                   ftype=ftype)
         out = out.copy()
         out[..., h // 2, w // 2] = np.clip(
             out[..., h // 2, w // 2].astype(np.int64) + 3, 0,

@@ -51,6 +51,7 @@ TABLES = [
     ("default_comp_ref_type_cdf", "comp_ref_type", (5, 3)),
     ("default_comp_ref_cdf", "comp_ref", (3, 3, 3)),
     ("default_comp_bwdref_cdf", "comp_bwdref", (3, 2, 3)),
+    ("default_switchable_interp_cdf", "switchable_interp", (16, 4)),
     ("default_inter_compound_mode_cdf", "inter_compound_mode", (8, 9)),
     ("default_switchable_restore_cdf", "switchable_restore", (5,)),
     ("default_wiener_restore_cdf", "wiener_restore", (4,)),

@@ -47,13 +47,23 @@ assert len(dr) == 90 and dr[3] == 1023 and dr[45] == 64
 inter = (ROOT / "Source/Lib/Codec/EbInterPrediction.c").read_text()
 f8 = _ints_in_braces(inter, "sub_pel_filters_8[")
 f4 = _ints_in_braces(inter, "sub_pel_filters_4[")
+f8sm = _ints_in_braces(inter, "sub_pel_filters_8smooth[")
+f8sh = _ints_in_braces(inter, "sub_pel_filters_8sharp[")
+f4sm = _ints_in_braces(inter, "sub_pel_filters_4smooth[")
 assert len(f8) == 128 and f8[3] == 128
 assert len(f4) == 128 and f4[3] == 128
+assert len(f8sm) == 128 and len(f8sh) == 128 and len(f4sm) == 128
 
 np.savez_compressed(
     OUT,
     sm_weight_arrays=np.array(sm, dtype=np.int64),
     dr_intra_derivative=np.array(dr, dtype=np.int64),
     sub_pel_filters_8=np.array(f8, dtype=np.int64).reshape(16, 8),
-    sub_pel_filters_4=np.array(f4, dtype=np.int64).reshape(16, 8))
+    sub_pel_filters_4=np.array(f4, dtype=np.int64).reshape(16, 8),
+    sub_pel_filters_8smooth=np.array(f8sm,
+                                     dtype=np.int64).reshape(16, 8),
+    sub_pel_filters_8sharp=np.array(f8sh,
+                                    dtype=np.int64).reshape(16, 8),
+    sub_pel_filters_4smooth=np.array(f4sm,
+                                     dtype=np.int64).reshape(16, 8))
 print(f"wrote {OUT}")
