@@ -147,7 +147,9 @@ class EncoderConfig:
     # write_mb_interp_filter, EbInterPrediction.c:3523,
     # EbEntropyCoding.c:2024)
     enable_interp_filter_search: bool = False
-    adaptive_quantization: int = 0  # 0 off; 1 = variance AQ (per-SB
+    # 0 off; 1 = variance AQ; 2 = TPL AQ (MV-propagated lookahead
+    # importance on hierarchical inter frames, variance AQ elsewhere)
+    adaptive_quantization: int = 0  # 1 = variance AQ (per-SB
                                     # delta qindex, reference QPM)
 
     def __post_init__(self):

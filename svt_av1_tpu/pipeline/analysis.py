@@ -379,3 +379,146 @@ def variance_qmap(y_padded: np.ndarray, sb_rows: int, sb_cols: int,
     off = np.clip(off, -20, 16)
     off = (np.round(off / step) * step).astype(np.int64)
     return np.clip(base_q_idx + off, 1, 255).astype(np.int32)
+
+
+# --- TPL: MV-propagated lookahead AQ -------------------------------------------
+
+def tpl_group_qmaps(group_lumas, base_q_idx: int, delta_q_res: int,
+                    sb_rows: int, sb_cols: int,
+                    strength: float = 8.0, dead_zone: float = 1.0,
+                    prev_luma=None):
+    """MV-propagated temporal-dependency AQ over a mini-GOP window
+    (the reference's TPL machinery in InitialRateControl:
+    UpdateBeaInfoOverTime EbInitialRateControlProcess.c:954 — per-block
+    inter cost propagated along ME MVs so areas that future frames
+    predict FROM get finer quantization).
+
+    group_lumas: padded source lumas in display order (window).
+    prev_luma: the previous GOP anchor / keyframe luma — the out-of-
+    window frame the GOP anchor predicts from (its own q is already
+    decided; flow into it is dropped).
+    Returns a list of per-SB qindex OFFSET maps [sb_rows, sb_cols]
+    (multiples of 1 << delta_q_res), one per frame in the window — the
+    consumer adds them to that frame's own base qindex (per-layer
+    qp-scaling moves the base per frame).
+
+    Model (mc_flow at quarter resolution, 8x8 cells = 32x32 px):
+    propagation follows the ACTUAL hierarchical coding structure (the
+    bisection of Encoder._flush_group — frame mid of (lo, hi) predicts
+    from lo and hi, NOT from its display neighbor; an occluded-then-
+    uncovered background is reachable from the anchor even when the
+    display-adjacent frame hides it). intra_cost = OIS SAD; mc_cost =
+    per-block best full-pel ME SAD over the frame's real reference
+    pair; leaves-first traversal distributes each block's
+    (intra + propagated) * (1 - mc/intra) to the winning reference's
+    cells under the MV (4-way bilinear overlap);
+    delta_q = -K*log2(1 + prop/intra), mean-normalized per frame,
+    dead-zoned, quantized to delta_q_res steps.
+    """
+    from svt_av1_tpu.ops import mc, me
+
+    n = len(group_lumas)
+    step = 1 << delta_q_res
+    cell = 8                       # cell size on the quarter plane
+    dec = {t: me.decimate2(me.decimate2(
+        np.asarray(y, dtype=np.int32))) for t, y in
+        enumerate(group_lumas)}
+    if prev_luma is not None:
+        dec[-1] = me.decimate2(me.decimate2(
+            np.asarray(prev_luma, dtype=np.int32)))
+    h, w = dec[0].shape
+    rows, cols = h // cell, w // cell
+    intra = {t: ois_intra_cost(d, bs=cell)
+             .astype(np.float64)[:rows, :cols] + 1.0
+             for t, d in dec.items()}
+    gy, gx = np.mgrid[0:rows, 0:cols]
+    xs = (gx * cell).reshape(-1)
+    ys = (gy * cell).reshape(-1)
+    # dependency edges in coding order, mirroring _flush_group: the
+    # anchor (n-1) refs the previous anchor (-1); interior mid of
+    # (lo, hi) refs both ends; leaves-first (= reverse coding order)
+    # accumulates a frame's incoming flow before it distributes
+    deps = [(n - 1, (-1,))]
+
+    def _rec(lo, hi):
+        if hi - lo <= 1:
+            return
+        mid = (lo + hi) // 2
+        deps.append((mid, (lo, hi)))
+        _rec(lo, mid)
+        _rec(mid, hi)
+
+    _rec(-1, n - 1)
+    prop = {t: np.zeros((rows, cols)) for t in dec}
+    refp_cache = {}
+    for t, refs in reversed(deps):
+        refs = [r for r in refs if r in dec]
+        if not refs:
+            continue
+        best_sad, best_mvs, best_ref = None, None, None
+        # later ref first so SAD ties favor it: ties mean any ref
+        # predicts equally well, and crediting the in-window frame
+        # (the hi/anchor side) keeps the flow inside the window
+        # instead of dropping it on the already-coded prev anchor
+        for r in sorted(refs, reverse=True):
+            if r not in refp_cache:
+                refp_cache[r] = mc.pad_reference(dec[r])
+            mvs, sad = me.fullpel_search(refp_cache[r], dec[t],
+                                         xs, ys, cell)
+            sad = sad.reshape(rows, cols).astype(np.float64)
+            mvs = mvs.reshape(rows, cols, 2)
+            if best_sad is None:
+                best_sad, best_mvs = sad, mvs
+                best_ref = np.full((rows, cols), r, dtype=np.int64)
+            else:
+                win = sad < best_sad
+                best_sad = np.where(win, sad, best_sad)
+                best_mvs = np.where(win[..., None], mvs, best_mvs)
+                best_ref = np.where(win, r, best_ref)
+        cost = intra[t] + prop[t]
+        use = np.minimum(np.maximum(best_sad, 0.0), intra[t])
+        flow = cost * (1.0 - use / intra[t])   # what prediction saves
+        fy = gy * cell + best_mvs[..., 0]
+        fx = gx * cell + best_mvs[..., 1]
+        r0 = np.floor(fy / cell).astype(np.int64)
+        c0 = np.floor(fx / cell).astype(np.int64)
+        ay = (fy - r0 * cell) / cell
+        ax = (fx - c0 * cell) / cell
+        for r in refs:
+            m = best_ref == r
+            tgt = prop[r]
+            for dr, dc, wgt in ((0, 0, (1 - ay) * (1 - ax)),
+                                (0, 1, (1 - ay) * ax),
+                                (1, 0, ay * (1 - ax)),
+                                (1, 1, ay * ax)):
+                rr = np.clip(r0 + dr, 0, rows - 1)
+                cc = np.clip(c0 + dc, 0, cols - 1)
+                np.add.at(tgt, (rr[m], cc[m]), (flow * wgt)[m])
+    out = []
+    K = strength                               # qindex per doubling of
+    for t in range(n):                         # the tpl cost ratio
+        r = 1.0 + prop[t] / intra[t]
+        off_cell = -K * np.log2(r)             # finer q where r is big
+        # cells are 32x32 px -> 2x2 per SB; average into SB units
+        off_sb = np.zeros((sb_rows, sb_cols))
+        cnt = np.zeros((sb_rows, sb_cols))
+        sr = (np.arange(rows) * cell * 4) // 64
+        sc = (np.arange(cols) * cell * 4) // 64
+        np.add.at(off_sb, (sr[:, None].repeat(cols, 1),
+                           sc[None, :].repeat(rows, 0)), off_cell)
+        np.add.at(cnt, (sr[:, None].repeat(cols, 1),
+                        sc[None, :].repeat(rows, 0)), 1.0)
+        off_sb = off_sb / np.maximum(cnt, 1.0)
+        # redistribute WITHIN the frame (zero mean): the per-layer
+        # qp-scaling already prices temporal depth, so TPL's job here is
+        # spatial — finer q where future frames predict from, coarser
+        # where nothing references (occluded/new areas)
+        off_sb = off_sb - off_sb.mean()
+        # dead-zone: a weak/uniform tpl signal must produce NO deltas
+        # (rounding would turn it into +-1-step noise that costs both
+        # signaling bits and psnr); require a full step of signal
+        off_sb = np.where(np.abs(off_sb) >= dead_zone * step,
+                          off_sb, 0.0)
+        off_sb = np.clip(np.round(off_sb / step) * step, -20, 16)
+        out.append(off_sb.astype(np.int64))
+    return out

@@ -223,6 +223,8 @@ class Encoder:
         self._base_slot = 0
         self._golden_slot = 7
         self._ld_last2 = None
+        if self.cfg.adaptive_quantization == 2:
+            self._tpl_prev_luma = y   # the anchor the next GOP refs
         self._out.append((tu, recon))
 
     def _encode_inter(self, y, u, v, last_slot, alt_slot, refresh_slot,
@@ -249,6 +251,7 @@ class Encoder:
             cfg = dataclasses.replace(cfg, qp=qv, qindex_override=None)
         enc = InterFrameEncoder(cfg, self.seq)
         enc.aq_prev_luma = self._aq_prev(y)
+        enc.tpl_qmap = getattr(self, "_tpl_maps", {}).get(disp_idx)
         idx = [last_slot] * 7
         alt = None
         used = [self._slots[last_slot]]
@@ -367,6 +370,21 @@ class Encoder:
         if not group:
             return
         g = len(group)
+        self._tpl_maps = {}
+        if self.cfg.adaptive_quantization == 2:
+            # MV-propagated TPL over the mini-GOP window (display
+            # order): frames that future frames predict FROM get finer
+            # quantization (InitialRateControl TPL analogue,
+            # EbInitialRateControlProcess.c:954)
+            from svt_av1_tpu.pipeline import analysis
+            maps = analysis.tpl_group_qmaps(
+                [e[1] for e in group], self.cfg.base_q_idx,
+                InterFrameEncoder.DELTA_Q_RES,
+                (self.cfg.height + 63) // 64,
+                (self.cfg.width + 63) // 64,
+                prev_luma=getattr(self, "_tpl_prev_luma", None))
+            self._tpl_maps = {e[0]: m for e, m in zip(group, maps)}
+            self._tpl_prev_luma = group[-1][1]
         base = self._base_slot
         anchor_slot = 1 if base != 1 else 2
         golden = self._golden_slot

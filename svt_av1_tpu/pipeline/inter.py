@@ -187,11 +187,20 @@ class InterFrameEncoder:
 
         self.qmap = None
         if cfg.adaptive_quantization:
-            from svt_av1_tpu.pipeline import analysis
-            self.qmap = analysis.variance_qmap(
-                self.src[0], self.seq.sb_rows, self.seq.sb_cols,
-                cfg.base_q_idx, self.DELTA_Q_RES,
-                prev_y=getattr(self, "aq_prev_luma", None))
+            tq = getattr(self, "tpl_qmap", None)
+            if cfg.adaptive_quantization == 2 and tq is not None:
+                # MV-propagated TPL offsets from the GOP lookahead
+                # window, anchored on this frame's own base qindex; an
+                # all-zero map codes no deltas at all
+                if np.any(tq):
+                    self.qmap = np.clip(cfg.base_q_idx + tq,
+                                        1, 255).astype(np.int32)
+            else:
+                from svt_av1_tpu.pipeline import analysis
+                self.qmap = analysis.variance_qmap(
+                    self.src[0], self.seq.sb_rows, self.seq.sb_cols,
+                    cfg.base_q_idx, self.DELTA_Q_RES,
+                    prev_y=getattr(self, "aq_prev_luma", None))
         leaves = [(r, c, common.leaf_wh(v)) for r, c, v in leaves]
         larr = np.array([(r, c, wh[0], wh[1]) for r, c, wh in leaves],
                         dtype=np.int64)

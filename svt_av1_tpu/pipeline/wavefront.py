@@ -236,7 +236,11 @@ class WavefrontIntraEncoder:
                                   frame_mi_cols, frame_mi_rows,
                                   *self.tile_log2)
         self.qmap = None
-        if cfg.adaptive_quantization:
+        if cfg.adaptive_quantization == 1:
+            # variance AQ; under TPL AQ (=2) the keyframe codes flat —
+            # its quality boost comes from keyframe qp-scaling, and the
+            # TPL redistribution applies to the inter frames that
+            # reference it (EbInitialRateControlProcess.c:954)
             self.qmap = self._variance_qmap(frame_src[0])
         tile_states = []
         frame_leaves = {}
