@@ -349,9 +349,79 @@ def estimate_grain_params(y: np.ndarray, bd: int = 8,
     return params
 
 
+# --- content classifiers (SourceBasedOperations) -------------------------------
+
+import dataclasses as _dc
+
+
+@_dc.dataclass(frozen=True)
+class ContentClasses:
+    """Per-picture content classification feeding AQ decisions — the
+    TPU-native SourceBasedOperations stage output (reference GrassLcu /
+    SpatialHighContrastClassifier / DeriveHighDarkAreaDensityFlag,
+    EbSourceBasedOperationsProcess.c:473,798,715). All maps are computed
+    with whole-frame vectorized block reductions instead of the
+    reference's per-SB raster loops."""
+    grass16: np.ndarray      # [sb_rows*4, sb_cols*4] bool, 16x16 luma units
+    skin16: np.ndarray       # same grid
+    contrast_sb: np.ndarray  # [sb_rows, sb_cols] bool (isolated-only)
+    grass_pct: int           # % of SBs containing any grass unit
+    dark: bool               # high dark-area density
+    dark_low_light: bool     # dark + some very bright area (banding risk)
+
+
+def content_classes(y_padded: np.ndarray, u_padded: np.ndarray,
+                    v_padded: np.ndarray, sb_rows: int,
+                    sb_cols: int, bit_depth: int = 8) -> ContentClasses:
+    """Classify 16x16 units by (y, cb, cr) mean ranges and texture.
+
+    Behavioral model (NOT a translation): the reference classifies each
+    16x16 unit of every SB from its y/cb/cr means against fixed color
+    ranges — grass (green-field), skin, and a "medium texture, centered
+    chroma" spatial-contrast class whose picture-level use is gated to
+    isolated occurrences (DeriveComplexityContrastPicture's <=10% rule).
+    Dark-area density comes from the luma histogram lower bins. Here the
+    whole frame is classified at once from strided block means."""
+    sh = bit_depth - 8
+    h16, w16 = sb_rows * 4, sb_cols * 4
+    ym = _block_reduce(y_padded[:sb_rows * 64, :sb_cols * 64]
+                       .astype(np.int64) >> sh, 16).mean(axis=2)
+    # 4:2:0 chroma: the 8x8 chroma block co-sited with each 16x16 luma unit
+    um = _block_reduce(u_padded[:sb_rows * 32, :sb_cols * 32]
+                       .astype(np.int64) >> sh, 8).mean(axis=2)
+    vm = _block_reduce(v_padded[:sb_rows * 32, :sb_cols * 32]
+                       .astype(np.int64) >> sh, 8).mean(axis=2)
+    ym, um, vm = (a[:h16, :w16] for a in (ym, um, vm))
+    y_mid = (ym > 70) & (ym < 130)
+    grass = y_mid & (um > 80) & (um < 115) & (vm > 110) & (vm < 135)
+    skin = y_mid & (um > 100) & (um < 120) & (vm > 135) & (vm < 160)
+    # spatial contrast: medium texture + medium brightness + centered chroma
+    var16 = _block_reduce(y_padded[:sb_rows * 64, :sb_cols * 64]
+                          .astype(np.float64), 16).var(axis=2)[:h16, :w16]
+    contrast16 = ((var16 > 10) & (var16 < 300) & (ym > 70) & (ym < 145)
+                  & (np.abs(um - 140) < 10) & (np.abs(vm - 115) < 15))
+    c_sb = contrast16.reshape(sb_rows, 4, sb_cols, 4).any(axis=(1, 3))
+    # isolated-shapes-only gate: a frame-wide "contrast" texture is just
+    # the content — only sparse flags mark perceptually salient regions
+    if c_sb.mean() > 0.10:
+        c_sb = np.zeros_like(c_sb)
+    g_sb = grass.reshape(sb_rows, 4, sb_cols, 4).any(axis=(1, 3))
+    hist = luma_histogram((y_padded.astype(np.int64) >> sh)
+                          .astype(np.int64).clip(0, 255))
+    npx = float(y_padded.size)
+    black_pct = 100.0 * hist[:25].sum() / npx
+    dark = black_pct >= 20.0
+    dll = (100.0 * hist[:40].sum() / npx >= 20.0) \
+        and (100.0 * hist[210:].sum() / npx >= 1.0)
+    return ContentClasses(grass16=grass, skin16=skin, contrast_sb=c_sb,
+                          grass_pct=int(100.0 * g_sb.mean()),
+                          dark=bool(dark), dark_low_light=bool(dll))
+
+
 def variance_qmap(y_padded: np.ndarray, sb_rows: int, sb_cols: int,
                   base_q_idx: int, delta_q_res: int,
-                  prev_y: np.ndarray = None) -> np.ndarray:
+                  prev_y: np.ndarray = None,
+                  classes: ContentClasses = None) -> np.ndarray:
     """Per-SB qindex from local variance (QPM; Av1QpModulationLcu
     EbCodingLoop.c:2222): flat SBs get finer quantization, busy SBs
     coarser. With ``prev_y``, temporally stable SBs get an extra quality
@@ -376,6 +446,20 @@ def variance_qmap(y_padded: np.ndarray, sb_rows: int, sb_cols: int,
                                               -1).mean(axis=2)
         thr = max(1.5, float(np.median(mad)) * 0.5)
         off = off - step * (mad < thr)
+    if classes is not None:
+        # content-aware shaping (SourceBasedOperations feeding the
+        # BEA/QPM delta-qp ranges, SetDefaultDeltaQpRange
+        # EbSourceBasedOperationsProcess.c:633): grass/skin SBs never
+        # degrade (their artifacts are perceptually loud), isolated
+        # high-contrast SBs likewise; dark-dominated frames halve any
+        # degrade (banding risk in the dark background)
+        protect16 = classes.grass16 | classes.skin16
+        prot_sb = protect16.reshape(sb_rows, 4, sb_cols, 4) \
+            .mean(axis=(1, 3)) >= 0.5
+        off = np.where(prot_sb | classes.contrast_sb,
+                       np.minimum(off, 0), off)
+        if classes.dark or classes.dark_low_light:
+            off = np.where(off > 0, (off // (2 * step)) * step, off)
     off = np.clip(off, -20, 16)
     off = (np.round(off / step) * step).astype(np.int64)
     return np.clip(base_q_idx + off, 1, 255).astype(np.int32)

@@ -197,10 +197,14 @@ class InterFrameEncoder:
                                         1, 255).astype(np.int32)
             else:
                 from svt_av1_tpu.pipeline import analysis
+                classes = analysis.content_classes(
+                    self.src[0], self.src[1], self.src[2],
+                    self.seq.sb_rows, self.seq.sb_cols, cfg.bit_depth)
                 self.qmap = analysis.variance_qmap(
                     self.src[0], self.seq.sb_rows, self.seq.sb_cols,
                     cfg.base_q_idx, self.DELTA_Q_RES,
-                    prev_y=getattr(self, "aq_prev_luma", None))
+                    prev_y=getattr(self, "aq_prev_luma", None),
+                    classes=classes)
         leaves = [(r, c, common.leaf_wh(v)) for r, c, v in leaves]
         larr = np.array([(r, c, wh[0], wh[1]) for r, c, wh in leaves],
                         dtype=np.int64)

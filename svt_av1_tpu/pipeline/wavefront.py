@@ -138,7 +138,9 @@ class WavefrontIntraEncoder:
         return analysis.variance_qmap(y_padded, self.seq.sb_rows,
                                       self.seq.sb_cols,
                                       self.cfg.base_q_idx,
-                                      self.DELTA_Q_RES, prev_y=prev)
+                                      self.DELTA_Q_RES, prev_y=prev,
+                                      classes=getattr(self, "_classes",
+                                                      None))
 
     def _write_delta_q(self, mi_row, mi_col, size, skip) -> None:
         """Per-SB qindex delta at the first block of the SB (spec
@@ -241,6 +243,10 @@ class WavefrontIntraEncoder:
             # its quality boost comes from keyframe qp-scaling, and the
             # TPL redistribution applies to the inter frames that
             # reference it (EbInitialRateControlProcess.c:954)
+            from svt_av1_tpu.pipeline import analysis
+            self._classes = analysis.content_classes(
+                frame_src[0], frame_src[1], frame_src[2],
+                self.seq.sb_rows, self.seq.sb_cols, cfg.bit_depth)
             self.qmap = self._variance_qmap(frame_src[0])
         tile_states = []
         frame_leaves = {}
