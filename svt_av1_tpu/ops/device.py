@@ -1194,13 +1194,47 @@ def dlf_search_apply_dev(recon_planes, src_planes, leaf_sizes, mi_rows,
         recon_planes[0] = oy
         recon_planes[1] = ou
         recon_planes[2] = ov
-        ly, luv = jax.device_get((lyd, luvd))
-    else:
-        oy, ou, ov, ly, luv = jax.device_get(outs)
-        recon_planes[0][...] = oy.astype(recon_planes[0].dtype)
-        recon_planes[1][...] = ou.astype(recon_planes[1].dtype)
-        recon_planes[2][...] = ov.astype(recon_planes[2].dtype)
+        # the two level scalars are only needed by the frame-header
+        # syntax, which runs frames later on the entropy worker — a
+        # blocking fetch here would stall the main thread until the
+        # whole queued device chain for this frame has executed. Hand
+        # back a lazy view instead; the async copy starts now.
+        lyd.copy_to_host_async()
+        luvd.copy_to_host_async()
+        return _LazyLfLevels(lyd, luvd)
+    oy, ou, ov, ly, luv = jax.device_get(outs)
+    recon_planes[0][...] = oy.astype(recon_planes[0].dtype)
+    recon_planes[1][...] = ou.astype(recon_planes[1].dtype)
+    recon_planes[2][...] = ov.astype(recon_planes[2].dtype)
     ly, luv = int(ly), int(luv)
     if ly == 0:
         return (0, 0, 0, 0)
     return (ly, ly, luv, luv)
+
+
+class _LazyLfLevels:
+    """Deferred DLF (y, y, u, v) level tuple: resolves the two device
+    scalars on first element access (i.e. on the entropy worker at
+    frame-header time), not on the compute thread."""
+
+    __slots__ = ("_dev", "_val")
+
+    def __init__(self, lyd, luvd):
+        self._dev = (lyd, luvd)
+        self._val = None
+
+    def _resolve(self):
+        if self._val is None:
+            ly, luv = (int(x) for x in jax.device_get(self._dev))
+            self._val = (0, 0, 0, 0) if ly == 0 else (ly, ly, luv, luv)
+            self._dev = None
+        return self._val
+
+    def __getitem__(self, i):
+        return self._resolve()[i]
+
+    def __iter__(self):
+        return iter(self._resolve())
+
+    def __len__(self):
+        return 4

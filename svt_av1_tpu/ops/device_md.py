@@ -32,11 +32,17 @@ jax.config.update("jax_enable_x64", True)
 # compile through the axon tunnel can take minutes per program).
 import os as _os  # noqa: E402
 
-_cache = _os.path.join(_os.path.dirname(_os.path.dirname(
-    _os.path.dirname(_os.path.abspath(__file__)))), ".jax_cache")
+_cache = _os.environ.get("SVT_TPU_JAX_CACHE") or _os.path.join(
+    _os.path.dirname(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__)))), ".jax_cache")
+if _cache.lower() in ("off", "0", "none"):
+    _cache = None   # cache disabled (CI/pytest: serializing the biggest
+    #                 CPU executables segfaults jax's zstd cache writer)
 try:
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if _cache is not None:
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
 except Exception:  # older jax without the knobs
     pass
 

@@ -842,7 +842,7 @@ def _build_flip_program(*key):
     return jax.jit(make_flip_body(*key))
 
 
-_WAVE_BUCKETS = (4, 8, 16, 32, 64, 128, 512)
+_WAVE_BUCKETS = (4, 8, 16, 32, 64, 128, 512, 1024, 2048, 4096)
 
 
 def _wbucket(n: int, ladder=_WAVE_BUCKETS) -> int:
@@ -850,6 +850,40 @@ def _wbucket(n: int, ladder=_WAVE_BUCKETS) -> int:
         if n <= v:
             return v
     return n
+
+
+FLIP_LANE_CAP = 8
+
+
+def _balance_waves(waves, cap: int = FLIP_LANE_CAP):
+    """Split dependency waves into fixed-width scan steps.
+
+    The flip program's per-step compute is sized by each class's MAX
+    per-wave occupancy, so one 60-lane wave makes every one of ~500
+    steps pay 64 padded lane evaluations — ~20x the real work on dense
+    flip fields. Same-wave lanes are mutually edge-independent (the
+    _flip_waves invariant), so a wave can split into consecutive steps
+    of at most ``cap`` lanes PER SHAPE CLASS without changing any
+    block's prediction edges: earlier sub-steps only write pixels no
+    later same-wave lane reads. Net: per-step width is pinned to the
+    cap's bucket and total padded lane evaluations drop to
+    ~steps*classes*cap."""
+    from svt_av1_tpu.pipeline import common as _c
+    out = []
+    for wave in waves:
+        byc = {}
+        for e in wave:
+            byc.setdefault(_c.leaf_wh(e[2]), []).append(e)
+        k = max((len(v) + cap - 1) // cap for v in byc.values())
+        if k == 1:
+            out.append(wave)
+            continue
+        sub = [[] for _ in range(k)]
+        for v in byc.values():
+            for i, e in enumerate(v):
+                sub[i % k].append(e)
+        out.extend(sub)
+    return out
 
 
 def flip_apply_fused(enc, waves) -> bool:
@@ -862,6 +896,7 @@ def flip_apply_fused(enc, waves) -> bool:
     cfg = enc.cfg
     if not waves:
         return True
+    waves = _balance_waves(waves)
     qcache = {}
 
     def lane_q(r, c):

@@ -293,12 +293,13 @@ class Encoder:
                                                  hint, bits) > 0)
         use_tmvp = (self.seq.enable_ref_frame_mvs
                     and not cfg.error_resilient)
+        from svt_av1_tpu.utils.trace import span
         tpl = None
         if use_tmvp:
-            tpl = tmvp.build_tpl_field(self.seq.mi_rows,
-                                       self.seq.mi_cols, hint, idx,
-                                       self._slot_info, bits)
-        from svt_av1_tpu.utils.trace import span
+            with span("tmvp_build"):
+                tpl = tmvp.build_tpl_field(self.seq.mi_rows,
+                                           self.seq.mi_cols, hint, idx,
+                                           self._slot_info, bits)
         with span("inter_frame"):
             enc.tmvp_ctx = dict(order_hint=hint,
                                 ref_order_hints=slot_hints,

@@ -694,42 +694,23 @@ class InterFrameEncoder:
         from svt_av1_tpu.ops import device_inter as di
         cfg = self.cfg
         refs_order = sorted(self.refs)
-        pos = {r: i for i, r in enumerate(refs_order)}
-        fwd_pos = tuple(pos[r] for r in self.fwd_refs) \
-            if self.reference_select else ()
-        bwd_pos = tuple(pos[r] for r in self.bwd_refs) \
-            if self.reference_select else ()
-        fwd_ids = np.asarray(self.fwd_refs or [LAST_FRAME])
-        bwd_ids = np.asarray(self.bwd_refs or [0])
         pdt = common.pixel_dtype(cfg.bit_depth)
         rec_dev = tuple(jax.device_put(p.astype(pdt))
                         for p in self.recon)
         issued = []
-        for blocks, ids, wh, qvec in batches:
-            qp, lam = self._qp_for(None)
-            lamv = None
-            if qvec is not None:
-                lamv = np.array([self._qp_for(int(q))[1] for q in qvec])
-            xs = blocks[:, 1] * 4
-            ys = blocks[:, 0] * 4
-            rec_dev, outs, b = di.shape_group_issue(
-                rec_dev,
-                [self.ref_pyrs[r] for r in refs_order],
-                [self.refs[r][1] for r in refs_order],
-                [self.refs[r][2] for r in refs_order],
-                self.src_pyr, self.src[1], self.src[2], xs, ys, wh,
-                qp, lam, fwd_pos, bwd_pos, bd=cfg.bit_depth,
-                rdoq=cfg.enable_rdoq, qv=qvec, lamv=lamv)
-            issued.append((outs, b, ids, wh, xs, ys))
+        with span("fused_issue", groups=len(batches)):
+            self._fused_issue(batches, rec_dev, refs_order, issued, di)
+        rec_dev = self._fused_rec_dev
         # the frame recon stays on device (flip/DLF/refs consume it
         # there); only the small decision outputs cross the tunnel now.
         # The (big) coefficient tensors are async-prefetched and resolved
         # lazily on the entropy thread (_PendingQC), overlapping their
         # download with the next frame's compute.
         self.recon = list(rec_dev)
-        small = jax.device_get([
-            [outs[i] for i in (0, 1, 2, 3, 4, 5, 6, 8, 10, 12)]
-            for outs, *_ in issued])
+        with span("fused_small_fetch"):
+            small = jax.device_get([
+                [outs[i] for i in (0, 1, 2, 3, 4, 5, 6, 8, 10, 12)]
+                for outs, *_ in issued])
         # start the big coefficient copies only AFTER the small fetch —
         # the tunnel serves transfers in order, so queueing MBs of
         # coefficients first would stall the decision outputs behind them
@@ -739,6 +720,8 @@ class InterFrameEncoder:
             for i in (7, 9, 11):
                 outs[i] = outs[i][:b]
                 outs[i].copy_to_host_async()
+        fwd_ids = np.asarray(self.fwd_refs or [LAST_FRAME])
+        bwd_ids = np.asarray(self.bwd_refs or [0])
         for sm, (outs, b, ids, wh, xs, ys) in zip(small, issued):
             (cost, mv0, mv1, pos_c, comp, fsel, bsel, eo, eou, eov) = \
                 [np.asarray(o)[:b] for o in sm]
@@ -761,6 +744,33 @@ class InterFrameEncoder:
                 pend = _PendingQC(outs[oi])
                 for k, i in enumerate(ids):
                     self.qcoeff[plane][i] = (pend, k)
+
+    def _fused_issue(self, batches, rec_dev, refs_order, issued, di):
+        """Dispatch every shape-group program (compile-or-enqueue only —
+        no fetches)."""
+        cfg = self.cfg
+        pos = {r: i for i, r in enumerate(refs_order)}
+        fwd_pos = tuple(pos[r] for r in self.fwd_refs) \
+            if self.reference_select else ()
+        bwd_pos = tuple(pos[r] for r in self.bwd_refs) \
+            if self.reference_select else ()
+        for blocks, ids, wh, qvec in batches:
+            qp, lam = self._qp_for(None)
+            lamv = None
+            if qvec is not None:
+                lamv = np.array([self._qp_for(int(q))[1] for q in qvec])
+            xs = blocks[:, 1] * 4
+            ys = blocks[:, 0] * 4
+            rec_dev, outs, b = di.shape_group_issue(
+                rec_dev,
+                [self.ref_pyrs[r] for r in refs_order],
+                [self.refs[r][1] for r in refs_order],
+                [self.refs[r][2] for r in refs_order],
+                self.src_pyr, self.src[1], self.src[2], xs, ys, wh,
+                qp, lam, fwd_pos, bwd_pos, bd=cfg.bit_depth,
+                rdoq=cfg.enable_rdoq, qv=qvec, lamv=lamv)
+            issued.append((outs, b, ids, wh, xs, ys))
+        self._fused_rec_dev = rec_dev
 
     def _encode_blocks(self, blocks, ids, size, qidx=None,
                        qvec=None) -> None:

@@ -284,6 +284,23 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
     return _leaves_from_choices(choice, min_size, mi_rows, mi_cols)
 
 
+def _dp_leaf_overhead() -> float:
+    """Per-leaf fixed syntax-overhead estimate (bits) in the inter
+    partition DP's open-loop RD model. Env-overridable for calibration
+    sweeps (tools/rd_experiment.py).
+
+    Calibrated round 4: swept 12..480 on the synthetic RA ladder and
+    the natural pan/occluder clips (utils/natural.py). The open-loop
+    model can't see the full-loop's per-leaf mode/MV/coefficient fixed
+    costs, so the DP was splitting far too eagerly: raising the
+    overhead to 160 cut bits at EVERY rung at flat PSNR (640x360 RA
+    hier3: q25 -4.8%, q35 -4.6%, q45 -9.4%, q55 -15%; natural pan q35
+    -27% bits for -0.15 dB; occluder -6% flat) — a pure BD-rate win.
+    Above ~320 the finest rung starts losing PSNR."""
+    import os
+    return float(os.environ.get("SVT_TPU_DP_OVERHEAD", "160.0"))
+
+
 def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
                            cfg: EncoderConfig, mi_cols: int,
                            mi_rows: int, ref_pyr=None, src_pyr=None):
@@ -330,7 +347,8 @@ def choose_partition_inter(y_plane: np.ndarray, ref_padded: np.ndarray,
         nq = n * qstep * qstep
         mv_bits = 4.0 + 0.5 * (np.abs(mvs).sum(axis=1) > 0)
         dist = np.minimum(sse, sse * 0.05 + 0.125 * nq)
-        rate = 12.0 + mv_bits + 0.6 * n * np.log2(1.0 + sse / nq)
+        rate = _dp_leaf_overhead() + mv_bits \
+            + 0.6 * n * np.log2(1.0 + sse / nq)
         return dist + lam * rate
 
     def depth_cost(xs, ys, wh, seeds=None):

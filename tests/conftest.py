@@ -25,6 +25,11 @@ if "xla_force_host_platform_device_count" not in os.environ.get(
 
 if not os.environ.get("SVT_TPU_TEST_DEVICE"):
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # CPU test runs skip the persistent compile cache: jax's cache
+    # writer (zstd) segfaults serializing the largest CPU executables
+    # (the fused partition-DP program), and cross-process cache writes
+    # can race a concurrent TPU warmup. TPU runs keep the cache.
+    os.environ.setdefault("SVT_TPU_JAX_CACHE", "off")
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -75,7 +75,13 @@ def run_point(frames, **kw):
 def main():
     quick = "--quick" in sys.argv
     w, h, n = (320, 192, 4) if quick else (640, 360, 8)
-    frames = _suite(w, h, n)
+    if "--natural" in sys.argv:
+        # real-photograph pan clip (utils/natural.py; provenance there)
+        from svt_av1_tpu.utils import natural
+        assert natural.available(), "natural-content asset missing"
+        frames = natural.natural_clip(w, h, n)
+    else:
+        frames = _suite(w, h, n)
     qps = (30, 45) if quick else (25, 35, 45, 55)
     configs = [
         ("baseline (fixed16, no tools)",

@@ -120,11 +120,18 @@ def main():
     ap.add_argument("--aq", default="0,1")
     ap.add_argument("--intra-period", default="0")
     ap.add_argument("--hier", type=int, default=0)
+    ap.add_argument("--natural", action="store_true",
+                    help="use the real-photograph clip (utils/natural.py)")
     args = ap.parse_args()
     qps = [int(q) for q in args.qps.split(",")]
     scales = [float(s) for s in args.scales.split(",")]
     aqs = [int(a) for a in args.aq.split(",")]
-    frames = make_clip(args.w, args.hh, args.n)
+    if args.natural:
+        from svt_av1_tpu.utils import natural
+        assert natural.available(), "natural-content asset missing"
+        frames = natural.natural_clip(args.w, args.hh, args.n)
+    else:
+        frames = make_clip(args.w, args.hh, args.n)
     tmpdir = "/tmp/rdexp"
     os.makedirs(tmpdir, exist_ok=True)
 
