@@ -33,3 +33,23 @@ if not os.environ.get("SVT_TPU_TEST_DEVICE"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+# XLA-CPU hardening: compiling the largest fused programs after many
+# prior compilations in one process aborts/segfaults inside
+# backend_compile_and_load (reproduced WITHOUT the axon plugin, jax
+# 0.8-era CPU backend; crash point jax/_src/compiler.py:362). Dropping
+# the accumulated executables between test modules keeps the compiler
+# healthy and costs only recompiles that the per-module tests would pay
+# anyway on a fresh process.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    try:
+        import jax
+        jax.clear_caches()
+    except Exception:
+        pass
