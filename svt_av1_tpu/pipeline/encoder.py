@@ -209,14 +209,18 @@ class Encoder:
         self._key_disp = disp_idx or 0
         hint = 0
         enc.order_hint = hint
+        from svt_av1_tpu.pipeline import tmvp
+        async_syntax = (self.cfg.backend == "device"
+                        and self._rc is None)
         with span("keyframe"):
-            tu, recon, _ = enc.encode(y, u, v)
+            if async_syntax:
+                recon = enc.encode_compute(y, u, v)
+            else:
+                tu, recon, _ = enc.encode(y, u, v)
         if self._rc is not None:
             self._rc.update(len(tu) * 8, True)
-        from svt_av1_tpu.pipeline import tmvp
         for i in range(8):
             self._slots[i] = enc.recon
-            self._slot_entropy[i] = enc.final_entropy
             self._slot_gm[i] = ((0, 0),) * 7
             self._slot_info[i] = tmvp.SlotInfo(order_hint=hint,
                                                is_intra=True)
@@ -225,7 +229,29 @@ class Encoder:
         self._ld_last2 = None
         if self.cfg.adaptive_quantization == 2:
             self._tpl_prev_luma = y   # the anchor the next GOP refs
-        self._out.append((tu, recon))
+        if async_syntax:
+            # keyframe host entropy runs on the ordered syntax worker —
+            # the GOP's inter computes stream right behind it. The slot
+            # entropy stores are written inside the job; only later
+            # syntax jobs read them, and the single worker serializes
+            # those after this one.
+            def key_syntax_job(enc=enc):
+                tu, _ = enc.package_syntax()
+                for i in range(8):
+                    self._slot_entropy[i] = enc.final_entropy
+                return tu
+
+            if self._syntax_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._syntax_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="entropy")
+            fut = self._syntax_pool.submit(key_syntax_job)
+            self._syntax_pending.append((fut, True, 0))
+            self._out.append((fut, recon))
+        else:
+            for i in range(8):
+                self._slot_entropy[i] = enc.final_entropy
+            self._out.append((tu, recon))
 
     def _encode_inter(self, y, u, v, last_slot, alt_slot, refresh_slot,
                       show, layer: int = 0, extra_slots=None,

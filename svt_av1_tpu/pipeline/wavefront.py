@@ -224,6 +224,16 @@ class WavefrontIntraEncoder:
 
     # --- main ------------------------------------------------------------------
     def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Compute + syntax in one call; encode_compute/package_syntax
+        split them so a streaming encoder can run the keyframe's host
+        entropy off the compute thread (the keyframe analogue of
+        InterFrameEncoder.encode_compute/encode_syntax)."""
+        recon = self.encode_compute(y, u, v)
+        tu, stats = self.package_syntax()
+        return tu, recon, stats
+
+    def encode_compute(self, y: np.ndarray, u: np.ndarray,
+                       v: np.ndarray):
         cfg = self.cfg
         frame_src = [common.pad_to_multiple(y, 64).astype(np.int32),
                      common.pad_to_multiple(u, 32).astype(np.int32),
@@ -280,12 +290,13 @@ class WavefrontIntraEncoder:
             frame_recon = self.recon
         self.src, self.recon = frame_src, frame_recon
         self.leaf_sizes = frame_leaves
-        out = self._package(frame_src, frame_recon, frame_leaves,
-                            frame_skip, tile_states)
-        # the per-tile syntax pass re-binds self.recon/src to tile views;
-        # restore the whole padded frame (GOP ref slots read enc.recon)
+        recon = self._package_compute(frame_src, frame_recon,
+                                      frame_leaves, frame_skip,
+                                      tile_states)
+        # _package_compute may leave tile views bound; restore the whole
+        # padded frame (GOP ref slots read enc.recon)
         self.src, self.recon = frame_src, frame_recon
-        return out
+        return recon
 
     def _enter_tile(self, frame_src, frame_recon, rect) -> None:
         mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs = rect
@@ -426,8 +437,13 @@ class WavefrontIntraEncoder:
 
         return None  # decisions stored on self; syntax runs after filters
 
-    def _package(self, frame_src, frame_recon, frame_leaves, frame_skip,
-                 tile_states):
+    def _package_compute(self, frame_src, frame_recon, frame_leaves,
+                         frame_skip, tile_states):
+        """Filter stages (device-async) + display crop. Syntax inputs
+        are parked on ``self._pkg`` for ``package_syntax`` — which may
+        run later on the encoder's entropy worker, off the compute
+        thread (the keyframe analogue of InterFrameEncoder's
+        encode_compute/encode_syntax split)."""
         cfg = self.cfg
         from svt_av1_tpu.utils.trace import span
         lf_levels = (0, 0, 0, 0)
@@ -502,6 +518,35 @@ class WavefrontIntraEncoder:
             lr_kw = dict(lr_params=(
                 tuple(ri.frame_restoration_type for ri in self.lr_rinfos),
                 self.lr_rinfos[0].unit_size, self.lr_rinfos[1].unit_size))
+        fg = None
+        if self.seq.film_grain_params_present:
+            from svt_av1_tpu.ops import grain as grain_ops
+            fg = grain_ops.resolved_params(cfg)
+        recon = [frame_recon[0][:cfg.height, :cfg.width],
+                 frame_recon[1][:(cfg.height + 1) // 2,
+                                :(cfg.width + 1) // 2],
+                 frame_recon[2][:(cfg.height + 1) // 2,
+                                :(cfg.width + 1) // 2]]
+        if fg is not None:
+            from svt_av1_tpu.ops import grain as grain_ops
+            recon = grain_ops.apply_grain(recon, fg, cfg.bit_depth)
+        self._pkg = dict(tile_states=tile_states, lf_levels=lf_levels,
+                         cdef_kw=cdef_kw, lr_kw=lr_kw, fg=fg,
+                         frame_src=frame_src, frame_recon=frame_recon)
+        return recon
+
+    def package_syntax(self):
+        """Per-tile syntax + OBU assembly from the state parked by
+        _package_compute. Runs per-tile entropy coding and returns
+        (tu_bytes, stats); sets self.final_entropy."""
+        cfg = self.cfg
+        from svt_av1_tpu.utils.trace import span
+        pkg = self._pkg
+        tile_states = pkg["tile_states"]
+        lf_levels = pkg["lf_levels"]
+        cdef_kw = pkg["cdef_kw"]
+        lr_kw = pkg["lr_kw"]
+        fg = pkg["fg"]
         # syntax pass per tile (entropy stage runs after the filter stages,
         # mirroring the reference pipeline order)
         payloads = []
@@ -517,10 +562,6 @@ class WavefrontIntraEncoder:
                 # into every slot this key frame refreshes (spec 6.8.2;
                 # adapted unless frame-end update is disabled below)
                 tile0_fc = self.fc
-        fg = None
-        if self.seq.film_grain_params_present:
-            from svt_av1_tpu.ops import grain as grain_ops
-            fg = grain_ops.resolved_params(cfg)
         no_end_update = cfg.disable_cdf_update or cfg.error_resilient
         fh = obu.FrameHeader(order_hint=self.order_hint,
                              base_q_idx=cfg.base_q_idx,
@@ -545,16 +586,12 @@ class WavefrontIntraEncoder:
               + obu.write_sequence_header_obu(self.seq)
               + md_obus
               + obu.write_frame_obu(self.seq, fh, payloads))
-        recon = [frame_recon[0][:cfg.height, :cfg.width],
-                 frame_recon[1][:(cfg.height + 1) // 2,
-                                :(cfg.width + 1) // 2],
-                 frame_recon[2][:(cfg.height + 1) // 2,
-                                :(cfg.width + 1) // 2]]
-        if fg is not None:
-            from svt_av1_tpu.ops import grain as grain_ops
-            recon = grain_ops.apply_grain(recon, fg, cfg.bit_depth)
+        # per-tile syntax re-bound self.src/recon to tile views; restore
+        # the whole padded frame (GOP ref slots read enc.recon)
+        self.src = pkg["frame_src"]
+        self.recon = pkg["frame_recon"]
         tb = sum(len(t) for t in payloads)
-        return tu, recon, {"tile_bytes": tb, "tu_bytes": len(tu)}
+        return tu, {"tile_bytes": tb, "tu_bytes": len(tu)}
 
     # --- sequential syntax pass ---------------------------------------------------
     def _syntax_pass(self) -> bytes:
