@@ -465,6 +465,26 @@ def variance_qmap(y_padded: np.ndarray, sb_rows: int, sb_cols: int,
     return np.clip(base_q_idx + off, 1, 255).astype(np.int32)
 
 
+def histogram_cut_index(hists, thr: float = 0.5):
+    """First index i (>=1) where the normalized L1 distance between
+    consecutive lookahead luma histograms exceeds ``thr`` — an
+    in-window scene cut. The InitialRateControl histogram-queue role
+    (GetHistogramQueueData / UpdateHistogramQueueEntry,
+    EbInitialRateControlProcess.c:1211,1257): the rate controller must
+    not average a frame's bit share across a cut, because the post-cut
+    content's complexity says nothing about the pre-cut frames.
+    Returns None when the window is cut-free. Histograms need not be
+    same-scale: each is normalized by its own pixel count."""
+    prev = None
+    for i, h in enumerate(hists):
+        n = max(int(h.sum()), 1)
+        cur = h.astype(np.float64) / n
+        if prev is not None and float(np.abs(cur - prev).sum()) > thr:
+            return i
+        prev = cur
+    return None
+
+
 # --- TPL: MV-propagated lookahead AQ -------------------------------------------
 
 def tpl_group_qmaps(group_lumas, base_q_idx: int, delta_q_res: int,

@@ -498,7 +498,10 @@ class Encoder:
         lad = self.cfg.look_ahead_distance
         if lad > 0 and self._rc is not None:
             from svt_av1_tpu.pipeline.scd import luma_stats
-            d, _ = luma_stats(y)
+            # the decimated-luma histogram doubles as the histogram-
+            # queue entry (GetHistogramQueueData analogue): it rides
+            # the lookahead so the drain can spot in-window scene cuts
+            d, hist = luma_stats(y)
             c = 1.0
             if self._la_prev is not None and self._la_prev.shape == d.shape:
                 c = float(np.mean(np.abs(
@@ -514,7 +517,7 @@ class Encoder:
                 if ois.size:
                     c = min(c, float(ois.mean()) / 256.0)
             self._la_prev = d
-            self._la.append((y, u, v, max(c, 1e-3)))
+            self._la.append((y, u, v, max(c, 1e-3), hist))
             if len(self._la) <= lad:
                 return
             self._drain_lookahead()
@@ -522,10 +525,19 @@ class Encoder:
         self._encode_one(y, u, v)
 
     def _drain_lookahead(self, all_frames: bool = False) -> None:
+        from svt_av1_tpu.pipeline import analysis
         while self._la and (all_frames or len(self._la) >
                             self.cfg.look_ahead_distance):
-            y, u, v, c = self._la.pop(0)
+            y, u, v, c, hist = self._la.pop(0)
             window = [c] + [e[3] for e in self._la]
+            # histogram queue: truncate the window at the first
+            # in-window scene cut — post-cut complexity must not shape
+            # the pre-cut frames' bit share
+            # (UpdateHistogramQueueEntry role)
+            cut = analysis.histogram_cut_index(
+                [hist] + [e[4] for e in self._la])
+            if cut is not None:
+                window = window[:cut]
             self._la_weight = c / max(np.mean(window), 1e-3)
             if self._rc is not None:
                 self._rc.set_lookahead(window)

@@ -7,12 +7,16 @@ environment; the numbers are self-relative).
 Run:  python tools/quality_report.py [--quick]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-from svt_av1_tpu.config import EncoderConfig
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from svt_av1_tpu.config import EncoderConfig  # noqa: E402
 from svt_av1_tpu.pipeline.decode import StreamDecoder
 from svt_av1_tpu.pipeline.encoder import Encoder
 
