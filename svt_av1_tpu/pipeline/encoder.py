@@ -95,7 +95,7 @@ class Encoder:
         if cfg.scene_change_detection:
             from svt_av1_tpu.pipeline.scd import SceneChangeDetector
             self._scd = SceneChangeDetector()
-        self._la: List[tuple] = []   # lookahead queue (frame, complexity)
+        self._la: List[tuple] = []   # lookahead queue (frame, complexity, hist)
         self._la_prev = None
         self._la_weight = 1.0
         self._rc = None
@@ -528,16 +528,19 @@ class Encoder:
         from svt_av1_tpu.pipeline import analysis
         while self._la and (all_frames or len(self._la) >
                             self.cfg.look_ahead_distance):
-            y, u, v, c, hist = self._la.pop(0)
+            y, u, v, c, *rest = self._la.pop(0)
             window = [c] + [e[3] for e in self._la]
             # histogram queue: truncate the window at the first
             # in-window scene cut — post-cut complexity must not shape
             # the pre-cut frames' bit share
-            # (UpdateHistogramQueueEntry role)
-            cut = analysis.histogram_cut_index(
-                [hist] + [e[4] for e in self._la])
-            if cut is not None:
-                window = window[:cut]
+            # (UpdateHistogramQueueEntry role). Entries restored from a
+            # pre-histogram checkpoint lack the hists; skip truncation.
+            hists = [rest[0] if rest else None] \
+                + [e[4] if len(e) > 4 else None for e in self._la]
+            if all(h is not None for h in hists):
+                cut = analysis.histogram_cut_index(hists)
+                if cut is not None:
+                    window = window[:cut]
             self._la_weight = c / max(np.mean(window), 1e-3)
             if self._rc is not None:
                 self._rc.set_lookahead(window)
