@@ -71,13 +71,15 @@ class Encoder:
         # 8x8 motion field) — the encoder-side mirror of the decoder's
         # slot_info store
         self._slot_info = [None] * 8
-        # one-deep entropy pipeline: frame N's host entropy runs on this
-        # worker while frame N+1's compute proceeds (the reference
-        # overlaps its EC process pool the same way, EbEncHandle.c:1056).
-        # Jobs run in order on the single worker, so the CDF-carry chain
-        # is identical to serial execution. Disabled under rate control:
-        # the controller needs frame N's actual bits before choosing
-        # frame N+1's qindex.
+        # entropy pipeline: host entropy (keyframes AND inter frames)
+        # trails the compute front by up to SYNTAX_DEPTH frames on this
+        # worker (the reference overlaps its EC process pool the same
+        # way, EbEncHandle.c:1056). Jobs run in order on the single
+        # worker, so the CDF-carry chain is identical to serial
+        # execution. Under rate control the depth is SYNTAX_DEPTH_RC=1,
+        # making the controller's actual-bits feedback exactly one
+        # frame late and deterministic (the reference's own
+        # packetization->RC latency, EbPacketizationProcess.c:177).
         self._syntax_pool = None
         self._syntax_pending: List = []  # [(future, is_key, layer)]
         self._base_slot = 0        # slot of the most recent past anchor
