@@ -161,7 +161,15 @@ def candidate_mode_bits(cands: tuple, plane: int,
         if mode == 13:  # UV_CFL_PRED: joint sign + alpha index
             bits += 7 << RATE_Q
         out.append(bits)
-    return np.array(out, dtype=np.int64)
+    arr = np.array(out, dtype=np.int64)
+    if plane == 1:
+        # chroma mode rate calibration knob (coarse-q experiments —
+        # tools/rd_experiment.py); 1.0 = raw CDF estimate
+        import os
+        s = float(os.environ.get("SVT_TPU_CHROMA_RATE_SCALE", "1.0"))
+        if s != 1.0:
+            arr = (arr.astype(np.float64) * s).astype(np.int64)
+    return arr
 
 
 def rdoq_trim(qcoeff, dqcoeff, eob, scan, tx_size, qindex: int,
