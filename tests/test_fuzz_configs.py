@@ -47,7 +47,8 @@ def test_random_tool_combination_roundtrip(seed):
         enable_restoration=enable_restoration,
         enable_dlf=bool(rng.randint(2)),
         enable_tx_type_search=bool(rng.randint(2)),
-        adaptive_quantization=int(rng.randint(2)),
+        enable_interp_filter_search=bool(rng.randint(2)),
+        adaptive_quantization=int(rng.randint(3)),  # 2 = TPL AQ
         film_grain_strength=int(rng.choice([0, 0, 12])),
         tile_cols_log2=tiles,
         fixed_partition_size=[None, 16, 32][rng.randint(3)],
