@@ -27,19 +27,23 @@ import time
 import numpy as np
 
 
-def warm(width: int, height: int, preset: int, qp: int = 40,
-         bit_depth: int = 8, hierarchical_levels: int = 3,
-         frames: int = 9, backend: str = "device",
-         verbose: bool = True) -> float:
+def _warm_one(width: int, height: int, preset: int, qp: int,
+              bit_depth: int, hierarchical_levels: int, frames: int,
+              backend: str, verbose: bool, seed: int = 0,
+              tag: str = "warmup") -> None:
     from types import SimpleNamespace
     from svt_av1_tpu.app.cli import preset_config
     from svt_av1_tpu.pipeline.encoder import Encoder
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     h, w = height, width
     yy, xx = np.mgrid[0:h + 32, 0:w + 32].astype(np.float32)
-    base = 96 + 48 * np.sin(xx / 17.0) * np.cos(yy / 23.0) \
-        + rng.normal(0, 6.0, (h + 32, w + 32))
+    # content varies with the seed so concurrent warmers reach DIFFERENT
+    # partition outcomes (=> different batch-bucket program variants)
+    # and their compiles overlap instead of queueing on the same keys
+    base = 96 + 48 * np.sin(xx / (17.0 + 2 * seed)) \
+        * np.cos(yy / (23.0 + 3 * seed)) \
+        + rng.normal(0, 6.0 + 4.0 * (seed % 3), (h + 32, w + 32))
     shift = (bit_depth - 8)
     cfg = preset_config(SimpleNamespace(
         width=w, height=h, qp=qp, bit_depth=bit_depth, intra_period=-1,
@@ -58,16 +62,44 @@ def warm(width: int, height: int, preset: int, qp: int = 40,
         while enc.get_packet() is not None:
             pass
         if verbose:
-            print(f"[warmup] {t + 1}/{frames} "
+            print(f"[{tag}] {t + 1}/{frames} "
                   f"t={time.perf_counter() - t0:.1f}s", file=sys.stderr,
                   flush=True)
     enc.flush()
     while enc.get_packet() is not None:
         pass
+
+
+def warm(width: int, height: int, preset: int, qp: int = 40,
+         bit_depth: int = 8, hierarchical_levels: int = 3,
+         frames: int = 9, backend: str = "device",
+         verbose: bool = True, jobs: int = 1) -> float:
+    """Warm the program cache; ``jobs`` > 1 runs that many encoder
+    instances on threads over content variants. XLA compiles through
+    the tunnel parallelize across threads (measured: 2 distinct
+    programs on 2 threads compile in the wall time of one), and
+    concurrent calls into the SAME program signature dedupe in-process
+    (second caller blocks on the first's executable instead of
+    re-compiling), so extra jobs cost only the duplicate encode math —
+    small next to minutes of compile wall."""
+    t0 = time.perf_counter()
+    if jobs <= 1:
+        _warm_one(width, height, preset, qp, bit_depth,
+                  hierarchical_levels, frames, backend, verbose)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            futs = [ex.submit(_warm_one, width, height, preset, qp,
+                              bit_depth, hierarchical_levels, frames,
+                              backend, verbose and j == 0, j,
+                              f"warmup#{j}")
+                    for j in range(jobs)]
+            for f in futs:
+                f.result()
     dt_s = time.perf_counter() - t0
     if verbose:
-        print(f"[warmup] done in {dt_s:.1f}s — program set cached",
-              file=sys.stderr, flush=True)
+        print(f"[warmup] done in {dt_s:.1f}s — program set cached "
+              f"(jobs={jobs})", file=sys.stderr, flush=True)
     return dt_s
 
 
@@ -81,9 +113,11 @@ def main(argv=None):
     ap.add_argument("--hierarchical-levels", type=int, default=3)
     ap.add_argument("--frames", type=int, default=9)
     ap.add_argument("--backend", default="device")
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="parallel warmers (threads); compiles overlap")
     a = ap.parse_args(argv)
     warm(a.width, a.height, a.preset, a.qp, a.bit_depth,
-         a.hierarchical_levels, a.frames, a.backend)
+         a.hierarchical_levels, a.frames, a.backend, jobs=a.jobs)
 
 
 if __name__ == "__main__":
