@@ -993,12 +993,24 @@ def shape_group_issue(recon_planes, ref_pyrs_list, refs_u, refs_v,
 
 
 @functools.lru_cache(maxsize=8)
-def _build_ref_prep(shape_y, shape_c, pad: int, bd: int):
+def _build_ref_prep(shape_y, shape_c, pad: int, bd: int,
+                    valid_y=None, valid_c=None):
     """Slot-write reference prep fully on device: edge-replicate padding
     of all three planes + the 1/2 and 1/4 HME pyramid levels (twin of
     mc.pad_reference + me.build_pyramid — same average-4 decimation, so
-    device ME results are unchanged)."""
+    device ME results are unchanged). ``valid_y``/``valid_c``: (vh, vw)
+    decoder-visible core dims when planes carry bucket-pad bands —
+    replication restarts at the core edge (see mc.pad_reference)."""
     def fn(y, u, v):
+        def padp(p, valid):
+            h, w = p.shape
+            if valid is not None and (valid[0] < h or valid[1] < w):
+                vh, vw = valid
+                return jnp.pad(p[:vh, :vw],
+                               ((pad, pad + h - vh), (pad, pad + w - vw)),
+                               mode="edge")
+            return jnp.pad(p, pad, mode="edge")
+
         def dec(p):
             h, w = p.shape
             h2, w2 = h & ~1, w & ~1
@@ -1006,22 +1018,30 @@ def _build_ref_prep(shape_y, shape_c, pad: int, bd: int):
             return ((q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2]
                      + q[1::2, 1::2] + 2) >> 2).astype(p.dtype)
 
-        d1 = dec(y)
+        py = padp(y, valid_y)
+        # pyramid decimations run over the band-corrected full plane
+        # (what the host decimates), not the raw slot plane
+        yb = py[pad:-pad, pad:-pad]
+        d1 = dec(yb)
         d2 = dec(d1)
-        return (jnp.pad(y, pad, mode="edge"),
-                jnp.pad(u, pad, mode="edge"),
-                jnp.pad(v, pad, mode="edge"),
+        return (py,
+                padp(u, valid_c),
+                padp(v, valid_c),
                 jnp.pad(d1, pad, mode="edge"),
                 jnp.pad(d2, pad, mode="edge"))
 
     return jax.jit(fn)
 
 
-def ref_prep_dev(planes, bd: int = 8):
+def ref_prep_dev(planes, bd: int = 8, valid_hw=None):
     """Device twin of inter._padded_ref's body for device-resident slot
     planes. Returns (padded [y, u, v], luma pyramid (full, 1/2, 1/4))."""
+    vy = vc = None
+    if valid_hw is not None:
+        vy = (int(valid_hw[0]), int(valid_hw[1]))
+        vc = (vy[0] // 2, vy[1] // 2)
     fn = _build_ref_prep(tuple(planes[0].shape), tuple(planes[1].shape),
-                         mc.REF_PAD, bd)
+                         mc.REF_PAD, bd, vy, vc)
     py, pu, pv, ph, pq = fn(planes[0], planes[1], planes[2])
     return [py, pu, pv], (py, ph, pq)
 

@@ -33,12 +33,14 @@ from svt_av1_tpu.pipeline import common  # noqa: E402
 
 
 def _edges_j(recon, xs, ys, bw: int, bh: int, ha, hl, htr, hbl,
-             bd: int, max_w: int, max_h: int):
-    """Traced twin of intra_ops.prepare_edges_av1 (dynamic coords)."""
+             bd: int, max_w, max_h):
+    """Traced twin of intra_ops.prepare_edges_av1 (dynamic coords).
+    max_w/max_h: scalar or per-lane [B] pixel bounds (tile right/bottom
+    edges — replication clamps there, spec 7.11.2)."""
     base = 1 << (bd - 1)
     Hp, Wp = recon.shape
-    W = min(Wp, max_w)
-    H = min(Hp, max_h)
+    W = jnp.minimum(Wp, max_w)
+    H = jnp.minimum(Hp, max_h)
     b = xs.shape[0]
     # above row (offset-1 layout, index 0 = corner)
     lim = jnp.minimum(W - 1, xs + jnp.where(htr, 2 * bw, bw) - 1)
@@ -407,13 +409,13 @@ def _class_stage(shape: tuple, cands: tuple,
         )
 
     def step(recon_y, recon_u, recon_v, out, src_y, src_u, src_v, xs,
-             ys, valid, htr, hbl, idx, n_cls, qv, lamqv):
+             ys, valid, htr, hbl, ha, hl, mwv, mhv, idx, n_cls, qv,
+             lamqv):
         qvw = jnp.broadcast_to(qv.astype(jnp.int32), xs.shape)
         lamw = jnp.broadcast_to(lamqv.astype(jnp.int64), xs.shape)
         idx = jnp.where(valid, idx, n_cls)
-        ha, hl = ys > 0, xs > 0
         a1, l1 = _edges_j(recon_y, xs, ys, bw, bh, ha, hl, htr, hbl,
-                          bd, mwy, mhy)
+                          bd, mwv, mhv)
         srcs = _gather(src_y, xs, ys, bw, bh).astype(jnp.int64)
         ym, yd, qcy, eoy, recy, _, _, ytt = decide_y(
             srcs, a1, l1, ha, hl, None, qvw, lamw)
@@ -423,13 +425,13 @@ def _class_stage(shape: tuple, cands: tuple,
         if cfl_ok:
             cfl = _gather(recon_y, xs, ys, bw, bh).astype(jnp.int64)
         a1u, l1u = _edges_j(recon_u, cxs, cys, cw_, ch_, ha, hl, htr,
-                            hbl, bd, mwc, mhc)
+                            hbl, bd, mwv >> 1, mhv >> 1)
         srcs_u = _gather(src_u, cxs, cys, cw_, ch_).astype(jnp.int64)
         um, ud, qcu, eou, recu, _, au, _ = decide_u(
             srcs_u, a1u, l1u, ha, hl, cfl, qvw, lamw)
         recon_u = _scatter(recon_u, cxs, cys, recu, valid, cw_, ch_)
         a1v, l1v = _edges_j(recon_v, cxs, cys, cw_, ch_, ha, hl, htr,
-                            hbl, bd, mwc, mhc)
+                            hbl, bd, mwv >> 1, mhv >> 1)
         srcs_v = _gather(src_v, cxs, cys, cw_, ch_).astype(jnp.int64)
         vm, vd, qcv, eov, recv, _, av, _ = decide_v(
             srcs_v, a1v, l1v, ha, hl, um, ud, cfl, qvw, lamw)
@@ -480,11 +482,12 @@ def make_mixed_tile_body(class_spec: tuple, n_waves: int, cands: tuple,
             recon_y, recon_u, recon_v, outs = carry
             outs = list(outs)
             for ci, (S, wmax, n_cls, step, _) in enumerate(stages):
-                a = arrs[6 * ci:6 * ci + 6]
+                a = arrs[10 * ci:10 * ci + 10]
                 recon_y, recon_u, recon_v, outs[ci] = step(
                     recon_y, recon_u, recon_v, outs[ci], src_y, src_u,
                     src_v, a[0][w], a[1][w], a[2][w], a[3][w], a[4][w],
-                    a[5][w], n_cls, qv, lamqv)
+                    a[5][w], a[6][w], a[7][w], a[8][w], a[9][w], n_cls,
+                    qv, lamqv)
             return recon_y, recon_u, recon_v, tuple(outs)
 
         recon_y, recon_u, recon_v, outs = lax.fori_loop(
@@ -568,7 +571,12 @@ def mixed_tile_metadata(enc, cands):
                                                   vert_ab=vab)
             idxw[w, j] = li
         class_spec.append(((bwc, bhc), wq, ncq))
-        args += [xsw, ysw, validw, htrw, hblw, idxw]
+        # single-tile: ha/hl from tile-local coords, edge clamp at the
+        # tile's own padded extent (matches the former in-program rule)
+        args += [xsw, ysw, validw, htrw, hblw,
+                 validw & (ysw > 0), validw & (xsw > 0),
+                 np.full((nwq, wq), w_px, np.int32),
+                 np.full((nwq, wq), h_px, np.int32), idxw]
         cls_ids.append(ids)
     shapes = (tuple(enc.recon[0].shape), tuple(enc.recon[1].shape))
     max_wh = (tuple(enc.max_wh[0]), tuple(enc.max_wh[1]))
@@ -647,6 +655,196 @@ def analyze_tile_fused_mixed(enc, cands) -> bool:
     return True
 
 
+# --- frame-batched MULTI-TILE fused intra analysis -------------------------------
+# With T tile columns the per-tile fused programs would run sequentially
+# on one chip — total scan steps T x (w/T + 2h) >= single-tile. This
+# path instead merges every tile's dependency waves BY INDEX into one
+# program over the frame planes: scan step w processes wave w of every
+# tile at once (tiles are independent), so the critical path is the MAX
+# tile wave count — the whole point of tile columns on a latency-bound
+# wavefront (reference segment fan-out, EbEncDecProcess.c:489).
+
+def tile_lane_meta(enc, cands):
+    """Lane metadata for one tile of the frame-batched program, or None
+    when the tile is unsupported (per-SB delta-q / sub-8px leaves /
+    band-capacity violation). Call with ``enc`` entered into the tile;
+    captures references to the tile's decision arrays for the deferred
+    injection."""
+    if enc.qmap_t is not None:
+        return None
+    leaves = enc._leaves()
+    if not leaves or any(wh[0] < 8 or wh[1] < 8 for _, _, wh in leaves):
+        return None
+    from svt_av1_tpu.pipeline import avail
+    waves = enc._dependency_waves(leaves, enc.mi_cols, enc.mi_rows)
+    n_waves = int(waves.max()) + 1
+    classes = {}
+    for i, (r, c, wh) in enumerate(leaves):
+        w4, h4 = wh[0] >> 2, wh[1] >> 2
+        vab = avail.leaf_vert_ab(enc.leaf_sizes, r, c, w4, h4,
+                                 enc.mi_rows, enc.mi_cols)
+        htr = avail.has_top_right_wh(r, c, w4, h4, enc.mi_cols,
+                                     vert_ab=vab)
+        hbl = avail.has_bottom_left_wh(r, c, w4, h4, enc.mi_rows,
+                                       vert_ab=vab)
+        classes.setdefault(tuple(wh), []).append(
+            (int(waves[i]), r, c, htr, hbl, i))
+    h_px = enc.mi_rows * 4
+    spec = {}
+    for sh, ents in classes.items():
+        wq = max(1, (h_px + sh[1] - 1) // sh[1])
+        occ = {}
+        for (w, *_rest) in ents:
+            occ[w] = occ.get(w, 0) + 1
+            if occ[w] > wq:
+                return None       # band-chaining bound violated
+        spec[sh] = wq
+    arrays = {k: getattr(enc, k) for k in
+              ("y_mode", "y_delta", "uv_mode", "uv_delta", "alpha_u",
+               "alpha_v", "y_tx_type", "eobs", "qcoeff")}
+    return dict(rect=enc._cur_rect, n_waves=n_waves, classes=classes,
+                spec=spec, arrays=arrays)
+
+
+def run_tiles_fused(enc, metas, frame_src, frame_recon, cands):
+    """Run ONE fused program covering every deferred tile's lanes and
+    inject results into each tile's decision arrays. Returns the frame
+    recon planes — device-resident when every tile deferred, else the
+    host planes with the deferred tiles' regions copied in."""
+    from svt_av1_tpu.pipeline import md as md_mod
+    cfg = enc.cfg
+    n_waves = max(m["n_waves"] for m in metas)
+    nwq = _pow2(n_waves, 8)
+    shapes_u = sorted({sh for m in metas for sh in m["classes"]},
+                      key=lambda s: (-s[0] * s[1], -s[0]))
+    class_spec = []
+    args = []
+    placements = []   # per class: [(meta, tile-leaf ids, entry base j0)]
+    for sh in shapes_u:
+        wq = sum(m["spec"].get(sh, 0) for m in metas
+                 if sh in m["classes"])
+        total = sum(len(m["classes"].get(sh, ())) for m in metas)
+        ncq = _wbucket(total, (8, 32, 128, 512, 2048, 8192))
+        xsw = np.zeros((nwq, wq), np.int64)
+        ysw = np.zeros((nwq, wq), np.int64)
+        validw = np.zeros((nwq, wq), bool)
+        htrw = np.zeros((nwq, wq), bool)
+        hblw = np.zeros((nwq, wq), bool)
+        haw = np.zeros((nwq, wq), bool)
+        hlw = np.zeros((nwq, wq), bool)
+        mwvw = np.full((nwq, wq), enc.seq.mi_cols * 4, np.int32)
+        mhvw = np.full((nwq, wq), enc.seq.mi_rows * 4, np.int32)
+        idxw = np.full((nwq, wq), total, np.int64)
+        base_slot = 0
+        j = 0
+        place = []
+        for m in metas:
+            ents = m["classes"].get(sh)
+            if not ents:
+                continue
+            mi_r0, mi_c0, mi_rs, mi_cs = m["rect"][:4]
+            y0, x0 = mi_r0 * 4, mi_c0 * 4
+            mxw, mxh = x0 + mi_cs * 4, y0 + mi_rs * 4
+            fill = {}
+            ids = []
+            j0 = j
+            for (w, r, c, htr_, hbl_, li) in ents:
+                k = base_slot + fill.get(w, 0)
+                fill[w] = fill.get(w, 0) + 1
+                xsw[w, k], ysw[w, k] = x0 + c * 4, y0 + r * 4
+                validw[w, k] = True
+                htrw[w, k], hblw[w, k] = htr_, hbl_
+                haw[w, k], hlw[w, k] = r > 0, c > 0
+                mwvw[w, k], mhvw[w, k] = mxw, mxh
+                idxw[w, k] = j
+                j += 1
+                ids.append(li)
+            base_slot += m["spec"][sh]
+            place.append((m, ids, j0))
+        class_spec.append((sh, wq, ncq))
+        args += [xsw, ysw, validw, htrw, hblw, haw, hlw, mwvw, mhvw,
+                 idxw]
+        placements.append(place)
+    shapes = (tuple(frame_recon[0].shape), tuple(frame_recon[1].shape))
+    max_wh = ((enc.seq.mi_cols * 4, enc.seq.mi_rows * 4),
+              (enc.seq.mi_cols * 2, enc.seq.mi_rows * 2))
+    key = (tuple(class_spec), nwq, tuple(map(tuple, cands)),
+           cfg.bit_depth, cfg.nfl,
+           bool(cfg.enable_tx_type_search and cfg.base_q_idx > 0),
+           shapes, max_wh, bool(cfg.enable_rdoq))
+    npix = np.uint8 if cfg.bit_depth <= 8 else np.uint16
+    full_args = (np.ascontiguousarray(frame_src[0], dtype=npix),
+                 np.ascontiguousarray(frame_src[1], dtype=npix),
+                 np.ascontiguousarray(frame_src[2], dtype=npix),
+                 np.int32(n_waves),
+                 np.full((), int(enc.qp.qindex), np.int32),
+                 np.full((), md_mod.lam_to_q(enc.lam), np.int64)) \
+        + tuple(args)
+    prog = _build_mixed_program(*key)
+    res = prog(*full_args)
+    all_tiles = len(metas) == enc._tile_count
+    from svt_av1_tpu.pipeline.common import PendingQC
+    if all_tiles:
+        out_recon = [res[0], res[1], res[2]]   # device-resident
+        smalls = jax.device_get([
+            {k: v for k, v in res[3 + ci].items()
+             if not k.startswith("qc_")} for ci in range(len(placements))])
+        for ci, place in enumerate(placements):
+            nent = sum(len(ids) for _, ids, _ in place)
+            for pl in ("qc_y", "qc_u", "qc_v"):
+                res[3 + ci][pl] = res[3 + ci][pl][:nent]
+                res[3 + ci][pl].copy_to_host_async()
+    else:
+        res = jax.device_get(res)
+        pix = np.uint16 if cfg.bit_depth > 8 else np.uint8
+        out_recon = frame_recon
+        for m in metas:            # copy only the deferred tiles' pixels
+            mi_r0, mi_c0, mi_rs, mi_cs = m["rect"][:4]
+            y0, x0 = mi_r0 * 4, mi_c0 * 4
+            h, w = mi_rs * 4, mi_cs * 4
+            out_recon[0][y0:y0 + h, x0:x0 + w] = \
+                np.asarray(res[0])[y0:y0 + h, x0:x0 + w].astype(pix)
+            for p in (1, 2):
+                out_recon[p][y0 // 2:(y0 + h) // 2,
+                             x0 // 2:(x0 + w) // 2] = \
+                    np.asarray(res[p])[y0 // 2:(y0 + h) // 2,
+                                       x0 // 2:(x0 + w) // 2].astype(pix)
+        smalls = [res[3 + ci] for ci in range(len(placements))]
+    for ci, place in enumerate(placements):
+        o = smalls[ci]
+        pends = None
+        if all_tiles:
+            pends = [PendingQC(res[3 + ci][f"qc_{pl}"])
+                     for pl in ("y", "u", "v")]
+        else:
+            qcs = [np.asarray(o["qc_y"]), np.asarray(o["qc_u"]),
+                   np.asarray(o["qc_v"])]
+        for m, ids, j0 in place:
+            a = m["arrays"]
+            ids = np.asarray(ids)
+            js = np.arange(j0, j0 + len(ids))
+            a["y_mode"][ids] = np.asarray(o["y_mode"])[js]
+            a["y_delta"][ids] = np.asarray(o["y_delta"])[js]
+            a["uv_mode"][ids] = np.asarray(o["uv_mode"])[js]
+            a["uv_delta"][ids] = np.asarray(o["uv_delta"])[js]
+            a["alpha_u"][ids] = np.asarray(o["alpha_u"])[js]
+            a["alpha_v"][ids] = np.asarray(o["alpha_v"])[js]
+            a["y_tx_type"][ids] = np.asarray(o["y_tt"])[js]
+            a["eobs"][0, ids] = np.asarray(o["eob_y"])[js]
+            a["eobs"][1, ids] = np.asarray(o["eob_u"])[js]
+            a["eobs"][2, ids] = np.asarray(o["eob_v"])[js]
+            for li, jj in zip(ids, js):
+                if pends is not None:
+                    a["qcoeff"][0][li] = (pends[0], int(jj))
+                    a["qcoeff"][1][li] = (pends[1], int(jj))
+                    a["qcoeff"][2][li] = (pends[2], int(jj))
+                else:
+                    a["qcoeff"][0][li] = qcs[0][jj]
+                    a["qcoeff"][1][li] = qcs[1][jj]
+                    a["qcoeff"][2][li] = qcs[2][jj]
+    return out_recon
+
+
 # --- fused intra-flip APPLY (inter frames) ---------------------------------------
 # The exact re-code of accepted intra flips is wavefront-sequential
 # (each flip's prediction edges may read earlier flips' recon). The
@@ -694,15 +892,15 @@ def _flip_stage(shape: tuple, cands: tuple, bd: int, max_wh: tuple,
         )
 
     def step(recon_y, recon_u, recon_v, out, src_y, src_u, src_v, xs,
-             ys, valid, htr, hbl, fm, idx, n_cls, qv, lamqv):
+             ys, valid, htr, hbl, ha, hl, mwv, mhv, fm, idx, n_cls, qv,
+             lamqv):
         b = xs.shape[0]
         idx = jnp.where(valid, idx, n_cls)
-        ha, hl = ys > 0, xs > 0
         rlq = lamqv if rdoq else None
         zeros_tt = jnp.zeros(b, dtype=jnp.int32)
         # --- luma (forced mode per lane) ---
         a1, l1 = _edges_j(recon_y, xs, ys, bw, bh, ha, hl, htr, hbl,
-                          bd, mwy, mhy)
+                          bd, mwv, mhv)
         srcs = _gather(src_y, xs, ys, bw, bh).astype(jnp.int64)
         pred = jnp.zeros((b, bh, bw), dtype=jnp.int64)
         for m in modes:
@@ -723,7 +921,7 @@ def _flip_stage(shape: tuple, cands: tuple, bd: int, max_wh: tuple,
         for plane, (rc, sp) in ((1, (recon_u, src_u)),
                                 (2, (recon_v, src_v))):
             a1c, l1c = _edges_j(rc, cxs, cys, cw_, ch_, ha, hl, htr,
-                                hbl, bd, mwc, mhc)
+                                hbl, bd, mwv >> 1, mhv >> 1)
             srcs_c = _gather(sp, cxs, cys, cw_, ch_).astype(jnp.int64)
             predc = jnp.zeros((b, ch_, cw_), dtype=jnp.int64)
             for m in modes:
@@ -811,11 +1009,12 @@ def make_flip_body(class_spec: tuple, n_waves: int, cands: tuple,
             recon_y, recon_u, recon_v, outs = carry
             outs = list(outs)
             for ci, (sh, wq, n_cls, step, _) in enumerate(stages):
-                a = arrs[9 * ci:9 * ci + 9]
+                a = arrs[13 * ci:13 * ci + 13]
                 recon_y, recon_u, recon_v, outs[ci] = step(
                     recon_y, recon_u, recon_v, outs[ci], src_y, src_u,
                     src_v, a[0][w], a[1][w], a[2][w], a[3][w], a[4][w],
-                    a[5][w], a[6][w], n_cls, a[7][w], a[8][w])
+                    a[5][w], a[6][w], a[7][w], a[8][w], a[9][w],
+                    a[10][w], n_cls, a[11][w], a[12][w])
             return recon_y, recon_u, recon_v, tuple(outs)
 
         recon_y, recon_u, recon_v, outs = lax.fori_loop(
@@ -940,6 +1139,8 @@ def flip_apply_fused(enc, waves) -> bool:
         valid = np.zeros((nwb, wq), bool)
         htr = np.zeros((nwb, wq), bool)
         hbl = np.zeros((nwb, wq), bool)
+        haw = np.zeros((nwb, wq), bool)
+        hlw = np.zeros((nwb, wq), bool)
         fm = np.zeros((nwb, wq), np.int32)
         idx = np.full((nwb, wq), n_cls, np.int32)
         qv = np.ones((nwb, wq), np.int32)
@@ -957,17 +1158,27 @@ def flip_apply_fused(enc, waves) -> bool:
             qv[w, k] = qi
             lamqv[w, k] = lamq
             by_wave.setdefault(w, []).append((k, r, c))
+        mwv = np.full((nwb, wq), enc.mi_cols * 4, np.int32)
+        mhv = np.full((nwb, wq), enc.mi_rows * 4, np.int32)
         for w, lanes in by_wave.items():
             rs = np.array([r for _, r, _ in lanes])
             cs = np.array([c for _, _, c in lanes])
             kk = np.array([k for k, _, _ in lanes])
+            # availability + edge replication clip at tile bounds
+            # (spec 7.10.2 / 7.11.2)
+            lr_, lc_, trs, tcs = enc._tile_local_coords(rs, cs)
             vab = avail.leaf_vert_ab_flags(enc.leaf_sizes, rs, cs, w4,
                                            h4, enc.mi_rows, enc.mi_cols)
             htr[w, kk] = avail.has_top_right_wh_vec(
-                rs, cs, w4, h4, enc.mi_cols, vert_ab=vab)
+                lr_, lc_, w4, h4, tcs, vert_ab=vab)
             hbl[w, kk] = avail.has_bottom_left_wh_vec(
-                rs, cs, w4, h4, enc.mi_rows, vert_ab=vab)
-        arrs += [xs, ys, valid, htr, hbl, fm, idx, qv, lamqv]
+                lr_, lc_, w4, h4, trs, vert_ab=vab)
+            haw[w, kk] = lr_ > 0
+            hlw[w, kk] = lc_ > 0
+            mwv[w, kk] = (cs - lc_ + tcs) * 4
+            mhv[w, kk] = (rs - lr_ + trs) * 4
+        arrs += [xs, ys, valid, htr, hbl, haw, hlw, mwv, mhv, fm, idx,
+                 qv, lamqv]
     prog = _build_flip_program(tuple(class_spec), nwb, cands,
                                cfg.bit_depth, shapes, max_wh, rdoq)
     pdt = _pix_dt(cfg.bit_depth)

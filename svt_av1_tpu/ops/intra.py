@@ -108,10 +108,13 @@ def prepare_edges_av1(recon: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     base = 1 << (bd - 1)
     b = len(xs)
     H, W = recon.shape
-    if max_w is not None:
-        W = min(W, max_w)
-    if max_h is not None:
-        H = min(H, max_h)
+    # max_w/max_h may be scalars or per-block arrays (tile right/bottom
+    # pixel bounds — edge replication clamps at the TILE edge, spec
+    # 7.11.2 BlockDecoded is tile-relative)
+    Wv = np.minimum(W, np.broadcast_to(
+        W if max_w is None else max_w, (b,)))
+    Hv = np.minimum(H, np.broadcast_to(
+        H if max_h is None else max_h, (b,)))
     above1 = np.empty((b, 1 + bw + bh), dtype=np.int32)
     left1 = np.empty((b, 1 + bh + bw), dtype=np.int32)
     for i in range(b):
@@ -120,7 +123,7 @@ def prepare_edges_av1(recon: np.ndarray, xs: np.ndarray, ys: np.ndarray,
         htr = bool(have_above_right[i])
         hbl = bool(have_bottom_left[i])
         if ha:
-            lim = min(W - 1, x + (2 * bw if htr else bw) - 1)
+            lim = min(int(Wv[i]) - 1, x + (2 * bw if htr else bw) - 1)
             cols = np.minimum(x + np.arange(bw + bh), lim)
             above1[i, 1:] = recon[y - 1, cols]
         elif hl:
@@ -128,7 +131,7 @@ def prepare_edges_av1(recon: np.ndarray, xs: np.ndarray, ys: np.ndarray,
         else:
             above1[i, 1:] = base - 1
         if hl:
-            lim = min(H - 1, y + (2 * bh if hbl else bh) - 1)
+            lim = min(int(Hv[i]) - 1, y + (2 * bh if hbl else bh) - 1)
             rows = np.minimum(y + np.arange(bh + bw), lim)
             left1[i, 1:] = recon[rows, x - 1]
         elif ha:

@@ -102,8 +102,23 @@ FILTER_BANK_4 = np.stack([SUBPEL_FILTERS_4, SUBPEL_FILTERS_4SMOOTH,
                           SUBPEL_FILTERS_4])
 
 
-def pad_reference(plane: np.ndarray, pad: int = REF_PAD) -> np.ndarray:
-    """Edge-replicate pad (reference PadRefAndSetFlags semantics)."""
+def pad_reference(plane: np.ndarray, pad: int = REF_PAD,
+                  valid_hw=None) -> np.ndarray:
+    """Edge-replicate pad (reference PadRefAndSetFlags semantics).
+
+    ``valid_hw``: (vh, vw) decoder-visible core dims when the plane
+    carries extra bucket-pad rows/cols (resolution-bucketed compute
+    planes) — replication then starts at the CORE edge, reproducing
+    exactly what a decoder's clip-reads yield beyond its own plane, so
+    any legal MV reads identical pixels on both sides. Output shape is
+    always plane + 2*pad (program keys stay bucket-stable)."""
+    if valid_hw is not None:
+        vh, vw = valid_hw
+        h, w = plane.shape
+        if vh < h or vw < w:
+            return np.pad(plane[:vh, :vw],
+                          ((pad, pad + h - vh), (pad, pad + w - vw)),
+                          mode="edge")
     return np.pad(plane, pad, mode="edge")
 
 

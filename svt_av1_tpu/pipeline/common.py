@@ -30,6 +30,51 @@ def pad_to_multiple(plane: np.ndarray, multiple: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
+# --- resolution-bucketed plane pads ------------------------------------------
+# Fused whole-frame device programs bake plane dims into their compile
+# keys, so every new resolution used to pay the full cold-compile wall
+# (the reference starts instantly at any size, user guide :127). Padding
+# the compute planes up to a canonical bucket lets nearby resolutions
+# share the compiled program set; the pad is compute-only — coded
+# geometry (mi grid, sequence header, MV clamp semantics via the
+# valid-core reference pads) is unchanged. Luma dims; chroma is half.
+_PLANE_BUCKETS = ((1280, 768), (1920, 1088), (2560, 1472), (3840, 2176))
+
+
+def bucket_dims(w64: int, h64: int):
+    """Bucketed (W, H) luma plane dims for ceil-64 dims (w64, h64).
+    Small frames stay exact (tests / thumbnails compile fast anyway);
+    env SVT_TPU_BUCKET=off disables, =WxH forces one bucket."""
+    import os
+    env = os.environ.get("SVT_TPU_BUCKET", "auto")
+    if env == "off":
+        return (w64, h64)
+    if env not in ("auto", ""):
+        bw, bh = (int(t) for t in env.lower().split("x"))
+        return (max(bw, w64), max(bh, h64))
+    if w64 * h64 <= 512 * 512:
+        return (w64, h64)
+    for bw, bh in _PLANE_BUCKETS:
+        if w64 <= bw and h64 <= bh:
+            return (bw, bh)
+    return (w64, h64)
+
+
+def pad_frame_planes(y, u, v, dtype=np.int32):
+    """Bucket-padded (y, u, v) compute planes (edge-replicated)."""
+    y64 = pad_to_multiple(y, 64)
+    bw, bh = bucket_dims(y64.shape[1], y64.shape[0])
+    out = [np.pad(y64, ((0, bh - y64.shape[0]), (0, bw - y64.shape[1])),
+                  mode="edge").astype(dtype)]
+    for p in (u, v):
+        p32 = pad_to_multiple(p, 32)
+        out.append(np.pad(
+            p32, ((0, bh // 2 - p32.shape[0]),
+                  (0, bw // 2 - p32.shape[1])),
+            mode="edge").astype(dtype))
+    return out
+
+
 def tx_size_for_block(size_px: int, plane: int) -> int:
     """TX_MODE_LARGEST tx size for a square block (chroma capped at 32)."""
     if plane == 0:

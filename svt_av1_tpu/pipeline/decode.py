@@ -111,10 +111,16 @@ class FrameDecoder:
             self.cdef_idx_map = np.full((self.seq.sb_rows,
                                          self.seq.sb_cols), -1,
                                         dtype=np.int32)
+        # frame-level MVP state: tiles decode through clipped views
+        # (spec 7.10.2 scans stop at tile bounds) that stitch into one
+        # frame motion field for the TMVP save
+        self.frame_mvp_state = mvp.MvpState(frame_mi_rows, frame_mi_cols)
+        tc = getattr(self, "tmvp_ctx", None)
+        if tc is not None:
+            self.frame_mvp_state.tpl, self.frame_mvp_state.rel_dist, \
+                self.frame_mvp_state.sign_bias = tc
         for (mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs), data in \
                 zip(rects, tile_payloads):
-            assert self.is_inter is False or len(rects) == 1, \
-                "inter tiles land with the tile-parallel inter rounds"
             y0, x0 = mi_r0 * 4, mi_c0 * 4
             ph, pw = sb_rs * 64, sb_cs * 64
             self.recon = [frame_recon[0][y0:y0 + ph, x0:x0 + pw],
@@ -146,6 +152,7 @@ class FrameDecoder:
             self.final_entropy = tile0_entropy
         self.recon = frame_recon
         self.mi_rows, self.mi_cols = frame_mi_rows, frame_mi_cols
+        self.mvp_state = self.frame_mvp_state  # stitched motion field
         if any(self.fh.loop_filter_levels):
             from svt_av1_tpu.ops import dlf
             dlf.loop_filter_frame(self.recon, frame_leaves, self.mi_rows,
@@ -207,11 +214,9 @@ class FrameDecoder:
         self.r = SymbolReader(data,
                               disable_cdf_update=self.fh.disable_cdf_update)
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
-        self.mvp_state = mvp.MvpState(self.mi_rows, self.mi_cols)
-        tc = getattr(self, "tmvp_ctx", None)
-        if tc is not None:
-            self.mvp_state.tpl, self.mvp_state.rel_dist, \
-                self.mvp_state.sign_bias = tc
+        self.mvp_state = self.frame_mvp_state.tile_view(
+            self.tile_mi_off[0], self.tile_mi_off[1], self.mi_rows,
+            self.mi_cols)
         self.leaf_sizes = {}
         from svt_av1_tpu.entropy import lr as lr_syntax
         self.lr_ref = [lr_syntax.LrRefState() for _ in range(3)]
@@ -393,9 +398,13 @@ class FrameDecoder:
                        common.rect_bsize(cw, ch), 1)]
         ref_planes = self.refs[ref]
         ltt = 0   # luma tx type; inter chroma inherits it (spec 8.3.2)
+        # MC reads reference pixels at FRAME coordinates (legal across
+        # tile bounds, spec 7.11.3); recon writes stay tile-local views
+        oy, ox = self.tile_mi_off[0] * 4, self.tile_mi_off[1] * 4
         for p, px, py, psz, ts, pb, ss in plane_info:
             pw, ph = psz
-            pred = self._single_pred(ref_planes[p], px, py, mv, pw, ph,
+            pred = self._single_pred(ref_planes[p], px + (ox >> ss),
+                                     py + (oy >> ss), mv, pw, ph,
                                      ss, ftype)
             x4, y4 = px >> 2, py >> 2
             if skip:
@@ -516,9 +525,11 @@ class FrameDecoder:
         rp0 = self.refs[fwd]
         rp1 = self.refs[bwd]
         ltt = 0   # luma tx type; inter chroma inherits it (spec 8.3.2)
+        oy, ox = self.tile_mi_off[0] * 4, self.tile_mi_off[1] * 4
         for p, px, py, psz, ts, pb, ss in plane_info:
             pw, ph = psz
-            pred = self._compound_pred(rp0[p], rp1[p], px, py, mv0, mv1,
+            pred = self._compound_pred(rp0[p], rp1[p], px + (ox >> ss),
+                                       py + (oy >> ss), mv0, mv1,
                                        pw, ph, ss, ftype)
             x4, y4 = px >> 2, py >> 2
             if skip:

@@ -43,13 +43,14 @@ _PendingQC = common.PendingQC
 resolve_qc = common.resolve_qc
 
 
-def _padded_ref(planes):
+def _padded_ref(planes, valid_hw=None):
     """Padded reference planes + HME pyramid, cached per recon object:
     a slot's recon is padded/decimated once when written, not once per
     frame that reads it. Device-resident slots (jax planes) are prepared
     by one on-device program (device_inter.ref_prep_dev) — the reference
     pixels never cross the tunnel at all; host slots keep the NumPy
-    path + upload-once cache."""
+    path + upload-once cache. ``valid_hw``: (vh, vw) decoder-visible
+    luma core when planes carry bucket-pad bands."""
     import jax
     key = id(planes[0])
     ent = _ref_cache.get(key)
@@ -57,9 +58,12 @@ def _padded_ref(planes):
         return ent[1], ent[2]
     if isinstance(planes[0], jax.Array):
         from svt_av1_tpu.ops import device_inter as di
-        padded, pyr = di.ref_prep_dev(planes)
+        padded, pyr = di.ref_prep_dev(planes, valid_hw=valid_hw)
     else:
-        padded = [mc.pad_reference(p) for p in planes]
+        vy = None if valid_hw is None else valid_hw
+        vc = None if valid_hw is None else (vy[0] // 2, vy[1] // 2)
+        padded = [mc.pad_reference(p, valid_hw=(vy if i == 0 else vc))
+                  for i, p in enumerate(planes)]
         pyr = me.build_pyramid(padded[0])
     if len(_ref_cache) >= 24:
         for k in list(_ref_cache)[:8]:
@@ -88,8 +92,39 @@ class InterFrameEncoder:
         self.mi_rows = seq.mi_rows
         self.qp = quant_ops.make_quant_params(cfg.base_q_idx,
                                               bit_depth=cfg.bit_depth)
+        # tile grid (uniform spacing, spec 5.9.15): tile columns cut the
+        # intra-flip wavefront critical path and parallelize host
+        # entropy — the reference's segment parallelism
+        # (EbCdefProcess.c:469-473, EbEntropyCodingProcess.c:362)
+        self.tile_log2 = obu.clamp_tile_log2(seq, cfg.tile_cols_log2,
+                                             cfg.tile_rows_log2)
+        self.tile_rects_v = common.tile_rects(
+            seq.sb_cols, seq.sb_rows, self.mi_cols, self.mi_rows,
+            *self.tile_log2)
         from svt_av1_tpu.pipeline import rd
         self.lam = rd.rd_lambda(cfg.base_q_idx, cfg.bit_depth)
+
+    def _tile_local_coords(self, rs, cs):
+        """Per-block tile-local (r, c) + tile mi dims for availability
+        clipping (spec 7.10.2: out-of-tile neighbors are unavailable).
+        One SB-indexed lookup table per frame; tiles are SB-aligned so
+        position-within-SB terms are offset-invariant."""
+        lut = getattr(self, "_tile_lut", None)
+        if lut is None:
+            sbr_n, sbc_n = self.seq.sb_rows, self.seq.sb_cols
+            t = [np.zeros((sbr_n, sbc_n), np.int64) for _ in range(4)]
+            for (mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs) \
+                    in self.tile_rects_v:
+                sl = (slice(mi_r0 // 16, mi_r0 // 16 + sb_rs),
+                      slice(mi_c0 // 16, mi_c0 // 16 + sb_cs))
+                t[0][sl], t[1][sl] = mi_r0, mi_c0
+                t[2][sl], t[3][sl] = mi_rs, mi_cs
+            lut = self._tile_lut = t
+        rs = np.asarray(rs, dtype=np.int64)
+        cs = np.asarray(cs, dtype=np.int64)
+        sr, sc = rs // 16, cs // 16
+        return (rs - lut[0][sr, sc], cs - lut[1][sr, sc],
+                lut[2][sr, sc], lut[3][sr, sc])
 
     def encode(self, y, u, v, ref_planes, alt_planes=None,
                refresh_frame_flags: int = 0x01,
@@ -130,23 +165,23 @@ class InterFrameEncoder:
         """Decision + reconstruction + in-loop filters; leaves syntax
         inputs on self for ``encode_syntax``. self.recon is final."""
         cfg = self.cfg
-        self.src = [common.pad_to_multiple(y, 64).astype(np.int32),
-                    common.pad_to_multiple(u, 32).astype(np.int32),
-                    common.pad_to_multiple(v, 32).astype(np.int32)]
+        self.src = common.pad_frame_planes(y, u, v, dtype=np.int32)
         self.recon = [np.zeros(p.shape, dtype=common.pixel_dtype(cfg.bit_depth))
                       for p in self.src]
         from svt_av1_tpu.entropy.inter_modes import (ALTREF_FRAME,
                                                      BWDREF_FRAME)
         self.refs = {}
         self.ref_pyrs = {}
+        vhw = (self.seq.sb_rows * 64, self.seq.sb_cols * 64)
         self.refs[LAST_FRAME], self.ref_pyrs[LAST_FRAME] = \
-            _padded_ref(ref_planes)
+            _padded_ref(ref_planes, vhw)
         if alt_planes is not None:
             self.refs[ALTREF_FRAME], self.ref_pyrs[ALTREF_FRAME] = \
-                _padded_ref(alt_planes)
+                _padded_ref(alt_planes, vhw)
         for rid, planes in (extra_refs or {}).items():
             if rid not in self.refs and planes is not None:
-                self.refs[rid], self.ref_pyrs[rid] = _padded_ref(planes)
+                self.refs[rid], self.ref_pyrs[rid] = _padded_ref(planes,
+                                                                 vhw)
         self.fwd_refs = sorted(r for r in self.refs if r < BWDREF_FRAME)
         self.bwd_refs = sorted(r for r in self.refs if r >= BWDREF_FRAME)
         self.src_pyr = me.src_pyramid(self.src[0])
@@ -349,7 +384,30 @@ class InterFrameEncoder:
         cfg = self.cfg
         carry = (not cfg.error_resilient) and init_entropy is not None
         self.init_entropy = init_entropy if carry else None
-        tile = self._syntax_pass()
+        # frame-level MVP state: each tile codes through a clipped view
+        # (spatial scans stop at tile bounds, writes stitch into the
+        # frame arrays); TMVP projections are shared slices
+        fstate = mvp.MvpState(self.mi_rows, self.mi_cols)
+        tc_ = getattr(self, "tmvp_ctx", None)
+        if tc_ is not None and tc_["use"]:
+            fstate.tpl = tc_["tpl"]
+            fstate.rel_dist = tc_["rel_dist"]
+            fstate.sign_bias = tc_["sign_bias"]
+        self.frame_mvp_state = fstate
+        frame_dims = (self.mi_rows, self.mi_cols)
+        frame_leaves = self.leaf_sizes
+        frame_index = self.leaf_index
+        payloads = []
+        for ti, rect in enumerate(self.tile_rects_v):
+            payloads.append(self._syntax_pass(rect, fstate,
+                                              frame_leaves, frame_index))
+            if ti == 0:
+                # context_update_tile_id = 0 (spec 6.8.2): tile 0's
+                # frame-end adapted state is what decoders save
+                tile0_entropy = (self.fc, self.nmv)
+        self.mi_rows, self.mi_cols = frame_dims
+        self.leaf_sizes, self.leaf_index = frame_leaves, frame_index
+        self.fc, self.nmv = tile0_entropy
         fg = None
         if self.seq.film_grain_params_present:
             from svt_av1_tpu.ops import grain as grain_ops
@@ -382,6 +440,8 @@ class InterFrameEncoder:
                              show_frame=self._show_frame,
                              refresh_frame_flags=self._refresh_frame_flags,
                              ref_frame_idx=self._ref_frame_idx,
+                             tile_cols_log2=self.tile_log2[0],
+                             tile_rows_log2=self.tile_log2[1],
                              **self._cdef_kw, **self._lr_kw)
         # the state a decoder saves into this frame's refresh slots
         # (spec: frame-end adapted CDFs unless end-update is disabled,
@@ -394,7 +454,7 @@ class InterFrameEncoder:
         else:
             self.final_entropy = (self.fc, self.nmv)
         return (obu.temporal_delimiter_obu()
-                + obu.write_frame_obu(self.seq, fh, [tile]))
+                + obu.write_frame_obu(self.seq, fh, payloads))
 
     # --- batched ME + coding -------------------------------------------------
     def _ref_candidates(self, ref, xs, ys, size, srcs, tx_size,
@@ -1125,6 +1185,30 @@ class InterFrameEncoder:
             self.recon = [np.asarray(p) for p in self.recon]
 
     def _flip_waves(self, flips):
+        """Dependency waves over accepted flips; tiles are layered
+        independently (intra edges never cross a tile bound) and merged
+        by wave index, so one scan step batches every tile's lanes —
+        the critical path divides by the tile-column count."""
+        if len(self.tile_rects_v) > 1:
+            by_tile = {}
+            for f in flips:
+                lut = getattr(self, "_tile_lut", None)
+                if lut is None:
+                    self._tile_local_coords([0], [0])
+                    lut = self._tile_lut
+                key = (int(lut[0][f[0] // 16, f[1] // 16]),
+                       int(lut[1][f[0] // 16, f[1] // 16]))
+                by_tile.setdefault(key, []).append(f)
+            merged = []
+            for tf in by_tile.values():
+                for w, wave in enumerate(self._flip_waves_one(tf)):
+                    while len(merged) <= w:
+                        merged.append([])
+                    merged[w].extend(wave)
+            return merged
+        return self._flip_waves_one(flips)
+
+    def _flip_waves_one(self, flips):
         """Dependency waves over accepted flips: a flip depends on any
         earlier-coding-order flip whose rect intersects its intra edge
         bands (above row incl. top-right reach 2*bw and the top-left
@@ -1182,19 +1266,23 @@ class InterFrameEncoder:
             lis = np.array([e[3] for e in es])
             xs, ys = cs * 4, rs * 4
             b = len(es)
-            ha = ys > 0
-            hl = xs > 0
+            lr_, lc_, trs, tcs = self._tile_local_coords(rs, cs)
+            ha = lr_ > 0
+            hl = lc_ > 0
             vab = avail.leaf_vert_ab_flags(self.leaf_sizes, rs, cs,
                                            bw >> 2, bh >> 2,
                                            self.mi_rows, self.mi_cols)
-            htr = avail.has_top_right_wh_vec(rs, cs, bw >> 2, bh >> 2,
-                                             self.mi_cols, vert_ab=vab)
-            hbl = avail.has_bottom_left_wh_vec(rs, cs, bw >> 2, bh >> 2,
-                                               self.mi_rows, vert_ab=vab)
+            htr = avail.has_top_right_wh_vec(lr_, lc_, bw >> 2, bh >> 2,
+                                             tcs, vert_ab=vab)
+            hbl = avail.has_bottom_left_wh_vec(lr_, lc_, bw >> 2, bh >> 2,
+                                               trs, vert_ab=vab)
+            # edge replication clamps at the TILE right/bottom edge
+            # (decoded samples never cross a tile bound, spec 7.11.2)
+            mxw = (cs - lc_ + tcs) * 4
+            mxh = (rs - lr_ + trs) * 4
             above1, left1 = intra_ops.prepare_edges_av1(
                 self.recon[0], xs, ys, bw, bh, ha, hl, htr, hbl,
-                bd=cfg.bit_depth, max_w=self.mi_cols * 4,
-                max_h=self.mi_rows * 4)
+                bd=cfg.bit_depth, max_w=mxw, max_h=mxh)
             iy = np.asarray(ys)[:, None, None] \
                 + np.arange(bh)[None, :, None]
             ix = np.asarray(xs)[:, None, None] \
@@ -1230,8 +1318,7 @@ class InterFrameEncoder:
             for p in (1, 2):
                 a1, l1 = intra_ops.prepare_edges_av1(
                     self.recon[p], cxs, cys, cw2, ch2, ha, hl, htr, hbl,
-                    bd=cfg.bit_depth, max_w=self.mi_cols * 2,
-                    max_h=self.mi_rows * 2)
+                    bd=cfg.bit_depth, max_w=mxw >> 1, max_h=mxh >> 1)
                 srcs_c = np.stack([
                     self.src[p][y:y + ch2, x:x + cw2]
                     for x, y in zip(cxs, cys)]).astype(np.int64)
@@ -1330,15 +1417,16 @@ class InterFrameEncoder:
             rs = np.array([cand[k][0] for k in ks])
             cs = np.array([cand[k][1] for k in ks])
             xs, ys = cs * 4, rs * 4
-            ha = ys > 0
-            hl = xs > 0
+            lr_, lc_, trs, tcs = self._tile_local_coords(rs, cs)
+            ha = lr_ > 0
+            hl = lc_ > 0
             vab = avail.leaf_vert_ab_flags(self.leaf_sizes, rs, cs,
                                            bw >> 2, bh >> 2,
                                            self.mi_rows, self.mi_cols)
-            htr = avail.has_top_right_wh_vec(rs, cs, bw >> 2, bh >> 2,
-                                             self.mi_cols, vert_ab=vab)
-            hbl = avail.has_bottom_left_wh_vec(rs, cs, bw >> 2, bh >> 2,
-                                               self.mi_rows, vert_ab=vab)
+            htr = avail.has_top_right_wh_vec(lr_, lc_, bw >> 2, bh >> 2,
+                                             tcs, vert_ab=vab)
+            hbl = avail.has_bottom_left_wh_vec(lr_, lc_, bw >> 2, bh >> 2,
+                                               trs, vert_ab=vab)
             b = len(ks)
             if dev_ok:
                 # dispatch-only: sources, edges (from the device-resident
@@ -1406,9 +1494,33 @@ class InterFrameEncoder:
             if best_cost[j] < self.inter_cost[li]:
                 flips[k] = cand[k] + (int(best_mode[j]),)
 
-    # --- sequential syntax pass ----------------------------------------------
-    def _syntax_pass(self) -> bytes:
+    # --- sequential syntax pass (one call per tile) --------------------------
+    def _syntax_pass(self, rect=None, fstate=None, frame_leaves=None,
+                     frame_index=None) -> bytes:
+        """Entropy-code one tile. Per spec 6.10.2/decode_tile, every
+        tile starts from the frame's initial CDFs, fresh neighbor
+        contexts, base_q_idx, and fresh LR predictors; block data is
+        looked up through a tile-local leaf index into the frame-level
+        decision arrays."""
         cfg = self.cfg
+        if rect is None:                     # single-tile convenience
+            rect = self.tile_rects_v[0]
+            frame_leaves = self.leaf_sizes
+            frame_index = self.leaf_index
+        mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs = rect
+        self.tile_mi_off = (mi_r0, mi_c0)
+        self.mi_rows, self.mi_cols = mi_rs, mi_cs
+        if len(self.tile_rects_v) == 1:
+            self.leaf_sizes, self.leaf_index = frame_leaves, frame_index
+        else:
+            self.leaf_sizes = {}
+            self.leaf_index = {}
+            for (r, c), s in frame_leaves.items():
+                if mi_r0 <= r < mi_r0 + mi_rs \
+                        and mi_c0 <= c < mi_c0 + mi_cs:
+                    self.leaf_sizes[(r - mi_r0, c - mi_c0)] = s
+                    self.leaf_index[(r - mi_r0, c - mi_c0)] = \
+                        frame_index[(r, c)]
         init = getattr(self, "init_entropy", None)
         if init is not None:
             self.fc = init[0].copy()
@@ -1419,21 +1531,19 @@ class InterFrameEncoder:
         self.w = make_symbol_writer(cfg.native_entropy,
                                     cfg.disable_cdf_update)
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
-        self.mvp_state = mvp.MvpState(self.mi_rows, self.mi_cols)
-        tc = getattr(self, "tmvp_ctx", None)
-        if tc is not None and tc["use"]:
-            self.mvp_state.tpl = tc["tpl"]
-            self.mvp_state.rel_dist = tc["rel_dist"]
-            self.mvp_state.sign_bias = tc["sign_bias"]
+        if fstate is None:
+            fstate = self.frame_mvp_state
+        self.mvp_state = fstate.tile_view(mi_r0, mi_c0, mi_rs, mi_cs)
         self._cdef_written = set()
         from svt_av1_tpu.entropy import lr as lr_syntax
         self.lr_ref = [lr_syntax.LrRefState() for _ in range(3)]
         self.cur_qindex = cfg.base_q_idx
-        for sb_y in range(0, self.seq.sb_rows * 16, 16):
-            for sb_x in range(0, self.seq.sb_cols * 16, 16):
+        for sb_y in range(0, sb_rs * 16, 16):
+            for sb_x in range(0, sb_cs * 16, 16):
                 self._read_deltas = self.qmap is not None
                 lr_syntax.write_sb_units(self.w, self.fc, self.lr_rinfos,
-                                         self.lr_ref, sb_y, sb_x,
+                                         self.lr_ref, sb_y + mi_r0,
+                                         sb_x + mi_c0,
                                          cfg.width, cfg.height)
                 self._emit_partition(sb_y, sb_x, 64)
         return self.w.done()
@@ -1446,7 +1556,8 @@ class InterFrameEncoder:
         if size == 64 and skip:
             return
         from svt_av1_tpu.entropy import delta as delta_syntax
-        target = int(self.qmap[mi_row // 16, mi_col // 16])
+        target = int(self.qmap[(mi_row + self.tile_mi_off[0]) // 16,
+                               (mi_col + self.tile_mi_off[1]) // 16])
         d = (target - self.cur_qindex) >> self.DELTA_Q_RES
         delta_syntax.write_delta_qindex(self.w, self.fc, d)
         self.cur_qindex = delta_syntax.apply_delta(self.cur_qindex, d,
@@ -1494,7 +1605,8 @@ class InterFrameEncoder:
         mode_syntax.write_skip(self.w, self.fc, self.ctxs, skip,
                                mi_row, mi_col)
         if self.cdef_idx_map is not None and not skip:
-            sbr, sbc = mi_row // 16, mi_col // 16
+            sbr = (mi_row + self.tile_mi_off[0]) // 16
+            sbc = (mi_col + self.tile_mi_off[1]) // 16
             if (sbr, sbc) not in self._cdef_written:
                 self._cdef_written.add((sbr, sbc))
                 self.w.write_literal(int(self.cdef_idx_map[sbr, sbc]), 2)

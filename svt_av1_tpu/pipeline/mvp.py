@@ -76,6 +76,40 @@ class MvpState:
         self.tpl = None
         self.rel_dist = None
         self.sign_bias = [0] * 8
+        # tile placement: scans clip at this state's own bounds (spec
+        # MiRowStart/MiColEnd semantics) but MV clamping is against the
+        # FRAME edges (spec 7.10.2.14 uses MiRows/MiCols) — a tile view
+        # carries its mi offset and the frame dims for that
+        self.mi_off = (0, 0)
+        self.frame_mi_rows = mi_rows
+        self.frame_mi_cols = mi_cols
+        self._tpl_parent = None
+
+    def tile_view(self, mi_r0: int, mi_c0: int, mi_rs: int,
+                  mi_cs: int) -> "MvpState":
+        """A tile-local window into this frame-level state: the mi maps
+        are numpy VIEWS (tile writes land in the frame arrays, so the
+        frame-end motion-field save reads one stitched state), spatial
+        scans clip at the view bounds (out-of-tile mi's are unavailable,
+        spec 7.10.2), and TPL projections are shared slices of the
+        frame-level projection."""
+        t = MvpState.__new__(MvpState)
+        t.mi_rows, t.mi_cols = mi_rs, mi_cs
+        for f in ("ref", "mv", "ref1", "mv1", "mode", "interp", "n8w",
+                  "n8h"):
+            setattr(t, f, getattr(self, f)[mi_r0:mi_r0 + mi_rs,
+                                           mi_c0:mi_c0 + mi_cs])
+        t.mi_off = (self.mi_off[0] + mi_r0, self.mi_off[1] + mi_c0)
+        t.frame_mi_rows = self.frame_mi_rows
+        t.frame_mi_cols = self.frame_mi_cols
+        # tpl keeps the +9 sample-padding tail rows/cols at the end
+        # (tile origins are SB-aligned, hence even in mi units)
+        t.tpl = None if self.tpl is None \
+            else self.tpl[mi_r0 >> 1:, mi_c0 >> 1:]
+        t.rel_dist = self.rel_dist
+        t.sign_bias = self.sign_bias
+        t._tpl_parent = self
+        return t
 
     def tpl_proj(self, ref: int):
         """(valid [gh, gw] bool, mv [gh, gw, 2] int32): the projected +
@@ -84,6 +118,11 @@ class MvpState:
         vectorized pass instead of once per scanned sample (the scan is
         on the per-block syntax hot path)."""
         from svt_av1_tpu.pipeline import tmvp
+        if self._tpl_parent is not None:
+            # share the frame-level projection; slice to the tile window
+            valid, r = self._tpl_parent.tpl_proj(ref)
+            r0, c0 = self.mi_off[0] >> 1, self.mi_off[1] >> 1
+            return valid[r0:, c0:], r[r0:, c0:]
         cache = getattr(self, "_tpl_proj", None)
         if cache is None:
             cache = self._tpl_proj = {}
@@ -455,9 +494,10 @@ def find_mv_stack(state: MvpState, mi_row: int, mi_col: int,
     if abs(max_col_offset) >= 1:
         relaxed_scan(False)
 
+    fr0, fc0 = state.mi_off
     for e in stack:
-        e[0] = _clamp_mv_ref(e[0], mi_row, mi_col, w4, mi_rows, mi_cols,
-                             h4)
+        e[0] = _clamp_mv_ref(e[0], mi_row + fr0, mi_col + fc0, w4,
+                             state.frame_mi_rows, state.frame_mi_cols, h4)
 
     ref_list = [gm_mv, gm_mv]
     for idx in range(min(MAX_MV_REF_CANDIDATES, len(stack))):
@@ -726,11 +766,14 @@ def find_mv_stack_comp(state: MvpState, mi_row: int, mi_col: int,
             for idx in range(MAX_MV_REF_CANDIDATES):
                 stack.append([(comp_list[idx][0], comp_list[idx][1]), 2])
 
+    fr0, fc0 = state.mi_off
     for e in stack:
-        e[0] = (_clamp_mv_ref(e[0][0], mi_row, mi_col, w4, mi_rows,
-                              mi_cols, h4),
-                _clamp_mv_ref(e[0][1], mi_row, mi_col, w4, mi_rows,
-                              mi_cols, h4))
+        e[0] = (_clamp_mv_ref(e[0][0], mi_row + fr0, mi_col + fc0, w4,
+                              state.frame_mi_rows, state.frame_mi_cols,
+                              h4),
+                _clamp_mv_ref(e[0][1], mi_row + fr0, mi_col + fc0, w4,
+                              state.frame_mi_rows, state.frame_mi_cols,
+                              h4))
 
     ref_list = [gm, gm]
     for idx in range(min(MAX_MV_REF_CANDIDATES, len(stack))):

@@ -235,9 +235,7 @@ class WavefrontIntraEncoder:
     def encode_compute(self, y: np.ndarray, u: np.ndarray,
                        v: np.ndarray):
         cfg = self.cfg
-        frame_src = [common.pad_to_multiple(y, 64).astype(np.int32),
-                     common.pad_to_multiple(u, 32).astype(np.int32),
-                     common.pad_to_multiple(v, 32).astype(np.int32)]
+        frame_src = common.pad_frame_planes(y, u, v, dtype=np.int32)
         frame_recon = [np.zeros(p.shape, dtype=common.pixel_dtype(cfg.bit_depth))
                        for p in frame_src]
         frame_mi_rows, frame_mi_cols = self.mi_rows, self.mi_cols
@@ -262,6 +260,13 @@ class WavefrontIntraEncoder:
         frame_leaves = {}
         frame_skip = np.zeros((frame_mi_rows, frame_mi_cols), dtype=bool)
         self._tile_count = len(rects)
+        # multi-tile device path: per-tile analyses DEFER into one fused
+        # frame program whose scan steps batch every tile's wave lanes —
+        # the wavefront critical path is the max tile wave count, not
+        # the sum over tiles (the reference's segment parallelism shape)
+        self._defer_tiles = [] if (cfg.backend == "device"
+                                   and len(rects) > 1
+                                   and self.qmap is None) else None
         for rect in rects:
             mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs = rect
             self._enter_tile(frame_src, frame_recon, rect)
@@ -276,15 +281,28 @@ class WavefrontIntraEncoder:
             tile_states.append(st)
             for (r, c), s in self.leaf_sizes.items():
                 frame_leaves[(r + mi_r0, c + mi_c0)] = s
-                li = self.leaf_index[(r, c)]
-                if self.eobs[:, li].sum() == 0:
+        if self._defer_tiles:
+            from svt_av1_tpu.ops import device_tile
+            from svt_av1_tpu.utils.trace import span
+            with span("intra_tiles_fused", tiles=len(self._defer_tiles)):
+                frame_recon = device_tile.run_tiles_fused(
+                    self, self._defer_tiles, frame_src, frame_recon,
+                    common.intra_candidates(cfg))
+        self._defer_tiles = None
+        for st in tile_states:          # deferred eobs land above
+            mi_r0, mi_c0 = st["rect"][0], st["rect"][1]
+            for (r, c), s in st["leaf_sizes"].items():
+                li = st["leaf_index"][(r, c)]
+                if st["eobs"][:, li].sum() == 0:
                     lw, lh = common.leaf_wh(s)
                     frame_skip[r + mi_r0:r + mi_r0 + (lh >> 2),
                                c + mi_c0:c + mi_c0 + (lw >> 2)] = True
 
         self.mi_rows, self.mi_cols = frame_mi_rows, frame_mi_cols
         import jax
-        if len(rects) == 1 and isinstance(self.recon[0], jax.Array):
+        if isinstance(frame_recon[0], jax.Array):
+            pass                        # already device-resident planes
+        elif len(rects) == 1 and isinstance(self.recon[0], jax.Array):
             # single-tile device path: the fused tile program kept the
             # recon on device — the filters chain consumes it there
             frame_recon = self.recon
@@ -299,6 +317,7 @@ class WavefrontIntraEncoder:
         return recon
 
     def _enter_tile(self, frame_src, frame_recon, rect) -> None:
+        self._cur_rect = rect
         mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs = rect
         y0, x0 = mi_r0 * 4, mi_c0 * 4
         ph, pw = sb_rs * 64, sb_cs * 64
@@ -353,6 +372,12 @@ class WavefrontIntraEncoder:
 
         if cfg.backend == "device":
             from svt_av1_tpu.ops import device_tile
+            if getattr(self, "_defer_tiles", None) is not None:
+                meta = device_tile.tile_lane_meta(self, cands)
+                if meta is not None:
+                    # lanes join the frame-batched multi-tile program
+                    self._defer_tiles.append(meta)
+                    return None
             with span("intra_tile_fused"):
                 if device_tile.analyze_tile_fused(self, cands):
                     return None  # whole tile as one fused device program
