@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="config file with 'Token : value' lines using "
                         "the reference app's token names (EbAppConfig.c "
                         "config_entry); command-line options win")
+    p.add_argument("--tile-columns", type=int, default=None,
+                   metavar="LOG2", help="tile columns log2 (default: "
+                   "by resolution — 4 cols at >=1080p, 2 at >=720p; "
+                   "reference --tile-columns)")
+    p.add_argument("--tile-rows", type=int, default=None, metavar="LOG2")
     p.add_argument("--qp-file", default=None, metavar="FILE",
                    help="per-frame qp overrides, one integer per line "
                         "(-1 keeps the configured qp); CQP only "
@@ -172,6 +177,14 @@ def preset_config(args) -> EncoderConfig:
                   max_partition_size=64, nfl=1, angle_deltas=(0,),
                   intra_modes=(0,), enable_rect_partitions=False,
                   enable_dlf=False, scene_change_detection=False)
+    # tile columns by resolution (the reference's segment fan-out): cuts
+    # the wavefront scan critical path and parallelizes host entropy;
+    # explicit --tile-columns/--tile-rows override
+    tc = getattr(args, "tile_columns", None)
+    tr = getattr(args, "tile_rows", None)
+    if tc is None:
+        tc = 2 if args.width >= 1920 else (1 if args.width >= 1280 else 0)
+    kw.update(tile_cols_log2=tc, tile_rows_log2=tr or 0)
     if args.hierarchical_levels:
         kw.update(hierarchical_levels=args.hierarchical_levels)
     if args.tbr:

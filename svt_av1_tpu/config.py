@@ -142,6 +142,10 @@ class EncoderConfig:
     # enable_ref_frame_mvs + per-frame use_ref_frame_mvs; spec 7.9)
     enable_tmvp: bool = True
     enable_rect_partitions: bool = True  # HORZ/VERT arms in partition RD
+    # keyframe partition DP scoring: SATD of the open-loop intra
+    # residual (reference OIS, EbMotionEstimation.c:7419) instead of the
+    # full T/Q loop per depth — ~10x cheaper keyframe analysis
+    intra_dp_satd: bool = False
     # per-block switchable interpolation filter RD search (REGULAR/
     # SMOOTH/SHARP; reference av1_is_interp_needed +
     # write_mb_interp_filter, EbInterPrediction.c:3523,

@@ -594,3 +594,110 @@ def decide_block_batch_dev(plane, srcs, above1, left1, ha, hl, cands, qp,
             qc.astype(np.int32), eo.astype(np.int32), rec.astype(pix),
             cost.astype(np.int64), alphas.astype(np.int64),
             tts.astype(np.int32))
+
+
+@functools.lru_cache(maxsize=256)
+def _build_decide_cost(plane, cands, size, bd, nfl, tx_search, rdoq):
+    """Cost-only variant of _build_decide: the partition DP consumes
+    only rd_cost, but the full program's outputs made every depth fetch
+    MBs of unused qc/recon tensors through the ~30 MB/s tunnel. Same
+    decide core — identical integer costs, so DP trees are unchanged."""
+    core = make_decide_core(plane, cands, size, bd, nfl, False, False,
+                            False, tx_search, rdoq=rdoq)
+
+    def fn(srcs, above1, left1, ha, hl, qv, lamqv):
+        # same operand dtypes as _build_decide's wire format
+        outs = core(srcs, above1, left1, ha, hl, None, qv, lamqv)
+        return outs[5]                     # rd_cost
+
+    return jax.jit(fn)
+
+
+def decide_cost_issue(plane, srcs, above1, left1, ha, hl, cands, qp,
+                      size, lam, bd=8, nfl=3, tx_search=False,
+                      rdoq=False):
+    """Dispatch-only decide-cost for one depth/arm of the intra
+    partition DP; returns (device cost handle, b). Fetch with
+    np.asarray(out)[:b] AFTER issuing every depth (round trips
+    overlap). Prep mirrors decide_block_batch_dev exactly so the
+    returned costs are bit-identical to its rd_cost output."""
+    b = srcs.shape[0]
+    nb = _bucket(b)
+    pix = np.uint16 if bd > 8 else np.uint8
+
+    def pad(a):
+        if a is None or nb == b:
+            return a
+        return np.concatenate([a, np.repeat(a[:1], nb - b, axis=0)],
+                              axis=0)
+
+    qvec, lamqv = quant_vectors(qp, lam, b)
+    fn = _build_decide_cost(plane, tuple(map(tuple, cands)),
+                            size if isinstance(size, int)
+                            else tuple(size), bd, nfl, tx_search, rdoq)
+    out = fn(pad(np.ascontiguousarray(srcs, dtype=pix)),
+             pad(np.ascontiguousarray(above1, dtype=np.int16)),
+             pad(np.ascontiguousarray(left1, dtype=np.int16)),
+             pad(np.asarray(ha)), pad(np.asarray(hl)),
+             pad(qvec), pad(lamqv))
+    return out, b
+
+
+# --- SATD open-loop depth scoring (intra partition DP) ---------------------------
+# The reference's OIS scores open-loop intra candidates by SATD of the
+# prediction residual (IntraOpenLoopSearchTheseModesOutputBest,
+# EbMotionEstimation.c:7419) instead of a full T/Q loop; the partition
+# DP only needs relative costs, so an 8x8 Hadamard |transform| sum is a
+# faithful, ~10x cheaper stand-in for the per-depth full loop.
+
+def _hadamard_n(n: int) -> np.ndarray:
+    h = np.array([[1]], dtype=np.int64)
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+@functools.lru_cache(maxsize=128)
+def _build_satd_modes(modes: tuple, size, bd: int):
+    """Per-block min-over-modes SATD: predict each candidate mode from
+    the (source-pixel) edges, size-matched Hadamard (tile cap 32) the
+    residual, sum |coeffs|. Integer-exact twin of rd._satd_modes_host."""
+    bw, bh = common.leaf_wh(size)
+    tw, th = min(bw, 32), min(bh, 32)
+    Hh = jnp.asarray(_hadamard_n(th))
+    Hw = jnp.asarray(_hadamard_n(tw))
+
+    def fn(srcs, above1, left1, ha, hl):
+        best = None
+        for m in modes:
+            p = predict_any_j(m, 0, above1, left1, bw, bh, ha, hl,
+                              bd).astype(jnp.int64)
+            r = (srcs - p).reshape(-1, bh // th, th, bw // tw, tw) \
+                .transpose(0, 1, 3, 2, 4)
+            t = jnp.matmul(jnp.matmul(Hh, r), Hw)
+            s = jnp.abs(t).sum(axis=(1, 2, 3, 4))
+            best = s if best is None else jnp.minimum(best, s)
+        return best
+
+    return jax.jit(fn)
+
+
+def satd_modes_dev(srcs, above1, left1, ha, hl, modes, size, bd=8):
+    """[B] best-mode SATD on device (batch bucket-padded)."""
+    b = srcs.shape[0]
+    nb = _bucket(b)
+
+    def pad(a):
+        if a.shape[0] == nb:
+            return a
+        return np.concatenate(
+            [a, np.repeat(a[-1:], nb - a.shape[0], axis=0)], axis=0)
+
+    fn = _build_satd_modes(tuple(modes),
+                           size if isinstance(size, int) else tuple(size),
+                           bd)
+    out = fn(pad(np.ascontiguousarray(srcs, dtype=np.int64)),
+             pad(np.ascontiguousarray(above1, dtype=np.int32)),
+             pad(np.ascontiguousarray(left1, dtype=np.int32)),
+             pad(np.asarray(ha)), pad(np.asarray(hl)))
+    return np.asarray(out)[:b].astype(np.int64)

@@ -83,6 +83,119 @@ def _analyze_depth(src: np.ndarray, xs, ys, size, cands, qp,
         + lam * float(16 << md_mod.RATE_Q), best_mode
 
 
+def _analyze_depth_issue(src, xs, ys, size, cands, qp, max_w: int,
+                         max_h: int, mi_cols: int, mi_rows: int,
+                         lam: float, bd: int = 8):
+    """Dispatch-only device variant of _analyze_depth: host edge prep +
+    one cost-only program issue (device_md.decide_cost_issue). Returns
+    a handle; resolve with _analyze_depth_fetch AFTER issuing every
+    depth so tunnel round trips overlap. Costs are bit-identical to
+    _analyze_depth's device branch."""
+    from svt_av1_tpu.ops.device_md import decide_cost_issue
+    from svt_av1_tpu.pipeline import avail
+    bw, bh = common.leaf_wh(size)
+    ha, hl = ys > 0, xs > 0
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    htr = avail.has_top_right_wh_vec(ys >> 2, xs >> 2, bw >> 2,
+                                     bh >> 2, mi_cols)
+    hbl = avail.has_bottom_left_wh_vec(ys >> 2, xs >> 2, bw >> 2,
+                                       bh >> 2, mi_rows)
+    above1, left1 = intra_ops.prepare_edges_av1(
+        src, xs, ys, bw, bh, ha, hl, htr, hbl, bd=bd,
+        max_w=max_w, max_h=max_h)
+    iy = ys[:, None, None] + np.arange(bh)[None, :, None]
+    ix = xs[:, None, None] + np.arange(bw)[None, None, :]
+    srcs = src[iy, ix].astype(np.int64)
+    out, b = decide_cost_issue(0, srcs, above1, left1, ha, hl, cands,
+                               qp, size, lam, bd=bd)
+    return (out, b, lam)
+
+
+def _analyze_depth_fetch(handle):
+    from svt_av1_tpu.pipeline import md as md_mod
+    out, b, lam = handle
+    return np.asarray(out)[:b].astype(np.float64) \
+        + lam * float(16 << md_mod.RATE_Q)
+
+
+def _hadamard(n: int) -> np.ndarray:
+    h = np.array([[1]], dtype=np.int64)
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+def _satd_modes_host(srcs, above1, left1, ha, hl, modes, size, bd):
+    """Host twin of device_md.satd_modes_dev: min-over-modes SATD of
+    the open-loop intra residual (size-matched Hadamard |coeff| sum,
+    tile cap 32 like the tx sizes — a transform the block's own size
+    sees the energy concentration that makes large smooth blocks cheap,
+    which per-8x8 tiling cannot). Reference OIS scoring model
+    (EbMotionEstimation.c:7419)."""
+    bw, bh = common.leaf_wh(size)
+    tw, th = min(bw, 32), min(bh, 32)
+    Hh, Hw = _hadamard(th), _hadamard(tw)
+    best = None
+    for m in modes:
+        p = intra_ops.predict_any(m, 0, above1, left1, bw, bh, ha, hl,
+                                  bd=bd).astype(np.int64)
+        r = (srcs - p).reshape(-1, bh // th, th, bw // tw, tw) \
+            .transpose(0, 1, 3, 2, 4)
+        t = np.matmul(np.matmul(Hh, r), Hw)
+        s = np.abs(t).sum(axis=(1, 2, 3, 4))
+        best = s if best is None else np.minimum(best, s)
+    return best
+
+
+def _dp_intra_overhead() -> float:
+    """Per-leaf fixed syntax-overhead (bits) for the SATD intra DP
+    model; env-overridable for calibration sweeps."""
+    import os
+    return float(os.environ.get("SVT_TPU_DP_INTRA_OVERHEAD", "24.0"))
+
+
+def _analyze_depth_satd(src, xs, ys, size, modes, max_w: int, max_h: int,
+                        mi_cols: int, mi_rows: int, lam: float,
+                        qstep: float, bd: int = 8,
+                        backend: str = "host"):
+    """SATD-based open-loop depth cost (plain-bit rate scale, same
+    quantization-aware model family as choose_partition_inter's
+    rd_model). ~10x cheaper than the full-T/Q _analyze_depth."""
+    from svt_av1_tpu.pipeline import avail
+    bw, bh = common.leaf_wh(size)
+    ha, hl = ys > 0, xs > 0
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    htr = avail.has_top_right_wh_vec(ys >> 2, xs >> 2, bw >> 2,
+                                     bh >> 2, mi_cols)
+    hbl = avail.has_bottom_left_wh_vec(ys >> 2, xs >> 2, bw >> 2,
+                                       bh >> 2, mi_rows)
+    above1, left1 = intra_ops.prepare_edges_av1(
+        src, xs, ys, bw, bh, ha, hl, htr, hbl, bd=bd,
+        max_w=max_w, max_h=max_h)
+    iy = ys[:, None, None] + np.arange(bh)[None, :, None]
+    ix = xs[:, None, None] + np.arange(bw)[None, None, :]
+    srcs = src[iy, ix].astype(np.int64)
+    if backend == "device":
+        from svt_av1_tpu.ops.device_md import satd_modes_dev
+        satd = satd_modes_dev(srcs, above1, left1, ha, hl, modes, size,
+                              bd)
+    else:
+        satd = _satd_modes_host(srcs, above1, left1, ha, hl, modes,
+                                size, bd)
+    # SSE estimate from the Hadamard L1 (transform gain sqrt(Ntx) per
+    # axis): SSE ~ (satd/sqrt(Ntx))^2 / N x pi/2; the distortion floor
+    # and R(D) shape mirror choose_partition_inter.rd_model
+    n = float(bw * bh)
+    ntx = float(min(bw, 32) * min(bh, 32))
+    sse = 1.5 * (satd.astype(np.float64) ** 2) / (ntx * n)
+    nq = n * qstep * qstep
+    dist = np.minimum(sse, sse * 0.05 + 0.125 * nq)
+    rate = _dp_intra_overhead() + 0.6 * n * np.log2(1.0 + sse / nq)
+    return dist + lam * rate
+
+
 def _leaves_from_choices(choice: dict, min_size: int, mi_rows: int,
                          mi_cols: int) -> dict:
     """Materialize a DP decision grid into the leaf map. Kind encoding
@@ -167,6 +280,36 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
              if c[1] == 0 and c[0] in (0, 1, 2, 3, 7, 9, 12)]
     if not cands:
         cands = common.intra_candidates(cfg)
+    # SATD scoring (reference OIS model): swaps the per-depth full-T/Q
+    # loop for Hadamard-residual costs in the plain-bit rate scale —
+    # the DP only needs relative costs. ~10x cheaper per keyframe.
+    satd_mode = cfg.intra_dp_satd
+    qstep = quant_ops.ac_quant(cfg.base_q_idx, 0, cfg.bit_depth) / 8.0
+    satd_modes = tuple(m for m, _ in cands)
+    bitq = 1.0 if satd_mode else 512.0
+
+    # device path: dispatch EVERY depth/arm cost program before fetching
+    # any result — the former per-depth synchronous fetch serialized
+    # ~20 tunnel round trips (and pulled unused qc/recon tensors)
+    dev_async = cfg.backend == "device" and not satd_mode
+    pending = []   # (handle, store-callback)
+
+    def depth_cost(xs, ys, wh, store):
+        if satd_mode:
+            store(_analyze_depth_satd(src, xs, ys, wh, satd_modes,
+                                      w_eff, h_eff, mi_cols, mi_rows,
+                                      lam, qstep, cfg.bit_depth,
+                                      backend=cfg.backend))
+        elif dev_async:
+            pending.append((_analyze_depth_issue(
+                src, xs, ys, wh, cands, qp, w_eff, h_eff, mi_cols,
+                mi_rows, lam, cfg.bit_depth), store))
+        else:
+            c, _ = _analyze_depth(src, xs, ys, wh, cands, qp, w_eff,
+                                  h_eff, mi_cols, mi_rows, lam,
+                                  cfg.bit_depth, backend=cfg.backend)
+            store(c)
+
     sizes = [s for s in (64, 32, 16, 8)
              if cfg.min_partition_size <= s <= cfg.max_partition_size]
     if 64 not in sizes:
@@ -174,12 +317,13 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
     cost = {}
     for size in sizes:
         xs, ys = _block_grid(w_eff, h_eff, size)
-        c, _ = _analyze_depth(src, xs, ys, size, cands, qp, w_eff, h_eff,
-                              mi_cols, mi_rows, lam, cfg.bit_depth,
-                              backend=cfg.backend)
         cols = (w_eff + size - 1) // size
         rows = (h_eff + size - 1) // size
-        cost[size] = c.reshape(rows, cols)
+
+        def st_sq(c, size=size, rows=rows, cols=cols):
+            cost[size] = c.reshape(rows, cols)
+
+        depth_cost(xs, ys, size, st_sq)
 
     # rectangular arms (PARTITION_HORZ / PARTITION_VERT): two half-blocks
     # per square node, evaluated at the node grid (min leaf dim 8 keeps
@@ -209,23 +353,27 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
                 # skip out-of-area sub-blocks cleanly (cost -> inf)
                 ok = (xs + wh[0] <= ((w_eff + 63) // 64) * 64) \
                     & (ys + wh[1] <= ((h_eff + 63) // 64) * 64)
-                c = np.full(len(xs), np.inf)
                 sel = np.nonzero(ok)[0]
-                if len(sel):
-                    cc, _ = _analyze_depth(src, xs[sel], ys[sel], wh,
-                                           cands, qp, w_eff, h_eff,
-                                           mi_cols, mi_rows, lam,
-                                           cfg.bit_depth,
-                                           backend=cfg.backend)
+
+                def st_arm(cc, size=size, key=key, sel=sel, n_all=len(xs),
+                           n=len(gx), rows=rows, cols=cols,
+                           n_offs=len(offs)):
+                    c = np.full(n_all, np.inf)
                     c[sel] = cc
-                n = len(gx)
-                halves = [c[i * n:(i + 1) * n].reshape(rows, cols)
-                          for i in range(len(offs))]
-                rect_cost[(size, key)] = sum(halves)
-                if key in ("h", "v"):
-                    # individual half grids feed the T-shape arms below
-                    rect_cost[(size, key + "0")] = halves[0]
-                    rect_cost[(size, key + "1")] = halves[1]
+                    halves = [c[i * n:(i + 1) * n].reshape(rows, cols)
+                              for i in range(n_offs)]
+                    rect_cost[(size, key)] = sum(halves)
+                    if key in ("h", "v"):
+                        # individual half grids feed the T-shape arms
+                        rect_cost[(size, key + "0")] = halves[0]
+                        rect_cost[(size, key + "1")] = halves[1]
+
+                if len(sel):
+                    depth_cost(xs[sel], ys[sel], wh, st_arm)
+                else:
+                    st_arm(np.zeros(0))
+    for h, store in pending:
+        store(_analyze_depth_fetch(h))
 
     # bottom-up DP. "crosses" must mirror the emit/_leaves rule exactly:
     # a block is forced to split when its HALF-point falls outside the mi
@@ -233,7 +381,7 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
     min_size = sizes[-1]
     best = cost[min_size].copy()
     choice = {}
-    split_bits = 512.0  # partition symbol proxy (1 bit, q9 scale)
+    split_bits = bitq  # partition symbol proxy (1 bit; q9 or plain)
     for size in reversed(sizes[:-1]):
         rows, cols = cost[size].shape
         ch_rows, ch_cols = best.shape
@@ -249,13 +397,13 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
         options = [(0, np.where(crosses, np.inf, leaf_c)),
                    (1, sum4)]
         if (size, "h") in rect_cost:
-            rb = lam * (split_bits + 512.0)
+            rb = lam * (split_bits + bitq)
             options.append((2, np.where(crosses, np.inf,
                                         rect_cost[(size, "h")] + rb)))
             options.append((3, np.where(crosses, np.inf,
                                         rect_cost[(size, "v")] + rb)))
         if (size, "h4") in rect_cost:
-            rb4 = lam * (split_bits + 1024.0)  # rarer symbol + 3 leaves
+            rb4 = lam * (split_bits + 2 * bitq)  # rarer symbol + 3 leaves
             options.append((4, np.where(crosses, np.inf,
                                         rect_cost[(size, "h4")] + rb4)))
             options.append((5, np.where(crosses, np.inf,
@@ -269,7 +417,7 @@ def choose_partition(y_plane: np.ndarray, cfg: EncoderConfig,
                 = ch[:2 * rows, :2 * cols]
             tl, tr = chp[0::2, 0::2], chp[0::2, 1::2]
             bl, br = chp[1::2, 0::2], chp[1::2, 1::2]
-            rbt = lam * (split_bits + 1024.0)  # symbol + 2 extra leaves
+            rbt = lam * (split_bits + 2 * bitq)  # symbol + 2 extra leaves
             tarms = [(6, tl + tr + rect_cost[(size, "h1")]),
                      (7, rect_cost[(size, "h0")] + bl + br),
                      (8, tl + bl + rect_cost[(size, "v1")]),
