@@ -108,10 +108,35 @@ def run_ours(frames, w, h, qp, lam_scale, aq, intra_period=0, hier=0):
     return total, float(np.mean(ps)), dt
 
 
+def bd_rate(rate_a, psnr_a, rate_b, psnr_b) -> float:
+    """Bjontegaard delta-rate (%) of curve B vs anchor A: average
+    log-rate gap over the overlapping PSNR range via cubic log-rate
+    fits (the standard BD-RATE metric; negative = B needs fewer bits
+    at matched quality)."""
+    ra = np.log(np.asarray(rate_a, dtype=np.float64))
+    rb = np.log(np.asarray(rate_b, dtype=np.float64))
+    pa = np.asarray(psnr_a, dtype=np.float64)
+    pb = np.asarray(psnr_b, dtype=np.float64)
+    ia, ib = np.argsort(pa), np.argsort(pb)
+    pa, ra, pb, rb = pa[ia], ra[ia], pb[ib], rb[ib]
+    fa = np.polyfit(pa, ra, min(3, len(pa) - 1))
+    fb = np.polyfit(pb, rb, min(3, len(pb) - 1))
+    lo = max(pa.min(), pb.min())
+    hi = min(pa.max(), pb.max())
+    if hi <= lo:
+        return float("nan")
+    xs = np.linspace(lo, hi, 100)
+    avg = np.mean(np.polyval(fb, xs) - np.polyval(fa, xs))
+    return float((np.exp(avg) - 1.0) * 100.0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref-only", action="store_true")
     ap.add_argument("--ours-only", action="store_true")
+    ap.add_argument("--bd", action="store_true",
+                    help="run the reference + ours at the qp ladder and "
+                    "print BD-RATE (PSNR) of ours vs the reference")
     ap.add_argument("--w", type=int, default=640)
     ap.add_argument("--h", dest="hh", type=int, default=360)
     ap.add_argument("--n", type=int, default=8)
@@ -134,6 +159,28 @@ def main():
         frames = make_clip(args.w, args.hh, args.n)
     tmpdir = "/tmp/rdexp"
     os.makedirs(tmpdir, exist_ok=True)
+
+    if args.bd:
+        assert os.path.exists(REF_APP), "reference binary missing"
+        ref_r, ref_p, our_r, our_p = [], [], [], []
+        for qp in qps:
+            b, p, nfr = run_reference(frames, args.w, args.hh, qp,
+                                      tmpdir, args.intra_period)
+            ref_r.append(b)
+            ref_p.append(p)
+            print(f"REF   q={qp:2d} bytes={b:9d} ypsnr={p:6.2f}",
+                  flush=True)
+        for qp in qps:
+            b, p, dt = run_ours(frames, args.w, args.hh, qp, scales[0],
+                                aqs[0], int(args.intra_period), args.hier)
+            our_r.append(b)
+            our_p.append(p)
+            print(f"OURS  q={qp:2d} bytes={b:9d} ypsnr={p:6.2f} "
+                  f"({dt:5.1f}s)", flush=True)
+        bd = bd_rate(ref_r, ref_p, our_r, our_p)
+        print(f"BD-RATE (PSNR) ours vs reference: {bd:+.2f}%  "
+              f"(negative = ours cheaper at matched quality)")
+        return
 
     if not args.ours_only and os.path.exists(REF_APP):
         for qp in qps:
