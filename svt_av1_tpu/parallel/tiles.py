@@ -335,7 +335,6 @@ def make_sharded_shape_group_issue(mesh, strip_w: int):
     def issue(recon_planes, ref_pyrs_list, refs_u, refs_v, src_pyr,
               src_u, src_v, xs, ys, size, qp, lam, fwd_pos, bwd_pos,
               bd=8, rdoq=False, qv=None, lamv=None):
-        assert not bwd_pos, "sharded shape groups: single-direction only"
         b = len(xs)
         xs = np.asarray(xs, np.int64)
         ys = np.asarray(ys, np.int64)
@@ -363,9 +362,12 @@ def make_sharded_shape_group_issue(mesh, strip_w: int):
                 pos += int(counts[d])
             return out
 
+        # compound folds are per-block, so the bidirectional program
+        # shards over strips exactly like the single-direction one
         fn = di._build_shape_group(
             size if isinstance(size, int) else tuple(size),
-            len(ref_pyrs_list), (), (), bd, rdoq=rdoq)
+            len(ref_pyrs_list), tuple(fwd_pos), tuple(bwd_pos), bd,
+            rdoq=rdoq)
         H, W = np.asarray(recon_planes[0]).shape
 
         def body(rec_y, rec_u, rec_v, xs_s, ys_s, qv_s, lq_s, *planes):
