@@ -44,45 +44,51 @@ def _exhaustive_j(ref_padded, curs, iy, ix, centers, radius: int):
     row-major first-min tie-break.
 
     TPU shape: the (bh+2r)x(bw+2r) search window is gathered from the
-    frame ONCE per block; each offset is then a dynamic_slice of the
-    window (measured 6x faster than a frame gather per offset — gathers,
-    not arithmetic width, dominate these kernels on the chip). Offsets
-    whose absolute position leaves the padded frame are masked exactly
-    as the host does; their window rows read edge-clamped garbage that
-    the mask discards."""
+    frame ONCE per block; the scan then runs ONE sequential step per dy
+    ROW with all 2r+1 dx candidates evaluated as a vectorized stack of
+    static slices (the former per-offset fori_loop cost (2r+1)^2
+    sequential latency steps — the ME chain is latency-bound, not
+    flop-bound). Row-major first-min is preserved exactly: argmin picks
+    the first dx minimum inside a row, strict-< keeps the earliest dy
+    across rows. Offsets whose absolute position leaves the padded frame
+    are masked exactly as the host does."""
     from jax import lax
     pad = mc.REF_PAD
     refp = ref_padded.astype(jnp.int32)
     Ht, Wt = refp.shape
     b, bh, bw = curs.shape
-    offs = jnp.asarray(me.search_offsets(radius))        # [K, 2]
+    K = 2 * radius + 1
     # window gather (one pass over the frame)
     wy = (iy[:, :1, :1] + (centers[:, 0] - radius + pad)[:, None, None]
           + jnp.arange(bh + 2 * radius)[None, :, None])
     wx = (ix[:, :1, :1] + (centers[:, 1] - radius + pad)[:, None, None]
           + jnp.arange(bw + 2 * radius)[None, None, :])
     win = refp[jnp.clip(wy, 0, Ht - 1), jnp.clip(wx, 0, Wt - 1)]
+    dxs = jnp.arange(-radius, radius + 1, dtype=jnp.int64)
 
-    def body(k, carry):
+    def body(kdy, carry):
         best_cost, best_mv = carry
-        cy = centers[:, 0] + offs[k, 0]
-        cx = centers[:, 1] + offs[k, 1]
-        valid = (jnp.abs(cy) < pad) & (jnp.abs(cx) < pad)
-        cand = lax.dynamic_slice(
-            win, (0, offs[k, 0] + radius, offs[k, 1] + radius),
-            (b, bh, bw))
-        sad = jnp.sum(jnp.abs(curs - cand),
-                      axis=(1, 2), dtype=jnp.int32).astype(jnp.int64)
-        sad = jnp.where(valid, sad, I64MAX)
-        better = sad < best_cost
-        return (jnp.where(better, sad, best_cost),
+        dy = kdy - radius
+        row = lax.dynamic_slice(win, (0, kdy, 0),
+                                (b, bh, bw + 2 * radius))
+        cands = jnp.stack([row[:, :, dx:dx + bw] for dx in range(K)])
+        sads = jnp.sum(jnp.abs(curs[None] - cands), axis=(2, 3),
+                       dtype=jnp.int32).astype(jnp.int64)   # [K, B]
+        cy = centers[:, 0] + dy                             # [B]
+        cx = centers[:, 1][None, :] + dxs[:, None]          # [K, B]
+        valid = (jnp.abs(cy)[None, :] < pad) & (jnp.abs(cx) < pad)
+        sads = jnp.where(valid, sads, I64MAX)
+        k = jnp.argmin(sads, axis=0)                        # first min
+        row_cost = jnp.take_along_axis(sads, k[None], 0)[0]
+        row_cx = jnp.take_along_axis(cx, k[None], 0)[0]
+        better = row_cost < best_cost
+        return (jnp.where(better, row_cost, best_cost),
                 jnp.where(better[:, None],
-                          jnp.stack([cy, cx], axis=1), best_mv))
+                          jnp.stack([cy, row_cx], axis=1), best_mv))
 
     best_cost = jnp.full(b, I64MAX, dtype=jnp.int64)
     best_mv = jnp.zeros((b, 2), dtype=jnp.int64)
-    return lax.fori_loop(0, offs.shape[0], body,
-                         (best_cost, best_mv))[::-1]
+    return lax.fori_loop(0, K, body, (best_cost, best_mv))[::-1]
 
 
 def _gather_curs(plane, xs, ys, bw: int, bh: int):

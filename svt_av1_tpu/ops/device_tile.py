@@ -539,7 +539,12 @@ def mixed_tile_metadata(enc, cands):
     for bwc, bhc in classes:
         ids = [i for i, (_, _, wh) in enumerate(leaves)
                if wh == (bwc, bhc)]
-        wq = max(1, (h_px + bhc - 1) // bhc)
+        # lane width = bucketed MAX per-wave occupancy (per-step compute
+        # is width x waves; band capacity over-padded sparse classes)
+        occ = np.bincount([int(waves[i]) for i in ids],
+                          minlength=n_waves)
+        wq = _wbucket(int(occ.max()) if len(ids) else 1,
+                      (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048))
         ncq = max(1, ((h_px + bhc - 1) // bhc)
                   * ((w_px + bwc - 1) // bwc))
         xsw = np.zeros((nwq, wq), dtype=np.int64)
@@ -553,8 +558,6 @@ def mixed_tile_metadata(enc, cands):
             r, c, wh = leaves[i]
             w = int(waves[i])
             j = fill[w]
-            if j >= wq:           # band-chaining bound violated:
-                return None       # degrade to the per-wave path
             fill[w] = j + 1
             xsw[w, j] = c * 4
             ysw[w, j] = r * 4
@@ -721,10 +724,18 @@ def run_tiles_fused(enc, metas, frame_src, frame_recon, cands):
     args = []
     placements = []   # per class: [(meta, tile-leaf ids, entry base j0)]
     for sh in shapes_u:
-        wq = sum(m["spec"].get(sh, 0) for m in metas
-                 if sh in m["classes"])
         total = sum(len(m["classes"].get(sh, ())) for m in metas)
         ncq = _wbucket(total, (8, 32, 128, 512, 2048, 8192))
+        # lane width = the MAX real per-wave occupancy across all tiles
+        # (bucketed), not the sum of band capacities — the per-step
+        # compute is width x waves, and most waves touch only the
+        # active anti-diagonal of each tile
+        occ = np.zeros(nwq, np.int64)
+        for m in metas:
+            for (w, *_rest) in m["classes"].get(sh, ()):
+                occ[w] += 1
+        wq = _wbucket(int(occ.max()), (8, 16, 32, 64, 128, 256, 512,
+                                       1024, 2048))
         xsw = np.zeros((nwq, wq), np.int64)
         ysw = np.zeros((nwq, wq), np.int64)
         validw = np.zeros((nwq, wq), bool)
@@ -735,7 +746,7 @@ def run_tiles_fused(enc, metas, frame_src, frame_recon, cands):
         mwvw = np.full((nwq, wq), enc.seq.mi_cols * 4, np.int32)
         mhvw = np.full((nwq, wq), enc.seq.mi_rows * 4, np.int32)
         idxw = np.full((nwq, wq), total, np.int64)
-        base_slot = 0
+        fill = np.zeros(nwq, np.int64)   # contiguous packing over tiles
         j = 0
         place = []
         for m in metas:
@@ -745,12 +756,11 @@ def run_tiles_fused(enc, metas, frame_src, frame_recon, cands):
             mi_r0, mi_c0, mi_rs, mi_cs = m["rect"][:4]
             y0, x0 = mi_r0 * 4, mi_c0 * 4
             mxw, mxh = x0 + mi_cs * 4, y0 + mi_rs * 4
-            fill = {}
             ids = []
             j0 = j
             for (w, r, c, htr_, hbl_, li) in ents:
-                k = base_slot + fill.get(w, 0)
-                fill[w] = fill.get(w, 0) + 1
+                k = int(fill[w])
+                fill[w] += 1
                 xsw[w, k], ysw[w, k] = x0 + c * 4, y0 + r * 4
                 validw[w, k] = True
                 htrw[w, k], hblw[w, k] = htr_, hbl_
@@ -759,7 +769,6 @@ def run_tiles_fused(enc, metas, frame_src, frame_recon, cands):
                 idxw[w, k] = j
                 j += 1
                 ids.append(li)
-            base_slot += m["spec"][sh]
             place.append((m, ids, j0))
         class_spec.append((sh, wq, ncq))
         args += [xsw, ysw, validw, htrw, hblw, haw, hlw, mwvw, mhvw,
