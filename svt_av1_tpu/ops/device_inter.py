@@ -174,10 +174,12 @@ def _mc_from_window(win, off_r, off_c, frac_r, frac_c, w: int, h: int,
 
 
 def subpel_refine_j(ref_padded, src_full, xs, ys, size, int_mvs,
-                    bd: int = 8, steps=(4, 2)):
+                    bd: int = 8, steps=(4, 2), ref_idx=None):
     """Twin of me.subpel_refine. The 9 candidate MCs share one window
     gather: candidates drift at most one integer pel from the full-pel
-    center, so a [B, h+9, w+9] window covers every filter support."""
+    center, so a [B, h+9, w+9] window covers every filter support.
+    ``ref_idx``: optional [B] plane selector when ``ref_padded`` is a
+    stacked [R, H, W] bank (per-block winner refinement)."""
     from svt_av1_tpu.ops import mc as mch
     bw, bh = common.leaf_wh(size)
     srcs, _, _ = _gather_curs(src_full.astype(jnp.int32), xs, ys, bw, bh)
@@ -188,13 +190,17 @@ def subpel_refine_j(ref_padded, src_full, xs, ys, size, int_mvs,
     # covers the clamped search area)
     base_r = ys.astype(jnp.int32) + int_mvs[:, 0].astype(jnp.int32)
     base_c = xs.astype(jnp.int32) + int_mvs[:, 1].astype(jnp.int32)
-    Ht, Wt = ref_padded.shape
+    Ht, Wt = ref_padded.shape[-2:]
     wy = (base_r + mch.REF_PAD - 4)[:, None, None] \
         + jnp.arange(bh + 9)[None, :, None]
     wx = (base_c + mch.REF_PAD - 4)[:, None, None] \
         + jnp.arange(bw + 9)[None, None, :]
-    win = ref_padded.astype(jnp.int32)[jnp.clip(wy, 0, Ht - 1),
-                                       jnp.clip(wx, 0, Wt - 1)]
+    refp = ref_padded.astype(jnp.int32)
+    if ref_idx is None:
+        win = refp[jnp.clip(wy, 0, Ht - 1), jnp.clip(wx, 0, Wt - 1)]
+    else:
+        win = refp[ref_idx[:, None, None], jnp.clip(wy, 0, Ht - 1),
+                   jnp.clip(wx, 0, Wt - 1)]
 
     def cost_of(cand):
         scaled_r = cand[:, 0].astype(jnp.int32) << 1
@@ -846,15 +852,21 @@ def _build_shape_group(size, n_refs: int, fwd_pos: tuple, bwd_pos: tuple,
             sads.append(sad)
         sads = jnp.stack(sads)                    # [R, B]
         best_all = jnp.argmin(sads, axis=0)
-        refined = []
-        for i, pyr in enumerate(pyrs):
-            mv8 = subpel_refine_j(pyr[0], src_full, xs, ys, size,
-                                  fulls[i], bd=bd)
-            refined.append(_clamp_mvs_j(mv8, xs, ys, bw, bh, W, H))
-        refined = jnp.stack(refined)              # [R, B, 2]
         refs_bank = jnp.stack([pyr[0] for pyr in pyrs])
-        mv_win = jnp.take_along_axis(
-            refined, best_all[None, :, None], axis=0)[0]
+        fulls_a = jnp.stack(fulls)                # [R, B, 2]
+        ar = jnp.arange(b)
+
+        def refine_for(pos):
+            """Sub-pel refine each block against its own winner ref
+            (bank-gathered windows) — the host refines exactly the
+            winner set (_me_rd_pruned's ``need``), so running one pass
+            per winner ROLE instead of one per reference is
+            bit-identical with fewer window-filter chains."""
+            mv8 = subpel_refine_j(refs_bank, src_full, xs, ys, size,
+                                  fulls_a[pos, ar], bd=bd, ref_idx=pos)
+            return _clamp_mvs_j(mv8, xs, ys, bw, bh, W, H)
+
+        mv_win = refine_for(best_all)
         srcs, _, _ = _gather_curs(src_full.astype(jnp.int32), xs, ys,
                                   bw, bh)
         srcs = srcs.astype(jnp.int64)
@@ -893,9 +905,8 @@ def _build_shape_group(size, n_refs: int, fwd_pos: tuple, bwd_pos: tuple,
             bsel = jnp.argmin(sads[bidx], axis=0).astype(jnp.int32)
             fref = fidx[fsel]                       # [B] bank positions
             bref = bidx[bsel]
-            ar = jnp.arange(b)
-            mv0a = refined[fref, ar]
-            mv1a = refined[bref, ar]
+            mv0a = refine_for(fref)
+            mv1a = refine_for(bref)
             c0 = mc_block_batch_conv_j(refs_bank, xs, ys, mv0a, bw, bh,
                                        ss=0, bd=bd, ref_idx=fref)
             c1 = mc_block_batch_conv_j(refs_bank, xs, ys, mv1a, bw, bh,
