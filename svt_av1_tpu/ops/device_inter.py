@@ -866,7 +866,25 @@ def _build_shape_group(size, n_refs: int, fwd_pos: tuple, bwd_pos: tuple,
                                   fulls_a[pos, ar], bd=bd, ref_idx=pos)
             return _clamp_mvs_j(mv8, xs, ys, bw, bh, W, H)
 
-        mv_win = refine_for(best_all)
+        if ref_sel:
+            # per-direction winners first: the overall winner is always
+            # one of them (argmin over the full bank restricted to the
+            # winning side picks the same first-min entry), so the
+            # single-ref candidate needs NO third refinement pass
+            fidx = jnp.asarray(fwd_pos)
+            bidx = jnp.asarray(bwd_pos)
+            fsel = jnp.argmin(sads[fidx], axis=0).astype(jnp.int32)
+            bsel = jnp.argmin(sads[bidx], axis=0).astype(jnp.int32)
+            fref = fidx[fsel]                       # [B] bank positions
+            bref = bidx[bsel]
+            mv0a = refine_for(fref)
+            mv1a = refine_for(bref)
+            fwd_mask = np.zeros(n_refs, dtype=bool)
+            fwd_mask[list(fwd_pos)] = True
+            is_f = jnp.asarray(fwd_mask)[best_all]
+            mv_win = jnp.where(is_f[:, None], mv0a, mv1a)
+        else:
+            mv_win = refine_for(best_all)
         srcs, _, _ = _gather_curs(src_full.astype(jnp.int32), xs, ys,
                                   bw, bh)
         srcs = srcs.astype(jnp.int64)
@@ -894,19 +912,12 @@ def _build_shape_group(size, n_refs: int, fwd_pos: tuple, bwd_pos: tuple,
 
         # --- compound fold (twin of inter._compound_pairs device path) ---
         comp = jnp.zeros(b, dtype=bool)
-        fsel = jnp.zeros(b, dtype=jnp.int32)
-        bsel = jnp.zeros(b, dtype=jnp.int32)
+        if not ref_sel:
+            fsel = jnp.zeros(b, dtype=jnp.int32)
+            bsel = jnp.zeros(b, dtype=jnp.int32)
         mv1 = jnp.zeros_like(mv_s)
         pos_chosen = best_all
         if ref_sel:
-            fidx = jnp.asarray(fwd_pos)
-            bidx = jnp.asarray(bwd_pos)
-            fsel = jnp.argmin(sads[fidx], axis=0).astype(jnp.int32)
-            bsel = jnp.argmin(sads[bidx], axis=0).astype(jnp.int32)
-            fref = fidx[fsel]                       # [B] bank positions
-            bref = bidx[bsel]
-            mv0a = refine_for(fref)
-            mv1a = refine_for(bref)
             c0 = mc_block_batch_conv_j(refs_bank, xs, ys, mv0a, bw, bh,
                                        ss=0, bd=bd, ref_idx=fref)
             c1 = mc_block_batch_conv_j(refs_bank, xs, ys, mv1a, bw, bh,
@@ -1064,7 +1075,7 @@ def ref_prep_dev(planes, bd: int = 8, valid_hw=None):
 
 
 @functools.lru_cache(maxsize=64)
-def _build_flip_decision(size, modes: tuple, bd: int, max_wh,
+def _build_flip_decision(size, modes: tuple, bd: int,
                          rdoq: bool = False):
     """Intra-flip DECISION pass fully on device: sources are gathered
     from the (cached) device source plane, the prediction edges are
@@ -1078,13 +1089,14 @@ def _build_flip_decision(size, modes: tuple, bd: int, max_wh,
     bw, bh = common.leaf_wh(size)
     tx_size = common.tx_size_for_rect(bw, bh, 0)
 
-    max_w, max_h = max_wh
-
-    def fn(src_full, recon_y, xs, ys, ha, hl, htr, hbl, qv, lamqv):
+    def fn(src_full, recon_y, xs, ys, ha, hl, htr, hbl, mwv, mhv, qv,
+           lamqv):
         xs = xs.astype(jnp.int64)
         ys = ys.astype(jnp.int64)
+        # per-lane tile right/bottom bounds: edge replication clamps at
+        # the TILE edge, consistent with the apply pass and the decoder
         a1, l1 = _edges_j(recon_y, xs, ys, bw, bh, ha, hl, htr, hbl,
-                          bd, max_w, max_h)
+                          bd, mwv, mhv)
         rlq = lamqv if rdoq else None
         srcs, _, _ = _gather_curs(src_full.astype(jnp.int32), xs, ys,
                                   bw, bh)
@@ -1104,8 +1116,8 @@ def _build_flip_decision(size, modes: tuple, bd: int, max_wh,
 
 
 def flip_decision_issue(src_full, recon_y, xs, ys, ha, hl, htr, hbl,
-                        modes, size, qp, lam, max_wh, bd=8, rdoq=False,
-                        qv=None, lamv=None):
+                        modes, size, qp, lam, mwv, mhv, bd=8,
+                        rdoq=False, qv=None, lamv=None):
     """Dispatch (no fetch) the on-device flip decision for one shape
     group; returns (device_outs, b). recon_y: device-resident luma recon
     (edges are gathered on device). Gather with jax.device_get, then
@@ -1115,7 +1127,7 @@ def flip_decision_issue(src_full, recon_y, xs, ys, ha, hl, htr, hbl,
     nb = _bucket(b)
     fn = _build_flip_decision(
         size if isinstance(size, int) else tuple(size), tuple(modes),
-        bd, tuple(max_wh), rdoq=rdoq)
+        bd, rdoq=rdoq)
     qvec, lamqv = quant_vectors(qp, lam, b, qv, lamv)
     pdt = _pix_dt(bd)
     outs = fn(_dput(src_full, pdt), recon_y,
@@ -1124,6 +1136,8 @@ def flip_decision_issue(src_full, recon_y, xs, ys, ha, hl, htr, hbl,
               _pad(np.asarray(ha), nb, b), _pad(np.asarray(hl), nb, b),
               _pad(np.asarray(htr), nb, b),
               _pad(np.asarray(hbl), nb, b),
+              _pad(np.asarray(mwv, np.int32), nb, b),
+              _pad(np.asarray(mhv, np.int32), nb, b),
               _pad(qvec, nb, b), _pad(lamqv, nb, b))
     return outs, b
 

@@ -650,13 +650,6 @@ def decide_cost_issue(plane, srcs, above1, left1, ha, hl, cands, qp,
 # DP only needs relative costs, so an 8x8 Hadamard |transform| sum is a
 # faithful, ~10x cheaper stand-in for the per-depth full loop.
 
-def _hadamard_n(n: int) -> np.ndarray:
-    h = np.array([[1]], dtype=np.int64)
-    while h.shape[0] < n:
-        h = np.block([[h, h], [h, -h]])
-    return h
-
-
 @functools.lru_cache(maxsize=128)
 def _build_satd_modes(modes: tuple, size, bd: int):
     """Per-block min-over-modes SATD: predict each candidate mode from
@@ -664,8 +657,8 @@ def _build_satd_modes(modes: tuple, size, bd: int):
     residual, sum |coeffs|. Integer-exact twin of rd._satd_modes_host."""
     bw, bh = common.leaf_wh(size)
     tw, th = min(bw, 32), min(bh, 32)
-    Hh = jnp.asarray(_hadamard_n(th))
-    Hw = jnp.asarray(_hadamard_n(tw))
+    Hh = jnp.asarray(common.hadamard_n(th))
+    Hw = jnp.asarray(common.hadamard_n(tw))
 
     def fn(srcs, above1, left1, ha, hl):
         best = None

@@ -145,8 +145,12 @@ def encode_keyframe_tiles_sharded(y, u, v, cfg: EncoderConfig, mesh):
     device_tile.analyze_tile_fused = injected
     import dataclasses
     try:
-        tu, recon, st = WavefrontIntraEncoder(
-            dataclasses.replace(cfg, backend="device")).encode(y, u, v)
+        enc3 = WavefrontIntraEncoder(
+            dataclasses.replace(cfg, backend="device"))
+        # consume the MESH results: the frame-batched defer path would
+        # silently recompute everything single-device
+        enc3._no_defer = True
+        tu, recon, st = enc3.encode(y, u, v)
     finally:
         device_tile.analyze_tile_fused = orig
     return tu, halo_ok, int(np.asarray(stats)[0])
@@ -318,8 +322,8 @@ def make_sharded_shape_group_issue(mesh, strip_w: int):
     reference's rectangular ME segment fan-out
     (EbMotionEstimationProcess.c:434) as SPMD data parallelism.
 
-    Single-direction references only (no compound fold): the sharded
-    demo covers the low-delay path."""
+    Bidirectional compound folds shard unchanged (per-block), so the
+    hierarchical default preset runs under the same fan-out."""
     import jax
     import jax.numpy as jnp
     from jax import lax

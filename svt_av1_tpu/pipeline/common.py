@@ -54,10 +54,16 @@ def bucket_dims(w64: int, h64: int):
         return (max(bw, w64), max(bh, h64))
     if w64 * h64 <= 512 * 512:
         return (w64, h64)
-    for bw, bh in _PLANE_BUCKETS:
-        if w64 <= bw and h64 <= bh:
-            return (bw, bh)
-    return (w64, h64)
+    # both orientations of the ladder (portrait frames would otherwise
+    # fall through to a hugely oversized landscape bucket); pick the
+    # smallest-area candidate that fits
+    cands = [(bw, bh) for bw, bh in _PLANE_BUCKETS
+             if w64 <= bw and h64 <= bh]
+    cands += [(bh, bw) for bw, bh in _PLANE_BUCKETS
+              if w64 <= bh and h64 <= bw]
+    if not cands:
+        return (w64, h64)
+    return min(cands, key=lambda c: c[0] * c[1])
 
 
 def pad_frame_planes(y, u, v, dtype=np.int32):
@@ -73,6 +79,15 @@ def pad_frame_planes(y, u, v, dtype=np.int32):
                   (0, bw // 2 - p32.shape[1])),
             mode="edge").astype(dtype))
     return out
+
+
+def hadamard_n(n: int) -> np.ndarray:
+    """Sylvester +-1 Hadamard matrix (shared by the host and device
+    SATD kernels — the two must stay integer-identical)."""
+    h = np.array([[1]], dtype=np.int64)
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return h
 
 
 def tx_size_for_block(size_px: int, plane: int) -> int:

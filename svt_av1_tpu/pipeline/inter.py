@@ -1427,6 +1427,10 @@ class InterFrameEncoder:
                                              tcs, vert_ab=vab)
             hbl = avail.has_bottom_left_wh_vec(lr_, lc_, bw >> 2, bh >> 2,
                                                trs, vert_ab=vab)
+            # tile right/bottom pixel bounds for edge replication (the
+            # decision must price exactly the edges the recode uses)
+            mxw = (cs - lc_ + tcs) * 4
+            mxh = (rs - lr_ + trs) * 4
             b = len(ks)
             if dev_ok:
                 # dispatch-only: sources, edges (from the device-resident
@@ -1440,8 +1444,7 @@ class InterFrameEncoder:
                     self.recon[0] = rec_y
                 outs, _ = di.flip_decision_issue(
                     self.src[0], rec_y, xs, ys, ha, hl, htr, hbl,
-                    cand_modes, (bw, bh), qp, lam,
-                    (self.mi_cols * 4, self.mi_rows * 4),
+                    cand_modes, (bw, bh), qp, lam, mxw, mxh,
                     bd=cfg.bit_depth,
                     rdoq=cfg.enable_rdoq, qv=qv, lamv=lams)
                 pending.append((outs, b, ks, lamqs))
@@ -1449,8 +1452,7 @@ class InterFrameEncoder:
             self._materialize_recon()
             above1, left1 = intra_ops.prepare_edges_av1(
                 self.recon[0], xs, ys, bw, bh, ha, hl, htr, hbl,
-                bd=cfg.bit_depth, max_w=self.mi_cols * 4,
-                max_h=self.mi_rows * 4)
+                bd=cfg.bit_depth, max_w=mxw, max_h=mxh)
             iy = np.asarray(ys)[:, None, None] \
                 + np.arange(bh)[None, :, None]
             ix = np.asarray(xs)[:, None, None] \

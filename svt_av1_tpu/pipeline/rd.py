@@ -119,13 +119,6 @@ def _analyze_depth_fetch(handle):
         + lam * float(16 << md_mod.RATE_Q)
 
 
-def _hadamard(n: int) -> np.ndarray:
-    h = np.array([[1]], dtype=np.int64)
-    while h.shape[0] < n:
-        h = np.block([[h, h], [h, -h]])
-    return h
-
-
 def _satd_modes_host(srcs, above1, left1, ha, hl, modes, size, bd):
     """Host twin of device_md.satd_modes_dev: min-over-modes SATD of
     the open-loop intra residual (size-matched Hadamard |coeff| sum,
@@ -135,7 +128,7 @@ def _satd_modes_host(srcs, above1, left1, ha, hl, modes, size, bd):
     (EbMotionEstimation.c:7419)."""
     bw, bh = common.leaf_wh(size)
     tw, th = min(bw, 32), min(bh, 32)
-    Hh, Hw = _hadamard(th), _hadamard(tw)
+    Hh, Hw = common.hadamard_n(th), common.hadamard_n(tw)
     best = None
     for m in modes:
         p = intra_ops.predict_any(m, 0, above1, left1, bw, bh, ha, hl,

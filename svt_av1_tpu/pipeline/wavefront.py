@@ -266,7 +266,9 @@ class WavefrontIntraEncoder:
         # the sum over tiles (the reference's segment parallelism shape)
         self._defer_tiles = [] if (cfg.backend == "device"
                                    and len(rects) > 1
-                                   and self.qmap is None) else None
+                                   and self.qmap is None
+                                   and not getattr(self, "_no_defer",
+                                                   False)) else None
         for rect in rects:
             mi_r0, mi_c0, mi_rs, mi_cs, sb_rs, sb_cs = rect
             self._enter_tile(frame_src, frame_recon, rect)

@@ -70,9 +70,11 @@ def test_two_process_gop_sharding(tmp_path):
     script.write_text(_WORKER)
     port = 12000 + os.getpid() % 2000
     coord = f"127.0.0.1:{port}"
+    import sysconfig
+    site_dir = sysconfig.get_paths()["purelib"]
     env = dict(os.environ)
     env.update(JAX_PLATFORMS="cpu",
-               PYTHONPATH="/opt/venv/lib/python3.12/site-packages:"
+               PYTHONPATH=site_dir + ":"
                + os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                SVT_TPU_JAX_CACHE="off")
     procs = [subprocess.Popen(
