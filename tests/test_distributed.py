@@ -70,8 +70,9 @@ def test_two_process_gop_sharding(tmp_path):
     script.write_text(_WORKER)
     port = 12000 + os.getpid() % 2000
     coord = f"127.0.0.1:{port}"
-    import sysconfig
-    site_dir = sysconfig.get_paths()["purelib"]
+    # the directory numpy actually loads from (robust under python -S
+    # and venv/sysconfig layout differences)
+    site_dir = os.path.dirname(os.path.dirname(np.__file__))
     env = dict(os.environ)
     env.update(JAX_PLATFORMS="cpu",
                PYTHONPATH=site_dir + ":"
