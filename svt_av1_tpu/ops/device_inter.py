@@ -888,27 +888,35 @@ def _build_shape_group(size, n_refs: int, fwd_pos: tuple, bwd_pos: tuple,
         srcs, _, _ = _gather_curs(src_full.astype(jnp.int32), xs, ys,
                                   bw, bh)
         srcs = srcs.astype(jnp.int64)
-        best = None
-        for cand in (mv_win, jnp.zeros_like(mv_win)):
-            pred = dev.mc_block_batch_j(
-                refs_bank, xs, ys, cand, bw, bh, ss=0, bd=bd,
-                ref_idx=best_all).astype(jnp.int64)
-            qc, eo, rec, dist, rate = _full_loop_j(
-                srcs, pred, jnp.zeros(b, dtype=jnp.int32),
-                (0,), tx_size, size, qv, bd, 0, rdoq_lam_qv=rlq)
-            mv_bits = (2 << md.RATE_Q) \
-                + 256 * (jnp.abs(cand).sum(axis=1) > 0)
-            cost = _rdcost_j(dist, lamqv, rate + mv_bits)
-            if best is None:
-                best = [cost, cand, qc, eo, rec]
-            else:
-                bt = cost < best[0]
-                best[0] = jnp.where(bt, cost, best[0])
-                best[1] = jnp.where(bt[:, None], cand, best[1])
-                best[2] = jnp.where(bt[:, None, None], qc, best[2])
-                best[3] = jnp.where(bt, eo, best[3])
-                best[4] = jnp.where(bt[:, None, None], rec, best[4])
-        cost_s, mv_s, qc_s, eo_s, rec_s = best
+        # BOTH single-ref candidates ({refined winner, zero}) through
+        # ONE MC + full loop as a [2B] batch: the transform chain's
+        # sequential op DEPTH (not width) is the latency wall, so
+        # halving the invocation count beats running wider lanes twice.
+        # Per-lane math is independent — the fold is bit-identical to
+        # the former two-pass strict-< sequence.
+        cand2 = jnp.concatenate([mv_win, jnp.zeros_like(mv_win)])
+        xs2 = jnp.concatenate([xs, xs])
+        ys2 = jnp.concatenate([ys, ys])
+        ba2 = jnp.concatenate([best_all, best_all])
+        pred2 = dev.mc_block_batch_j(
+            refs_bank, xs2, ys2, cand2, bw, bh, ss=0, bd=bd,
+            ref_idx=ba2).astype(jnp.int64)
+        qc2, eo2, rec2, dist2, rate2 = _full_loop_j(
+            jnp.concatenate([srcs, srcs]), pred2,
+            jnp.zeros(2 * b, dtype=jnp.int32), (0,), tx_size, size,
+            jnp.concatenate([qv, qv]), bd, 0,
+            rdoq_lam_qv=None if rlq is None
+            else jnp.concatenate([rlq, rlq]))
+        mv_bits2 = (2 << md.RATE_Q) \
+            + 256 * (jnp.abs(cand2).sum(axis=1) > 0)
+        cost2 = _rdcost_j(dist2, jnp.concatenate([lamqv, lamqv]),
+                          rate2 + mv_bits2)
+        bt = cost2[b:] < cost2[:b]       # zero strictly beats refined
+        cost_s = jnp.where(bt, cost2[b:], cost2[:b])
+        mv_s = jnp.where(bt[:, None], cand2[b:], cand2[:b])
+        qc_s = jnp.where(bt[:, None, None], qc2[b:], qc2[:b])
+        eo_s = jnp.where(bt, eo2[b:], eo2[:b])
+        rec_s = jnp.where(bt[:, None, None], rec2[b:], rec2[:b])
 
         # --- compound fold (twin of inter._compound_pairs device path) ---
         comp = jnp.zeros(b, dtype=bool)
@@ -940,30 +948,46 @@ def _build_shape_group(size, n_refs: int, fwd_pos: tuple, bwd_pos: tuple,
             mv1 = jnp.where(comp[:, None], mv1a, mv1)
             pos_chosen = jnp.where(comp, fref, best_all)
 
-        # --- chroma, both planes (twin of chroma_multi + compound uv) ---
+        # --- chroma, both planes as ONE [2B] batch over a stacked
+        # U+V bank (V lanes offset their ref index by n_refs): one MC +
+        # one full loop instead of two of each — same per-lane ints
         cxs, cys = xs >> 1, ys >> 1
-        uv_out = []
-        for bank, srcp in ((ubank, src_u), (vbank, src_v)):
-            csrc, _, _ = _gather_curs(srcp.astype(jnp.int32), cxs, cys,
-                                      cw, ch)
-            pred = dev.mc_block_batch_j(
-                bank, cxs, cys, mv_s, cw, ch, ss=1, bd=bd,
-                ref_idx=pos_chosen).astype(jnp.int64)
-            if ref_sel:
-                u0 = mc_block_batch_conv_j(bank, cxs, cys, mv_s, cw, ch,
-                                           ss=1, bd=bd, ref_idx=fref)
-                u1 = mc_block_batch_conv_j(bank, cxs, cys, mv1, cw, ch,
-                                           ss=1, bd=bd, ref_idx=bref)
-                pred = jnp.where(
-                    comp[:, None, None],
-                    compound_average_j(u0, u1, bd).astype(jnp.int64),
-                    pred)
-            qcuv, eouv, recuv, _, _ = _full_loop_j(
-                csrc.astype(jnp.int64), pred,
-                jnp.zeros(b, dtype=jnp.int32), (0,), tx_uv, (cw, ch),
-                qv, bd, 1, rdoq_lam_qv=rlq)
-            uv_out += [qcuv.astype(jnp.int16), eouv.astype(jnp.int16),
-                       recuv.astype(pix)]
+        cxs2 = jnp.concatenate([cxs, cxs])
+        cys2 = jnp.concatenate([cys, cys])
+        uvbank = jnp.concatenate([ubank, vbank])
+        pos_uv = jnp.concatenate([pos_chosen, pos_chosen + n_refs])
+        csrc_u, _, _ = _gather_curs(src_u.astype(jnp.int32), cxs, cys,
+                                    cw, ch)
+        csrc_v, _, _ = _gather_curs(src_v.astype(jnp.int32), cxs, cys,
+                                    cw, ch)
+        csrc2 = jnp.concatenate([csrc_u, csrc_v])
+        mvs_uv = jnp.concatenate([mv_s, mv_s])
+        pred_uv = dev.mc_block_batch_j(
+            uvbank, cxs2, cys2, mvs_uv, cw, ch, ss=1, bd=bd,
+            ref_idx=pos_uv).astype(jnp.int64)
+        if ref_sel:
+            fref2 = jnp.concatenate([fref, fref + n_refs])
+            bref2 = jnp.concatenate([bref, bref + n_refs])
+            u0 = mc_block_batch_conv_j(uvbank, cxs2, cys2, mvs_uv, cw,
+                                       ch, ss=1, bd=bd, ref_idx=fref2)
+            u1 = mc_block_batch_conv_j(uvbank, cxs2, cys2,
+                                       jnp.concatenate([mv1, mv1]), cw,
+                                       ch, ss=1, bd=bd, ref_idx=bref2)
+            comp2 = jnp.concatenate([comp, comp])
+            pred_uv = jnp.where(
+                comp2[:, None, None],
+                compound_average_j(u0, u1, bd).astype(jnp.int64),
+                pred_uv)
+        qcuv, eouv, recuv, _, _ = _full_loop_j(
+            csrc2.astype(jnp.int64), pred_uv,
+            jnp.zeros(2 * b, dtype=jnp.int32), (0,), tx_uv, (cw, ch),
+            jnp.concatenate([qv, qv]), bd, 1,
+            rdoq_lam_qv=None if rlq is None
+            else jnp.concatenate([rlq, rlq]))
+        uv_out = [qcuv[:b].astype(jnp.int16), eouv[:b].astype(jnp.int16),
+                  recuv[:b].astype(pix),
+                  qcuv[b:].astype(jnp.int16), eouv[b:].astype(jnp.int16),
+                  recuv[b:].astype(pix)]
 
         # scatter the block reconstructions into the frame planes: the
         # recon stays device-resident across shape groups and stages
