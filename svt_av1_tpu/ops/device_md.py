@@ -118,12 +118,19 @@ def _z2_j(above1, left1, bw, bh, dx, dy, bd):
 
 
 def predict_any_j(mode: int, delta: int, above1, left1, bw, bh, ha, hl,
-                  bd: int = 8):
+                  bd: int = 8, edge=None):
     """Device twin of intra_ops.predict_any for one static (mode, delta).
-    above1/left1 offset-1 edge arrays (int32/int64)."""
+    above1/left1 offset-1 edge arrays (int32/int64). ``edge``: traced
+    (ftype, n_top, n_left) operands for the normative intra edge filter
+    (same xp-generic integer program as the host — bit-exact twin)."""
     if intra_dir.is_directional(mode):
         angle = intra_dir.mode_angle(mode, delta)
         if angle not in (90, 180):
+            if edge is not None:
+                return intra_dir.predict_directional_edge(
+                    mode, delta, above1.astype(jnp.int64),
+                    left1.astype(jnp.int64), bw, bh, ha, hl,
+                    edge[0], edge[1], edge[2], bd=bd, xp=jnp)
             if 0 < angle < 90:
                 return _z1_j(above1, bw, bh, intra_dir.get_dx(angle), bd)
             if 90 < angle < 180:
@@ -315,7 +322,7 @@ def _tt_for_lut(all_cands, plane, tx_size, reduced_tx_set):
 def make_decide_core(plane: int, cands: tuple, size,
                      bd: int, nfl: int, reduced_tx_set: bool,
                      has_forced: bool, has_cfl: bool, tx_search: bool,
-                     rdoq: bool = False):
+                     rdoq: bool = False, edge_filter: bool = False):
     """Build the traceable decide function for a static configuration
     (jitted by _build_decide; also inlined into fused tile programs).
     The returned function takes trailing traced ``qv``/``lamqv`` [B]
@@ -349,8 +356,11 @@ def make_decide_core(plane: int, cands: tuple, size,
         return cfl_predict_j(dc, ac, alpha, bd), alpha
 
     def forced_fn(srcs, above1, left1, ha, hl, fmodes, fdeltas,
-                  cfl_luma, qv, lamqv):
+                  cfl_luma, qv, lamqv, ftype=None, n_top=None,
+                  n_left=None):
         b = srcs.shape[0]
+        edge = (ftype.astype(jnp.int32), n_top.astype(jnp.int64),
+                n_left.astype(jnp.int64)) if edge_filter else None
         # inputs may arrive at narrow wire dtypes (uint8/int16) — the
         # tunnel moves ~30 MB/s, so pixels travel at storage width
         srcs = srcs.astype(jnp.int64)
@@ -374,7 +384,7 @@ def make_decide_core(plane: int, cands: tuple, size,
                 alphas = jnp.where(sel, al, alphas)
             else:
                 p = predict_any_j(m, d, above1, left1, bw, bh, ha, hl,
-                                  bd)
+                                  bd, edge=edge)
             preds = jnp.where(sel[:, None, None],
                               p.astype(jnp.int64), preds)
         ftts = tts_of(fmodes)
@@ -384,8 +394,11 @@ def make_decide_core(plane: int, cands: tuple, size,
         cost = _rdcost_j(dist, lamqv, rate)
         return (fmodes, fdeltas, qc, eo, rec, cost, alphas, ftts)
 
-    def decide_fn(srcs, above1, left1, ha, hl, cfl_luma, qv, lamqv):
+    def decide_fn(srcs, above1, left1, ha, hl, cfl_luma, qv, lamqv,
+                  ftype=None, n_top=None, n_left=None):
         b = srcs.shape[0]
+        edge = (ftype.astype(jnp.int32), n_top.astype(jnp.int64),
+                n_left.astype(jnp.int64)) if edge_filter else None
         srcs = srcs.astype(jnp.int64)
         above1 = above1.astype(jnp.int32)
         left1 = left1.astype(jnp.int32)
@@ -400,7 +413,7 @@ def make_decide_core(plane: int, cands: tuple, size,
                                            cfl_luma)
             else:
                 p = predict_any_j(int(m), int(d), above1, left1, bw, bh,
-                                  ha, hl, bd)
+                                  ha, hl, bd, edge=edge)
             pred_list.append(p.astype(jnp.int64))
         preds = jnp.stack(pred_list, axis=0)                  # [M,B,h,w]
         diff = srcs[None].astype(jnp.int64) - preds
@@ -550,7 +563,7 @@ def quant_vectors(qp, lam, b: int, qv=None, lamv=None):
 def decide_block_batch_dev(plane, srcs, above1, left1, ha, hl, cands, qp,
                            size, lam, bd=8, nfl=3, reduced_tx_set=False,
                            forced=None, cfl_luma=None, tx_search=False,
-                           rdoq=False, qv=None, lamv=None):
+                           rdoq=False, qv=None, lamv=None, edge=None):
     """Drop-in twin of md.decide_block_batch running the compute as one
     jitted device program (same integer decisions, same return types).
     ``qv``/``lamv``: optional per-block qindex / float-lambda arrays —
@@ -579,15 +592,21 @@ def decide_block_batch_dev(plane, srcs, above1, left1, ha, hl, cands, qp,
     fn = _build_decide(plane, tuple(map(tuple, cands)),
                        size if isinstance(size, int) else tuple(size),
                        bd, nfl, reduced_tx_set, forced is not None,
-                       cfl_luma is not None, tx_search, rdoq)
+                       cfl_luma is not None, tx_search, rdoq,
+                       edge is not None)
+    ekw = ()
+    if edge is not None:
+        ekw = (pad(np.asarray(edge[0], dtype=np.int8)),
+               pad(np.asarray(edge[1], dtype=np.int16)),
+               pad(np.asarray(edge[2], dtype=np.int16)))
     if forced is not None:
         fm = pad(np.asarray(forced[0], dtype=np.int8))
         fd = pad(np.asarray(forced[1], dtype=np.int8))
         outs = fn(srcs_p, above_p, left_p, ha_p, hl_p, fm, fd, cfl_p,
-                  qvec, lamqv)
+                  qvec, lamqv, *ekw)
     else:
         outs = fn(srcs_p, above_p, left_p, ha_p, hl_p, cfl_p, qvec,
-                  lamqv)
+                  lamqv, *ekw)
     modes, deltas, qc, eo, rec, cost, alphas, tts = \
         [np.asarray(o)[:b] for o in outs]
     return (modes.astype(np.int64), deltas.astype(np.int64),

@@ -229,13 +229,21 @@ def smooth_h_pred(above, left, bw, bh):
 
 def predict_any(mode: int, angle_delta: int, above1: np.ndarray,
                 left1: np.ndarray, bw: int, bh: int, have_above,
-                have_left, bd: int = 8) -> np.ndarray:
+                have_left, bd: int = 8, edge=None) -> np.ndarray:
     """Dispatch any intra mode (incl. directional) over offset-1 edge
-    arrays from ``prepare_edges_av1``."""
+    arrays from ``prepare_edges_av1``. ``edge``: None (sequence signals
+    enable_intra_edge_filter = 0) or (ftype [B], n_top [B], n_left [B])
+    for the normative edge filter + upsample on directional modes."""
     from svt_av1_tpu.ops import intra_dir
     if intra_dir.is_directional(mode):
         angle = intra_dir.mode_angle(mode, angle_delta)
         if angle not in (90, 180):
+            if edge is not None:
+                return intra_dir.predict_directional_edge(
+                    mode, angle_delta, above1.astype(np.int64),
+                    left1.astype(np.int64), bw, bh,
+                    np.asarray(have_above), np.asarray(have_left),
+                    edge[0], edge[1], edge[2], bd=bd, xp=np)
             return intra_dir.predict_directional(mode, angle_delta, above1,
                                                  left1, bw, bh, bd)
     return predict(mode, above1[:, 1:], left1[:, 1:], above1[:, 0], bw, bh,

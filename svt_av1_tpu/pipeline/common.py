@@ -311,6 +311,19 @@ def intra_candidates(cfg):
     return out
 
 
+def edge_filter_active(cfg) -> bool:
+    """True when enable_intra_edge_filter can change any keyframe
+    prediction: a directional candidate with pAngle outside {90, 180}
+    exists (the spec exempts exact V/H; fast presets whose candidate
+    sets are non-directional keep the fused device paths)."""
+    if not cfg.enable_intra_edge_filter:
+        return False
+    from svt_av1_tpu.ops import intra_dir
+    return any(intra_dir.is_directional(m)
+               and intra_dir.mode_angle(m, d) not in (90, 180)
+               for m, d in intra_candidates(cfg))
+
+
 def chroma_tx_type_inter(luma_tt: int, tx_size: int,
                          reduced_tx_set: bool) -> int:
     """compute_tx_type for inter chroma (spec 8.3.2): inherit the

@@ -214,6 +214,12 @@ class FrameDecoder:
         self.r = SymbolReader(data,
                               disable_cdf_update=self.fh.disable_cdf_update)
         self.ctxs = TileContexts(self.mi_cols, self.mi_rows)
+        # neighbor-smoothness maps for the intra edge filter's filt_type
+        # (tile-local availability; luma at mi, chroma at 2-mi units)
+        self._sm_y = np.zeros((self.mi_rows, self.mi_cols), dtype=bool)
+        self._sm_uv = np.zeros(((self.mi_rows + 1) >> 1,
+                                (self.mi_cols + 1) >> 1), dtype=bool)
+        self._ftype = (0, 0)
         self.mvp_state = self.frame_mvp_state.tile_view(
             self.tile_mi_off[0], self.tile_mi_off[1], self.mi_rows,
             self.mi_cols)
@@ -595,6 +601,19 @@ class FrameDecoder:
         uv_delta = mode_syntax.read_angle_delta(self.r, self.fc, uv_mode) \
             if intra_dir.is_directional(uv_mode) else 0
         self.ctxs.set_mi(mi_row, mi_col, bsize, y_mode, skip)
+        if self.seq.enable_intra_edge_filter:
+            r2, c2 = mi_row >> 1, mi_col >> 1
+            fy = (mi_row > 0 and self._sm_y[mi_row - 1, mi_col]) \
+                or (mi_col > 0 and self._sm_y[mi_row, mi_col - 1])
+            fuv = (r2 > 0 and self._sm_uv[r2 - 1, c2]) \
+                or (c2 > 0 and self._sm_uv[r2, c2 - 1])
+            self._ftype = (int(fy), int(fuv))
+            if intra_dir.is_smooth_mode(y_mode):
+                self._sm_y[mi_row:mi_row + (bh >> 2),
+                           mi_col:mi_col + (bw >> 2)] = True
+            if intra_dir.is_smooth_mode(uv_mode):
+                self._sm_uv[r2:r2 + max(1, bh >> 3),
+                            c2:c2 + max(1, bw >> 3)] = True
         from svt_av1_tpu.utils.blocks import (PARTITION_VERT_A,
                                               PARTITION_VERT_B)
         vab = getattr(self, "_leaf_part", None) in (PARTITION_VERT_A,
@@ -662,8 +681,14 @@ class FrameDecoder:
             pred = cfl_ops.predict(dc, ac, np.array([alpha]),
                                    bd=self.bd)[0]
         else:
+            edge = None
+            if self.seq.enable_intra_edge_filter:
+                ft = self._ftype[int(plane > 0)]
+                edge = (np.array([ft], dtype=np.int32),
+                        np.array([np.clip(max_w - x, 0, tw)]),
+                        np.array([np.clip(max_h - y, 0, th)]))
             pred = intra_ops.predict_any(mode, delta, above1, left1, tw, th,
-                                         ha, hl, bd=self.bd)[0]
+                                         ha, hl, bd=self.bd, edge=edge)[0]
         if qcoeff is None or not np.any(qcoeff):
             recon[y:y + th, x:x + tw] = np.clip(
                 pred, 0, (1 << self.bd) - 1).astype(self.recon[plane].dtype)

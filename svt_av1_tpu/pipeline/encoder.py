@@ -45,6 +45,8 @@ class Encoder:
                                       bit_depth=cfg.bit_depth,
                                       enable_cdef=cfg.enable_cdef,
                                       enable_restoration=cfg.enable_restoration,
+                                      enable_intra_edge_filter=(
+                                          cfg.enable_intra_edge_filter),
                                       film_grain_params_present=(
                                           cfg.film_grain_strength > 0
                                           or cfg.film_grain_params

@@ -1385,6 +1385,12 @@ class InterFrameEncoder:
         from svt_av1_tpu.pipeline import avail, md
         cfg = self.cfg
         cand_modes = tuple(cfg.intra_modes) or (0,)
+        if cfg.enable_intra_edge_filter:
+            # flip predictions bypass the intra edge filter process;
+            # keep only process-exempt modes (non-directional + exact
+            # V/H at delta 0) so signaled streams stay decoder-exact
+            cand_modes = tuple(m for m in cand_modes
+                               if m in (0, 1, 2, 9, 10, 11, 12)) or (0,)
         lane_qidx = [None if self.qmap is None
                      else int(self.qmap[r // 16, c // 16])
                      for (r, c, size, li) in cand]

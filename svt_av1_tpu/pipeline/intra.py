@@ -65,6 +65,8 @@ class IntraFrameEncoder:
         self.seq = obu.SequenceHeader(width=cfg.width, height=cfg.height,
                                       bit_depth=cfg.bit_depth,
                                       enable_cdef=cfg.enable_cdef,
+                                      enable_intra_edge_filter=(
+                                          cfg.enable_intra_edge_filter),
                                       film_grain_params_present=(
                                           cfg.film_grain_strength > 0),
                                       **obu.order_hint_fields(
@@ -95,6 +97,11 @@ class IntraFrameEncoder:
         self.max_wh = [(self.mi_cols * 4, self.mi_rows * 4),
                        (self.mi_cols * 2, self.mi_rows * 2),
                        (self.mi_cols * 2, self.mi_rows * 2)]
+        # filt_type smoothness maps (intra edge filter; coding order
+        # guarantees neighbors are decided before their dependents)
+        self._sm_y = np.zeros((self.mi_rows, self.mi_cols), dtype=bool)
+        self._sm_uv = np.zeros(((self.mi_rows + 1) >> 1,
+                                (self.mi_cols + 1) >> 1), dtype=bool)
 
         self.leaf_sizes = {}
         for sb_y in range(0, self.seq.sb_rows * 16, 16):
@@ -167,7 +174,8 @@ class IntraFrameEncoder:
 
     # --- block coding ---------------------------------------------------------------
     def _decide_plane(self, plane: int, x: int, y: int, size: int,
-                      htr: bool, hbl: bool, forced=None, cfl_luma=None):
+                      htr: bool, hbl: bool, forced=None, cfl_luma=None,
+                      ftype=0):
         """Mode decision + coding for one plane of one block via the shared
         kernel (pipeline.md) so all backends decide identically."""
         from svt_av1_tpu.pipeline import md
@@ -180,6 +188,11 @@ class IntraFrameEncoder:
             np.array([htr]), np.array([hbl]), bd=self.cfg.bit_depth,
             max_w=max_w, max_h=max_h)
         srcs = self.src[plane][y:y + size, x:x + size][None]
+        edge = None
+        if self.cfg.enable_intra_edge_filter:
+            edge = (np.array([ftype], dtype=np.int32),
+                    np.array([np.clip(max_w - x, 0, size)]),
+                    np.array([np.clip(max_h - y, 0, size)]))
         return md.decide_block_batch(
             plane, srcs, above1, left1, ha, hl,
             common.intra_candidates(self.cfg), self.qp, size, self.lam,
@@ -187,7 +200,7 @@ class IntraFrameEncoder:
             cfl_luma=cfl_luma,
             tx_search=(plane == 0 and self.cfg.enable_tx_type_search
                        and self.cfg.base_q_idx > 0),
-            rdoq=self.cfg.enable_rdoq)
+            rdoq=self.cfg.enable_rdoq, edge=edge)
 
     def _code_block(self, mi_row: int, mi_col: int, size: int) -> None:
         x, y = mi_col * 4, mi_row * 4
@@ -197,20 +210,32 @@ class IntraFrameEncoder:
         csize = size >> 1
         cx, cy = x >> 1, y >> 1
 
+        r2, c2 = mi_row >> 1, mi_col >> 1
+        fy = int((mi_row > 0 and self._sm_y[mi_row - 1, mi_col])
+                 or (mi_col > 0 and self._sm_y[mi_row, mi_col - 1]))
+        fuv = int((r2 > 0 and self._sm_uv[r2 - 1, c2])
+                  or (c2 > 0 and self._sm_uv[r2, c2 - 1]))
         ym, yd, qy, ey, ry, _, _, ytt = self._decide_plane(0, x, y, size,
-                                                           htr, hbl)
+                                                           htr, hbl,
+                                                           ftype=fy)
         # luma recon must land before the chroma decisions (CfL reads it)
         self.recon[0][y:y + size, x:x + size] = ry[0]
         cfl_luma = None
         if size <= 32:
             cfl_luma = self.recon[0][y:y + size, x:x + size][None]
         um, ud, qu, eu, ru, _, au, _ = self._decide_plane(
-            1, cx, cy, csize, htr, hbl, cfl_luma=cfl_luma)
+            1, cx, cy, csize, htr, hbl, cfl_luma=cfl_luma, ftype=fuv)
         _, _, qv, ev, rv, _, av, _ = self._decide_plane(
             2, cx, cy, csize, htr, hbl, forced=(um, ud),
-            cfl_luma=cfl_luma)
+            cfl_luma=cfl_luma, ftype=fuv)
         y_mode, y_delta = int(ym[0]), int(yd[0])
         uv_mode, uv_delta = int(um[0]), int(ud[0])
+        if intra_dir.is_smooth_mode(y_mode):
+            self._sm_y[mi_row:mi_row + (size >> 2),
+                       mi_col:mi_col + (size >> 2)] = True
+        if intra_dir.is_smooth_mode(uv_mode):
+            self._sm_uv[r2:r2 + max(1, size >> 3),
+                        c2:c2 + max(1, size >> 3)] = True
         alpha_u, alpha_v = int(au[0]), int(av[0])
         if uv_mode == 13 and alpha_u == 0 and alpha_v == 0:
             uv_mode = 0  # alpha-(0,0) CfL == DC prediction; code as DC

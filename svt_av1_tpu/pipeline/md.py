@@ -283,7 +283,7 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
                        qp, size: int, lam: float, bd: int = 8, nfl: int = 3,
                        reduced_tx_set: bool = False, forced=None,
                        cfl_luma=None, tx_search: bool = False,
-                       rdoq: bool = False):
+                       rdoq: bool = False, edge=None):
     """Full mode decision + coding for a batch of same-sized blocks.
 
     Returns (modes [B], deltas [B], qcoeff [B,ch,cw], eob [B],
@@ -332,7 +332,9 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
             else:
                 preds[sel] = intra_ops.predict_any(
                     int(m), int(d), above1[sel], left1[sel], bw, bh,
-                    ha[sel], hl[sel], bd=bd)
+                    ha[sel], hl[sel], bd=bd,
+                    edge=None if edge is None
+                    else tuple(e[sel] for e in edge))
         ftts = tts_for(fmodes)
         qc, eo, rec, dist, rate = _full_loop(srcs, preds, ftts,
                                              tx_size, size, qp, bd,
@@ -343,7 +345,7 @@ def decide_block_batch(plane: int, srcs, above1, left1, ha, hl, cands,
 
     preds = np.stack([
         intra_ops.predict_any(m, d, above1, left1, bw, bh, ha, hl,
-                              bd=bd)
+                              bd=bd, edge=edge)
         for m, d in cands]).astype(np.int64)                  # [M,B,h,w]
     all_cands = list(cands)
     cand_alphas = None

@@ -47,6 +47,8 @@ class WavefrontIntraEncoder:
                                       bit_depth=cfg.bit_depth,
                                       enable_cdef=cfg.enable_cdef,
                                       enable_restoration=cfg.enable_restoration,
+                                      enable_intra_edge_filter=(
+                                          cfg.enable_intra_edge_filter),
                                       film_grain_params_present=(
                                           cfg.film_grain_strength > 0
                                           or cfg.film_grain_params
@@ -71,7 +73,7 @@ class WavefrontIntraEncoder:
     # --- batched wave compute (host numpy backend) ----------------------------
     def _wave_compute(self, plane: int, xs, ys, size: int, cands,
                       htr, hbl, forced=None, cfl_luma=None, qp=None,
-                      lam=None, qv=None, lamv=None):
+                      lam=None, qv=None, lamv=None, ftype=None):
         """All blocks of one wave: mode decision + T/Q/IQ/recon.
         cands: [(mode, angle_delta)] candidate list; htr/hbl: [B]
         above-right / bottom-left availability. ``forced``: (modes [B],
@@ -92,10 +94,17 @@ class WavefrontIntraEncoder:
         srcs = np.stack([src[y:y + bh, x:x + bw]
                          for x, y in zip(xs, ys)]).astype(np.int64)
         kw = {}
+        if cfg.enable_intra_edge_filter and ftype is not None:
+            # per-lane filt_type + real-sample counts for the normative
+            # intra edge filter (spec numPx = Min(w, MaxX - x + 1) ...)
+            n_top = np.clip(np.asarray(max_w) - xs, 0, bw)
+            n_left = np.clip(np.asarray(max_h) - ys, 0, bh)
+            kw["edge"] = (np.asarray(ftype, dtype=np.int32), n_top,
+                          n_left)
         if cfg.backend == "device":
             from svt_av1_tpu.ops.device_md import decide_block_batch_dev
             decide = decide_block_batch_dev
-            kw = dict(qv=qv, lamv=lamv)
+            kw.update(qv=qv, lamv=lamv)
         else:
             decide = md.decide_block_batch
         best, deltas, qcoeff, eob, recon_blocks, _, alphas, tts = \
@@ -267,6 +276,7 @@ class WavefrontIntraEncoder:
         self._defer_tiles = [] if (cfg.backend == "device"
                                    and len(rects) > 1
                                    and self.qmap is None
+                                   and not common.edge_filter_active(cfg)
                                    and not getattr(self, "_no_defer",
                                                    False)) else None
         for rect in rects:
@@ -371,8 +381,15 @@ class WavefrontIntraEncoder:
         self.qcoeff = [[None] * n, [None] * n, [None] * n]
         self.eobs = np.zeros((3, n), dtype=np.int32)
         self.y_tx_type = np.zeros(n, dtype=np.int32)
+        # neighbor-smoothness maps driving the intra edge filter's
+        # filt_type (reference get_filt_type over the left/top modes;
+        # tile-local like every availability rule). Luma at mi
+        # granularity, chroma at chroma-4px (= 2-mi) granularity.
+        self._sm_y = np.zeros((self.mi_rows, self.mi_cols), dtype=bool)
+        self._sm_uv = np.zeros(((self.mi_rows + 1) >> 1,
+                                (self.mi_cols + 1) >> 1), dtype=bool)
 
-        if cfg.backend == "device":
+        if cfg.backend == "device" and not common.edge_filter_active(cfg):
             from svt_av1_tpu.ops import device_tile
             if getattr(self, "_defer_tiles", None) is not None:
                 meta = device_tile.tile_lane_meta(self, cands)
@@ -398,6 +415,7 @@ class WavefrontIntraEncoder:
             r, c, wh[0] >> 2, wh[1] >> 2, self.mi_rows, vert_ab=vab)
             for (r, c, wh), vab in zip(leaves, vab_all)])
         shape_key = larr[:, 2] * 1000 + larr[:, 3]
+        edge_on = common.edge_filter_active(cfg)
         # device path: per-block qindex is a traced operand, so one
         # dispatch per (wave, shape) covers every AQ group
         aq_collapse = cfg.backend == "device" and self.qmap_t is not None
@@ -431,9 +449,19 @@ class WavefrontIntraEncoder:
                     xs = larr[ids, 1] * 4
                     ys = larr[ids, 0] * 4
                     htr, hbl = htr_all[ids], hbl_all[ids]
+                    fty = ftuv = None
+                    if edge_on:
+                        fty = _ftype_from(self._sm_y, larr[ids, 0],
+                                          larr[ids, 1])
+                        ftuv = _ftype_from(self._sm_uv,
+                                           larr[ids, 0] >> 1,
+                                           larr[ids, 1] >> 1)
                     best, bdel, qc, eo, _, ytt = self._wave_compute(
                         0, xs, ys, (bw, bh), cands, htr, hbl, qp=qp,
-                        lam=lam, qv=qvec, lamv=lamv)
+                        lam=lam, qv=qvec, lamv=lamv, ftype=fty)
+                    if edge_on:
+                        _mark_smooth(self._sm_y, larr, ids, best,
+                                     bw >> 2, bh >> 2)
                     self.y_mode[ids] = best
                     self.y_delta[ids] = bdel
                     self.eobs[0, ids] = eo
@@ -446,7 +474,11 @@ class WavefrontIntraEncoder:
                     bestc, cdel, qcc, eoc, au, _ = self._wave_compute(
                         1, xs >> 1, ys >> 1, (bw >> 1, bh >> 1), cands,
                         htr, hbl, cfl_luma=cfl_luma, qp=qp, lam=lam,
-                        qv=qvec, lamv=lamv)
+                        qv=qvec, lamv=lamv, ftype=ftuv)
+                    if edge_on:
+                        _mark_smooth(self._sm_uv, larr, ids, bestc,
+                                     max(1, bw >> 3), max(1, bh >> 3),
+                                     half=True)
                     self.uv_mode[ids] = bestc
                     self.uv_delta[ids] = cdel
                     self.alpha_u[ids] = au
@@ -454,7 +486,7 @@ class WavefrontIntraEncoder:
                     _, _, qcv, eov, av, _ = self._wave_compute(
                         2, xs >> 1, ys >> 1, (bw >> 1, bh >> 1), cands,
                         htr, hbl, forced=(bestc, cdel), cfl_luma=cfl_luma,
-                        qp=qp, lam=lam, qv=qvec, lamv=lamv)
+                        qp=qp, lam=lam, qv=qvec, lamv=lamv, ftype=ftuv)
                     self.alpha_v[ids] = av
                     self.eobs[2, ids] = eov
                     for k, i in enumerate(ids):
@@ -746,3 +778,27 @@ class WavefrontIntraEncoder:
 
 def encode_keyframe_wavefront(y, u, v, cfg: EncoderConfig):
     return WavefrontIntraEncoder(cfg).encode(y, u, v)
+
+
+def _ftype_from(sm: np.ndarray, rows: np.ndarray,
+                cols: np.ndarray) -> np.ndarray:
+    """Per-lane filt_type from a smoothness map (reference
+    get_filt_type: above/left neighbor smooth -> 1; unavailable
+    neighbors count as non-smooth)."""
+    above = np.where(rows > 0, sm[np.maximum(rows - 1, 0), cols], False)
+    left = np.where(cols > 0, sm[rows, np.maximum(cols - 1, 0)], False)
+    return (above | left).astype(np.int32)
+
+
+def _mark_smooth(sm: np.ndarray, larr: np.ndarray, ids: np.ndarray,
+                 modes: np.ndarray, mw: int, mh: int,
+                 half: bool = False) -> None:
+    """Record SMOOTH-family decisions into a smoothness map over each
+    block's unit extent (``half``: chroma map at 2-mi granularity)."""
+    from svt_av1_tpu.ops import intra_dir
+    for k, i in enumerate(ids):
+        if intra_dir.is_smooth_mode(int(modes[k])):
+            r0, c0 = int(larr[i, 0]), int(larr[i, 1])
+            if half:
+                r0, c0 = r0 >> 1, c0 >> 1
+            sm[r0:r0 + mh, c0:c0 + mw] = True

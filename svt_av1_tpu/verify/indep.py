@@ -212,8 +212,160 @@ def _edges(recon, x, y, w, h, ha, hl, htr, hbl, bd, max_w, max_h):
     return above1, left1
 
 
+
+# --- independent intra edge filter + upsample (spec 7.11.2.7-7.11.2.10) --------
+
+_EDGE_KERNELS = ((0, 4, 8, 4, 0), (0, 5, 6, 5, 0), (2, 4, 4, 4, 2))
+
+
+def _edge_strength(blk_wh, delta, ftype):
+    d = abs(delta)
+    if ftype == 0:
+        if blk_wh <= 8:
+            return 1 if d >= 56 else 0
+        if blk_wh <= 16:
+            return 1 if d >= 40 else 0
+        if blk_wh <= 24:
+            return 3 if d >= 32 else (2 if d >= 16 else
+                                      (1 if d >= 8 else 0))
+        if blk_wh <= 32:
+            return 3 if d >= 32 else (2 if d >= 4 else
+                                      (1 if d >= 1 else 0))
+        return 3 if d >= 1 else 0
+    if blk_wh <= 8:
+        return 2 if d >= 64 else (1 if d >= 40 else 0)
+    if blk_wh <= 16:
+        return 2 if d >= 48 else (1 if d >= 20 else 0)
+    if blk_wh <= 24:
+        return 3 if d >= 4 else 0
+    return 3 if d >= 1 else 0
+
+
+def _edge_use_upsample(blk_wh, delta, ftype):
+    d = abs(delta)
+    if d <= 0 or d >= 40:
+        return False
+    return blk_wh <= 8 if ftype else blk_wh <= 16
+
+
+def _edge_filter_sc(p, sz, strength):
+    """p: offset-1 array (corner at 0); filters 1..sz-1 in place."""
+    if strength == 0:
+        return
+    kern = _EDGE_KERNELS[strength - 1]
+    orig = p.copy()
+    for i in range(1, sz):
+        acc = 0
+        for j in range(5):
+            k = min(max(i - 2 + j, 0), sz - 1)
+            acc += int(orig[k]) * kern[j]
+        p[i] = (acc + 8) >> 4
+
+
+def _edge_upsample_sc(p1, n_px, bd):
+    """p1 offset-1 -> offset-2 array of length 2*n_px+1."""
+    inp = np.empty(n_px + 3, dtype=np.int64)
+    inp[0] = inp[1] = p1[0]
+    inp[2:2 + n_px] = p1[1:1 + n_px]
+    inp[n_px + 2] = p1[n_px]
+    out = np.empty(2 * n_px + 1, dtype=np.int64)
+    out[0] = inp[0]
+    for i in range(n_px):
+        v = -inp[i] + 9 * inp[i + 1] + 9 * inp[i + 2] - inp[i + 3]
+        out[2 * i + 1] = min(max((v + 8) >> 4, 0), (1 << bd) - 1)
+        out[2 * i + 2] = inp[i + 2]
+    return out
+
+
+def _directional_edge(above1, left1, mode, delta, w, h, ha, hl, ft,
+                      n_top, n_left, bd):
+    """Directional prediction under enable_intra_edge_filter = 1."""
+    dr = _tables()["dr_intra_derivative"]
+    p_angle = _BASE_ANGLE[mode] + delta * 3
+    wh = w + h
+    above1 = above1.astype(np.int64).copy()
+    left1 = left1.astype(np.int64).copy()
+    zone = 1 if p_angle < 90 else (2 if p_angle < 180 else 3)
+    if zone == 2 and wh >= 24 and ha and hl:
+        sc = (int(left1[1]) * 5 + int(above1[0]) * 6
+              + int(above1[1]) * 5 + 8) >> 4
+        above1[0] = left1[0] = sc
+    if zone in (1, 2) and ha:
+        st = _edge_strength(wh, p_angle - 90, ft)
+        _edge_filter_sc(above1, min(w, n_top) + 1
+                        + (h if zone == 1 else 0), st)
+    if zone in (2, 3) and hl:
+        st = _edge_strength(wh, p_angle - 180, ft)
+        _edge_filter_sc(left1, min(h, n_left) + 1
+                        + (w if zone == 3 else 0), st)
+    up_a = up_l = 0
+    off_a = off_l = 1
+    if zone in (1, 2) and _edge_use_upsample(wh, p_angle - 90, ft):
+        above1 = _edge_upsample_sc(above1, w + (h if zone == 1 else 0),
+                                   bd)
+        up_a, off_a = 1, 2
+    if zone in (2, 3) and _edge_use_upsample(wh, p_angle - 180, ft):
+        left1 = _edge_upsample_sc(left1, h + (w if zone == 3 else 0),
+                                  bd)
+        up_l, off_l = 1, 2
+    out = np.empty((h, w), dtype=np.int64)
+    mx = (1 << bd) - 1
+    if zone == 1:
+        dx = int(dr[p_angle])
+        max_base = (w + h - 1) << up_a
+        for i in range(h):
+            idx = (i + 1) * dx
+            base0 = idx >> (6 - up_a)
+            shift = ((idx << up_a) >> 1) & 0x1F
+            for j in range(w):
+                base = base0 + (j << up_a)
+                if base < max_base:
+                    v = _round2(int(above1[off_a + base]) * (32 - shift)
+                                + int(above1[off_a + base + 1]) * shift,
+                                5)
+                    out[i, j] = min(max(v, 0), mx)
+                else:
+                    out[i, j] = above1[off_a + max_base]
+    elif zone == 3:
+        dy = int(dr[270 - p_angle])
+        max_base = (w + h - 1) << up_l
+        for i in range(h):
+            for j in range(w):
+                idx = (j + 1) * dy
+                base = (idx >> (6 - up_l)) + (i << up_l)
+                shift = ((idx << up_l) >> 1) & 0x1F
+                if base < max_base:
+                    v = _round2(int(left1[off_l + base]) * (32 - shift)
+                                + int(left1[off_l + base + 1]) * shift,
+                                5)
+                    out[i, j] = min(max(v, 0), mx)
+                else:
+                    out[i, j] = left1[off_l + max_base]
+    else:
+        dx = int(dr[180 - p_angle])
+        dy = int(dr[p_angle - 90])
+        for i in range(h):
+            for j in range(w):
+                idx = (j << 6) - (i + 1) * dx
+                base = idx >> (6 - up_a)
+                if base >= -(1 << up_a):
+                    shift = ((idx << up_a) & 0x3F) >> 1
+                    v = _round2(int(above1[off_a + base]) * (32 - shift)
+                                + int(above1[off_a + base + 1]) * shift,
+                                5)
+                else:
+                    idx = (i << 6) - (j + 1) * dy
+                    base = idx >> (6 - up_l)
+                    shift = ((idx << up_l) & 0x3F) >> 1
+                    v = _round2(int(left1[off_l + base]) * (32 - shift)
+                                + int(left1[off_l + base + 1]) * shift,
+                                5)
+                out[i, j] = min(max(v, 0), mx)
+    return out
+
+
 def predict_indep(recon, x, y, w, h, mode, delta, ha, hl, htr, hbl, bd,
-                  max_w, max_h):
+                  max_w, max_h, edge=None):
     above1, left1 = _edges(recon, x, y, w, h, ha, hl, htr, hbl, bd,
                            max_w, max_h)
     above, left, tl = above1[1:], left1[1:], above1[0]
@@ -223,6 +375,9 @@ def predict_indep(recon, x, y, w, h, mode, delta, ha, hl, htr, hbl, bd,
         return _smooth(above, left, w, h, mode)
     if mode == 12:
         return _paeth(above, left, tl, w, h)
+    if edge is not None and _BASE_ANGLE[mode] + delta * 3 not in (90, 180):
+        return _directional_edge(above1, left1, mode, delta, w, h,
+                                 bool(ha), bool(hl), *edge, bd)
     return _directional(above1, left1, mode, delta, w, h)
 
 
@@ -468,9 +623,15 @@ class IndepFrameDecoder(FrameDecoder):
                                  (np.abs(scaled) + 32) >> 6,
                                  -((np.abs(scaled) + 32) >> 6))
         else:
+            edge = None
+            if self.seq.enable_intra_edge_filter:
+                edge = (int(self._ftype[int(plane > 0)]),
+                        int(np.clip(max_w - x, 0, tw)),
+                        int(np.clip(max_h - y, 0, th)))
             pred = predict_indep(self.recon[plane], x, y, tw, th, mode,
                                  delta, y > 0, x > 0, self._my_htr,
-                                 self._my_hbl, self.bd, max_w, max_h)
+                                 self._my_hbl, self.bd, max_w, max_h,
+                                 edge=edge)
         # the mirror already overwrote the block interior, but intra
         # edges only read above/left neighbors, which are untouched
         expect = self._expected_recon(plane, x, y, tx_size, qcoeff,

@@ -95,9 +95,10 @@ def test_injected_shared_bug_caught(monkeypatch):
 
     real = intra_ops.predict_any
 
-    def buggy(mode, angle_delta, above1, left1, bw, bh, ha, hl, bd=8):
+    def buggy(mode, angle_delta, above1, left1, bw, bh, ha, hl, bd=8,
+              **kw):
         out = real(mode, angle_delta, above1, left1, bw, bh, ha, hl,
-                   bd=bd)
+                   bd=bd, **kw)
         if mode == 9:  # SMOOTH: corrupt one interior pixel
             out = out.copy()
             out[..., bh // 2, bw // 2] = np.clip(

@@ -49,7 +49,8 @@ def test_keyframe_tiles_sharded_byte_identity():
     w, h = 64 * 8, 128
     (y, u, v), = _clip(w, h, 1)
     cfg = EncoderConfig(width=w, height=h, qp=40, tile_cols_log2=3,
-                        fixed_partition_size=16)
+                        fixed_partition_size=16,
+                        enable_intra_edge_filter=False)
     tu_sharded, halo_ok, stats = encode_keyframe_tiles_sharded(
         y, u, v, cfg, mesh)
     assert halo_ok, "ppermute halo exchange mismatch"
